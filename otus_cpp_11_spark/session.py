@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+Local test mode runs ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``), but
+every conf here is chosen for a multi-executor cluster at ~100 TB scale:
+
+- AQE on (runtime partition coalescing, skew-join splitting, plan re-opt);
+- shuffle partitions sized to cores locally — on a real cluster raise to
+  ~2-3x total executor cores, or let AQE coalesce from a high initial value;
+- Arrow on, so any Pandas-UDF hop is vectorized batch transfer, not pickle;
+- session timezone pinned UTC so timestamp semantics match the DuckDB oracle
+  (and are cluster-location-independent, which you want in production too).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "otus-cpp-11-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The events table carries timestamp[ns]; Spark has no nanosecond
+        # timestamp type and rejects the file outright without this conf.
+        # We read nanos as raw long and convert in catalog.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
