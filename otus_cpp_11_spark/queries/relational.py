@@ -1,0 +1,485 @@
+"""Relational operator surface (SURVEY.md §2.2): scans, projection/filter,
+joins (inner/semi/anti + broadcast), aggregation (group/rollup/cube/distinct),
+windows, sort/limit/top-k, set ops, scalar functions — all stock DataFrame
+primitives; Catalyst supplies pushdown/pruning/join-strategy (SURVEY.md §4).
+
+The reference has no joins/windows/SQL at all (SURVEY.md §2.2) — this module
+is the Spark-built-in surface the driver's TPC-H-ish corpus exercises, each
+query hash-checked against DuckDB.
+
+Scale notes (100 TB): fact-to-fact joins (lineitem⋈orders) shuffle on the
+join key — at scale you bucket both sides on orderkey; dims (region, nation,
+supplier, customer at low SF) are broadcast so the big side never shuffles.
+Filters are plain column predicates on the scan, so they push into parquet
+(PushedFilters) and prune columns (ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.queries import davg, davg_sql, dsum, dsum_sql
+from otus_cpp_11_spark.registry import register
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): wide aggregate over one fact table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql("l_quantity", 2)}        AS sum_qty,
+       {dsum_sql("l_extendedprice", 2)}   AS sum_base_price,
+       {dsum_sql(_REVENUE, 6)}            AS sum_disc_price,
+       {dsum_sql(_CHARGE, 6)}             AS sum_charge,
+       {davg_sql("l_quantity", 2)}        AS avg_qty,
+       {davg_sql("l_extendedprice", 2)}   AS avg_price,
+       {davg_sql("l_discount", 6)}        AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: 8 aggregates over 2 group keys; partial aggregation
+    (map-side combine) means the shuffle carries only |groups| rows per
+    partition regardless of fact size."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    qty = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    revenue = price * (1 - disc)
+    charge = price * (1 - disc) * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(qty, 2).alias("sum_qty"),
+            dsum(price, 2).alias("sum_base_price"),
+            dsum(revenue, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg(qty, 2).alias("avg_qty"),
+            davg(price, 2).alias("avg_price"),
+            davg(disc, 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority: dim-filter + two joins + grouped revenue + top-k.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT o_orderkey,
+       {dsum_sql(_REVENUE, 6)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is a dim → broadcast (no shuffle of orders);
+    orders⋈lineitem is the one real shuffle, on orderkey. Top-k has a total
+    tie-break (o_orderkey) so the LIMIT set is deterministic."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-way join through the full star schema.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       {dsum_sql(_REVENUE, 6)} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey AND s_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: every non-fact table is a broadcast dim, so the only
+    shuffle is lineitem⋈orders on orderkey; the s_nationkey = c_nationkey
+    local-supplier predicate rides on the broadcast supplier join."""
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins: semi / anti.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (reference has no joins at all — SURVEY.md §2.2). At
+    scale the orders side reduces to distinct o_custkey before the join;
+    customer stays unshuffled when the distinct key set broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "suppliers_with_returns",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+)
+ORDER BY s_suppkey
+""",
+)
+def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: supplier rows with at least one returned lineitem."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        s.join(l, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows: top-k per group, running totals, lag.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+    bench=True,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window — the canonical Spark top-k
+    (single shuffle on the partition key, no global sort). Tie-break on
+    o_orderkey makes rank assignment total."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "customer_running_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+         AS running_spend,
+       LAG(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running fixed-point cumulative sum + lag per customer ordered by time
+    (the reference's sorted-adjacency reducer O11 generalized to a window —
+    SURVEY.md §2.2 'window functions')."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("decimal(38,0)"))
+                .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .cast("double")
+                / 100.0
+            ).alias("running_spend"),
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants: rollup, cube, distinct aggregates.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_rollup",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       {dsum_sql("o_totalprice", 2)} AS sum_totalprice
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal hierarchy (status → status+priority → grand total).
+    The reference has no grouping sets (SURVEY.md §2.2); Catalyst expands
+    rollup into a single Expand+aggregate — one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "orders_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both dimensions (adds the priority-only slice to rollup)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "order_distinct_aggs",
+    oracle="""
+SELECT COUNT(DISTINCT o_custkey)  AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders
+FROM orders
+""",
+)
+def order_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (lecture-spec unique-count generalized,
+    SURVEY.md §2.1). Spark plans multi-distinct via Expand; at 100 TB prefer
+    approx_count_distinct (non-oracle-able, covered in tests)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_set_ops",
+    oracle="""
+SELECT 'union' AS op, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier) u
+UNION ALL
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) i
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) e
+ORDER BY op
+""",
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct semantics) over nation keys —
+    the set-op surface the reference lacks entirely (SURVEY.md §2.2)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    parts = [
+        c.union(s).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("union").alias("op"), "n"
+        ),
+        c.intersect(s).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("intersect").alias("op"), "n"
+        ),
+        c.subtract(s).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("except").alias("op"), "n"
+        ),
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out.orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: strings, math, dates.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_math",
+    oracle="""
+SELECT c_custkey,
+       UPPER(c_name)            AS uname,
+       SUBSTRING(c_name, 1, 9)  AS pfx,
+       LENGTH(c_name)           AS name_len,
+       ABS(c_acctbal)           AS abs_bal,
+       FLOOR(c_acctbal)         AS floor_bal,
+       CONCAT(c_mktsegment, ':', c_name) AS tagged
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: the reference's substr/compare/atoi plus the
+    lecture spec's abs/tolower family (SURVEY.md §2.2 'scalar functions') —
+    all JVM-side Column exprs inside whole-stage codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 9).alias("pfx"),
+        F.length("c_name").alias("name_len"),
+        F.abs("c_acctbal").alias("abs_bal"),
+        F.floor("c_acctbal").cast("double").alias("floor_bal"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "orders_by_month",
+    oracle=f"""
+SELECT CAST(YEAR(o_orderdate) AS INT)  AS yr,
+       CAST(MONTH(o_orderdate) AS INT) AS mo,
+       COUNT(*) AS n_orders,
+       {dsum_sql("o_totalprice", 2)} AS revenue
+FROM orders
+GROUP BY yr, mo
+ORDER BY yr, mo
+""",
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + time-grouped aggregate. At 100 TB the lake is
+    date-partitioned and this grouping prunes to partition metadata."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("yr", "mo")
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim) —
+driver extension mandate (SURVEY.md §2.2): brute-force cosine top-k as the
+exact baseline; the LSH-bucketed scale path lives in ops/tests.
+
+Determinism strategy (so the cosine VALUES hash-match DuckDB bit-for-bit):
+per-element products of float-upcast-to-double are IEEE-identical in both
+engines; each product is scaled by 1e15 and FLOORed (flooring identical
+doubles is identical — no rounding mode exists, unlike double→decimal
+casts), summed exactly as DECIMAL(38,0), then divided back in double. No
+floating-point SUM ever happens. See queries/__init__ docstring.
+
+Scale: brute-force top-k against one query vector is a map + per-partition
+partial top-k + tiny final merge (TakeOrderedAndProject) — no shuffle of the
+vectors. For all-pairs or many-query workloads you bucket by LSH/IVF first
+(same candidate-join shape as dedup) so the cross product never
+materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.registry import register
+
+TOPK = 10
+QUERY_VEC_ID = 0
+_SCALE = 10**15  # fixed-point digits for per-element products (|p| <= ~1)
+
+
+def _dec_dot(a: Column, b: Column) -> Column:
+    """Fixed-point-exact dot product of two array<float> columns, as double."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(float(_SCALE)))
+        .cast("decimal(38,0)"),
+    )
+    total = F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, p: (acc + p).cast("decimal(38,0)"),
+    )
+    return total.cast("double") / F.lit(float(_SCALE))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Deterministic cosine similarity between two array<float> columns."""
+    return _dec_dot(a, b) / (F.sqrt(_dec_dot(a, a)) * F.sqrt(_dec_dot(b, b)))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"(CAST(LIST_SUM([CAST(FLOOR(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * {_SCALE}.0) AS DECIMAL(38,0)) "
+        f"FOR x IN LIST_ZIP({a}, {b})]) AS DOUBLE) / {_SCALE}.0)"
+    )
+
+
+@register(
+    "ann_cosine_top10",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {_dot_sql("e.embedding", "q.qv")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {TOPK}
+""",
+    bench=True,
+)
+def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector: broadcast the query,
+    score every vector JVM-side (zip_with + fixed-point aggregate), take the
+    global top-k with a total tie-break. The per-partition top-k merge means
+    no full sort and no shuffle of the embedding column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(TOPK)
+
+
+@register(
+    "embedding_norms_by_label",
+    oracle=f"""
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(FLOOR(SQRT({_dot_sql("embedding", "embedding")}) * 1000000000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000000.0 AS sum_l2_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregate: per-label count + fixed-point sum of L2
+    norms — the 'is my embedding table healthy' scan, all JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.floor(norm * 1e12).cast("decimal(38,0)")).cast("double") / 1e12
+            ).alias("sum_l2_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,164 @@
+"""Time-series / event-stream queries over the events table — the batch
+faces of the streaming surface (SURVEY.md §2.2 'streaming' extension
+mandate). The same windows run as Structured Streaming in
+``otus_cpp_11_spark.streaming``; here they are batch + oracle-gated.
+
+Window bucketing: Spark ``F.window`` and DuckDB ``time_bucket`` are both
+epoch-aligned, so bucket starts agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.queries import dsum
+from otus_cpp_11_spark.registry import register
+
+
+@register(
+    "events_tumbling_5min",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+    bench=True,
+)
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregate per event type — the batch face of
+    the streaming tumbling window."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "5 minutes").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_10min_5min",
+    oracle="""
+WITH starts AS (
+  SELECT event_id, value,
+         time_bucket(INTERVAL '5 minutes', ts) - offs * INTERVAL '5 minutes' AS window_start
+  FROM events
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS offs) o
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_value
+FROM starts
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): each event lands in two
+    overlapping windows. The oracle replicates Spark's expansion explicitly
+    (bucket(5m) and bucket(5m)-5m are exactly the containing starts)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).alias("sum_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY k_value
+ORDER BY k_value
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column and aggregate
+    by an extracted field (nested/JSON surface — no reference counterpart,
+    its type system is string+uint only, SURVEY.md §1.2)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_value")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_value")
+    )
+
+
+@register(
+    "user_event_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def user_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + cumulative flag sum —
+    the batch equivalent of session_window. One shuffle on user_id serves
+    both window passes."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > 30 * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.sum("is_new").over(w_cum).cast("bigint").alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
