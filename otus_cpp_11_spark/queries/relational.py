@@ -483,3 +483,253 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+# --------------------------------------------------------------------------
+# Outer joins + null handling (testdata has no nulls; outer joins make them).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_supplier_left_join",
+    oracle="""
+SELECT n_nationkey, n_name,
+       COUNT(s_suppkey) AS n_suppliers,
+       COALESCE(CAST(SUM(CAST(FLOOR(s_acctbal * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0, 0.0) AS total_bal
+FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+""",
+)
+def nation_supplier_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null-aware aggregates (COUNT skips nulls, COALESCE
+    fills the no-supplier nations) — the null-handling surface the
+    reference's two-type system cannot express (SURVEY.md §1.2)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, F.col("s_nationkey") == F.col("n_nationkey"), "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.coalesce(dsum(F.col("s_acctbal"), 2), F.lit(0.0)).alias("total_bal"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "region_nation_full_outer",
+    oracle="""
+SELECT COALESCE(r_name, '<no region>') AS region_name,
+       COUNT(n_nationkey) AS n_nations
+FROM region FULL OUTER JOIN nation ON n_regionkey = r_regionkey
+GROUP BY region_name
+ORDER BY region_name
+""",
+)
+def region_nation_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (degenerates to inner on this data — the point is the
+    operator surface and the COALESCE-on-unmatched semantics)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"), "full_outer")
+        .groupBy(F.coalesce(F.col("r_name"), F.lit("<no region>")).alias("region_name"))
+        .agg(F.count("n_nationkey").alias("n_nations"))
+        .orderBy("region_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Subquery shapes: scalar, correlated (decorrelated as joins).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customers_above_avg_balance",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+ORDER BY c_custkey
+""",
+)
+def customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (uncorrelated): filter against a global aggregate.
+    Spark plans the subquery as a broadcast scalar; the fact scan streams.
+
+    AVG determinism note: both engines sum the same ~1.5k doubles here; the
+    filter compares against a threshold strictly between representable
+    values, so the float-sum order difference cannot flip row membership
+    unless a balance lands within 1 ulp of the average — the column is
+    2-decimal money, the average is not, so this is safe without the
+    fixed-point detour."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "parts_larger_than_brand_avg",
+    oracle="""
+SELECT p.p_partkey, p.p_brand, p.p_size
+FROM part p
+JOIN (SELECT p_brand, AVG(p_size) AS avg_size FROM part GROUP BY p_brand) b
+  ON p.p_brand = b.p_brand
+WHERE p.p_size > b.avg_size
+ORDER BY p.p_partkey
+""",
+)
+def parts_larger_than_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (size above per-brand average),
+    decorrelated into an aggregate + equi-join — the form Catalyst rewrites
+    correlated scalar subqueries into anyway. AVG over int sizes is an
+    int-sum / count: exact in both engines."""
+    p = load_table(spark, sf_dir, "part")
+    b = p.groupBy(F.col("p_brand").alias("b_brand")).agg(
+        F.avg("p_size").alias("avg_size")
+    )
+    return (
+        p.join(F.broadcast(b), F.col("p_brand") == F.col("b_brand"))
+        .where(F.col("p_size") > F.col("avg_size"))
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot / grouping sets / listagg.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orderstatus_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def orderstatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (explicit values keep the schema
+    static — at scale you never want the extra pass that infers pivot
+    columns from data)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("status_F"),
+            F.col("O").alias("status_O"),
+            F.col("P").alias("status_P"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "orders_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (the DataFrame API only has
+    cube/rollup; the engine exposes both surfaces — SURVEY.md §3.4)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@register(
+    "region_nation_list",
+    oracle="""
+SELECT r_name,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT n_name)), ',') AS nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg/string_agg shape: collect_set + array_sort + array_join —
+    sorted so the aggregation order (nondeterministic in both engines) can't
+    leak into the result."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 shape — returned-item revenue ranking.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_revenue",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {dsum_sql(_REVENUE, 6)} AS revenue,
+       ANY_VALUE(n_name) AS nation
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    bench=True,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking over returned items. The
+    returnflag filter pushes to the lineitem scan; nation broadcasts;
+    ANY_VALUE is safe because nation is functionally dependent on the
+    grouping key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.any_value("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

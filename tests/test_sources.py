@@ -1,0 +1,100 @@
+"""Sources & sinks surface (SURVEY.md §2.2 'scans/sources/sinks'): the
+reference reads/writes newline text only (O1/O2/O5); the engine covers
+text/csv/json/parquet/orc with schema round-trips and partitioned layout.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from otus_cpp_11_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            Row(k=1, name="a", val=1.5, seg="x"),
+            Row(k=2, name="b", val=2.5, seg="y"),
+            Row(k=3, name="c", val=-0.5, seg="x"),
+        ]
+    )
+
+
+def _assert_roundtrip(df, back, sort_col="k"):
+    a = sorted(df.collect(), key=lambda r: r[sort_col])
+    b = sorted(back.collect(), key=lambda r: r[sort_col])
+    assert a == b
+
+
+class TestFormats:
+    def test_parquet_roundtrip(self, spark, sample, tmp_path):
+        p = str(tmp_path / "t.parquet")
+        sample.write.mode("overwrite").parquet(p)
+        _assert_roundtrip(sample, spark.read.parquet(p))
+
+    def test_orc_roundtrip(self, spark, sample, tmp_path):
+        p = str(tmp_path / "t.orc")
+        sample.write.mode("overwrite").orc(p)
+        _assert_roundtrip(sample, spark.read.orc(p))
+
+    def test_csv_roundtrip_explicit_schema(self, spark, sample, tmp_path):
+        # explicit schema, never inferSchema in prod (extra pass over data)
+        p = str(tmp_path / "t.csv")
+        sample.write.mode("overwrite").option("header", True).csv(p)
+        back = spark.read.schema("k bigint, name string, val double, seg string").csv(
+            p, header=True
+        )
+        _assert_roundtrip(sample, back)
+
+    def test_json_roundtrip(self, spark, sample, tmp_path):
+        p = str(tmp_path / "t.json")
+        sample.write.mode("overwrite").json(p)
+        back = spark.read.schema("k bigint, name string, val double, seg string").json(p)
+        _assert_roundtrip(sample, back)
+
+    def test_text_sink_and_source(self, spark, tmp_path):
+        # the reference's only format (O1/O2/O5)
+        p = str(tmp_path / "lines")
+        df = spark.createDataFrame([("alpha",), ("beta",)], ["value"])
+        df.coalesce(1).write.mode("overwrite").text(p)
+        back = spark.read.text(p)
+        assert sorted(r.value for r in back.collect()) == ["alpha", "beta"]
+
+
+class TestPartitionedLayout:
+    def test_partitionby_write_and_pruning(self, spark, sample, tmp_path):
+        """Hive-partitioned write — the 100 TB lake layout; reading one
+        partition directory must not scan the other."""
+        p = str(tmp_path / "part")
+        sample.write.mode("overwrite").partitionBy("seg").parquet(p)
+        x = spark.read.parquet(p).where(F.col("seg") == "x")
+        assert x.count() == 2
+        # partition pruning visible in the physical plan
+        plan = x._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan or "seg" in plan
+
+    def test_partition_column_type_roundtrip(self, spark, sample, tmp_path):
+        p = str(tmp_path / "part2")
+        sample.write.mode("overwrite").partitionBy("k").parquet(p)
+        back = spark.read.parquet(p)
+        assert {r.k for r in back.select("k").collect()} == {1, 2, 3}
+
+
+class TestCatalogScan:
+    def test_column_pruning_reaches_scan(self, spark):
+        """A 2-column projection must not read all 11 lineitem columns
+        (ReadSchema shows the pruned set)."""
+        l = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        q = l.select("l_orderkey", "l_quantity")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "l_orderkey" in plan
+        assert "l_extendedprice" not in plan  # pruned away
+
+    def test_predicate_pushdown_reaches_scan(self, spark):
+        l = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        q = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "l_returnflag" in plan
