@@ -240,3 +240,235 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# SimHash: 32-bit signatures + banded hamming-distance near-dup pairs.
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+
+# Engine-portable bit math: nibble j of md5(word) via strpos/instr on the
+# hex alphabet; bit extraction via FLOOR(nib / 2^b) % 2 (no engine-specific
+# shift operators); signature packing via SUM(bit_k * 2^k).
+_TOKENS_SQL = f"""
+  SELECT DISTINCT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT({_NORM_SQL}, ' '), x -> x <> '')) AS word
+  FROM documents
+"""
+
+_SIMHASH_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+bits AS (
+  SELECT doc_id, word, k,
+         STRPOS('0123456789abcdef',
+                SUBSTRING(MD5(word), CAST(FLOOR(k / 4) AS INT) + 1, 1)) - 1 AS nib
+  FROM toks CROSS JOIN (SELECT UNNEST(RANGE(0, {SIMHASH_BITS})) AS k) ks
+),
+contrib AS (
+  SELECT doc_id, k,
+         SUM(2 * (CAST(FLOOR(nib / POW(2.0, k % 4)) AS INT) % 2) - 1) AS s
+  FROM bits GROUP BY doc_id, k
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2.0, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM contrib GROUP BY doc_id
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(_normalized(), " "), lambda x: x != F.lit(""))
+    toks = d.select("doc_id", F.explode(words).alias("word")).distinct()
+    bits = toks.select(
+        "doc_id",
+        "word",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("k"),
+    ).select(
+        "doc_id",
+        "k",
+        F.expr(
+            "instr('0123456789abcdef', substring(md5(word), cast(floor(k / 4) as int) + 1, 1)) - 1"
+        ).alias("nib"),
+    )
+    contrib = bits.groupBy("doc_id", "k").agg(
+        F.sum(
+            2 * (F.expr("cast(floor(nib / pow(2.0, k % 4)) as int)") % 2) - 1
+        ).alias("s")
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr(f"cast(pow(2.0, k) as bigint)")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+@register(
+    "doc_simhash32",
+    oracle=f"""
+{_SIMHASH_SQL}
+ORDER BY doc_id
+""",
+)
+def doc_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over distinct word tokens: each md5
+    nibble votes ±1 on its 4 bits; the majority sign becomes the bit. One
+    flatMap (tokens × 32) + two hash aggregates — no Python in the path.
+    Scale: the token×bit explode is the cost; at 100 TB drop to 16-bit
+    bands computed per-partition or a pandas_udf packing loop."""
+    return _simhash_df(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+WITH sims AS ({_SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash, b,
+         CAST(FLOOR(simhash / POW(2.0, 8 * b)) AS BIGINT) % 256 AS band_val
+  FROM sims CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, BIT_COUNT(XOR(sim_a, sim_b)) AS hamming
+FROM cand
+WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+""",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicates: pairs within hamming distance <= 3 of the
+    32-bit signature. Pigeonhole banding (4 bytes — any pair within
+    hamming 3 shares at least one untouched byte) keeps candidate
+    generation to equi-join buckets, never an all-pairs join."""
+    sims = _simhash_df(spark, sf_dir)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "b",
+        F.expr("cast(floor(simhash / pow(2.0, 8 * b)) as bigint) % 256").alias(
+            "band_val"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Direct n-gram Jaccard with attribute blocking (no LSH).
+# --------------------------------------------------------------------------
+
+BIGRAM_THRESHOLD = 0.2
+
+_BIGRAMS_SQL = f"""
+  SELECT doc_id, source, UNNEST(LIST_DISTINCT([w[i] || ' ' || w[i+1]
+                 FOR i IN RANGE(1, GREATEST(LEN(w) - 1, 0) + 1)])) AS shingle
+  FROM (SELECT doc_id, source,
+               LIST_FILTER(STRING_SPLIT({_NORM_SQL}, ' '), x -> x <> '') AS w
+        FROM documents) t
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_BIGRAMS_SQL}),
+sizes AS (SELECT doc_id, ANY_VALUE(source) AS source, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {BIGRAM_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard similarity with attribute blocking (same-source
+    pairs only) and inverted-index candidate generation: only pairs sharing
+    at least one shingle materialize, via the shingle equi-join — the
+    classic blocking+verify pattern when metadata already partitions the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(_normalized(), " "), lambda x: x != F.lit(""))
+    n = F.size(words)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        )
+    )
+    sh = d.select("doc_id", "source", F.explode(arr).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"), F.count(F.lit(1)).alias("n")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= BIGRAM_THRESHOLD).orderBy("doc_a", "doc_b")

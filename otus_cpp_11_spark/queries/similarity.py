@@ -120,3 +120,98 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (label-blocked).
+# --------------------------------------------------------------------------
+
+NEAR_DUP_COSINE = 0.4
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         {_dot_sql("a.embedding", "b.embedding")} /
+         (SQRT({_dot_sql("a.embedding", "a.embedding")}) * SQRT({_dot_sql("b.embedding", "b.embedding")})) AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine
+FROM pairs
+WHERE cosine >= {NEAR_DUP_COSINE}
+ORDER BY vec_a, vec_b
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection with attribute blocking:
+    only same-label pairs are scored (the label column standing in for an
+    upstream coarse clustering), so the cross product is per-block, not
+    global. The block join shuffles on label; scoring is JVM-side
+    fixed-point math. At 100 TB the blocks come from LSH/IVF cell ids
+    computed the same way."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= NEAR_DUP_COSINE).orderBy("vec_a", "vec_b")
+
+
+# --------------------------------------------------------------------------
+# IVF-style top-k: probe one cell (label = coarse centroid assignment).
+# --------------------------------------------------------------------------
+
+IVF_TOPK = 5
+
+
+@register(
+    "ivf_cosine_top5",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv, label AS qlabel FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {_dot_sql("e.embedding", "q.qv")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM embeddings e, q
+  WHERE e.label = q.qlabel AND e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {IVF_TOPK}
+""",
+)
+def ivf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's cell (label = cell id from an
+    upstream coarse quantizer) instead of the full table — the scale path
+    where brute force scans 1/n_cells of the data. Same fixed-point scoring
+    as the exact baseline, so recall loss is purely the cell-probe
+    approximation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("label").alias("qlabel")
+    )
+    scored = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(q),
+            F.col("label") == F.col("qlabel"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(IVF_TOPK)

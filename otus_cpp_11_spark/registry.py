@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
     from otus_cpp_11_spark.queries import (  # noqa: F401
         dedup,
         mapreduce_ops,
+        multimodal,
         relational,
         similarity,
         text,
