@@ -102,6 +102,47 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_windows",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` (dynamic-length windows closed by 30 min
+    of inactivity), batch mode — the same call streams unchanged in
+    ``otus_cpp_11_spark.streaming.session_counts``. The oracle rebuilds
+    session extents via lag+cumsum (session_end = last event + gap, exactly
+    Spark's definition)."""
+    from otus_cpp_11_spark.streaming import session_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return session_counts(e).orderBy("user_id", "session_start")
+
+
+@register(
     "user_event_sessions",
     oracle="""
 WITH ordered AS (

@@ -1,0 +1,209 @@
+"""Structured Streaming surface (SURVEY.md §7 M5 — extension mandate; the
+reference is batch-only, src/runner.cpp:5-83 runs one job and exits).
+
+Design: every transformation here is a pure ``DataFrame -> DataFrame``
+function that works on BOTH a batch frame and a ``readStream`` frame — the
+unified Dataset API is the point of Structured Streaming. Tests exploit
+this: the streaming result (memory sink, ``Trigger.AvailableNow``) must
+equal the batch result of the same function.
+
+Scale notes (100 TB / real cluster):
+
+* The file source below stands in for Kafka: swap ``read_events_stream``
+  for ``spark.readStream.format("kafka")...`` and everything downstream is
+  unchanged — transformations never know the source.
+* State stores: windowed aggs, dedup, and applyInPandasWithState all keep
+  per-key state. At scale, set
+  ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB provider
+  so state spills off-heap, and always watermark so state is evictable.
+* Watermarks bound both late-data acceptance and state size; 10 minutes
+  here is a test-friendly default, tune to the pipeline's real lateness.
+* ``Trigger.AvailableNow`` is also the production backfill mode: replay a
+  lake directory through the exact streaming graph, checkpointed, then
+  flip the same query to a live trigger.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "dedup_by_event_id",
+    "running_user_counts",
+    "run_available_now",
+    "write_stream_parquet",
+]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based stream over the events parquet (one file = one micro-batch
+    under AvailableNow; a live directory would stream per new file).
+
+    The schema must be supplied explicitly (streaming sources don't infer);
+    we take it from a batch peek at the same path, then apply the same
+    nanos->micros timestamp normalization as ``catalog.load_table``.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # FileStreamSource force-sets basePath to the literal path (must be a
+    # directory) unless the path is a glob; wrapping the last char keeps the
+    # glob semantics identical while basePath resolves to the parent dir.
+    glob_path = f"{path[:-1]}[{path[-1]}]"
+    df = spark.readStream.schema(raw_schema).parquet(glob_path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+# --------------------------------------------------------------------------
+# Windowed aggregations — watermark + window, batch/stream polymorphic.
+# --------------------------------------------------------------------------
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type. Streaming face of
+    queries.timeseries.events_tumbling_5min (which is the oracle-gated batch
+    face). Watermark evicts window state once event time passes
+    window.end + watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows: each event lands in
+    width/slide windows; state cost scales the same way."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows (dynamic length, closed by `gap` of inactivity) per
+    user — the built-in analogue of the reference-shaped lag+cumsum
+    sessionization in queries.timeseries.user_event_sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stateful operators.
+# --------------------------------------------------------------------------
+
+
+def dedup_by_event_id(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only until
+    the watermark passes it, so state is O(events per watermark horizon),
+    not O(all history) — the only dedup that survives an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running event counter (the 'arbitrary user fold' of the reference's
+    reducer contract, src/mapreduce.hpp:27, made streaming and per-key).
+
+    Each micro-batch updates the user's persisted count and emits the new
+    cumulative value — Arrow-batched both directions, state is a single
+    long per key. Unbounded keyspace would want a timeout
+    (GroupStateTimeout.EventTimeTimeout + watermark) to evict idle users.
+    """
+    uid_type = dict(events.dtypes)["user_id"]
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (prev,) = state.get if state.exists else (0,)
+        n = prev + sum(len(pdf) for pdf in pdfs)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=f"user_id {uid_type}, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Sink / run helpers.
+# --------------------------------------------------------------------------
+
+
+def run_available_now(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming frame with Trigger.AvailableNow into a memory sink
+    and return the materialized result table. Complete mode for aggregates
+    (full result table), append/update for row-wise stateful ops."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def write_stream_parquet(df: DataFrame, path: str, checkpoint: str | None = None):
+    """Parquet sink with checkpointing — the durable-output path. Returns
+    the StreamingQuery (caller awaits). Checkpoint dir carries offsets +
+    state across restarts; at scale it lives on the cluster FS."""
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg-ckpt-")
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

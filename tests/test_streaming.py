@@ -1,0 +1,101 @@
+"""Structured Streaming tests (FIXTURES-level + stream/batch equivalence).
+
+Strategy: every transformation in otus_cpp_11_spark.streaming is
+batch/stream polymorphic, so the gold answer is the SAME function run on
+the batch frame; the streaming run (memory sink, Trigger.AvailableNow)
+must produce identical rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.streaming import (
+    dedup_by_event_id,
+    read_events_stream,
+    run_available_now,
+    running_user_counts,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+    write_stream_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF, "events")
+
+
+def test_tumbling_stream_equals_batch(spark, batch_events):
+    stream = tumbling_counts(read_events_stream(spark, SF))
+    got = run_available_now(stream, "t_tumbling", "complete")
+    want = tumbling_counts(batch_events)
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_sliding_stream_equals_batch(spark, batch_events):
+    stream = sliding_counts(read_events_stream(spark, SF))
+    got = run_available_now(stream, "t_sliding", "complete")
+    want = sliding_counts(batch_events)
+    assert _rows(got, "window_start") == _rows(want, "window_start")
+
+
+def test_session_stream_equals_batch(spark, batch_events):
+    stream = session_counts(read_events_stream(spark, SF))
+    got = run_available_now(stream, "t_session", "complete")
+    want = session_counts(batch_events)
+    assert _rows(got, "user_id", "session_start") == _rows(
+        want, "user_id", "session_start"
+    )
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "click"),
+        (1, t0, "click"),  # exact duplicate event_id
+        (2, t0 + dt.timedelta(minutes=1), "view"),
+        (2, t0 + dt.timedelta(minutes=2), "view"),  # dup id within watermark
+        (3, t0 + dt.timedelta(minutes=3), "click"),
+    ]
+    src = str(tmp_path / "dup_events")
+    spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string").write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    got = run_available_now(dedup_by_event_id(stream), "t_dedup", "append")
+    assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
+
+
+def test_running_user_counts_matches_batch_groupby(spark, batch_events):
+    stream = running_user_counts(read_events_stream(spark, SF))
+    got = run_available_now(stream, "t_running", "update")
+    # AvailableNow may split input into several micro-batches; the last
+    # (max) update per user is the final running count.
+    final = {r.user_id: r.n_events for r in got.groupBy("user_id").max("n_events")
+             .withColumnRenamed("max(n_events)", "n_events").collect()}
+    want = {r.user_id: r.n for r in batch_events.groupBy("user_id").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert final == want
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    stream = dedup_by_event_id(read_events_stream(spark, SF))
+    out = str(tmp_path / "out")
+    q = write_stream_parquet(stream, out, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    n_out = spark.read.parquet(out).count()
+    n_in = load_table(spark, SF, "events").dropDuplicates(["event_id"]).count()
+    assert n_out == n_in
