@@ -733,3 +733,157 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change: pure scan + filter + scalar aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT {dsum_sql("l_extendedprice * l_discount", 6)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: all three predicates are plain column comparisons, so
+    every one reaches the parquet scan (PushedFilters) and only 4 columns
+    are read (ReadSchema) — the canonical pushdown/pruning showcase; the
+    aggregate itself is a map-side partial + single-row merge, no shuffle
+    of data rows at all."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount").between(0.02, 0.04))
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion effect: conditional aggregate ratio over a dim join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT 100.0 * ({dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 6)})
+             / ({dsum_sql("l_extendedprice * (1 - l_discount)", 6)}) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l_shipdate <  TIMESTAMP '1997-07-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month. part is a dim →
+    broadcast, so the filtered lineitem never shuffles; the conditional
+    numerator and the total are one pass of the same aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-06-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo, 6) / dsum(revenue, 6)).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers: agg-filtered semi join into a 3-way join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {dsum_sql("l_quantity", 2)} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300. The HAVING
+    subquery becomes an aggregate + semi join on orderkey (tiny result →
+    broadcast); only qualifying orders flow into the 3-way join. Top-k is
+    tie-broken on o_orderkey."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "semi")
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue (adapted to available columns): disjunctive
+# multi-attribute predicate across a join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+SELECT {dsum_sql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted: the synthetic part table has no container/
+    shipmode columns, reference driver corpus — brand/size/quantity carry
+    the disjunction). The OR-of-ANDs splits per-side: p_brand/p_size
+    conjuncts push into the broadcast part scan, l_quantity bounds (1..40
+    overall) push into the lineitem scan, and the residual disjunction
+    filters the join output."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    pred = (
+        ((b == "Brand#11") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#22") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#33") & s.between(1, 35) & q.between(20, 40))
+    )
+    return j.where(pred).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
+    )

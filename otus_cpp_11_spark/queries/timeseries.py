@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.ops.joins import asof_join, range_join_within
 from otus_cpp_11_spark.queries import dsum
 from otus_cpp_11_spark.registry import register
 
@@ -203,3 +204,82 @@ def user_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "purchase_prior_click_asof",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.click_id AS asof_click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+)
+def purchase_prior_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops.joins.asof_join): each purchase event joined to the
+    user's most recent click at-or-before it, plus the gap in microseconds.
+    Clicks are pre-deduped per (user, ts) (max event_id) so the as-of pick
+    is deterministic. One shuffle on user_id; DuckDB's native ASOF JOIN is
+    the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", right_cols=["click_id", "ts"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@register(
+    "view_purchase_within_6h",
+    oracle="""
+SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'view') a
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '6 hours'
+ORDER BY view_id, purchase_id
+""",
+)
+def view_purchase_within_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join (ops.joins.range_join_within): view→purchase
+    conversion pairs within 6 hours for the same user. Time-bucketed
+    equi-join — candidate fan-out bounded by cell population, not the
+    per-user cross product (see ops.joins docstring for the 100 TB story)."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = range_join_within(
+        views, purchases, on="user_id", window="'6' HOUR", left_prefix="v_", right_prefix="p_"
+    )
+    return pairs.select(
+        F.col("v_event_id").alias("view_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("v_user_id").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    ).orderBy("view_id", "purchase_id")
