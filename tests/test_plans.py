@@ -1,0 +1,88 @@
+"""Physical-plan assertions: lock in the scale-critical plan shapes so a
+refactor can't silently regress them (pushdown reaching the parquet scan,
+column pruning, broadcast vs shuffle join choice, map-side partial
+aggregation, top-k without a global sort). These are the properties that
+decide whether a query survives 100x data growth, independent of what the
+row-level oracle checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from otus_cpp_11_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def plan():
+    qs = all_queries()
+
+    def _plan(name, spark):
+        df = qs[name].fn(spark, SF)
+        qe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return qe.explainString(mode)
+
+    return _plan
+
+
+def test_q6_filters_push_into_scan(spark, plan):
+    p = plan("q6_forecast_revenue", spark)
+    # all three predicates reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThanOrEqual(l_discount,0.04)" in p
+    assert "LessThan(l_quantity,24.0)" in p
+
+
+def test_q6_prunes_columns(spark, plan):
+    p = plan("q6_forecast_revenue", spark)
+    scan_schema = next(
+        line for line in p.splitlines() if line.startswith("ReadSchema")
+    )
+    # 4 of 11 lineitem columns read, nothing else
+    assert (
+        scan_schema
+        == "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>"
+    )
+
+
+def test_q3_broadcasts_dims_no_sort_merge(spark, plan):
+    p = plan("q3_shipping_priority", spark)
+    # two broadcast joins in the plan tree (customer AND orders sides);
+    # formatted mode repeats each node in a detail section, so count tree
+    # lines ("BroadcastHashJoin Inner ...") not bare occurrences
+    assert p.count("BroadcastHashJoin Inner") == 2
+    assert "SortMergeJoin" not in p
+    # top-k via per-partition heap + tiny merge, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q1_partial_aggregation_before_shuffle(spark, plan):
+    p = plan("q1_pricing_summary", spark)
+    # map-side combine: shuffle carries group states, not fact rows
+    assert "partial_sum" in p
+
+
+def test_ann_topk_no_shuffle_of_vectors(spark, plan):
+    p = plan("ann_cosine_top10", spark)
+    # the single query vector broadcasts; vectors are scanned in place and
+    # reduced by a driver-side top-k merge — no Exchange of the big side
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_q18_semi_join_is_broadcast(spark, plan):
+    p = plan("q18_large_orders", spark)
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_prefix_counts_aggregate_pushes_partial(spark, plan):
+    p = plan("prefix_counts_l1", spark)
+    assert "partial_count" in p or "partial_sum" in p
