@@ -887,3 +887,60 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(pred).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles + sketches.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_price_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5)  AS p50,
+       quantile_cont(o_totalprice, 0.9)  AS p90
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group: Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the formula
+    (a + (b-a)*frac over the sorted run) and agree bit-for-bit on doubles
+    (verified empirically). Exact percentile means a full sort per group —
+    at 100 TB switch to approx_percentile (t-digest, mergeable, one pass),
+    registered separately below with a rows-only gate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.9))").alias("p"))
+        .select(
+            "o_orderpriority",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("events_user_sketches", oracle=None)
+def events_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event_type: HyperLogLog++ distinct users and
+    t-digest approximate median value. No SQL oracle — sketch estimates are
+    engine-specific (driver records the weaker rows-only check); the error
+    bound against the exact answers is asserted in tests/test_sketches.py.
+    These are the one-pass, mergeable, fixed-memory summaries that replace
+    exact distinct/percentile at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_median_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,80 @@
+"""Error-bound tests for sketch aggregates (events_user_sketches has no
+SQL oracle — HLL++/t-digest estimates are engine-specific, so the gate
+lives here: estimates must bracket the exact answers) and row-identity
+tests for the salted skew join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.ops.skew import salted_join
+from otus_cpp_11_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_distinct_within_rsd(spark):
+    got = {
+        r.event_type: r.approx_users
+        for r in all_queries()["events_user_sketches"].fn(spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.05  # rsd=0.02, generous
+
+def test_approx_median_brackets_exact(spark):
+    got = {
+        r.event_type: r.approx_median_value
+        for r in all_queries()["events_user_sketches"].fn(spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    bounds = {
+        r.event_type: (r.p40, r.p60)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.4)").alias("p40"),
+            F.expr("percentile(value, 0.6)").alias("p60"),
+        )
+        .collect()
+    }
+    for k, est in got.items():
+        lo, hi = bounds[k]
+        assert lo <= est <= hi
+
+
+@pytest.fixture(scope="module")
+def skewed_pair(spark):
+    # 90% of left rows share key 1 — the pathological hot key
+    left = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, k) for k in range(2, 102)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 60)], "k long, name string"
+    )
+    return left, right
+
+
+def test_salted_join_row_identical_to_plain(spark, skewed_pair):
+    left, right = skewed_pair
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k").collect()))
+    assert salted == plain
+
+
+def test_salted_join_left_outer(spark, skewed_pair):
+    left, right = skewed_pair
+    plain = sorted(map(tuple, left.join(right, "k", "left").collect()), key=repr)
+    salted = sorted(
+        map(tuple, salted_join(left, right, "k", how="left").collect()), key=repr
+    )
+    assert salted == plain
