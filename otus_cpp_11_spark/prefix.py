@@ -66,6 +66,7 @@ def min_unique_prefix_length(
     col: str = "value",
     max_len: int | None = None,
     cache: bool = True,
+    on_iteration=None,
 ) -> int | None:
     """Iterative driver loop, reference shape (src/main.cpp:61-99) minus the
     hard L<4 cap. Returns None when no unique prefix exists (duplicate full
@@ -73,6 +74,10 @@ def min_unique_prefix_length(
 
     The input is cached once and reused across iterations (the reference
     re-reads the input file every pass; Spark lets us not).
+
+    ``on_iteration(length, unique)`` is called after each pass — the CLI
+    uses it to mirror the reference's per-iteration ``iter{L}/result.txt``
+    output layout (src/runner.cpp:65).
     """
     if max_len is None:
         max_len = df.agg(F.max(F.length(F.col(col)))).first()[0] or 0
@@ -85,7 +90,10 @@ def min_unique_prefix_length(
         if has_duplicate_prefix(df, col, max_len):
             return None
         for length in range(1, max_len + 1):
-            if not has_duplicate_prefix(df, col, length):
+            unique = not has_duplicate_prefix(df, col, length)
+            if on_iteration is not None:
+                on_iteration(length, unique)
+            if unique:
                 return length
         return max_len
     finally:

@@ -810,6 +810,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_orders",
+    bench=True,
     oracle=f"""
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
        {dsum_sql("l_quantity", 2)} AS sum_qty

@@ -104,6 +104,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_session_windows",
+    bench=True,
     oracle="""
 WITH ordered AS (
   SELECT user_id, ts,
@@ -208,6 +209,7 @@ def user_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "purchase_prior_click_asof",
+    bench=True,
     oracle="""
 WITH clicks AS (
   SELECT user_id, ts, MAX(event_id) AS click_id
