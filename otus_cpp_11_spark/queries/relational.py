@@ -945,3 +945,212 @@ def events_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations: 5-way join, two dim roles for
+# the same table, year extraction.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, {dsum_sql("volume", 6)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same nation dim plays two roles (supplier side
+    and customer side) — both broadcast, so the only shuffle is
+    lineitem⋈orders on orderkey; the disjunctive nation pair filter prunes
+    at the dim scans before any fact row moves."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume"), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — market share: nested aggregation ratio per year over a 7-way join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       ({dsum_sql("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END", 6)}) /
+       ({dsum_sql("volume", 6)}) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of ECONOMY-part revenue sold into
+    ASIA per order year. Every dimension (part, supplier, customer, both
+    nation roles, region) broadcasts; lineitem⋈orders is the single
+    repartition — the fact table is touched once and never re-shuffled for
+    the nested share computation (numerator and denominator come out of
+    one aggregate pass)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    j = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"),
+                 national.alias("national"))
+        .groupBy("o_year")
+        .agg((dsum(F.col("national"), 6) / dsum(F.col("volume"), 6)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window-function family: rank/dense_rank/ntile/percent_rank/cume_dist/
+# nth_value/lead in one pass.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_window_family",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       NTILE(4)       OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume,
+       NTH_VALUE(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS second_order,
+       LEAD(o_orderkey, 1) OVER w AS next_order
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+""",
+)
+def customer_order_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family in one partitioned pass (one shuffle
+    on o_custkey serves all seven functions — Catalyst collapses same-spec
+    windows into a single Window exec). Total tie-break (o_orderkey) keeps
+    every function deterministic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+    ).orderBy("o_custkey", F.desc("o_totalprice"), "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Lateral/positional explode: UDTF-shaped 1→N expansion with ordinality.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_leading_tokens",
+    oracle="""
+SELECT doc_id, t.pos, t.tok
+FROM (
+  SELECT doc_id,
+         [{'pos': i - 1, 'tok': w[i]} FOR i IN RANGE(1, LEAST(LEN(w), 3) + 1)] AS pt
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents) s
+), UNNEST(pt) AS u(t)
+ORDER BY doc_id, t.pos
+""",
+)
+def doc_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode = UNNEST WITH ORDINALITY): first three
+    whitespace tokens of each document with their positions — the UDTF
+    1→N shape (reference mapper contract, src/mapreduce.hpp:26) with
+    ordinality preserved."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.slice(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")), 1, 3
+        ).alias("w"),
+    )
+    return toks.select(
+        "doc_id", F.posexplode("w").alias("pos", "tok")
+    ).orderBy("doc_id", "pos")
