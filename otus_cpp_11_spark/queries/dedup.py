@@ -154,10 +154,9 @@ _BAND_UNPIVOT_SQL = " UNION ALL ".join(
 )
 
 
-@register(
-    "near_dup_pairs_minhash",
-    oracle=f"""
-WITH shingles AS ({_SHINGLES_SQL}),
+# Shared CTE chain producing verified near-dup pairs — used by the pairs
+# oracle and by the connected-components clustering oracle below.
+_NEAR_PAIRS_CTES = f"""shingles AS ({_SHINGLES_SQL}),
 sigs AS (
   SELECT doc_id,
          {_SIGS_SQL}
@@ -180,11 +179,21 @@ verified AS (
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b
   GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
-)
-SELECT doc_a, doc_b,
-       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
-FROM verified
-WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {JACCARD_THRESHOLD}
+),
+near_pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+  FROM verified
+  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {JACCARD_THRESHOLD}
+)"""
+
+
+@register(
+    "near_dup_pairs_minhash",
+    oracle=f"""
+WITH {_NEAR_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard
+FROM near_pairs
 ORDER BY doc_a, doc_b
 """,
     bench=True,
@@ -487,3 +496,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.where(F.col("jaccard") >= BIGRAM_THRESHOLD).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Transitive dedup clusters: iterative connected components over the
+# verified near-dup pair graph.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_NEAR_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM near_pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM near_pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id
+FROM reach
+GROUP BY id
+ORDER BY doc_id
+""",
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters (the dedup survivor-group primitive:
+    A~B and B~C put A,C in one cluster even when A!~C directly): iterative
+    min-label propagation over the jaccard-verified pair graph —
+    ops.graph.connected_components, the reference's driver-loop shape
+    (src/main.cpp:59-99) generalized to a graph fixpoint. Oracle is a
+    DuckDB recursive CTE computing the same closure."""
+    from otus_cpp_11_spark.ops.graph import connected_components
+
+    pairs = near_dup_pairs_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")

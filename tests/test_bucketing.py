@@ -1,0 +1,66 @@
+"""Bucketed-join tests: the co-located layout must remove BOTH exchanges
+from a fact-to-fact join plan, and produce rows identical to the plain
+join. Broadcast is disabled for the duration so the small test tables
+exercise the sort-merge path a real fact-to-fact join would take."""
+
+from __future__ import annotations
+
+import pytest
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.ops.bucketing import bucketed_join, write_bucketed
+
+SF = "/root/testdata/sf0.001"
+BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    l = load_table(spark, SF, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
+    o = load_table(spark, SF, "orders").withColumnRenamed("o_orderkey", "orderkey")
+    write_bucketed(l, "t_lineitem_b", "orderkey", BUCKETS, str(base / "l"))
+    write_bucketed(o, "t_orders_b", "orderkey", BUCKETS, str(base / "o"))
+    yield "t_lineitem_b", "t_orders_b", l, o
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables, no_broadcast):
+    lt, ot, _, _ = bucketed_tables
+    df = bucketed_join(spark, lt, ot, "orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_unbucketed_join_needs_exchanges(spark, bucketed_tables, no_broadcast):
+    _, _, l, o = bucketed_tables
+    plan = l.join(o, "orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # the cost bucketing removes
+
+
+def test_bucketed_join_rows_match_plain_join(spark, bucketed_tables, no_broadcast):
+    lt, ot, l, o = bucketed_tables
+    got = bucketed_join(spark, lt, ot, "orderkey")
+    want = l.join(o, "orderkey")
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(got.columns)
+    a = sorted(map(tuple, got.select(cols).collect()))
+    b = sorted(map(tuple, want.select(cols).collect()))
+    assert a == b
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    lt, _, _, _ = bucketed_tables
+    agg = spark.table(lt).groupBy("orderkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
