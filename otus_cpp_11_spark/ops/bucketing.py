@@ -20,6 +20,7 @@ Rules that make it work, encoded in ``write_bucketed``:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -49,3 +50,27 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — plans with zero
     Exchange nodes (asserted in tests/test_bucketing.py)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Hive-style partitioned layout (``path/col=value/...``): the lake
+    counterpart to bucketing. Bucketing co-locates a JOIN key; partitioning
+    prunes a FILTER key — a predicate on a partition column eliminates
+    whole directories at planning time (PartitionFilters in the scan, zero
+    I/O for pruned values), which is the difference between scanning one
+    day and scanning three years at 100 TB. Partition by low-cardinality,
+    always-filtered columns (date, region); never by high-cardinality keys
+    (one directory per value = millions of tiny files)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str, **partition_values: str
+) -> DataFrame:
+    """Read a partitioned layout with equality predicates on partition
+    columns — Catalyst turns them into PartitionFilters (directory pruning),
+    not data filters (asserted in tests/test_bucketing.py)."""
+    df = spark.read.parquet(path)
+    for col, val in partition_values.items():
+        df = df.where(F.col(col) == val)
+    return df

@@ -42,6 +42,8 @@ __all__ = [
     "session_counts",
     "dedup_by_event_id",
     "running_user_counts",
+    "stream_static_enrich",
+    "view_purchase_stream_join",
     "run_available_now",
     "write_stream_parquet",
 ]
@@ -169,6 +171,52 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         stateStructType="n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming joins.
+# --------------------------------------------------------------------------
+
+
+def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (broadcastable)
+    static dimension — no state, no watermark needed; the dim is re-resolved
+    per batch, so a lake-backed dim picks up slowly-changing updates. The
+    standard enrichment shape (events × user profile)."""
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def view_purchase_stream_join(
+    views: DataFrame, purchases: DataFrame, window: str = "6 hours"
+) -> DataFrame:
+    """Stream-stream interval join: view→purchase conversions within
+    `window`, the streaming face of ops.joins.range_join_within (same
+    semantics, asserted equal in tests). Both sides are watermarked so the
+    join state is evictable: a buffered view can be dropped once the
+    watermark passes view.ts + window, a purchase once matched horizons
+    pass. Without watermarks this state grows without bound."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "10 minutes")
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "10 minutes")
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     )
 
 

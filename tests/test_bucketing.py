@@ -64,3 +64,30 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     agg = spark.table(lt).groupBy("orderkey").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from otus_cpp_11_spark.ops.bucketing import (
+        read_partition_pruned,
+        write_partitioned,
+    )
+
+    e = load_table(spark, SF, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(e, path, "day")
+
+    df = read_partition_pruned(spark, path, day="2024-01-05")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the day predicate is a partition (directory) filter, not a data filter
+    # (the scan omits its PushedFilters line entirely when none exist)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    pushed = [l for l in plan.splitlines() if l.startswith("PushedFilters")]
+    assert not pushed or "day" not in pushed[0]
+    want = e.where(F.col("day") == "2024-01-05").count()
+    assert df.count() == want > 0

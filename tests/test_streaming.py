@@ -99,3 +99,33 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     n_out = spark.read.parquet(out).count()
     n_in = load_table(spark, SF, "events").dropDuplicates(["event_id"]).count()
     assert n_out == n_in
+
+
+def test_stream_stream_join_equals_batch_range_join(spark):
+    from otus_cpp_11_spark.registry import all_queries
+    from otus_cpp_11_spark.streaming import view_purchase_stream_join
+    from pyspark.sql import functions as F
+
+    src = read_events_stream(spark, SF)
+    views = src.where(F.col("event_type") == "view")
+    purchases = src.where(F.col("event_type") == "purchase")
+    got = run_available_now(
+        view_purchase_stream_join(views, purchases), "t_ssj", "append"
+    )
+    want = all_queries()["view_purchase_within_6h"].fn(spark, SF)
+    cols = ["view_id", "purchase_id", "user_id", "gap_us"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+def test_stream_static_enrich_broadcasts_dim(spark, batch_events):
+    from otus_cpp_11_spark.streaming import stream_static_enrich
+    from pyspark.sql import functions as F
+
+    dim = batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total"))
+    got = run_available_now(
+        stream_static_enrich(read_events_stream(spark, SF), dim), "t_sse", "append"
+    )
+    assert got.count() == batch_events.count()
+    assert got.where(F.col("n_total").isNull()).count() == 0
