@@ -1154,3 +1154,48 @@ def doc_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select(
         "doc_id", F.posexplode("w").alias("pos", "tok")
     ).orderBy("doc_id", "pos")
+
+
+# --------------------------------------------------------------------------
+# Argmax via struct-max: top-1-per-group as ONE hash aggregate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_richest_customer",
+    oracle="""
+SELECT n_name, c_custkey AS richest_custkey, c_acctbal AS richest_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer
+) t
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rn = 1
+ORDER BY n_name
+""",
+)
+def nation_richest_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group via struct-max (argmax): max(struct(acctbal,
+    custkey)) picks the lexicographic max pair in ONE partial-aggregated
+    hash aggregate — at scale this beats the window formulation (the
+    oracle's ROW_NUMBER), which must shuffle AND sort every row; the
+    struct-max shuffle carries one pair per group per partition. The
+    custkey in the struct doubles as the deterministic tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    top = (
+        c.groupBy("c_nationkey")
+        .agg(F.max(F.struct("c_acctbal", "c_custkey")).alias("m"))
+        .select(
+            "c_nationkey",
+            F.col("m.c_custkey").alias("richest_custkey"),
+            F.col("m.c_acctbal").alias("richest_acctbal"),
+        )
+    )
+    return (
+        top.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "richest_custkey", "richest_acctbal")
+        .orderBy("n_name")
+    )
