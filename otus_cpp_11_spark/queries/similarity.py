@@ -215,3 +215,40 @@ def ivf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(IVF_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Vector aggregation: per-label centroids (elementwise mean).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "label_centroids",
+    oracle=f"""
+SELECT label, t.pos,
+       ({{dsum}}) / COUNT(*) AS centroid_val
+FROM (
+  SELECT label,
+         UNNEST([{{'pos': i - 1, 'v': embedding[i]}} FOR i IN RANGE(1, LEN(embedding) + 1)]) AS t
+  FROM embeddings
+) u
+GROUP BY label, t.pos
+ORDER BY label, t.pos
+""".replace("{dsum}", "CAST(SUM(CAST(FLOOR(CAST(t.v AS DOUBLE) * 10000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000000.0"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: posexplode to (label, pos, value),
+    one hash aggregate per (label, dim) — the distributed elementwise-mean
+    pattern (vectors never collect to one machine; shuffle carries
+    labels x dims partial sums after map-side combine). This is the
+    quantizer-training half of the IVF path (ivf_cosine_top5 probes the
+    cells these centroids define). Fixed-point sum for engine parity."""
+    from otus_cpp_11_spark.queries import dsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg((dsum(F.col("v").cast("double"), 7) / F.count(F.lit(1))).alias("centroid_val"))
+        .orderBy("label", "pos")
+    )
