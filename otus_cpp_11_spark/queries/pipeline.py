@@ -1,0 +1,227 @@
+"""Composed training-data pipeline queries — the end-to-end shapes a
+corpus-curation job actually runs, built entirely from the registered
+operator surface (text analysis + dedup + clustering + joins). Each stays
+one lazy DataFrame, so Catalyst optimizes ACROSS pipeline stages (filter
+pushdown through the dedup joins, shared scans) — the advantage of
+declaring the whole pipeline over running stages as separate jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.queries.dedup import _NEAR_PAIRS_CTES, _NORM_SQL, _normalized
+from otus_cpp_11_spark.queries.text import _STOP_SQL, STOPWORDS
+from otus_cpp_11_spark.registry import register
+
+SAMPLE_PER_SOURCE = 5
+
+
+@register(
+    "corpus_curation_pipeline",
+    bench=True,
+    oracle=f"""
+WITH RECURSIVE {_NEAR_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM near_pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM near_pairs
+),
+cc_nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM cc_nodes
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+exact_keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY MD5({_NORM_SQL})
+),
+scored AS (
+  SELECT doc_id, source,
+         LEN(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         LEN(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stop,
+         LEN(list_filter(string_split(LOWER(text), ' '), x -> x IN ({_STOP_SQL}))) AS en_hits,
+         LEN(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS n_lower_tokens
+  FROM documents
+),
+kept AS (
+  SELECT s.doc_id, s.source, s.n_tokens
+  FROM scored s
+  JOIN exact_keepers k ON k.doc_id = s.doc_id
+  LEFT JOIN clusters c ON c.doc_id = s.doc_id
+  WHERE (c.doc_id IS NULL OR c.cluster_id = s.doc_id)
+    AND s.n_tokens >= 20
+    AND CAST(s.n_stop AS DOUBLE) / s.n_tokens >= 0.05
+    AND s.n_lower_tokens > 0
+    AND CAST(s.en_hits AS DOUBLE) / s.n_lower_tokens >= 0.02
+)
+SELECT source, COUNT(*) AS n_docs_kept, SUM(n_tokens) AS total_tokens
+FROM kept
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation job in one declarative plan: exact-dedup
+    keepers (min doc_id per normalized hash) ∩ near-dup cluster keepers
+    (cluster_id == doc_id from the iterative CC over verified MinHash
+    pairs; unclustered docs keep themselves) → quality gate (>= 20 tokens,
+    stopword ratio >= 0.05) → language gate (en by stopword hit rate) →
+    per-source kept-doc and token accounting. Keeper selection runs on the
+    full corpus, then gates filter keepers (order documented — reversing
+    it changes which near-dups anchor clusters)."""
+    from otus_cpp_11_spark.ops.graph import connected_components
+    from otus_cpp_11_spark.queries.dedup import near_dup_pairs_minhash
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("c_doc"), F.col("component").alias("cluster_id")
+    )
+    exact_keepers = (
+        d.groupBy(F.md5(_normalized()).alias("h"))
+        .agg(F.min("doc_id").alias("k_doc"))
+        .select("k_doc")
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    low = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin([*STOPWORDS]))).alias("n_stop"),
+        F.size(F.filter(low, lambda x: x.isin([*STOPWORDS]))).alias("en_hits"),
+        F.size(low).alias("n_lower_tokens"),
+    )
+    kept = (
+        scored.join(exact_keepers, scored["doc_id"] == exact_keepers["k_doc"], "semi")
+        .join(clusters, scored["doc_id"] == clusters["c_doc"], "left")
+        .where(F.col("c_doc").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .where(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05)
+            & (F.col("n_lower_tokens") > 0)
+            & (F.col("en_hits").cast("double") / F.col("n_lower_tokens") >= 0.02)
+        )
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "cross_modal_doc_features",
+    oracle="""
+SELECT d.doc_id,
+       LEN(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens,
+       e.label,
+       CAST(LIST_SUM([CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000000.0) AS DECIMAL(38,0)) FOR x IN e.embedding]) AS DOUBLE) / 1000000000000000.0 AS norm_sq
+FROM documents d
+JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+""",
+)
+def cross_modal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal feature join: text-side token count with embedding-side
+    squared norm and cluster label, one row per document. The 1:1 key join
+    (doc_id = vec_id) is the standard text↔embedding co-table layout; at
+    scale both sides bucket on the id so feature assembly is shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(1e15)
+            ).cast("decimal(38,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, p: (acc + p).cast("decimal(38,0)"),
+    )
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            d["doc_id"],
+            F.size(toks).alias("n_tokens"),
+            "label",
+            (sq.cast("double") / F.lit(1e15)).alias("norm_sq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_type, ts AS latest_ts
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup (the CDC/compaction primitive: newest record per
+    key) via struct-max argmax — one partial-aggregated hash aggregate;
+    the shuffle carries one record per user per partition instead of the
+    window formulation's full sort of every event."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("latest_event_id"),
+            F.col("m.event_type").alias("latest_type"),
+            F.col("m.ts").alias("latest_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "balanced_doc_sample",
+    oracle=f"""
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) t
+WHERE rn <= {SAMPLE_PER_SOURCE}
+ORDER BY source, doc_id
+""",
+)
+def balanced_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced (stratified, exact-k) sampling: k docs per source, chosen
+    by md5-of-id order — a deterministic pseudo-random permutation both
+    engines compute identically (rand(seed) is partitioning-dependent and
+    engine-specific, so it can never be oracle-checked). The per-stratum
+    window is one shuffle on source; at scale prefilter with a cheap
+    hash-prefix predicate so the window only sees ~k×10 rows per stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAMPLE_PER_SOURCE)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         mapreduce_ops,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,
