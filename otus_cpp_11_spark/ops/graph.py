@@ -39,13 +39,17 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = (
+    cached = (
         sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
     ).cache()
-    labels.count()
+    cached.count()
+    labels = cached
 
     for i in range(max_iter):
-        # min neighbor label per node, one join + one aggregate
+        # min neighbor label per node, one join + one aggregate; the old
+        # label rides along so convergence is a filter on the SAME cached
+        # result — no extra join (and no extra shuffle) per round just to
+        # detect the fixpoint.
         prop = (
             sym.join(labels, sym["s"] == labels["id"])
             .groupBy(F.col("d").alias("id2"))
@@ -58,18 +62,15 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("old"),
             )
         ).cache()
         if i % CHECKPOINT_EVERY == CHECKPOINT_EVERY - 1:
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .where(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("old")).limit(1).count()
+        cached.unpersist()
+        cached = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.catalog import load_table, spread
 from otus_cpp_11_spark.registry import register
 
 SHINGLE_WORDS = 3
@@ -57,7 +57,7 @@ def _word_shingles(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
     into each element_at re-runs the regex+split over the full text once
     per element_at call — measured 15.4s → 0.7s at sf0.1 for the trigram
     shingle set."""
-    wdf = df.select(
+    wdf = spread(df).select(
         "doc_id",
         *extra_cols,
         F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
@@ -311,7 +311,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume is O(docs), not O(tokens×bits)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(_normalized(), " "), lambda x: x != F.lit(""))
-    toks = d.select("doc_id", F.explode(words).alias("word")).distinct()
+    toks = spread(d).select("doc_id", F.explode(words).alias("word")).distinct()
     nibs = toks.select("doc_id", F.md5("word").alias("h")).select(
         "doc_id",
         *[

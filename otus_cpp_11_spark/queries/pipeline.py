@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.catalog import load_table, spread
 from otus_cpp_11_spark.queries.dedup import _NEAR_PAIRS_CTES, _NORM_SQL, _normalized
 from otus_cpp_11_spark.queries.text import _STOP_SQL, STOPWORDS
 from otus_cpp_11_spark.registry import register
@@ -90,7 +90,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     low = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
-    scored = d.select(
+    scored = spread(d).select(
         "doc_id",
         "source",
         F.size(toks).alias("n_tokens"),
