@@ -63,6 +63,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         text,
         timeseries,
+        tpch_extra,
     )
 
     return dict(_REGISTRY)

@@ -86,3 +86,33 @@ def test_q18_semi_join_is_broadcast(spark, plan):
 def test_prefix_counts_aggregate_pushes_partial(spark, plan):
     p = plan("prefix_counts_l1", spark)
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_q4_semi_join_with_date_pushdown(spark, plan):
+    p = plan("q4_order_priority", spark)
+    # EXISTS decorrelated to a semi join; orders date range reaches the scan
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q21_single_orderkey_shuffle_no_self_joins(spark, plan):
+    p = plan("q21_waiting_supplier", spark)
+    # the EXISTS/NOT EXISTS pair is decorrelated to per-order WINDOW
+    # aggregates: lineitem and orders are each scanned once (tree + detail
+    # section in formatted mode → each scan string appears twice), instead
+    # of the textbook two lineitem self-joins
+    assert p.count("Scan parquet") <= 6  # (lineitem + orders + supplier) x 2
+    assert "SortMergeJoin" not in p
+    # supplier dim broadcast, never sort-merge joined
+    assert "BroadcastHashJoin" in p
+
+
+def test_q22_anti_join_prunes_orders_columns(spark, plan):
+    p = plan("q22_global_sales_opportunity", spark)
+    assert "LeftAnti" in p
+    # the anti-join build side reads only the columns it needs from orders
+    scans = [l for l in p.splitlines() if l.startswith("ReadSchema")]
+    assert any(
+        s == "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>"
+        for s in scans
+    )
