@@ -252,3 +252,104 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((dsum(F.col("v").cast("double"), 7) / F.count(F.lit(1))).alias("centroid_val"))
         .orderBy("label", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN: random-hyperplane (SimHash-for-vectors) signatures.
+# --------------------------------------------------------------------------
+
+NUM_PLANES = 6  # 2^6 = 64 buckets; measured query-bucket ~7 vectors at sf0.01
+EMB_DIM = 64  # embeddings table dimension (TESTDATA.md)
+LSH_TOPK = 5
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random +-1 hyperplanes, generated from md5 in
+    PYTHON and inlined as literals into both the Spark plan and the oracle
+    SQL — the planes are query constants, so neither engine hashes anything
+    at runtime and cross-engine parity is trivial."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{k}:{j}".encode()).hexdigest()[0], 16) % 2
+            else -1.0
+            for j in range(EMB_DIM)
+        ]
+        for k in range(NUM_PLANES)
+    ]
+
+
+def _bucket_col(emb: Column) -> Column:
+    """LSH bucket id: bit k = sign of the fixed-point dot with plane k."""
+    planes = _hyperplanes()
+    bits = [
+        (_dec_dot(emb, F.array(*[F.lit(c) for c in p])) > 0).cast("int")
+        for p in planes
+    ]
+    out = F.lit(0)
+    for k, b in enumerate(bits):
+        out = out + b * (2**k)
+    return out
+
+
+def _bucket_sql(emb: str) -> str:
+    planes = _hyperplanes()
+    terms = []
+    for k, p in enumerate(planes):
+        lit = "[" + ", ".join(str(c) for c in p) + "]"
+        terms.append(
+            f"(CASE WHEN {_dot_sql(emb, lit)} > 0 THEN {2 ** k} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "lsh_cosine_top5",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qv, {_bucket_sql("embedding")} AS qbucket
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {_dot_sql("e.embedding", "q.qv")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM embeddings e, q
+  WHERE {_bucket_sql("e.embedding")} = q.qbucket AND e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {LSH_TOPK}
+""",
+)
+def lsh_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random-hyperplane signatures): vectors whose
+    6-bit sign signature equals the query's are the only candidates —
+    1/64th of the table scored instead of all of it, the complement of the
+    IVF cell-probe path (ivf_cosine_top5) that needs no trained centroids.
+    Single-probe here; production multiprobe = also join the signatures at
+    hamming distance 1, same plan shape with an exploded probe list. The
+    bucket id is a pure column expression, so at 100 TB it can be computed
+    at WRITE time and used as a partition key — then the probe is partition
+    pruning, not even a scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"),
+        _bucket_col(F.col("embedding")).alias("qbucket"),
+    )
+    scored = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(q),
+            _bucket_col(F.col("embedding")) == F.col("qbucket"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(LSH_TOPK)
