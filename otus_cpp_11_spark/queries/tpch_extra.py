@@ -428,3 +428,316 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
     ).orderBy("l_returnflag", "measure")
+
+
+# --------------------------------------------------------------------------
+# Q2 shape — min-cost supplier: correlated aggregate-equality subquery.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM offers o
+JOIN part     ON p_partkey = o.l_partkey
+JOIN supplier ON s_suppkey = o.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_size BETWEEN 10 AND 15
+  AND o.min_price = (SELECT MIN(min_price) FROM offers o2
+                     WHERE o2.l_partkey = o.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each mid-size part, the
+    EUROPE supplier(s) whose best offer price equals the regional minimum
+    for that part — the classic correlated aggregate-equality subquery.
+    No partsupp table in this corpus, so (l_partkey, l_suppkey,
+    MIN(l_extendedprice)) from lineitem stands in as the offer relation.
+
+    Decorrelation: the per-part regional minimum is a window MIN over the
+    offers aggregate — one shuffle on partkey shared by the groupBy and
+    the window, instead of re-running the inner aggregate per outer row.
+    Supplier/nation/region attrs ride through the groupBy as grouping
+    keys (functionally dependent on suppkey), so the dimensions are
+    joined exactly once, broadcast."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").where(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_acctbal", "s_name", "n_name")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    best = offers.withColumn(
+        "best_price", F.min("min_price").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("min_price") == F.col("best_price"))
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 15)
+    )
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 shape — product-type profit: 5-way join, derived measure, two-key agg.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       {dsum_sql("l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.01", 4)} AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): lineitem joined to part,
+    supplier, nation, and orders; profit measure derived per row; grouped
+    by (nation, order year). p_retailprice * qty * 1% stands in for
+    ps_supplycost * qty (no partsupp table). The part filter (name LIKE)
+    cuts the fact rows before the orders join; part/supplier/nation
+    broadcast, so the only shuffles are the fact-to-orders join and the
+    final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.01)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount, 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape — important stock: HAVING against a scalar subquery over the
+# same aggregate, done exactly in integer cents.
+# --------------------------------------------------------------------------
+
+_Q11_CENTS = "SUM(CAST(FLOOR((l_extendedprice * l_quantity) * 100.0) AS DECIMAL(38,0)))"
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+WITH v AS (
+  SELECT l_partkey AS ps_partkey, {_Q11_CENTS} AS cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, CAST(cents AS DOUBLE) / 100.0 AS value
+FROM v
+WHERE CAST(cents AS DOUBLE) > CAST((SELECT SUM(cents) FROM v) AS DOUBLE) * 0.001
+ORDER BY value DESC, ps_partkey
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value held by one
+    nation's suppliers, keeping parts whose value exceeds a fraction of
+    the TOTAL — a scalar subquery over the same aggregation, decorrelated
+    to a broadcast cross join of the single-row total. Value is summed in
+    exact integer cents (DECIMAL) so the threshold comparison is
+    order-independent across engines — a plain double SUM could flip a
+    boundary row between Spark's parallel and DuckDB's sequential order.
+    At 100 TB the total is a second pass over the small per-part
+    aggregate, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cents = F.sum(
+        F.floor((F.col("l_extendedprice") * F.col("l_quantity")) * F.lit(100.0)).cast(
+            "decimal(38,0)"
+        )
+    )
+    v = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(cents.alias("cents"))
+    )
+    total = v.agg(F.sum("cents").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(
+            F.col("cents").cast("double")
+            > F.col("total_cents").cast("double") * F.lit(0.001)
+        )
+        .select(
+            "ps_partkey",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape — supplier relationship count: NOT IN anti join + multi-key
+# COUNT DISTINCT.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q16_part_supplier_relation",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_part_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers ship each (brand, type, size) bucket, excluding blacklisted
+    suppliers via NOT IN. The subquery's key is non-null, so NOT IN is a
+    plain LEFT ANTI join (broadcast — the blacklist is tiny); the
+    lineitem⋈part join broadcasts the filtered part dim. COUNT(DISTINCT)
+    expands to a two-phase aggregate; Spark plans the partial dedup
+    map-side before the shuffle on the grouping key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape — potential part promotion: nested IN subqueries with an
+# aggregate HAVING gate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(FLOOR(l_quantity * 100.0) AS DECIMAL(38,0))) > 5000
+  )
+ORDER BY s_name
+""",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one nation
+    who shipped more than a threshold quantity of some red part — an IN
+    subquery whose inner query is itself gated by an IN subquery and an
+    aggregate HAVING. Both INs decorrelate to LEFT SEMI joins: part names
+    filter lineitem via a broadcast semi join, the qualified supplier set
+    semi-joins into the supplier dim. Quantity is summed in exact integer
+    cents so the HAVING threshold can't flip on float addition order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    red = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    qualified = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * F.lit(100.0)).cast("decimal(38,0)")
+            ).alias("qty_cents")
+        )
+        .where(F.col("qty_cents") > 5000)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(
+                    F.col("n_name") == "NATION_5"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
