@@ -27,13 +27,41 @@ def main():
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # One tiny untimed query to absorb one-time JVM init (codegen compiler,
-    # parquet reader classes, shuffle machinery) — otherwise whichever query
-    # happens to run first is charged ~5s of engine bring-up that has
-    # nothing to do with its plan. region is the smallest table (5 rows).
+    # Untimed warmup to absorb one-time JVM init (codegen compiler, parquet
+    # reader classes, shuffle machinery, JIT of the hot expression kernels)
+    # — otherwise whichever query happens to run first is charged ~5-7s of
+    # engine bring-up that has nothing to do with its plan. The warmup runs
+    # on a 5-row parquet scan plus synthetic rows, NEVER on benchmark
+    # tables, so no benchmark data is pre-read or cached.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).groupBy(
         "r_name"
     ).count().collect()
+    from pyspark.sql import Window, functions as F
+
+    w = spark.range(2000).select(
+        F.col("id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i))))
+                for i in range(8)
+            ],
+        ).alias("text"),
+    )
+    toks = w.select(
+        "id",
+        F.filter(
+            F.split(F.regexp_replace(F.lower("text"), r"\s+", " "), " "),
+            lambda x: x != F.lit(""),
+        ).alias("ws"),
+    ).select(
+        "id", F.explode(F.transform(F.col("ws"), lambda t: F.md5(t))).alias("tok")
+    )
+    agg = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    joined = toks.join(agg, "tok").join(F.broadcast(w.select("id")), "id")
+    joined.select(
+        F.row_number().over(Window.partitionBy("tok").orderBy("id")).alias("rn")
+    ).where(F.col("rn") == 1).count()
 
     timings: dict[str, float] = {}
     for name, q in all_queries().items():
