@@ -1,0 +1,227 @@
+"""Corpus-curation operators a pretraining-data pipeline runs beyond basic
+quality filters (driver extension mandate — SURVEY.md §2.2 'extension
+operators'): benchmark decontamination, repetition-based quality signals
+(Gopher-style), and corpus-relative term weighting.
+
+Like queries/text.py, these are generalizations of the reference's
+tokenize-then-aggregate shape (description/MapReduce.cpp:91-150): every
+operator is normalize → explode n-grams/tokens → hash aggregate → join,
+all JVM-side Column expressions.
+
+Determinism notes (cross-engine hash match): ratios are int/int division
+in double; term weighting uses reciprocal document frequency (cnt/df, an
+exact int/int division) instead of ln(N/df) because transcendental
+functions are not guaranteed identically rounded across engines.
+
+Scale notes:
+* decontamination broadcasts the eval-set n-grams — the eval set is tiny
+  (benchmarks are MBs, the corpus is TBs), so the corpus side streams
+  map-side with zero shuffle of corpus text.
+* repetition stats shuffle (doc_id, bigram) pairs once; partial
+  aggregation collapses repeats map-side before the exchange.
+* top-terms is two hash aggregates plus a broadcast-sized df join when
+  the vocabulary fits (it does: vocab grows ~log corpus), else sort-merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.queries.dedup import _NORM_SQL, _word_shingles
+from otus_cpp_11_spark.registry import register
+
+DECON_NGRAM = 5
+DECON_MIN_SHARED = 3
+EVAL_MOD = 10  # doc_id % EVAL_MOD == 0 plays the held-out benchmark set
+
+
+def _shingles_sql(k: int) -> str:
+    """DuckDB word-k-gram CTE mirroring dedup._word_shingles."""
+    gram = " || ' ' || ".join(f"w[i+{off}]" for off in range(k))
+    return f"""
+  SELECT doc_id, UNNEST(LIST_DISTINCT([{gram}
+                 FOR i IN RANGE(1, GREATEST(LEN(w) - {k - 1}, 0) + 1)])) AS shingle
+  FROM (SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT({_NORM_SQL}, ' '), x -> x <> '') AS w
+        FROM documents) t
+"""
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+WITH shingles AS ({_shingles_sql(DECON_NGRAM)}),
+eval_grams AS (
+  SELECT doc_id AS eval_doc_id, shingle FROM shingles
+  WHERE doc_id % {EVAL_MOD} = 0
+),
+hits AS (
+  SELECT c.doc_id, c.shingle, e.eval_doc_id
+  FROM shingles c JOIN eval_grams e USING (shingle)
+  WHERE c.doc_id % {EVAL_MOD} <> 0
+)
+SELECT doc_id,
+       COUNT(DISTINCT shingle) AS n_shared_ngrams,
+       COUNT(DISTINCT eval_doc_id) AS n_eval_docs_hit
+FROM hits
+GROUP BY doc_id
+HAVING COUNT(DISTINCT shingle) >= {DECON_MIN_SHARED}
+ORDER BY doc_id
+""",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= 3 word-5-grams
+    with any held-out eval doc (doc_id % 10 == 0 plays the benchmark set).
+    The eval n-gram index is broadcast, so the corpus side is a map-side
+    join — no shuffle of corpus-sized data."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = _word_shingles(d, DECON_NGRAM)
+    eval_grams = grams.where(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    hits = grams.where(F.col("doc_id") % EVAL_MOD != 0).join(
+        F.broadcast(eval_grams), "shingle"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_ngrams"),
+            F.count_distinct("eval_doc_id").alias("n_eval_docs_hit"),
+        )
+        .where(F.col("n_shared_ngrams") >= DECON_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+  FROM (SELECT doc_id, w, UNNEST(RANGE(1, GREATEST(LEN(w) - 1, 0) + 1)) AS i
+        FROM words) t
+),
+bg_counts AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bigram
+),
+bg AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+  FROM bg_counts GROUP BY doc_id
+)
+SELECT w.doc_id,
+       LEN(w.w) AS n_tokens,
+       CAST(LEN(LIST_DISTINCT(w.w)) AS DOUBLE) / LEN(w.w) AS distinct_token_ratio,
+       bg.top_bigram_count,
+       CAST(bg.top_bigram_count AS DOUBLE) / bg.n_bigrams AS top_bigram_frac
+FROM words w JOIN bg ON w.doc_id = bg.doc_id
+WHERE LEN(w.w) >= 2
+ORDER BY w.doc_id
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-style filters): distinct-token
+    ratio and most-frequent-bigram fraction per document. High repetition is
+    the strongest single low-quality indicator in web corpora. One shuffle
+    of (doc_id, bigram) with map-side partial aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("w"),
+    ).where(F.size("w") >= 2)
+    n = F.size("w")
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    bg = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    return (
+        words.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            (F.size(F.array_distinct("w")).cast("double") / n).alias(
+                "distinct_token_ratio"
+            ),
+        )
+        .join(bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_token_ratio",
+            "top_bigram_count",
+            (
+                F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOP_TERMS_K = 3
+
+
+@register(
+    "doc_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT({_NORM_SQL}, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.cnt, df.df,
+         CAST(tf.cnt AS DOUBLE) / df.df AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.cnt AS DOUBLE) / df.df DESC, tf.term) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, rank, term, cnt, df, score
+FROM scored WHERE rank <= {TOP_TERMS_K}
+ORDER BY doc_id, rank
+""",
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative top terms per document (keyword extraction): term
+    weight = term count / document frequency — the tf-idf shape with a
+    reciprocal-df weighting so the score is an exact int/int division
+    (ln(N/df) is not identically rounded across engines). Two hash
+    aggregates; the per-term df relation is vocabulary-sized (~log corpus)
+    and broadcast back onto the tf relation."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(norm, " "), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("cnt").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df_rel), "term")
+        .select("doc_id", "term", "cnt", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS_K)
+        .select("doc_id", "rank", "term", "cnt", "df", "score")
+        .orderBy("doc_id", "rank")
+    )

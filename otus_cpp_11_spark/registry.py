@@ -55,6 +55,7 @@ def register(
 def all_queries() -> dict[str, Query]:
     """Import every query module (idempotent) and return the registry."""
     from otus_cpp_11_spark.queries import (  # noqa: F401
+        curation,
         dedup,
         mapreduce_ops,
         multimodal,
