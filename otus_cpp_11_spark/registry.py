@@ -61,6 +61,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         pipeline,
         relational,
+        rollup,
         similarity,
         text,
         timeseries,
