@@ -116,3 +116,38 @@ def test_q22_anti_join_prunes_orders_columns(spark, plan):
         s == "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>"
         for s in scans
     )
+
+
+def test_decontamination_broadcasts_eval_index(spark, plan):
+    p = plan("benchmark_decontamination", spark)
+    # the eval n-gram index must be the broadcast side; the corpus side
+    # must not be shuffled into a sort-merge join
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_bins_no_global_window(spark, plan):
+    p = plan("doc_pack_bins", spark)
+    # the per-doc prefix sum must be windowed WITHIN shards; the only
+    # unpartitioned window allowed is over the tiny shard-offset relation,
+    # which arrives via a broadcast exchange
+    import re
+
+    # the per-doc window is partitioned by shard, ordered by doc_id
+    assert re.search(r"windowspecdefinition\(shard#\d+L, doc_id#\d+L ASC", p)
+    assert "BroadcastExchange" in p
+
+
+def test_quantization_is_shuffle_free(spark, plan):
+    p = plan("embedding_quantization", spark)
+    # pure array math: no aggregation, no join, no shuffle exchange other
+    # than the output ordering's range partitioning
+    assert "HashAggregate" not in p
+    assert "Join" not in p
+
+
+def test_multires_rollup_reaggregates_tiers(spark, plan):
+    p = plan("events_multires_rollup", spark)
+    # raw events are scanned once; hour/day tiers re-aggregate checkpointed
+    # tiers (they appear as ExistingRDD scans, not parquet rescans)
+    assert p.count("Scan parquet") <= 1
