@@ -225,3 +225,63 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "cnt", "df", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+BPE_TOP = 20
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS word FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+pos AS (
+  SELECT word, n, UNNEST(RANGE(1, LENGTH(word))) AS i FROM wc WHERE LENGTH(word) >= 2
+),
+pairs AS (
+  SELECT SUBSTRING(word, CAST(i AS INT), 2) AS pair, SUM(n) AS total
+  FROM pos GROUP BY 1
+)
+SELECT pair, total,
+       ROW_NUMBER() OVER (ORDER BY total DESC, pair) AS rank
+FROM pairs
+ORDER BY rank
+LIMIT {BPE_TOP}
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First round of BPE tokenizer training: corpus-wide adjacent
+    character-pair frequencies (the argmax pair is the first merge rule).
+    Pair positions explode over the DISTINCT-word relation weighted by word
+    frequency — the explode touches |vocab| rows, not |corpus| tokens,
+    which is the standard trick that makes BPE training feasible at scale
+    (vocab grows ~log corpus). Two hash aggregates, one top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        wc.where(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("total"))
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BPE_TOP)
+        .orderBy("rank")
+    )

@@ -353,3 +353,62 @@ def lsh_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(LSH_TOPK)
+
+
+RP_DIMS = 8
+
+
+def _rp_planes() -> list[list[float]]:
+    """Deterministic +-1 projection planes, seed-disjoint from the LSH
+    planes (prefix 'rp:'), inlined as literals into both engines."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{k}:{j}".encode()).hexdigest()[0], 16) % 2
+            else -1.0
+            for j in range(EMB_DIM)
+        ]
+        for k in range(RP_DIMS)
+    ]
+
+
+@register(
+    "embedding_random_projection",
+    oracle="WITH proj AS (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT vec_id, {k} AS out_dim, "
+        + _dot_sql(
+            "embedding", "[" + ", ".join(str(c) for c in plane) + "]"
+        )
+        + " AS value FROM embeddings"
+        for k, plane in enumerate(_rp_planes())
+    )
+    + "\n)\nSELECT vec_id, out_dim, value FROM proj ORDER BY vec_id, out_dim",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    project 64-dim embeddings onto 8 deterministic +-1 hyperplanes. The
+    planes are query constants, so this is a single narrow map stage — one
+    fixed-point dot product per output dim, no shuffle, no UDF; at 100 TB
+    it streams through the scan. Output is (vec_id, out_dim, value) scalar
+    rows so the oracle hash-compares doubles, not arrays."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _rp_planes()
+    proj = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("out_dim"),
+                _dec_dot(
+                    F.col("embedding"), F.array(*[F.lit(c) for c in plane])
+                ).alias("value"),
+            )
+            for k, plane in enumerate(planes)
+        ]
+    )
+    return (
+        e.select("vec_id", F.explode(proj).alias("p"))
+        .select("vec_id", F.col("p.out_dim").alias("out_dim"), F.col("p.value").alias("value"))
+        .orderBy("vec_id", "out_dim")
+    )
