@@ -70,6 +70,7 @@ GROUP BY doc_id
 HAVING COUNT(DISTINCT shingle) >= {DECON_MIN_SHARED}
 ORDER BY doc_id
 """,
+    bench=True,
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing >= 3 word-5-grams

@@ -53,6 +53,7 @@ FROM (
 )
 ORDER BY resolution, bucket_start
 """,
+    bench=True,
 )
 def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup (hypertable continuous aggregates): minute,
@@ -120,6 +121,7 @@ FROM cum
 GROUP BY bin_id
 ORDER BY bin_id
 """,
+    bench=True,
 )
 def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: assign docs (in doc_id order)
