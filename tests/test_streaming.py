@@ -129,3 +129,27 @@ def test_stream_static_enrich_broadcasts_dim(spark, batch_events):
     )
     assert got.count() == batch_events.count()
     assert got.where(F.col("n_total").isNull()).count() == 0
+
+
+def test_incremental_rollup_equals_batch(spark, batch_events, tmp_path):
+    from otus_cpp_11_spark.streaming import (
+        incremental_minute_rollup,
+        minute_rollup_delta,
+    )
+
+    # split events into several files so maxFilesPerTrigger=1 yields
+    # multiple micro-batches and the merge path (existing tier + delta)
+    # actually runs
+    src = str(tmp_path / "events_src")
+    batch_events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tier = str(tmp_path / "minute_tier")
+    q = incremental_minute_rollup(stream, tier)
+    q.awaitTermination()
+    got = spark.read.parquet(tier)
+    want = minute_rollup_delta(batch_events)
+    assert _rows(got, "bucket_start") == _rows(want, "bucket_start")
