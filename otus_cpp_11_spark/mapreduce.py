@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 MapperFn = Callable[[str], Iterable[tuple[str, int]]]
 ReducerFn = Callable[[tuple[str, int]], bool]
+CombinerFn = Callable[[int, int], int]
 
 
 @dataclass
@@ -76,6 +77,7 @@ class MapReduceJob:
         self.reducers = reducers
         self._mapper: MapperFn | None = None
         self._reducer: ReducerFn | None = None
+        self._combiner: CombinerFn | None = None
 
     def set_mapper(self, fn: MapperFn) -> "MapReduceJob":
         """src/mapreduce.hpp:32 — any line → list[(key, count)] functor."""
@@ -86,6 +88,18 @@ class MapReduceJob:
         """src/mapreduce.hpp:36 — ordered (key, count) → bool vote fold.
         State belongs in the callable (closure/object); it is per-partition."""
         self._reducer = fn
+        return self
+
+    def set_combiner(self, fn: CombinerFn = lambda a, b: a + b) -> "MapReduceJob":
+        """The Hadoop-style combine phase the reference spec reserves room
+        for (description/homework/client.cpp:39-44 — the reducer's
+        ``count > 1`` branch, dead in the shipped binary, exists to consume
+        combined counts). ``fn`` must be associative+commutative; default
+        is count-sum. Combining runs per mapper partition BEFORE the
+        shuffle — at scale this is the map-side partial aggregation that
+        shrinks shuffle volume from |records| to |distinct keys per
+        partition|."""
+        self._combiner = fn
         return self
 
     # -- internals ---------------------------------------------------------
@@ -107,6 +121,16 @@ class MapReduceJob:
             raise RuntimeError("set_mapper first")
         mapper = self._mapper
         pairs = self._lines(spark, source).flatMap(mapper)
+        if self._combiner is not None:
+            combiner = self._combiner
+
+            def combine_partition(it):
+                acc: dict[str, int] = {}
+                for key, count in it:
+                    acc[key] = combiner(acc[key], count) if key in acc else count
+                return iter(acc.items())
+
+            pairs = pairs.mapPartitions(combine_partition)
         return pairs.sortByKey(numPartitions=self.reducers)
 
     # -- public runs -------------------------------------------------------

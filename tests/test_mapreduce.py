@@ -143,3 +143,32 @@ class TestLectureTasks:
     def test_prefix_mapper_factory(self):
         assert make_prefix_mapper(2)("hello") == [("he", 1)]
         assert make_prefix_mapper(9)("abc") == [("abc", 1)]
+
+
+class TestCombiner:
+    """The combine phase the reference spec reserves room for
+    (description/homework/client.cpp:39-44): map-side merge of equal keys
+    makes the reducer's count>1 branch live."""
+
+    def test_combiner_activates_count_branch(self, spark):
+        # 'aa' and 'ab' share prefix 'a' and land in ONE mapper partition,
+        # so the combiner emits ('a', 2) and the dup verdict comes from
+        # count>1, not sorted adjacency
+        df = spark.createDataFrame([("aa",), ("ab",), ("zz",)], ["value"])
+        job = MapReduceJob(mappers=1, reducers=1)
+        job.set_mapper(make_prefix_mapper(1))
+        job.set_combiner()
+        job.set_reducer(make_adjacent_dup_reducer())
+        assert job.run(spark, df).ok is False
+
+    def test_combined_verdict_matches_uncombined(self, spark, lines_numbers69):
+        for length, want in ((1, False), (2, True)):
+            plain = MapReduceJob(mappers=3, reducers=2)
+            plain.set_mapper(make_prefix_mapper(length))
+            plain.set_reducer(make_adjacent_dup_reducer())
+            combined = MapReduceJob(mappers=3, reducers=2)
+            combined.set_mapper(make_prefix_mapper(length))
+            combined.set_combiner()
+            combined.set_reducer(make_adjacent_dup_reducer())
+            assert plain.run(spark, lines_numbers69).ok is want
+            assert combined.run(spark, lines_numbers69).ok is want
