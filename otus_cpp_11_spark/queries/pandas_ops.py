@@ -1,0 +1,129 @@
+"""Arrow-batched Python surfaces the reference's generic functor API maps
+onto when logic genuinely can't be a Column expression (SURVEY.md §2.2
+'UDF/UDAF/UDTF surface'; the reference's user mapper is UDTF-shaped and its
+reducer UDAF-shaped, src/mapreduce.hpp:26-27):
+
+* ``applyInPandas`` (grouped map) — per-group numpy math over Arrow
+  batches; here, per-label embedding whitening (residuals vs the label
+  centroid). The group is the parallelism unit: each label's vectors
+  arrive as one pandas frame, labels process in parallel across the
+  cluster after one shuffle on the grouping key.
+* Python UDTF (Spark 4) — the 1→N row expansion shape as a first-class
+  lateral table function; here, RAG-style passage chunking.
+
+Both are oracle-gated like every Column-expression query: the numpy math
+uses the same fixed-point integer domains as the SQL mirror, so even the
+Python path hash-matches DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.registry import register
+
+CENT_SCALE = 10**7  # centroid fixed point — matches label_centroids
+SSE_SCALE = 10**12  # residual fixed point
+
+
+@register(
+    "label_whitening_residuals",
+    oracle=f"""
+WITH expl AS (
+  SELECT vec_id, label,
+         UNNEST([{{'pos': i - 1, 'v': embedding[i]}} FOR i IN RANGE(1, LEN(embedding) + 1)]) AS t
+  FROM embeddings
+),
+cent AS (
+  SELECT label, t.pos AS pos,
+         (CAST(SUM(CAST(FLOOR(CAST(t.v AS DOUBLE) * {CENT_SCALE}.0) AS DECIMAL(38,0))) AS DOUBLE)
+          / {CENT_SCALE}.0) / COUNT(*) AS c
+  FROM expl GROUP BY label, t.pos
+)
+SELECT e.vec_id, e.label,
+       SUM(CAST(FLOOR((CAST(e.t.v AS DOUBLE) - c.c) * (CAST(e.t.v AS DOUBLE) - c.c)
+                      * {SSE_SCALE}.0) AS BIGINT)) AS residual_sse_units
+FROM expl e JOIN cent c ON c.label = e.label AND c.pos = e.t.pos
+GROUP BY e.vec_id, e.label
+ORDER BY e.vec_id
+""",
+)
+def label_whitening_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding whitening via applyInPandas: each label group
+    computes its centroid (same fixed-point mean as label_centroids) and
+    every vector's squared residual against it, in vectorized numpy over
+    one Arrow batch per label. All sums run in exact integer domains, so
+    this Python path hash-matches the SQL oracle. One shuffle on label;
+    at 100 TB, labels fan out across executors and a hot label is split
+    with a two-pass salted mean."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def whiten(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n = mat.shape[0]
+        units = np.floor(mat * CENT_SCALE).astype(np.int64).sum(axis=0)
+        centroid = (units.astype(np.float64) / CENT_SCALE) / n
+        resid = mat - centroid
+        sse = np.floor(resid * resid * SSE_SCALE).astype(np.int64).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "residual_sse_units": sse,
+            }
+        )
+
+    return (
+        e.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            whiten, schema="vec_id long, label int, residual_sse_units long"
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "doc_passage_chunks_udtf",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       ARRAY_TO_STRING(w[i * 10 + 1 : i * 10 + 10], ' ') AS passage
+FROM w, (SELECT UNNEST(RANGE(0, 1000)) AS i) idx
+WHERE i * 10 < LEN(w)
+ORDER BY doc_id, chunk_id
+""",
+)
+def doc_passage_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage chunking (the RAG / context-window prep op: fixed 10-word
+    chunks per document) as a Python UDTF — Spark 4's lateral table
+    function, the reference's flatMap-shaped user mapper
+    (src/mapreduce.hpp:26) as a first-class SQL-callable 1→N expansion.
+    Row-at-a-time Python is the deliberate slow path; the Column-expression
+    equivalent (slice + posexplode) is what production uses — this entry
+    proves the UDTF surface against the same oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: int, passage: string")
+    class ChunkWords:
+        def eval(self, text: str):
+            words = [w for w in text.split(" ") if w]
+            for i in range(0, len(words), 10):
+                yield i // 10, " ".join(words[i : i + 10])
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_id, c.passage
+        FROM _docs_for_udtf, LATERAL chunk_words(text) AS c
+        ORDER BY doc_id, chunk_id
+        """
+    )

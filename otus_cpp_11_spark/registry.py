@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         mapreduce_ops,
         multimodal,
+        pandas_ops,
         pipeline,
         relational,
         rollup,
