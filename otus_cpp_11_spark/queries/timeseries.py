@@ -285,3 +285,116 @@ def view_purchase_within_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user_id").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
     ).orderBy("view_id", "purchase_id")
+
+
+ZSCORE_MIN_EVENTS = 30
+ZSCORE_CUT = 3.0
+
+
+@register(
+    "user_value_zscore_outliers",
+    oracle=f"""
+WITH stats AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s1,
+         CAST(SUM(CAST(FLOOR(value * value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS s2
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT user_id, n, s1 / n AS mean, s2 / n - (s1 / n) * (s1 / n) AS var
+  FROM stats WHERE n >= {ZSCORE_MIN_EVENTS}
+)
+SELECT e.event_id, e.user_id, e.value,
+       (e.value - m.mean) / SQRT(m.var) AS zscore
+FROM events e JOIN m ON m.user_id = e.user_id
+WHERE m.var > 0 AND ABS((e.value - m.mean) / SQRT(m.var)) >= {ZSCORE_CUT}
+ORDER BY e.event_id
+""",
+)
+def user_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: flag events whose value is >= 3 standard
+    deviations from that user's mean. Mean and E[x^2] come from fixed-point
+    sums (exact, order-free), so mean/var/sqrt/z are bit-identical across
+    engines — sqrt is IEEE-correctly-rounded everywhere. One aggregate over
+    users (tiny) broadcast back onto events; the raw scan is map-side."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), 6).alias("s1"),
+        dsum(F.col("value") * F.col("value"), 6).alias("s2"),
+    )
+    m = (
+        stats.where(F.col("n") >= ZSCORE_MIN_EVENTS)
+        .select(
+            "user_id",
+            (F.col("s1") / F.col("n")).alias("mean"),
+            (
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+            ).alias("var"),
+        )
+        .where(F.col("var") > 0)
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))
+    return (
+        e.join(F.broadcast(m), "user_id")
+        .where(F.abs(z) >= ZSCORE_CUT)
+        .select("event_id", "user_id", "value", z.alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+MAVG_WINDOW = 5
+
+
+@register(
+    "user_value_moving_avg",
+    oracle=f"""
+WITH u AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS units
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, ts, value,
+         SUM(units) OVER win AS win_units,
+         COUNT(*) OVER win AS win_n
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {MAVG_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value,
+       CAST(win_units AS DOUBLE) / 1000000.0 / win_n AS mavg
+FROM w
+ORDER BY event_id
+""",
+)
+def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing moving average over the last 5 events (monitoring
+    smoothing): one shuffle on user_id, per-partition sorted window. Values
+    ride as fixed-point integer units inside the frame sum so partial
+    ordering differences can't change low bits. Total tie-break order
+    (ts, event_id) keeps the frame contents engine-independent."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MAVG_WINDOW - 1), 0)
+    )
+    units = F.floor(F.col("value") * 1e6).cast("bigint")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            (
+                F.sum(units).over(win).cast("double")
+                / 1e6
+                / F.count(F.lit(1)).over(win)
+            ).alias("mavg"),
+        )
+        .orderBy("event_id")
+    )
