@@ -539,3 +539,46 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@register(
+    "near_dup_edit_distance",
+    oracle=f"""
+WITH {_NEAR_PAIRS_CTES}
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       LEVENSHTEIN(da.text, db.text) AS edit_dist,
+       CAST(LEVENSHTEIN(da.text, db.text) AS DOUBLE)
+         / GREATEST(LENGTH(da.text), LENGTH(db.text)) AS edit_ratio
+FROM near_pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+""",
+)
+def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of MinHash near-dup pairs: Levenshtein
+    distance and length-normalized ratio per verified pair. Edit distance
+    is O(len_a * len_b) so it NEVER runs corpus x corpus — only on the
+    LSH-verified pair set (|pairs| ~ |duplicate docs|), joined back to the
+    text via two broadcast-friendly joins on doc_id. The second opinion a
+    curation pipeline logs before dropping a near-duplicate."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(spark, sf_dir)
+    da = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"))
+    db = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    dist = F.levenshtein("a_text", "b_text")
+    return (
+        pairs.join(da, F.col("doc_a") == F.col("a_id"))
+        .join(db, F.col("doc_b") == F.col("b_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            dist.alias("edit_dist"),
+            (
+                dist.cast("double")
+                / F.greatest(F.length("a_text"), F.length("b_text"))
+            ).alias("edit_ratio"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
