@@ -153,3 +153,61 @@ def test_incremental_rollup_equals_batch(spark, batch_events, tmp_path):
     got = spark.read.parquet(tier)
     want = minute_rollup_delta(batch_events)
     assert _rows(got, "bucket_start") == _rows(want, "bucket_start")
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
+    """Append-mode watermark contract (the part Spark guarantees): a
+    window is emitted only once the watermark passes its end, open windows
+    are withheld, and nothing is emitted twice. (Late-row DROPPING is NOT
+    guaranteed — the watermark is a state-eviction lower bound, so a row
+    older than the watermark may still be admitted, as batch 3 shows by
+    emitting its already-expired window immediately.) Watermark advances
+    at the END of each micro-batch; three ordered single-file batches."""
+    from pyspark.sql import Row
+    from datetime import datetime, timedelta
+    import time
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    batches = [
+        [
+            Row(ts=base + timedelta(minutes=m), event_type="a", value=1.0)
+            for m in (0, 1, 2)
+        ],
+        # advances the watermark to 13:20 after this batch commits; its own
+        # window [13:30,13:35) stays OPEN through the end of the run
+        [Row(ts=base + timedelta(minutes=90), event_type="fresh", value=1.0)],
+        # older than the watermark: may be admitted (eviction-bound only)
+        [Row(ts=base + timedelta(minutes=30), event_type="maybe", value=1.0)],
+    ]
+    src = str(tmp_path / "late_src")
+    schema = "ts timestamp, event_type string, value double"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src + "/b*")
+    )
+    out = tumbling_counts(stream, width="5 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_late").collect()
+    keyed = [((r["window_start"].minute, r["event_type"]), r["n_events"]) for r in rows]
+    got = dict(keyed)
+    # closed window emitted once, with the complete count
+    assert got.get((0, "a")) == 3
+    # the still-open window (end 13:35 > final watermark 13:20) is withheld
+    assert not any(et == "fresh" for (_, et) in got)
+    # no window/key emitted twice across batches
+    assert len(keyed) == len(got)
