@@ -1199,3 +1199,67 @@ def nation_richest_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "richest_custkey", "richest_acctbal")
         .orderBy("n_name")
     )
+
+
+@register(
+    "customer_monthly_retention",
+    oracle="""
+WITH cm AS (
+  SELECT DISTINCT o_custkey, DATE_TRUNC('month', o_orderdate) AS month
+  FROM orders
+),
+flagged AS (
+  SELECT month,
+         CASE WHEN LAG(month) OVER (PARTITION BY o_custkey ORDER BY month)
+                   = month - INTERVAL 1 MONTH
+              THEN 1 ELSE 0 END AS retained
+  FROM cm
+)
+SELECT month,
+       COUNT(*) AS n_active,
+       SUM(retained) AS n_retained,
+       CAST(SUM(retained) AS DOUBLE) / COUNT(*) AS retention_rate
+FROM flagged
+GROUP BY month
+ORDER BY month
+""",
+)
+def customer_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month cohort retention: of the customers active in month
+    M, how many also ordered in M-1. One scan of orders, one shuffle on
+    custkey: the customer-month relation is a distinct aggregate, and
+    "ordered last month too" is a lag() over each customer's month
+    sequence — no self-join, so orders is never scanned twice (the naive
+    self-join formulation doubles the fact scan). Ratio is int/int in
+    double."""
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("month")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("month")
+    flagged = cm.select(
+        "month",
+        F.when(
+            F.lag("month").over(w)
+            == F.col("month") - F.expr("INTERVAL 1 MONTH"),
+            1,
+        )
+        .otherwise(0)
+        .alias("retained"),
+    )
+    return (
+        flagged.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("retained").alias("n_retained"),
+        )
+        .select(
+            "month",
+            "n_active",
+            "n_retained",
+            (F.col("n_retained").cast("double") / F.col("n_active")).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("month")
+    )
