@@ -1263,3 +1263,50 @@ def customer_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "lineitem_price_qty_corr",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {dsum_sql("l_extendedprice", 2)} AS sx,
+         {dsum_sql("l_quantity", 2)} AS sy,
+         {dsum_sql("l_extendedprice * l_quantity", 2)} AS sxy,
+         {dsum_sql("l_extendedprice * l_extendedprice", 2)} AS sxx,
+         {dsum_sql("l_quantity * l_quantity", 2)} AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy)
+         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS price_qty_corr
+FROM m
+ORDER BY l_returnflag
+""",
+)
+def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of price vs quantity per return flag, computed
+    from exact fixed-point moment sums (n, Sx, Sy, Sxy, Sxx, Syy) in ONE
+    map-side-combined aggregate — the df.stat.corr shape, but
+    deterministic across engines and partitionings (float moment sums are
+    order-dependent; integer-domain sums are not). sqrt is IEEE-correctly
+    rounded everywhere, so the derived ratio matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, 2).alias("sx"),
+        dsum(y, 2).alias("sy"),
+        dsum(x * y, 2).alias("sxy"),
+        dsum(x * x, 2).alias("sxx"),
+        dsum(y * y, 2).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select("l_returnflag", "n", corr.alias("price_qty_corr")).orderBy(
+        "l_returnflag"
+    )
