@@ -1310,3 +1310,46 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("l_returnflag", "n", corr.alias("price_qty_corr")).orderBy(
         "l_returnflag"
     )
+
+
+@register(
+    "daily_open_shipments",
+    oracle="""
+WITH deltas AS (
+  SELECT DATE_TRUNC('day', o.o_orderdate) AS day, 1 AS delta
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT DATE_TRUNC('day', l_shipdate) AS day, -1 AS delta FROM lineitem
+),
+daily AS (SELECT day, SUM(delta) AS net FROM deltas GROUP BY day)
+SELECT day, net,
+       SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_lines
+FROM daily
+ORDER BY day
+""",
+)
+def daily_open_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency counting (order-line backlog): how many order
+    lines are ordered but not yet shipped each day. The classic scalable
+    formulation: each interval becomes a +1 at its start (order date, via
+    the co-keyed orders join) and a -1 at its end (ship date), aggregated
+    to a per-day net with map-side combine; the running sum then runs over
+    the DAYS relation — thousands of rows, so a single-partition window is
+    fine there (at finer granularity the two-phase sharded prefix sum from
+    doc_pack_bins applies). Never a point-in-interval join, which is a
+    |facts| x |days| blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    starts = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == o["o_orderkey"])
+        .select(F.date_trunc("day", "o_orderdate").alias("day"), F.lit(1).alias("delta"))
+    )
+    ends = li.select(
+        F.date_trunc("day", "l_shipdate").alias("day"), F.lit(-1).alias("delta")
+    )
+    daily = starts.unionAll(ends).groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "net", F.sum("net").over(w).alias("open_lines")
+    ).orderBy("day")
