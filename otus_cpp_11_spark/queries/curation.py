@@ -242,7 +242,8 @@ pos AS (
   SELECT word, n, UNNEST(RANGE(1, LENGTH(word))) AS i FROM wc WHERE LENGTH(word) >= 2
 ),
 pairs AS (
-  SELECT SUBSTRING(word, CAST(i AS INT), 2) AS pair, SUM(n) AS total
+  SELECT SUBSTRING(word, CAST(i AS INT), 2) AS pair,
+         CAST(SUM(n) AS BIGINT) AS total
   FROM pos GROUP BY 1
 )
 SELECT pair, total,

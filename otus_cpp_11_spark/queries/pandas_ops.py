@@ -44,8 +44,8 @@ cent AS (
   FROM expl GROUP BY label, t.pos
 )
 SELECT e.vec_id, e.label,
-       SUM(CAST(FLOOR((CAST(e.t.v AS DOUBLE) - c.c) * (CAST(e.t.v AS DOUBLE) - c.c)
-                      * {SSE_SCALE}.0) AS BIGINT)) AS residual_sse_units
+       CAST(SUM(CAST(FLOOR((CAST(e.t.v AS DOUBLE) - c.c) * (CAST(e.t.v AS DOUBLE) - c.c)
+                           * {SSE_SCALE}.0) AS BIGINT)) AS BIGINT) AS residual_sse_units
 FROM expl e JOIN cent c ON c.label = e.label AND c.pos = e.t.pos
 GROUP BY e.vec_id, e.label
 ORDER BY e.vec_id

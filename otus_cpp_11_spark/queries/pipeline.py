@@ -60,7 +60,8 @@ kept AS (
     AND s.n_lower_tokens > 0
     AND CAST(s.en_hits AS DOUBLE) / s.n_lower_tokens >= 0.02
 )
-SELECT source, COUNT(*) AS n_docs_kept, SUM(n_tokens) AS total_tokens
+SELECT source, COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM kept
 GROUP BY source
 ORDER BY source

@@ -1217,7 +1217,7 @@ flagged AS (
 )
 SELECT month,
        COUNT(*) AS n_active,
-       SUM(retained) AS n_retained,
+       CAST(SUM(retained) AS BIGINT) AS n_retained,
        CAST(SUM(retained) AS DOUBLE) / COUNT(*) AS retention_rate
 FROM flagged
 GROUP BY month
@@ -1321,9 +1321,9 @@ WITH deltas AS (
   UNION ALL
   SELECT DATE_TRUNC('day', l_shipdate) AS day, -1 AS delta FROM lineitem
 ),
-daily AS (SELECT day, SUM(delta) AS net FROM deltas GROUP BY day)
+daily AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day)
 SELECT day, net,
-       SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_lines
+       CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_lines
 FROM daily
 ORDER BY day
 """,

@@ -36,12 +36,12 @@ WITH minute AS (
 ),
 hour AS (
   SELECT date_trunc('hour', bucket_start) AS bucket_start,
-         SUM(n_events) AS n_events, SUM(units) AS units
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(units) AS units
   FROM minute GROUP BY 1
 ),
 day AS (
   SELECT date_trunc('day', bucket_start) AS bucket_start,
-         SUM(n_events) AS n_events, SUM(units) AS units
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(units) AS units
   FROM hour GROUP BY 1
 )
 SELECT resolution, bucket_start, n_events,
@@ -114,7 +114,7 @@ cum AS (
 )
 SELECT CAST(FLOOR(CAST(cum_excl AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM cum

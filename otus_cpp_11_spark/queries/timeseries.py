@@ -112,9 +112,12 @@ WITH ordered AS (
   FROM events
 ),
 flagged AS (
+  -- >= not >: Spark's session_window is half-open [start, start + gap), so
+  -- an event landing exactly at the previous session's end starts a NEW
+  -- session; a strict > here would merge gap == 30min events (ADVICE r1).
   SELECT user_id, ts,
          CASE WHEN prev_ts IS NULL
-                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+                   OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ),
 sess AS (

@@ -14,6 +14,7 @@ import time
 from pathlib import Path
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -24,11 +25,25 @@ SF_DIR_DEFAULT = "/root/testdata/sf0.01"
 
 
 def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+    """Type-sensitive cell normalization.
+
+    The driver's value hash distinguishes int from float (832 vs 832.0 —
+    e.g. DuckDB integer SUM returns HUGEINT which lands in pandas as
+    float64 while Spark returns int64), so plain tuple equality
+    (832.0 == 832 is True) would hide exactly the mismatches the driver
+    flags. Tag every cell with a type kind; int *width* (int32 vs int64)
+    is deliberately not distinguished — both repr identically.
+    """
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("f", "NaN" if math.isnan(f) else f)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("l", tuple(_norm_cell(x) for x in v))
+    return (type(v).__name__, v)
 
 
 def _frame_to_rows(pdf):
