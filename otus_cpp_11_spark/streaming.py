@@ -296,25 +296,41 @@ def incremental_minute_rollup(
     keyed on bucket_start (rewriting only touched partitions); the tier is
     ~1/60000th of raw events, so even full rewrites are cheap relative to
     the stream. foreachBatch is the escape hatch Structured Streaming
-    provides exactly for sink-side upserts; batch_id makes retries
-    idempotent."""
+    provides exactly for sink-side upserts. Retries are idempotent: the
+    tier carries the last merged ``_last_batch_id``, and a foreachBatch
+    retry of an already-applied batch (failure after the tier write but
+    before the checkpoint commit) is skipped instead of double-counted.
+    The marker rides in the tier itself, so tier + marker move in one
+    write (a sidecar file could desync from the tier on a crash between
+    the two writes)."""
+    from pyspark.errors import AnalysisException
+
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg-ckpt-")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        delta = minute_rollup_delta(batch_df)
         try:
             existing = spark.read.parquet(tier_path)
+        except AnalysisException:
+            existing = None  # first batch: tier doesn't exist yet
+        if existing is not None and "_last_batch_id" in existing.columns:
+            applied = existing.agg(F.max("_last_batch_id")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # retry of an already-merged batch: no-op
+        delta = minute_rollup_delta(batch_df)
+        if existing is None:
+            merged = delta
+        else:
             merged = (
-                existing.unionByName(delta)
+                existing.drop("_last_batch_id")
+                .unionByName(delta)
                 .groupBy("bucket_start")
                 .agg(
                     F.sum("n_events").alias("n_events"),
                     F.sum("units").alias("units"),
                 )
             )
-        except Exception:
-            merged = delta
+        merged = merged.withColumn("_last_batch_id", F.lit(batch_id))
         # materialize BEFORE overwriting the directory being read
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(tier_path)

@@ -78,3 +78,22 @@ def test_salted_join_left_outer(spark, skewed_pair):
         map(tuple, salted_join(left, right, "k", how="left").collect()), key=repr
     )
     assert salted == plain
+
+
+def test_salted_join_semi_anti(spark, skewed_pair):
+    left, right = skewed_pair
+    for how in ("semi", "anti"):
+        plain = sorted(map(tuple, left.join(right, "k", how).collect()), key=repr)
+        salted = sorted(
+            map(tuple, salted_join(left, right, "k", how=how).collect()), key=repr
+        )
+        assert salted == plain, how
+
+
+def test_salted_join_rejects_outer_how(spark, skewed_pair):
+    # right/full would replicate each unmatched `other` row once per salt
+    # replica (null-extended), so salted_join refuses them outright
+    left, right = skewed_pair
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", how=how)

@@ -150,9 +150,31 @@ def test_incremental_rollup_equals_batch(spark, batch_events, tmp_path):
     tier = str(tmp_path / "minute_tier")
     q = incremental_minute_rollup(stream, tier)
     q.awaitTermination()
-    got = spark.read.parquet(tier)
+    got = spark.read.parquet(tier).drop("_last_batch_id")
     want = minute_rollup_delta(batch_events)
     assert _rows(got, "bucket_start") == _rows(want, "bucket_start")
+
+    # Retry idempotence: re-delivering an already-merged batch_id must be
+    # a no-op (foreachBatch re-runs the last batch when a failure lands
+    # between the sink write and the checkpoint commit).
+    tier_df = spark.read.parquet(tier)
+    applied = tier_df.agg({"_last_batch_id": "max"}).first()[0]
+    from otus_cpp_11_spark.streaming import incremental_minute_rollup as _imr
+
+    # second stream over the same source starts batch_ids at 0 again —
+    # every batch is <= applied, so the tier must be unchanged
+    q2 = _imr(
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tier,
+    )
+    q2.awaitTermination()
+    again = spark.read.parquet(tier)
+    assert again.agg({"_last_batch_id": "max"}).first()[0] == applied
+    assert _rows(again.drop("_last_batch_id"), "bucket_start") == _rows(
+        want, "bucket_start"
+    )
 
 
 def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
