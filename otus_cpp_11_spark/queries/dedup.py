@@ -82,6 +82,32 @@ def _shingles(df: DataFrame) -> DataFrame:
     return _word_shingles(df, SHINGLE_WORDS)
 
 
+# Single-slot shingle cache: near_dup_pairs_minhash references the shingle
+# relation four times (signatures, sizes, both sides of the verify join),
+# so it caches it — but the query returns a LAZY DataFrame, so the cache
+# can't be unpersisted inside the call. Instead each new call evicts the
+# previous call's cache (bounding retention at one RDD per session, not
+# one per call) and release_shingle_cache() drops even that.
+_shingle_cache: list[DataFrame] = []
+
+
+def _cached_shingles(df: DataFrame) -> DataFrame:
+    release_shingle_cache()
+    s = _shingles(df).cache()
+    _shingle_cache.append(s)
+    return s
+
+
+def release_shingle_cache() -> None:
+    """Unpersist the retained shingle relation (call after the consumers of
+    the last near_dup_pairs_minhash result have run their actions)."""
+    while _shingle_cache:
+        try:
+            _shingle_cache.pop().unpersist()
+        except Exception:
+            pass  # session already stopped; nothing retained
+
+
 _SHINGLES_SQL = f"""
   SELECT doc_id, UNNEST(LIST_DISTINCT([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                  FOR i IN RANGE(1, GREATEST(LEN(w) - {SHINGLE_WORDS - 1}, 0) + 1)])) AS shingle
@@ -204,7 +230,7 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, no explode) → 8 banded signatures of 2 rows → candidate
     pairs sharing any band bucket → exact shingle-set Jaccard >= 0.5."""
     d = load_table(spark, sf_dir, "documents")
-    shingles = _shingles(d).cache()
+    shingles = _cached_shingles(d)
     sigs = shingles.groupBy("doc_id").agg(
         *[_min_sig(h) for h in range(NUM_HASHES)]
     )
