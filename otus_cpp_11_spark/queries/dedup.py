@@ -19,9 +19,10 @@ similarity, ~90% at the 0.5 threshold, ~100% for the planted pairs.
 Scale: signatures are one hash-aggregate over shingles (16 mins computed
 per-row, no hash-index explode); candidates join on (band, band_signature)
 buckets so the doc×doc cross product never materializes; the exact-Jaccard
-verify join touches candidate pairs only. At 100 TB: salt hot band buckets
-(identical boilerplate docs) or cap bucket size; AQE skew-join covers
-moderate skew.
+verify join touches candidate pairs only. Hot band buckets (identical
+boilerplate docs hashing to one signature) are split over a salt grid —
+``banded_candidate_pairs`` — so one bucket never pins one task; AQE
+skew-join covers moderate residual skew.
 """
 
 from __future__ import annotations
@@ -214,6 +215,75 @@ near_pairs AS (
 )"""
 
 
+HOT_BUCKET_THRESHOLD = 4096  # band-bucket size above which the grid path kicks in
+HOT_BUCKET_SALTS = 8
+
+
+def banded_candidate_pairs(
+    bands: DataFrame,
+    hot_threshold: int = HOT_BUCKET_THRESHOLD,
+    num_salts: int = HOT_BUCKET_SALTS,
+) -> DataFrame:
+    """All ``(doc_a < doc_b)`` pairs sharing a ``(band, band_sig)`` bucket —
+    the LSH candidate-generation self-join — with hot buckets (identical
+    boilerplate docs hashing to one signature) split over a
+    ``num_salts x num_salts`` grid so one bucket of B docs becomes S^2
+    tasks of ~(B/S)^2 pairs instead of one task of B^2.
+
+    Pair-set equivalence (tested property): a pair with salts (g_a, g_b)
+    meets in exactly one grid cell — the left side replicates doc_a to
+    cells (g_a, *), the right side replicates doc_b to cells (*, g_b), so
+    the only matching cell is (g_a, g_b). Salts are deterministic hashes
+    of doc_id (retry-safe, same argument as ops.skew.salted_join).
+
+    Cold buckets take the plain self-join; routing costs one map-side
+    bucket-size aggregate and a broadcast of the (tiny) hot-bucket list.
+    """
+    sizes = bands.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
+    hot = sizes.where(F.col("_bn") > hot_threshold).select(
+        "band", "band_sig", F.lit(True).alias("_hot")
+    )
+    tagged = bands.join(F.broadcast(hot), ["band", "band_sig"], "left")
+    cold = tagged.where(F.col("_hot").isNull()).drop("_hot")
+    hotb = tagged.where(F.col("_hot").isNotNull()).drop("_hot")
+
+    def pair_select(j):
+        return j.select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = pair_select(
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+    )
+
+    cells = F.array(*[F.lit(i) for i in range(num_salts)])
+    g = F.pmod(F.hash("doc_id"), F.lit(num_salts))
+    left = hotb.select(
+        "band", "band_sig", "doc_id", g.alias("_ci"), F.explode(cells).alias("_cj")
+    )
+    right = hotb.select(
+        "band", "band_sig", "doc_id", F.explode(cells).alias("_ci"), g.alias("_cj")
+    )
+    hot_pairs = pair_select(
+        left.alias("a").join(
+            right.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a._ci") == F.col("b._ci"))
+            & (F.col("a._cj") == F.col("b._cj"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+    )
+
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
 @register(
     "near_dup_pairs_minhash",
     oracle=f"""
@@ -251,18 +321,7 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(band_structs).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = banded_candidate_pairs(bands)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = shingles.alias("x")
     y = shingles.alias("y")

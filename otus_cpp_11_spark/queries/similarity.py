@@ -355,6 +355,68 @@ def lsh_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(LSH_TOPK)
 
 
+_PROBE_SQL = ", ".join(f"xor(qbucket, {2 ** k})" for k in range(NUM_PLANES))
+
+
+@register(
+    "lsh_cosine_top5_multiprobe",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qv, {_bucket_sql("embedding")} AS qbucket
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+probes AS (
+  SELECT qv, UNNEST([qbucket, {_PROBE_SQL}]) AS pbucket FROM q
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {_dot_sql("e.embedding", "p.qv")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("p.qv", "p.qv")})) AS cosine
+  FROM embeddings e JOIN probes p ON {_bucket_sql("e.embedding")} = p.pbucket
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {LSH_TOPK}
+""",
+)
+def lsh_cosine_top5_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH ANN: probe the query's bucket AND its NUM_PLANES
+    hamming-distance-1 neighbors (flip one sign bit each) — the standard
+    recall lever, since a near neighbor that disagrees with the query on
+    exactly one hyperplane lands one bit-flip away. Candidate volume is
+    (1 + NUM_PLANES)/2^NUM_PLANES of the table (~11% here) vs 1/64
+    single-probe; the probe list is still a broadcast, so the plan shape
+    is identical to lsh_cosine_top5 — a broadcast equi-join, no shuffle
+    of the embeddings. Probe buckets are pairwise distinct, so no
+    candidate dedup step is needed. Recall dominates single-probe by
+    construction (its candidate set is a superset — tested)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"),
+        _bucket_col(F.col("embedding")).alias("qbucket"),
+    )
+    probe_list = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(2 ** k)) for k in range(NUM_PLANES)],
+    )
+    probes = q.select("qv", F.explode(probe_list).alias("pbucket"))
+    scored = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(probes),
+            _bucket_col(F.col("embedding")) == F.col("pbucket"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(LSH_TOPK)
+
+
 RP_DIMS = 8
 
 
