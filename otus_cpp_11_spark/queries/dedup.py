@@ -16,10 +16,12 @@ pair became a candidate: quadratic blowup, 433 s at sf0.1). With b=8 bands
 of r=2 rows the candidate probability is 1-(1-j²)⁸: ~0.5% at background
 similarity, ~90% at the 0.5 threshold, ~100% for the planted pairs.
 
-Scale: signatures are one hash-aggregate over shingles (16 mins computed
-per-row, no hash-index explode); candidates join on (band, band_signature)
-buckets so the doc×doc cross product never materializes; the exact-Jaccard
-verify join touches candidate pairs only. Hot band buckets (identical
+Scale: shingle sets stay array-typed per doc, so exact-Jaccard
+verification is array_intersect on candidate pairs only (the exploded
+shingle relation is never shuffled for verification); signatures go
+explode + groupBy with map-side partial min, so that shuffle carries
+~16 hashes per doc; candidates join on (band, band_signature) buckets
+so the doc×doc cross product never materializes. Hot band buckets (identical
 boilerplate docs hashing to one signature) are split over a salt grid —
 ``banded_candidate_pairs`` — so one bucket never pins one task; AQE
 skew-join covers moderate residual skew.
@@ -58,55 +60,75 @@ def _word_shingles(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
     into each element_at re-runs the regex+split over the full text once
     per element_at call — measured 15.4s → 0.7s at sf0.1 for the trigram
     shingle set."""
+    arrays = _word_shingle_arrays(df, k, *extra_cols)
+    return arrays.select(
+        "doc_id", *extra_cols, F.explode("shingle_set").alias("shingle")
+    )
+
+
+def _word_shingle_arrays(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, shingle_set): the distinct word-k-gram shingle
+    SET of each doc as one array column — the un-exploded form of
+    _word_shingles. Staying array-typed lets exact-Jaccard verification run
+    as array_intersect on candidate pairs (no re-shuffle of the exploded
+    shingle relation).
+
+    Construction is zip_with over k shifted slices of the words array, NOT
+    transform(sequence, i -> element_at(w, i+off)): HOF lambdas are
+    interpreted with no subexpression elimination, so any reference to
+    ``w`` INSIDE a lambda re-evaluates the regex+split over the full text
+    once per element whenever Catalyst collapses the projections (which it
+    does everywhere except under a Generate) — measured 14.2s vs 3.6s for
+    the trigram sets at sf0.1. Here ``w`` appears only in non-HOF contexts
+    (slice/size), where whole-stage codegen CSE evaluates it once per row;
+    the zip_with lambdas touch only their own element arguments."""
     wdf = spread(df).select(
         "doc_id",
         *extra_cols,
         F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
     )
     w = F.col("w")
-    n = F.size(w)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + off) for off in range(k)]
-            ),
+    m = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    acc = F.slice(w, 1, m)
+    for off in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(w, off + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    )
-    return wdf.select("doc_id", *extra_cols, F.explode(arr).alias("shingle"))
+    arr = F.array_distinct(acc)
+    return wdf.select("doc_id", *extra_cols, arr.alias("shingle_set"))
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    return _word_shingles(df, SHINGLE_WORDS)
+# Single-generation dedup cache: near_dup_pairs_minhash references the
+# shingle relation four times (signatures, sizes, both sides of the verify
+# join) and the banded-signature relation five times (bucket sizes, cold
+# self-join both sides, hot grid both sides), so it caches both — but the
+# query returns a LAZY DataFrame, so the caches can't be unpersisted
+# inside the call. Instead each new call evicts the previous call's
+# caches (bounding retention at one generation per session, not one per
+# call) and release_dedup_caches() drops even those.
+_dedup_caches: list[DataFrame] = []
 
 
-# Single-slot shingle cache: near_dup_pairs_minhash references the shingle
-# relation four times (signatures, sizes, both sides of the verify join),
-# so it caches it — but the query returns a LAZY DataFrame, so the cache
-# can't be unpersisted inside the call. Instead each new call evicts the
-# previous call's cache (bounding retention at one RDD per session, not
-# one per call) and release_shingle_cache() drops even that.
-_shingle_cache: list[DataFrame] = []
+def _cache(df: DataFrame) -> DataFrame:
+    c = df.cache()
+    _dedup_caches.append(c)
+    return c
 
 
-def _cached_shingles(df: DataFrame) -> DataFrame:
-    release_shingle_cache()
-    s = _shingles(df).cache()
-    _shingle_cache.append(s)
-    return s
-
-
-def release_shingle_cache() -> None:
-    """Unpersist the retained shingle relation (call after the consumers of
+def release_dedup_caches() -> None:
+    """Unpersist the retained dedup relations (call after the consumers of
     the last near_dup_pairs_minhash result have run their actions)."""
-    while _shingle_cache:
+    while _dedup_caches:
         try:
-            _shingle_cache.pop().unpersist()
+            _dedup_caches.pop().unpersist()
         except Exception:
             pass  # session already stopped; nothing retained
+
+
+# Back-compat name used before bands joined the cache generation.
+release_shingle_cache = release_dedup_caches
 
 
 _SHINGLES_SQL = f"""
@@ -159,12 +181,6 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .orderBy("content_hash")
     )
-
-
-def _min_sig(h: int) -> Column:
-    return F.min(
-        F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))
-    ).alias(f"s{h}")
 
 
 _SIGS_SQL = ",\n         ".join(
@@ -238,11 +254,35 @@ def banded_candidate_pairs(
 
     Cold buckets take the plain self-join; routing costs one map-side
     bucket-size aggregate and a broadcast of the (tiny) hot-bucket list.
+    Adaptive short-circuit (same pattern as ops.graph.connected_components):
+    one cheap driver probe of the bucket-size aggregate, and when NO bucket
+    exceeds the threshold — the common case — the plain self-join plan is
+    returned with zero routing stages, so well-distributed corpora don't
+    pay for skew insurance they don't need.
     """
     sizes = bands.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
     hot = sizes.where(F.col("_bn") > hot_threshold).select(
         "band", "band_sig", F.lit(True).alias("_hot")
     )
+
+    def pair_select_plain(df):
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+
+    if hot.limit(1).count() == 0:
+        return pair_select_plain(bands)
+
     tagged = bands.join(F.broadcast(hot), ["band", "band_sig"], "left")
     cold = tagged.where(F.col("_hot").isNull()).drop("_hot")
     hotb = tagged.where(F.col("_hot").isNotNull()).drop("_hot")
@@ -296,13 +336,35 @@ ORDER BY doc_a, doc_b
 )
 def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-duplicate detection, verified with exact Jaccard:
-    word-trigram shingles → 16 lexicographic-min md5 signatures (one
-    aggregate, no explode) → 8 banded signatures of 2 rows → candidate
-    pairs sharing any band bucket → exact shingle-set Jaccard >= 0.5."""
+    word-trigram shingle SETS (array per doc) → 16 lexicographic-min md5
+    signatures (explode + groupBy, see below) → 8 banded signatures of 2
+    rows → candidate pairs sharing any band bucket → exact Jaccard via
+    array_intersect on the candidate pairs only.
+
+    Verification joins candidates back to the shingle-set relation on
+    doc_a then doc_b; both joins have a candidate-bounded small side, so
+    AQE picks broadcast here and falls back to shuffle-on-doc_id joins
+    when the candidate volume grows at 100 TB — either way the exploded
+    shingle relation is never shuffled for verification. Docs with no
+    shingles (< k words) are excluded up front, matching the oracle's
+    sigs-over-shingles grouping.
+
+    The 16 min-signatures deliberately go through explode + groupBy, NOT
+    array_min(transform(...)): HOF lambdas are interpreted per element
+    while the exploded md5 runs in whole-stage codegen (measured 4x the
+    whole query at sf0.1), and the groupBy's map-side partial min means
+    the shuffle carries ~16 hashes per doc, not the shingle relation."""
     d = load_table(spark, sf_dir, "documents")
-    shingles = _cached_shingles(d)
+    release_dedup_caches()  # evict the previous call's generation
+    sets = _cache(
+        _word_shingle_arrays(d, SHINGLE_WORDS).where(F.size("shingle_set") > 0)
+    )
+    shingles = sets.select("doc_id", F.explode("shingle_set").alias("shingle"))
     sigs = shingles.groupBy("doc_id").agg(
-        *[_min_sig(h) for h in range(NUM_HASHES)]
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"s{h}")
+            for h in range(NUM_HASHES)
+        ]
     )
     band_structs = F.array(
         *[
@@ -317,37 +379,32 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(NUM_BANDS)
         ]
     )
-    bands = sigs.select(
-        "doc_id", F.explode(band_structs).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    bands = _cache(
+        sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.band_sig").alias("band_sig"),
+        )
+    )
 
     candidates = banded_candidate_pairs(bands)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = shingles.alias("x")
-    y = shingles.alias("y")
-    common = (
-        candidates.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b"))
-            & (F.col("y.shingle") == F.col("x.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    a = sets.select(
+        F.col("doc_id").alias("_ida"), F.col("shingle_set").alias("_seta")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
+    b = sets.select(
+        F.col("doc_id").alias("_idb"), F.col("shingle_set").alias("_setb")
+    )
+    paired = candidates.join(a, F.col("_ida") == F.col("doc_a")).join(
+        b, F.col("_idb") == F.col("doc_b")
+    )
+    n_common = F.size(F.array_intersect("_seta", "_setb"))
+    jac = paired.select(
+        "doc_a",
+        "doc_b",
+        (
+            n_common.cast("double")
+            / (F.size("_seta") + F.size("_setb") - n_common)
+        ).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
 

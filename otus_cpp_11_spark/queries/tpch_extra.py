@@ -259,6 +259,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_waiting_supplier",
+    bench=True,
     oracle="""
 WITH lo AS (
   SELECT l_orderkey, l_suppkey,
@@ -518,6 +519,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
+    bench=True,
     oracle=f"""
 SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
        {dsum_sql("l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.01", 4)} AS sum_profit

@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The default 100-entry generated-class cache thrashes once a
+        # session runs more than ~20 distinct query plans (each plan is
+        # several codegen stages): the janino recompile of a large fused
+        # expression costs seconds — measured 3x on the minhash query when
+        # it runs after 30+ other queries. An entry is just a class
+        # reference, so a bigger cache is cheap.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # The events table carries timestamp[ns]; Spark has no nanosecond
         # timestamp type and rejects the file outright without this conf.
         # We read nanos as raw long and convert in catalog.load_table.

@@ -1,6 +1,7 @@
 """Cache-retention contract of near_dup_pairs_minhash (VERDICT r1 item 5):
 repeated dedup calls in a long-lived session must not accumulate cached
-shingle RDDs, and release_shingle_cache() must drop the last one.
+RDDs (one generation — shingles + bands — at most), and
+release_dedup_caches() must drop even that.
 """
 
 SF = "/root/testdata/sf0.001"
@@ -10,22 +11,22 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
-def test_shingle_cache_is_single_slot_and_releasable(spark):
+def test_dedup_cache_is_single_generation_and_releasable(spark):
     from otus_cpp_11_spark.queries.dedup import (
         near_dup_pairs_minhash,
-        release_shingle_cache,
+        release_dedup_caches,
     )
 
-    release_shingle_cache()
+    release_dedup_caches()
     base = _n_persistent(spark)
 
     near_dup_pairs_minhash(spark, SF).count()
     after_one = _n_persistent(spark)
-    assert after_one - base <= 1
+    assert after_one - base <= 2  # shingles + bands, nothing else
 
     near_dup_pairs_minhash(spark, SF).count()
     after_two = _n_persistent(spark)
-    assert after_two == after_one  # second call evicted the first cache
+    assert after_two == after_one  # second call evicted the first generation
 
-    release_shingle_cache()
+    release_dedup_caches()
     assert _n_persistent(spark) == base

@@ -77,6 +77,17 @@ def test_ann_topk_no_shuffle_of_vectors(spark, plan):
     assert "Exchange rangepartitioning" not in p
 
 
+def test_lsh_multiprobe_broadcasts_probe_list_no_shuffle(spark, plan):
+    p = plan("lsh_cosine_top5_multiprobe", spark)
+    # the 7-row probe list broadcasts; embeddings never shuffle — the plan
+    # shape must stay identical to single-probe despite 7x the candidates
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
 def test_q18_semi_join_is_broadcast(spark, plan):
     p = plan("q18_large_orders", spark)
     assert "LeftSemi" in p
