@@ -55,18 +55,19 @@ def main():
 
     headline = [(n, q) for n, q in all_queries().items() if q.bench]
 
-    # Untimed warmup pass at the TARGET SF (see module docstring): each
-    # query's actual generated kernels get compiled + JITed on real data
-    # volumes, so the timed loop measures steady-state execution only.
+    timings: dict[str, float] = {}
     for name, q in headline:
+        # Untimed warmup of THIS query immediately before its timed run
+        # (see module docstring): compiles + JITs the query's actual
+        # generated kernels on real data volumes. Interleaved (warm, time,
+        # next) rather than two full passes — with a whole pass in
+        # between, heap/codegen locality decays and the timed run re-pays
+        # part of the bring-up (measured 2.7x on q9).
         try:
             q.fn(spark, sf_dir).collect()
         except Exception:
             pass  # a warmup failure must never sink the bench
-        cleanup()
-
-    timings: dict[str, float] = {}
-    for name, q in headline:
+        cleanup()  # timed run starts from the same clean state every time
         t0 = time.time()
         df = q.fn(spark, sf_dir)
         # force full materialization of the result set

@@ -4,9 +4,10 @@ MinHash LSH near-dup detection with banded candidate generation + exact-
 Jaccard verification.
 
 Determinism strategy shared with the DuckDB oracle: all hashing is md5-hex
-(identical in both engines), minhash minima are *lexicographic* minima over
-md5 hex strings (uniform → a valid minhash family, no integer parsing
-needed), and Jaccard is an int/int division in double.
+(identical in both engines); the 16 minhash functions derive from ONE md5
+per shingle via the 2-universal family (a + i*b) mod 2^32 over the
+digest's 32-bit halves (see the _SIGS_SQL comment); Jaccard is an int/int
+division in double.
 
 Parameter choice (measured on the corpus): word-trigram shingles put
 unrelated docs at jaccard ~0.01-0.03 while planted near-duplicates sit at
@@ -183,12 +184,26 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# All 16 minhash functions derive from ONE md5 per shingle: the digest's
+# two 32-bit halves (a, b) feed the 2-universal family
+# h_i(s) = (a_s + i*b_s) mod 2^32 — the standard Carter-Wegman trick that
+# replaces 16 cryptographic hashes per shingle with 1 md5 + 16 integer
+# fused-multiply-adds (the md5s were 60% of the query's CPU at sf0.1;
+# minima also shuffle as 8-byte ints, not 32-char hex strings).
+# Verification is exact Jaccard downstream, so hash-family quality only
+# affects candidate recall, where 2-universal is the textbook choice.
+_M32 = 4294967296
+_NIB = "(STRPOS('0123456789abcdef', SUBSTRING(h, {j}, 1)) - 1)"
+_A_SQL = " + ".join(f"{_NIB.format(j=j)} * {16 ** (8 - j)}" for j in range(1, 9))
+_B_SQL = " + ".join(f"{_NIB.format(j=j)} * {16 ** (16 - j)}" for j in range(9, 17))
 _SIGS_SQL = ",\n         ".join(
-    f"MIN(MD5('{h}:' || shingle)) AS s{h}" for h in range(NUM_HASHES)
+    f"MIN((a + {h} * b) % {_M32}) AS s{h}" for h in range(NUM_HASHES)
 )
 _R = NUM_HASHES // NUM_BANDS
 _BANDS_SQL = ", ".join(
-    "MD5(" + " || '|' || ".join(f"s{b * _R + i}" for i in range(_R)) + f") AS b{b}"
+    "MD5("
+    + " || '|' || ".join(f"CAST(s{b * _R + i} AS VARCHAR)" for i in range(_R))
+    + f") AS b{b}"
     for b in range(NUM_BANDS)
 )
 _BAND_UNPIVOT_SQL = " UNION ALL ".join(
@@ -203,7 +218,8 @@ _NEAR_PAIRS_CTES = f"""shingles AS ({_SHINGLES_SQL}),
 sigs AS (
   SELECT doc_id,
          {_SIGS_SQL}
-  FROM shingles
+  FROM (SELECT doc_id, ({_A_SQL}) AS a, ({_B_SQL}) AS b
+        FROM (SELECT doc_id, MD5(shingle) AS h FROM shingles) hashed) ab
   GROUP BY doc_id
 ),
 band_cols AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
@@ -324,22 +340,12 @@ def banded_candidate_pairs(
     return cold_pairs.unionByName(hot_pairs).distinct()
 
 
-@register(
-    "near_dup_pairs_minhash",
-    oracle=f"""
-WITH {_NEAR_PAIRS_CTES}
-SELECT doc_a, doc_b, jaccard
-FROM near_pairs
-ORDER BY doc_a, doc_b
-""",
-    bench=True,
-)
-def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-duplicate detection, verified with exact Jaccard:
-    word-trigram shingle SETS (array per doc) → 16 lexicographic-min md5
-    signatures (explode + groupBy, see below) → 8 banded signatures of 2
-    rows → candidate pairs sharing any band bucket → exact Jaccard via
-    array_intersect on the candidate pairs only.
+def _lsh_candidate_pair_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH candidate generation + set retrieval for the minhash
+    near-dup family: (doc_a, doc_b, _seta, _setb) for every band-bucket
+    candidate pair, with each side's word-trigram shingle SET attached.
+    Jaccard (symmetric) and containment (asymmetric) verification are both
+    one projection over this relation.
 
     Verification joins candidates back to the shingle-set relation on
     doc_a then doc_b; both joins have a candidate-bounded small side, so
@@ -353,16 +359,26 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_min(transform(...)): HOF lambdas are interpreted per element
     while the exploded md5 runs in whole-stage codegen (measured 4x the
     whole query at sf0.1), and the groupBy's map-side partial min means
-    the shuffle carries ~16 hashes per doc, not the shingle relation."""
+    the shuffle carries 16 ints per doc, not the shingle relation. All 16
+    derive from one md5 per shingle (see the _SIGS_SQL comment)."""
     d = load_table(spark, sf_dir, "documents")
     release_dedup_caches()  # evict the previous call's generation
     sets = _cache(
         _word_shingle_arrays(d, SHINGLE_WORDS).where(F.size("shingle_set") > 0)
     )
     shingles = sets.select("doc_id", F.explode("shingle_set").alias("shingle"))
-    sigs = shingles.groupBy("doc_id").agg(
+    ab = shingles.select(
+        "doc_id", F.md5("shingle").alias("h")
+    ).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("b"),
+    )
+    sigs = ab.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"s{h}")
+            F.min((F.col("a") + F.lit(h) * F.col("b")) % F.lit(_M32)).alias(
+                f"s{h}"
+            )
             for h in range(NUM_HASHES)
         ]
     )
@@ -372,7 +388,11 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[F.col(f"s{b * _R + i}") for i in range(_R)]
+                        "|",
+                        *[
+                            F.col(f"s{b * _R + i}").cast("string")
+                            for i in range(_R)
+                        ],
                     )
                 ).alias("band_sig"),
             )
@@ -394,9 +414,29 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sets.select(
         F.col("doc_id").alias("_idb"), F.col("shingle_set").alias("_setb")
     )
-    paired = candidates.join(a, F.col("_ida") == F.col("doc_a")).join(
+    return candidates.join(a, F.col("_ida") == F.col("doc_a")).join(
         b, F.col("_idb") == F.col("doc_b")
     )
+
+
+@register(
+    "near_dup_pairs_minhash",
+    oracle=f"""
+WITH {_NEAR_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard
+FROM near_pairs
+ORDER BY doc_a, doc_b
+""",
+    bench=True,
+)
+def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-duplicate detection, verified with exact Jaccard:
+    word-trigram shingle SETS (array per doc) → 16 min-signatures (one md5
+    per shingle, Carter-Wegman derivation) → 8 banded signatures of 2
+    rows → candidate pairs sharing any band bucket → exact Jaccard via
+    array_intersect on the candidate pairs only (pipeline details:
+    ``_lsh_candidate_pair_sets``)."""
+    paired = _lsh_candidate_pair_sets(spark, sf_dir)
     n_common = F.size(F.array_intersect("_seta", "_setb"))
     jac = paired.select(
         "doc_a",
@@ -407,6 +447,47 @@ def near_dup_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "near_dup_containment",
+    oracle=f"""
+WITH {_NEAR_PAIRS_CTES}
+SELECT doc_a, doc_b, n_a AS size_a, n_b AS size_b,
+       CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) AS containment
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+)
+def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle-set CONTAINMENT:
+    |A∩B| / min(|A|,|B|) >= 0.8. Catches the quote/excerpt/boilerplate
+    case symmetric Jaccard misses — a short doc fully embedded in a long
+    one has tiny Jaccard (union is dominated by the long doc) but
+    containment ~1. Candidate generation is the same banded MinHash join
+    as near_dup_pairs_minhash (``_lsh_candidate_pair_sets``), so this
+    reports containment ON the LSH candidate set: the full-corpus recall
+    caveat (extreme length ratios hash to different bands) is inherent to
+    minhash blocking and documented here; the oracle applies the identical
+    candidate set, so the gate checks the verification math exactly."""
+    paired = _lsh_candidate_pair_sets(spark, sf_dir)
+    n_common = F.size(F.array_intersect("_seta", "_setb"))
+    cont = paired.select(
+        "doc_a",
+        "doc_b",
+        F.size("_seta").alias("size_a"),
+        F.size("_setb").alias("size_b"),
+        (
+            n_common.cast("double") / F.least(F.size("_seta"), F.size("_setb"))
+        ).alias("containment"),
+    )
+    return cont.where(F.col("containment") >= CONTAINMENT_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1353,3 +1353,64 @@ def daily_open_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "net", F.sum("net").over(w).alias("open_lines")
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Data profiling: ANALYZE-style per-column statistics in one scan.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "lineitem_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({c}) AS min_val, MAX({c}) AS max_val,
+       {dsum_sql(c, 6)} AS sum_fp
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name",
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the fact table — row count, null
+    count, exact distinct count, min/max, fixed-point sum for each measure
+    column — the stats a cost-based optimizer or data-quality monitor
+    feeds on. ONE scan: all per-column aggregates run in a single
+    aggregate (the oracle's UNION ALL rescans per column; Spark doesn't),
+    then the 1-row result unpivots to (column_name, stats) rows
+    driver-side-free via explode. The multi-column exact COUNT(DISTINCT)
+    expands the input 4x before the agg (Spark's Expand); at 100 TB swap
+    approx_count_distinct (HLL, one pass, no expand) — exact here so the
+    oracle can check values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"_cnt_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(c).alias(f"_min_{c}"),
+            F.max(c).alias(f"_max_{c}"),
+            dsum(F.col(c), 6).alias(f"_sum_{c}"),
+        ]
+    row = li.agg(*aggs)
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"_cnt_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_val"),
+                F.col(f"_max_{c}").alias("max_val"),
+                F.col(f"_sum_{c}").alias("sum_fp"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        row.select(F.explode(out).alias("p")).select("p.*").orderBy("column_name")
+    )

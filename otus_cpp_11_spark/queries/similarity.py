@@ -417,6 +417,93 @@ def lsh_cosine_top5_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(LSH_TOPK)
 
 
+# --------------------------------------------------------------------------
+# k-means: one assignment + centroid-update step (Lloyd iteration).
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8  # seed centroids = embeddings with vec_id 0..K-1 (deterministic)
+
+
+@register(
+    "kmeans_assign_update",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ({_dot_sql("e.embedding", "e.embedding")} -
+          2.0 * {_dot_sql("e.embedding", "c.cv")} +
+          {_dot_sql("c.cv", "c.cv")}) AS d2
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, embedding, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM scored) t
+  WHERE rn = 1
+)
+SELECT cid AS cluster_id, t.pos,
+       COUNT(*) AS n_members,
+       CAST(SUM(CAST(FLOOR(CAST(t.v AS DOUBLE) * 10000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 10000000.0 / COUNT(*) AS centroid_val
+FROM (
+  SELECT cid,
+         UNNEST([{{'pos': i - 1, 'v': embedding[i]}} FOR i IN RANGE(1, LEN(embedding) + 1)]) AS t
+  FROM assign
+) u
+GROUP BY cid, t.pos
+ORDER BY cid, t.pos
+""",
+)
+def kmeans_assign_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd k-means iteration (the semantic-clustering primitive under
+    IVF training and embedding-space dedup): assign every vector to its
+    nearest of K=8 seed centroids (the vec_id < 8 embeddings — a
+    deterministic seed both engines agree on), then emit the updated
+    centroids as (cluster_id, pos, n_members, centroid_val).
+
+    Distances use the expansion |e|² - 2e·c + |c|² with the fixed-point
+    dot product, so cross-engine doubles are bit-identical; argmin is a
+    struct-min aggregate ((d2, cid) is unique per vector) — one hash
+    aggregate with map-side combine, NOT a window sort. The centroid
+    broadcast means assignment is a map-side join; the only shuffles are
+    the argmin agg on vec_id and the (cluster × dim) update agg — both
+    carry rows proportional to vectors, never the K-way scored expansion.
+    Full k-means = this step iterated with the output fed back as c; the
+    driver loop materializes K×dim rows per pass (tiny), the pattern
+    ``ops.graph.connected_components`` already uses."""
+    from otus_cpp_11_spark.queries import dsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    d2 = (
+        _dec_dot(F.col("embedding"), F.col("embedding"))
+        - 2.0 * _dec_dot(F.col("embedding"), F.col("cv"))
+        + _dec_dot(F.col("cv"), F.col("cv"))
+    )
+    scored = e.join(F.broadcast(c)).select(
+        "vec_id", "embedding", "cid", d2.alias("d2")
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid", "embedding")).alias("m"))
+        .select(F.col("m.cid").alias("cid"), F.col("m.embedding").alias("embedding"))
+    )
+    exploded = assign.select("cid", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        exploded.groupBy(F.col("cid").alias("cluster_id"), F.col("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (dsum(F.col("v").cast("double"), 7) / F.count(F.lit(1))).alias(
+                "centroid_val"
+            ),
+        )
+        .orderBy("cluster_id", "pos")
+    )
+
+
 RP_DIMS = 8
 
 

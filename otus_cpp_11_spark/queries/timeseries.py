@@ -401,3 +401,92 @@ def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: ordered view -> click -> purchase conversion.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "user_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.first_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY e.user_id
+),
+u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+SELECT u.n_users,
+       (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchased_after_click,
+       CAST((SELECT COUNT(*) FROM c) AS DOUBLE) / (SELECT COUNT(*) FROM v) AS view_to_click_rate,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE) / (SELECT COUNT(*) FROM c) AS click_to_purchase_rate
+FROM u
+""",
+)
+def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): a user
+    converts a stage only with an event at-or-after their previous stage's
+    first event — the event-sequence analytics shape (windowed funnels,
+    attribution) that needs ORDER, not just membership.
+
+    Three per-user conditional-min hash aggregates chained by equi-joins
+    on user_id: every stage relation is user-sized (not event-sized), all
+    three shuffles share the user_id key so a co-partitioned layout (or
+    one repartition) makes the joins local, and each stage's events
+    prefilter (event_type = ...) pushes into the parquet scan. Never a
+    self-join of events x events on time ranges, which blows up
+    quadratically in events-per-user."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    counts = e.agg(F.count_distinct("user_id").alias("n_users")).crossJoin(
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    ).crossJoin(
+        c.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))
+    ).crossJoin(
+        p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
+    )
+    return counts.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked_after_view",
+        "n_purchased_after_click",
+        (
+            F.col("n_clicked_after_view").cast("double") / F.col("n_viewed")
+        ).alias("view_to_click_rate"),
+        (
+            F.col("n_purchased_after_click").cast("double")
+            / F.col("n_clicked_after_view")
+        ).alias("click_to_purchase_rate"),
+    )

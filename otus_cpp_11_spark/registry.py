@@ -83,9 +83,16 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
 
 # Unverified queries that exceed the 50-slot window this round, ordered
 # after the rest of the unverified set (they stay gated by the local
-# oracle harness and take a slot next round). Keep this list minimal and
-# low-risk (narrow map-only plans with no join/window semantics to drift).
-WINDOW_DEFER: frozenset[str] = frozenset({"embedding_random_projection"})
+# oracle harness and take a slot next round). Queries added mid-round go
+# here so they don't displace the 50 already queued for driver rows.
+WINDOW_DEFER: frozenset[str] = frozenset({
+    "embedding_random_projection",
+    # added in round 2 after the window filled:
+    "near_dup_containment",
+    "kmeans_assign_update",
+    "user_funnel_conversion",
+    "lineitem_profile",
+})
 
 
 def all_queries() -> dict[str, Query]:

@@ -1,0 +1,80 @@
+"""Semantic contracts of the profiling / funnel / k-means / containment
+operators (cross-engine value equality is the oracle harness's job; these
+lock in the invariants that must hold on ANY input)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return all_queries()[name].fn
+
+
+def test_funnel_stage_counts_monotone(spark):
+    row = _q("user_funnel_conversion")(spark, SF).first()
+    assert (
+        row.n_users
+        >= row.n_viewed
+        >= row.n_clicked_after_view
+        >= row.n_purchased_after_click
+        >= 0
+    )
+    assert 0.0 <= row.view_to_click_rate <= 1.0
+    assert 0.0 <= row.click_to_purchase_rate <= 1.0
+
+
+def test_containment_dominates_jaccard_on_shared_pairs(spark):
+    cont = _q("near_dup_containment")(spark, SF).collect()
+    assert cont, "fixture corpus must contain containment pairs"
+    for r in cont:
+        assert r.doc_a < r.doc_b
+        assert 0.8 <= r.containment <= 1.0
+        assert r.size_a > 0 and r.size_b > 0
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _q("near_dup_pairs_minhash")(spark, SF).collect()
+    }
+    by_pair = {(r.doc_a, r.doc_b): r.containment for r in cont}
+    shared = set(by_pair) & set(jac)
+    assert shared, "some pair must pass both gates on the fixture"
+    for k in shared:
+        # |A∩B|/min <= 1 and |A∩B|/|A∪B| <= |A∩B|/min always
+        assert by_pair[k] >= jac[k]
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    rows = _q("kmeans_assign_update")(spark, SF).collect()
+    n_vectors = load_table(spark, SF, "embeddings").count()
+    dim = len(
+        load_table(spark, SF, "embeddings").select("embedding").first()[0]
+    )
+    # every cluster emits exactly one row per dimension
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r.cluster_id, set()).add(r.pos)
+        # n_members constant across a cluster's dims
+    for cid, poss in per_cluster.items():
+        assert poss == set(range(dim)), cid
+    members = {r.cluster_id: r.n_members for r in rows}
+    # assignment is a partition of the vectors
+    assert sum(members.values()) == n_vectors
+    # the seed centroid of each nonempty cluster pulls at least itself
+    assert all(m >= 1 for m in members.values())
+
+
+def test_profile_matches_direct_aggregates(spark):
+    rows = {r.column_name: r for r in _q("lineitem_profile")(spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem")
+    n = li.count()
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    for c, r in rows.items():
+        assert r.n_rows == n
+        assert r.n_nulls == n - li.where(F.col(c).isNotNull()).count()
+        assert r.n_distinct <= r.n_rows - r.n_nulls
+        assert r.min_val <= r.max_val

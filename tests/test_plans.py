@@ -162,3 +162,21 @@ def test_multires_rollup_reaggregates_tiers(spark, plan):
     # raw events are scanned once; hour/day tiers re-aggregate checkpointed
     # tiers (they appear as ExistingRDD scans, not parquet rescans)
     assert p.count("Scan parquet") <= 1
+
+
+def test_kmeans_broadcasts_centroids_no_cartesian(spark, plan):
+    p = plan("kmeans_assign_update", spark)
+    # K=8 centroids broadcast into a nested-loop (no join key) — never a
+    # cartesian shuffle; argmin is an aggregate, not a window sort
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+
+
+def test_profile_is_single_scan(spark, plan):
+    p = plan("lineitem_profile", spark)
+    # all per-column stats come from ONE pass over the fact table (the
+    # oracle's UNION ALL formulation would rescan per column); each scan
+    # prints exactly one Location line in formatted explain
+    assert p.count("Location: InMemoryFileIndex") == 1
