@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table
-from otus_cpp_11_spark.queries.dedup import _NORM_SQL, _word_shingles
+from otus_cpp_11_spark.queries.dedup import SHINGLE_WORDS, _NORM_SQL, _word_shingles
 from otus_cpp_11_spark.registry import register
 
 DECON_NGRAM = 5
@@ -286,4 +286,56 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= BPE_TOP)
         .orderBy("rank")
+    )
+
+
+@register(
+    "doc_novelty_score",
+    oracle=f"""
+WITH shingles AS ({_shingles_sql(SHINGLE_WORDS)}),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM shingles GROUP BY shingle)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first_seen,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty_ratio
+FROM shingles s JOIN first f USING (shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's word-trigram shingles
+    whose corpus-wide FIRST occurrence (min doc_id — ingestion order) is
+    this doc. Exact copies and boilerplate-heavy docs score ~0, fresh
+    content ~1 — the 'marginal contribution' signal a dedup-aware sampler
+    weights by (complements pairwise near-dup detection, which only says
+    WHO collides, not how much new text a doc adds).
+
+    Two hash aggregates and one equi-join, all keyed on shingle then
+    doc_id: the min-doc_id relation is vocabulary-sized, the join is
+    co-partitioned with the first agg's output (AQE reuses the exchange),
+    and nothing ever pairs docs with docs — cost is O(corpus shingles),
+    immune to duplicate-cluster size, where a pairwise formulation
+    degenerates quadratically on heavy boilerplate."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(d, SHINGLE_WORDS)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_first_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_first_seen",
+            (F.col("n_first_seen").cast("double") / F.col("n_shingles")).alias(
+                "novelty_ratio"
+            ),
+        )
+        .orderBy("doc_id")
     )

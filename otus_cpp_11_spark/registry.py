@@ -92,6 +92,7 @@ WINDOW_DEFER: frozenset[str] = frozenset({
     "kmeans_assign_update",
     "user_funnel_conversion",
     "lineitem_profile",
+    "doc_novelty_score",
 })
 
 

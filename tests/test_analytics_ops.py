@@ -78,3 +78,21 @@ def test_profile_matches_direct_aggregates(spark):
         assert r.n_nulls == n - li.where(F.col(c).isNotNull()).count()
         assert r.n_distinct <= r.n_rows - r.n_nulls
         assert r.min_val <= r.max_val
+
+
+def test_novelty_bounded_by_containment_overlap(spark):
+    nov = {r.doc_id: r for r in _q("doc_novelty_score")(spark, SF).collect()}
+    assert nov
+    for r in nov.values():
+        assert 0.0 <= r.novelty_ratio <= 1.0
+        assert 0 <= r.n_first_seen <= r.n_shingles
+    # cross-operator conservation law vs the containment pairs: for a
+    # verified pair (a < b), the n_common shingles shared with the EARLIER
+    # doc a were first seen no later than a, so doc b can have at most
+    # size_b - n_common first-seen shingles
+    pairs = _q("near_dup_containment")(spark, SF).collect()
+    assert pairs, "fixture corpus must contain containment pairs"
+    for pr in pairs:
+        n_common = round(pr.containment * min(pr.size_a, pr.size_b))
+        r = nov[pr.doc_b]
+        assert r.n_first_seen <= r.n_shingles - n_common, pr
