@@ -339,3 +339,58 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "source_mixture_weights",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS denom_units
+  FROM counts
+)
+SELECT c.source, c.n_docs, c.n_tokens,
+       CAST(FLOOR(SQRT(CAST(c.n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_units,
+       CAST(CAST(FLOOR(SQRT(CAST(c.n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS DOUBLE) / t.denom_units AS sample_prob
+FROM counts c CROSS JOIN tot t
+ORDER BY c.source
+""",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weighting (temperature sampling, alpha = 0.5): each
+    source's sampling probability proportional to sqrt of its token count —
+    the standard rebalancing that keeps small high-quality sources from
+    drowning under bulk web text. Weights are floored to integer
+    micro-units before normalizing so the probabilities are exact int/int
+    ratios both engines compute identically (a raw double SUM over sqrt
+    values would be order-dependent). One token-count aggregate (source-
+    keyed, map-side combined), one scalar total broadcast back — the per-
+    source relation is tiny at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks).cast("bigint")).alias("n_tokens"),
+    )
+    units = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)
+    ).cast("bigint")
+    weighted = counts.select("source", "n_docs", "n_tokens", units.alias("weight_units"))
+    denom = weighted.agg(F.sum("weight_units").alias("denom_units"))
+    return (
+        weighted.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight_units",
+            (F.col("weight_units").cast("double") / F.col("denom_units")).alias(
+                "sample_prob"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -561,3 +561,81 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("p.out_dim").alias("out_dim"), F.col("p.value").alias("value"))
         .orderBy("vec_id", "out_dim")
     )
+
+
+SEMDEDUP_COSINE = 0.4
+
+
+@register(
+    "semantic_dedup_pairs",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ({_dot_sql("e.embedding", "e.embedding")} -
+          2.0 * {_dot_sql("e.embedding", "c.cv")} +
+          {_dot_sql("c.cv", "c.cv")}) AS d2
+  FROM embeddings e CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, embedding, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM scored) t
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid AS cell,
+         {_dot_sql("a.embedding", "b.embedding")} /
+         (SQRT({_dot_sql("a.embedding", "a.embedding")}) * SQRT({_dot_sql("b.embedding", "b.embedding")})) AS cosine
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cell, cosine
+FROM pairs
+WHERE cosine >= {SEMDEDUP_COSINE}
+ORDER BY vec_a, vec_b
+""",
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster embeddings with the
+    k-means assignment step (K=8 deterministic seed centroids, exactly
+    ``kmeans_assign_update``'s cell structure), then score cosine ONLY
+    within each cell — the pair join is blocked by learned cluster id, so
+    the cross product is per-cell, never global. This is the trained-
+    quantizer counterpart of ``embedding_near_dup_pairs`` (which blocks on
+    the given label): at 100 TB the cells come from the same k-means loop,
+    cells partition the table on write, and the within-cell join shuffles
+    each vector exactly once on its cell id. Same fixed-point cosine as
+    every similarity operator, so the oracle hash-matches bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    d2 = (
+        _dec_dot(F.col("embedding"), F.col("embedding"))
+        - 2.0 * _dec_dot(F.col("embedding"), F.col("cv"))
+        + _dec_dot(F.col("cv"), F.col("cv"))
+    )
+    assign = (
+        e.join(F.broadcast(c))
+        .select("vec_id", "embedding", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid", "embedding")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.embedding").alias("embedding"),
+        )
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.cid").alias("cell"),
+        cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= SEMDEDUP_COSINE).orderBy("vec_a", "vec_b")

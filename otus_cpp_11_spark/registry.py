@@ -93,6 +93,8 @@ WINDOW_DEFER: frozenset[str] = frozenset({
     "user_funnel_conversion",
     "lineitem_profile",
     "doc_novelty_score",
+    "semantic_dedup_pairs",
+    "source_mixture_weights",
 })
 
 

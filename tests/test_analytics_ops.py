@@ -96,3 +96,29 @@ def test_novelty_bounded_by_containment_overlap(spark):
         n_common = round(pr.containment * min(pr.size_a, pr.size_b))
         r = nov[pr.doc_b]
         assert r.n_first_seen <= r.n_shingles - n_common, pr
+
+
+def test_semantic_dedup_pairs_within_cells(spark):
+    pairs = _q("semantic_dedup_pairs")(spark, SF).collect()
+    assert pairs, "fixture embeddings must contain semantic near-dups"
+    cells = {r.cell for r in pairs}
+    assert cells <= set(range(8))  # K=8 seed cells
+    for r in pairs:
+        assert r.vec_a < r.vec_b
+        assert r.cosine >= 0.4
+
+
+def test_mixture_weights_normalize_and_flatten(spark):
+    rows = _q("source_mixture_weights")(spark, SF).collect()
+    assert len(rows) > 1
+    assert abs(sum(r.sample_prob for r in rows) - 1.0) < 1e-9
+    total_tokens = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert 0.0 < r.sample_prob < 1.0
+        token_share = r.n_tokens / total_tokens
+        # sqrt weighting flattens: above-average sources are downweighted,
+        # below-average sources upweighted
+        if token_share > 1.0 / len(rows):
+            assert r.sample_prob <= token_share + 1e-12
+        else:
+            assert r.sample_prob >= token_share - 1e-12
