@@ -57,11 +57,19 @@ def register(
 # ``queries()`` each round, so ``all_queries()`` orders not-yet-verified
 # queries first: already-proven ones yield their window slot (they remain
 # gated locally by scripts/check_oracle.py every round).
+#
+# A green row certifies the CODE that was verified, not the name: any
+# query whose Spark impl or oracle SQL materially changes after its green
+# round MUST leave this set so the driver re-verifies the new code.
+# Removed for round 2 on that rule: near_dup_pairs_minhash (impl + oracle
+# rewritten: Carter-Wegman signatures, array_intersect verify, salted
+# candidates) and doc_dedup_clusters / near_dup_edit_distance (their
+# oracles embed the rewritten near-pairs CTE chain and their impls
+# consume the rewritten pairs query).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
     # CORRECTNESS_r01.json (rows+schema+hash all true)
-    "corpus_dedup_stats", "exact_dup_groups", "near_dup_pairs_minhash",
+    "corpus_dedup_stats", "exact_dup_groups",
     "doc_simhash32", "simhash_near_pairs", "ngram_jaccard_pairs",
-    "doc_dedup_clusters", "near_dup_edit_distance",
     "benchmark_decontamination", "doc_repetition_stats", "doc_top_terms",
     "prefix_min_unique_len", "word_count", "sum_of_squares",
     "unique_by_abs", "prefix_counts_l1", "multimodal_decode_features",
