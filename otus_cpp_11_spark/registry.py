@@ -103,6 +103,11 @@ WINDOW_DEFER: frozenset[str] = frozenset({
     "doc_novelty_score",
     "semantic_dedup_pairs",
     "source_mixture_weights",
+    # overflow trimmed so all 22 TPC-H shapes keep their window slots;
+    # these three are single-table narrow queries with low oracle risk:
+    "doc_leading_tokens",
+    "embedding_norms_by_label",
+    "events_json_props",
 })
 
 
