@@ -33,12 +33,38 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to session-TZ TIMESTAMP no matter which
+    physical parquet shape the lake handed us (SURVEY.md §1.2: handle
+    timestamp[ms,us,ns] variants):
+
+    * ``timestamp[ns]`` under ``nanosAsLong`` arrives as raw-nanos bigint —
+      divide to micros, exactly like DuckDB does;
+    * ``timestamp[us]`` without a timezone arrives as TIMESTAMP_NTZ — cast
+      to TIMESTAMP; under the pinned UTC session the wall-clock value is
+      preserved and epoch math matches DuckDB's naive-as-UTC semantics;
+    * ``timestamp[us] tz=UTC`` already reads as TIMESTAMP — no-op.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def epoch_us(col) -> "F.Column":
+    """Type-safe epoch-microseconds: works on TIMESTAMP and TIMESTAMP_NTZ
+    alike (``unix_micros`` alone rejects NTZ). Under the pinned UTC session
+    this matches DuckDB's ``epoch_us`` on naive timestamps exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong read the timestamp[ns] column as raw nanos; convert to
-        # a microsecond timestamp exactly like DuckDB does (ns div 1000).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_ts(df)
     return df
 
 

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from otus_cpp_11_spark.catalog import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -102,8 +104,8 @@ def range_join_within(
     """
     win = F.expr(f"INTERVAL {window}")
     width_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + win)
-    lt = F.unix_micros(F.col(left_time))
-    rt = F.unix_micros(F.col(right_time))
+    lt = epoch_us(F.col(left_time))
+    rt = epoch_us(F.col(right_time))
     l = left.select(
         F.col(on).alias("_k"),
         F.explode(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.catalog import epoch_us, load_table
 from otus_cpp_11_spark.ops.joins import asof_join, range_join_within
 from otus_cpp_11_spark.queries import dsum
 from otus_cpp_11_spark.registry import register
@@ -191,8 +191,8 @@ def user_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > 30 * 60
+                epoch_us("ts") - epoch_us(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
             ),
             1,
         )
@@ -254,7 +254,7 @@ def purchase_prior_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
         F.col("asof_click_id"),
-        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+        (epoch_us("ts") - epoch_us("asof_ts")).alias("gap_us"),
     ).orderBy("event_id")
 
 
@@ -286,7 +286,7 @@ def view_purchase_within_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_event_id").alias("view_id"),
         F.col("p_event_id").alias("purchase_id"),
         F.col("v_user_id").alias("user_id"),
-        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        (epoch_us("p_ts") - epoch_us("v_ts")).alias("gap_us"),
     ).orderBy("view_id", "purchase_id")
 
 

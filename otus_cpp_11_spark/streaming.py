@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from otus_cpp_11_spark.catalog import epoch_us
+
 __all__ = [
     "read_events_stream",
     "tumbling_counts",
@@ -59,6 +61,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     we take it from a batch peek at the same path, then apply the same
     nanos->micros timestamp normalization as ``catalog.load_table``.
     """
+    from otus_cpp_11_spark.catalog import normalize_ts
+
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
     # FileStreamSource force-sets basePath to the literal path (must be a
@@ -66,9 +70,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # glob semantics identical while basePath resolves to the parent dir.
     glob_path = f"{path[:-1]}[{path[-1]}]"
     df = spark.readStream.schema(raw_schema).parquet(glob_path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    # Same physical-type normalization as the batch catalog (raw-nanos
+    # bigint or TIMESTAMP_NTZ -> session-TZ TIMESTAMP); watermarks require
+    # a true TIMESTAMP event-time column.
+    return normalize_ts(df)
 
 
 # --------------------------------------------------------------------------
@@ -218,7 +223,7 @@ def view_purchase_stream_join(
         "view_id",
         "purchase_id",
         F.col("v_user").alias("user_id"),
-        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        (epoch_us("p_ts") - epoch_us("v_ts")).alias("gap_us"),
     )
 
 
