@@ -79,11 +79,34 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     the scan already has thousands of splits, so this becomes a no-op (the
     partition count is already >= cores) — the gate below keeps it from
     inserting a pointless shuffle there.
+
+    The gate reads scan metadata only — ``df.inputFiles()`` (a driver-side
+    plan inspection) and, for few-file scans, the parquet footers — never
+    ``df.rdd`` (which forces a full plan-to-RDD conversion per call) and
+    never a Spark job. A lake scan with >= cores files short-circuits on
+    the file count alone; only the pathological few-big-files case pays
+    the (tiny) footer reads to count row groups.
     """
     sc = df.sparkSession.sparkContext
     n = partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= n:
+        return df  # at least one split per core already
+    if files:
+        import pyarrow.parquet as pq
+
+        groups = 0
+        for f in files:
+            path = f.removeprefix("file:")
+            try:
+                groups += pq.ParquetFile(path).metadata.num_row_groups
+            except Exception:
+                break  # remote/odd layout: fall through to repartition
+            if groups >= n:
+                return df
     return df.repartition(n)
 
 

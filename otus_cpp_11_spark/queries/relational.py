@@ -928,23 +928,49 @@ def orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_user_sketches", oracle=None)
+@register(
+    "events_user_sketches",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_bound,
+       TRUE AS median_within_band
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def events_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event_type: HyperLogLog++ distinct users and
-    t-digest approximate median value. No SQL oracle — sketch estimates are
-    engine-specific (driver records the weaker rows-only check); the error
-    bound against the exact answers is asserted in tests/test_sketches.py.
-    These are the one-pass, mergeable, fixed-memory summaries that replace
-    exact distinct/percentile at 100 TB."""
+    t-digest approximate median value — the one-pass, mergeable,
+    fixed-memory summaries that replace exact distinct/percentile at
+    100 TB. Sketch ESTIMATES are engine-specific, so the oracle-checked
+    columns are the exact distinct count plus two error-bound booleans:
+    HLL estimate within 3x its configured rsd of the exact count, and the
+    t-digest median inside the exact p45–p55 band (both computed in the
+    same scan; DuckDB asserts them literally TRUE). A sketch drifting out
+    of spec flips a boolean and fails the value hash. Hard error bounds
+    are additionally asserted in tests/test_sketches.py."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_median_value"),
-        )
-        .orderBy("event_type")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_median"),
+        F.expr("percentile(value, array(0.45, 0.55))").alias("band"),
     )
+    hll_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * F.lit(3 * 0.02)
+    )
+    med_ok = (F.col("approx_median") >= F.col("band")[0]) & (
+        F.col("approx_median") <= F.col("band")[1]
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        hll_ok.alias("hll_within_bound"),
+        med_ok.alias("median_within_band"),
+    ).orderBy("event_type")
 
 
 # --------------------------------------------------------------------------

@@ -127,6 +127,8 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 NEAR_DUP_COSINE = 0.4
+NEAR_DUP_HOT_BLOCK = 4096  # block size above which the salt-grid path kicks in
+NEAR_DUP_SALTS = 8
 
 
 @register(
@@ -151,21 +153,78 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream coarse clustering), so the cross product is per-block, not
     global. The block join shuffles on label; scoring is JVM-side
     fixed-point math. At 100 TB the blocks come from LSH/IVF cell ids
-    computed the same way."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.label").alias("label"),
-        cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
-    )
+    computed the same way — and a hot block (one giant cluster) routes
+    through the same salt-grid split as queries.dedup.banded_candidate_pairs:
+    one block of B rows becomes S^2 tasks of ~(B/S)^2 comparisons instead
+    of one task of B^2, with the same exactly-one-cell pair-meeting
+    argument. The plain self-join plan returns untouched (zero routing
+    stages) when no block exceeds the threshold."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    pairs = blocked_cosine_pairs(e)
     return pairs.where(F.col("cosine") >= NEAR_DUP_COSINE).orderBy("vec_a", "vec_b")
+
+
+def blocked_cosine_pairs(
+    e: DataFrame,
+    hot_threshold: int = NEAR_DUP_HOT_BLOCK,
+    num_salts: int = NEAR_DUP_SALTS,
+) -> DataFrame:
+    """All same-label ``(vec_a < vec_b)`` pairs with their cosine, hot
+    blocks routed through the salt grid (see embedding_near_dup_pairs).
+    Input needs (vec_id, label, embedding)."""
+
+    def score(joined: DataFrame) -> DataFrame:
+        return joined.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+        )
+
+    sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("_bn"))
+    hot = sizes.where(F.col("_bn") > hot_threshold).select(
+        "label", F.lit(True).alias("_hot")
+    )
+    if hot.limit(1).count() == 0:
+        pairs = score(
+            e.alias("a").join(
+                e.alias("b"),
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+        )
+    else:
+        tagged = e.join(F.broadcast(hot), "label", "left")
+        cold = tagged.where(F.col("_hot").isNull()).drop("_hot")
+        hotb = tagged.where(F.col("_hot").isNotNull()).drop("_hot")
+        cold_pairs = score(
+            cold.alias("a").join(
+                cold.alias("b"),
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+        )
+        cells = F.array(*[F.lit(i) for i in range(num_salts)])
+        g = F.pmod(F.hash("vec_id"), F.lit(num_salts))
+        left = hotb.select(
+            "label", "vec_id", "embedding", g.alias("_ci"),
+            F.explode(cells).alias("_cj"),
+        )
+        right = hotb.select(
+            "label", "vec_id", "embedding",
+            F.explode(cells).alias("_ci"), g.alias("_cj"),
+        )
+        hot_pairs = score(
+            left.alias("a").join(
+                right.alias("b"),
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a._ci") == F.col("b._ci"))
+                & (F.col("a._cj") == F.col("b._cj"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+        )
+        pairs = cold_pairs.unionByName(hot_pairs)
+    return pairs
 
 
 # --------------------------------------------------------------------------

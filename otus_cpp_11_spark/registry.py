@@ -65,8 +65,35 @@ def register(
 # rewritten: Carter-Wegman signatures, array_intersect verify, salted
 # candidates) and doc_dedup_clusters / near_dup_edit_distance (their
 # oracles embed the rewritten near-pairs CTE chain and their impls
-# consume the rewritten pairs query).
+# consume the rewritten pairs query). Both re-verified green in r2.
+# NOT listed despite r2 rows: user_event_sessions / purchase_prior_click_asof
+# / view_purchase_within_6h (errored on TIMESTAMP_NTZ in r2, impls touched
+# by the round-3 epoch_us fix — they re-queue) and events_user_sketches
+# (rows-only in r2; round 3 added an exact-count oracle gate, re-queues).
 DRIVER_VERIFIED: frozenset[str] = frozenset({
+    # CORRECTNESS_r02.json (rows+schema+hash all true)
+    "ann_cosine_top10", "bpe_pair_counts", "corpus_curation_pipeline",
+    "customer_monthly_retention", "customer_order_window_family",
+    "daily_open_shipments", "doc_dedup_clusters", "doc_pack_bins",
+    "doc_passage_chunks",
+    # embedding_near_dup_pairs deliberately NOT listed despite its r2 green:
+    # round 3 added the hot-block salt-grid path, so it re-queues.
+    "embedding_quantization", "events_multires_rollup",
+    "events_session_windows", "events_sliding_10min_5min",
+    "events_tumbling_5min", "ivf_cosine_top5", "label_centroids",
+    "label_whitening_residuals", "lineitem_measures_unpivot",
+    "lineitem_price_qty_corr", "lsh_cosine_top5",
+    "lsh_cosine_top5_multiprobe", "nation_richest_customer",
+    "near_dup_edit_distance", "near_dup_pairs_minhash",
+    "orders_price_percentiles", "q11_important_stock",
+    "q12_priority_shipping", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_relation",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_discounted_revenue", "q20_potential_promotion",
+    "q21_waiting_supplier", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "user_value_moving_avg", "user_value_zscore_outliers",
     # CORRECTNESS_r01.json (rows+schema+hash all true)
     "corpus_dedup_stats", "exact_dup_groups",
     "doc_simhash32", "simhash_near_pairs", "ngram_jaccard_pairs",
@@ -85,30 +112,16 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     "region_nation_full_outer", "customers_above_avg_balance",
     "parts_larger_than_brand_avg", "orderstatus_pivot",
     "orders_grouping_sets", "region_nation_list", "q10_returned_revenue",
-    # NOT listed (r1 hash_match=false — must re-verify this round):
-    # bpe_pair_counts, label_whitening_residuals, corpus_curation_pipeline
 })
 
 # Unverified queries that exceed the 50-slot window this round, ordered
 # after the rest of the unverified set (they stay gated by the local
 # oracle harness and take a slot next round). Queries added mid-round go
 # here so they don't displace the 50 already queued for driver rows.
-WINDOW_DEFER: frozenset[str] = frozenset({
-    "embedding_random_projection",
-    # added in round 2 after the window filled:
-    "near_dup_containment",
-    "kmeans_assign_update",
-    "user_funnel_conversion",
-    "lineitem_profile",
-    "doc_novelty_score",
-    "semantic_dedup_pairs",
-    "source_mixture_weights",
-    # overflow trimmed so all 22 TPC-H shapes keep their window slots;
-    # these three are single-table narrow queries with low oracle risk:
-    "doc_leading_tokens",
-    "embedding_norms_by_label",
-    "events_json_props",
-})
+# Round 3: empty — the 90 r1+r2 greens yield their slots, so the 3 NTZ-fix
+# re-queues, the 11 r2 deferrals, and every query added this round all fit
+# inside the 50-slot window.
+WINDOW_DEFER: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:

@@ -64,3 +64,24 @@ def test_banded_candidates_hot_bucket_equivalence(spark):
     # degenerate salts: every doc in one grid row still yields equivalence
     one_salt = banded_candidate_pairs(bands, hot_threshold=10, num_salts=1)
     assert _pairs(one_salt) == want
+
+
+def test_blocked_cosine_pairs_hot_block_equivalence(spark):
+    """Planted hot label block: the salt-grid path must yield EXACTLY the
+    plain blocked self-join's (pair, cosine) set (VERDICT r2 item 8)."""
+    from otus_cpp_11_spark.queries.similarity import blocked_cosine_pairs
+
+    rows = [(i, "HOT", [float(i % 7 + 1), float(i % 3 + 1)]) for i in range(40)]
+    rows += [(100 + i, f"c{i % 4}", [1.0, float(i + 1)]) for i in range(16)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+    def key(df):
+        return sorted((r.vec_a, r.vec_b, r.label, r.cosine) for r in df.collect())
+
+    plain = blocked_cosine_pairs(e, hot_threshold=10**9)  # never hot
+    grid = blocked_cosine_pairs(e, hot_threshold=8, num_salts=4)
+    assert key(grid) == key(plain)
+    one_salt = blocked_cosine_pairs(e, hot_threshold=8, num_salts=1)
+    assert key(one_salt) == key(plain)

