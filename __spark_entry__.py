@@ -20,15 +20,32 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+_SHIPPED: set[int] = set()
+
+
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply session confs the engine relies on when the driver hands us an
     externally-built SparkSession (timezone for timestamp parity, nanos
-    handling for the events table)."""
+    handling for the events table), and ship the package to executors so
+    mapInPandas closures that reference module-level helpers resolve no
+    matter what the driver's working directory is."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; catalog handles the fallback
+    if id(spark) not in _SHIPPED:
+        import shutil
+        import tempfile
+
+        pkg_dir = Path(__file__).resolve().parent / "otus_cpp_11_spark"
+        zip_base = Path(tempfile.mkdtemp(prefix="sg-pkg-")) / "otus_cpp_11_spark"
+        archive = shutil.make_archive(str(zip_base), "zip", pkg_dir.parent, "otus_cpp_11_spark")
+        try:
+            spark.sparkContext.addPyFile(archive)
+        except Exception:
+            pass  # already added under the same name on a shared context
+        _SHIPPED.add(id(spark))
     return spark
 
 

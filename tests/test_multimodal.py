@@ -74,3 +74,64 @@ class TestDecode:
     def test_real_codec_stub_raises(self, payloads):
         with pytest.raises(NotImplementedError):
             decode_image(payloads)
+
+
+class TestRealCodecs:
+    """Dependency-free REAL decoders: byte-level WAV/PPM parsing must
+    round-trip the synthesized containers and reject malformed bytes."""
+
+    def test_wav_roundtrip_known_file(self):
+        import io
+        import struct
+        import wave
+
+        from otus_cpp_11_spark.ops.multimodal import parse_wav_bytes
+
+        samples = [0, 1000, -1000, 32767, -32768]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack("<5h", *samples))
+        rate, ch, bits, n, s = parse_wav_bytes(buf.getvalue())
+        assert (rate, ch, bits, n, s) == (8000, 1, 16, 5, sum(samples))
+
+    def test_wav_rejects_malformed(self):
+        from otus_cpp_11_spark.ops.multimodal import parse_wav_bytes
+
+        for bad in (b"", b"RIFFxxxxNOPE", b"RIFF\x00\x00\x00\x00WAVE"):
+            with pytest.raises(ValueError):
+                parse_wav_bytes(bad)
+
+    def test_ppm_roundtrip_known_image(self):
+        from otus_cpp_11_spark.ops.multimodal import parse_ppm_bytes
+
+        raster = bytes([10, 20, 30, 40, 50, 60])  # 2x1 image
+        w, h, r, g, b = parse_ppm_bytes(b"P6\n2 1\n255\n" + raster)
+        assert (w, h, r, g, b) == (2, 1, 10 + 40, 20 + 50, 30 + 60)
+
+    def test_ppm_rejects_malformed(self):
+        from otus_cpp_11_spark.ops.multimodal import parse_ppm_bytes
+
+        with pytest.raises(ValueError):
+            parse_ppm_bytes(b"P5\n2 1\n255\n" + bytes(6))  # not P6
+        with pytest.raises(ValueError):
+            parse_ppm_bytes(b"P6\n2 2\n255\n" + bytes(6))  # truncated raster
+
+    def test_decode_matches_synthesis_on_spark(self, spark):
+        from otus_cpp_11_spark.ops.multimodal import (
+            _wav_samples,
+            decode_wav_features,
+            synthesize_wav_payloads,
+        )
+
+        docs = spark.createDataFrame([(7,), (123,)], ["doc_id"])
+        rows = {
+            r.doc_id: r
+            for r in decode_wav_features(synthesize_wav_payloads(docs)).collect()
+        }
+        for doc_id in (7, 123):
+            want = _wav_samples(doc_id)
+            assert rows[doc_id].n_samples == len(want)
+            assert rows[doc_id].pcm_sum == sum(want)
