@@ -1,0 +1,301 @@
+"""Sampling, sequence, and distribution queries — the training-data
+pipeline's selection layer (driver extension mandate; the reference has no
+sampling surface, its only selection is the reducer's boolean vote,
+/root/reference/src/main.cpp:75-91).
+
+Determinism strategy: every "random" choice is an md5 hash of a stable key
+— both engines produce identical hex digests, so sample membership is
+reproducible, engine-independent, and (at 100 TB) retry-safe: a recomputed
+task picks the same rows. That is also the production-correct design —
+seed-free RNG sampling breaks lineage on stage retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.queries import dsum, dsum_sql
+from otus_cpp_11_spark.registry import register
+
+
+def _md5_key(col: F.Column) -> F.Column:
+    return F.md5(F.encode(col.cast("string"), "UTF-8"))
+
+
+RESERVOIR_K = 100
+
+
+@register(
+    "doc_reservoir_sample",
+    oracle=f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {RESERVOIR_K}
+""",
+)
+def doc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform K-row corpus sample via hash ordering: take the K smallest
+    md5(doc_id) values — equivalent in distribution to a reservoir sample
+    but deterministic and mergeable. Executes as per-partition top-K +
+    driver merge of K-row heaps (TakeOrderedAndProject — no global sort,
+    no full shuffle), which is exactly how you sample 100 TB: each of
+    thousands of tasks returns at most K rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "source", "n_chars", _md5_key(F.col("doc_id")).alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(RESERVOIR_K)
+        .drop("_h")
+    )
+
+
+STRATUM_K = 5
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM ranked WHERE rk <= {STRATUM_K}
+ORDER BY source, doc_id
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: K docs per source via hash-ordered row_number —
+    balanced training mixtures regardless of stratum skew. One shuffle on
+    source; per-stratum state is a K-row window, so a 10^6-doc stratum
+    costs the same memory as a 10^2-doc one."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_md5_key(F.col("doc_id")), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= STRATUM_K)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+COPURCHASE_MIN = 3
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle=f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= {COPURCHASE_MIN}
+ORDER BY n_orders DESC, part_a, part_b
+""",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in >= 3 common
+    orders. The self-join key is l_orderkey, so fan-out is bounded by
+    lines-per-order (<= 7 in TPC-H) — per-key quadratic with a small
+    constant, never corpus-quadratic; one shuffle on orderkey, then a
+    hash aggregate on the pair."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= COPURCHASE_MIN)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+    )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+""",
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences
+    (lead + pair count) — the sequence-statistics shape behind behavioral
+    embeddings. One shuffle on user_id; the transition matrix is
+    |types|^2-sized, trivially collectable at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@register(
+    "daily_active_users_7d",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT CAST(d.day AS TIMESTAMP) AS day,
+       COUNT(DISTINCT u.user_id) AS active_7d
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+ORDER BY day
+""",
+)
+def daily_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day. Distinct-over-window
+    can't use a plain window frame (COUNT(DISTINCT) isn't frame-able), so:
+    dedup to (day, user) first — the only event-scale pass — then join the
+    tiny day x day-window relation against day-level rows. At 100 TB the
+    (day, user) relation is orders of magnitude smaller than events and
+    the 7x replication happens on it, not on raw events."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct().alias("d")
+    return (
+        days.join(
+            du.alias("u"),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").cast("timestamp").alias("day"))
+        .agg(F.count_distinct("u.user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "orders_yoy_growth",
+    oracle=f"""
+WITH yearly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         {dsum_sql("o_totalprice", 2)} AS revenue
+  FROM orders
+  GROUP BY o_year
+)
+SELECT o_year, revenue,
+       revenue / LAG(revenue) OVER (ORDER BY o_year) - 1.0 AS yoy_growth
+FROM yearly
+ORDER BY o_year
+""",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly fixed-point aggregate (map-
+    side partial over orders), then a lag window over the handful of year
+    rows — the heavy pass is a plain aggregate, the window runs on an
+    already-tiny relation."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        dsum(F.col("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("o_year")
+    return yearly.select(
+        "o_year",
+        "revenue",
+        (F.col("revenue") / F.lag("revenue").over(w) - F.lit(1.0)).alias("yoy_growth"),
+    ).orderBy("o_year")
+
+
+@register(
+    "customer_rfm_quartiles",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS monetary
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT o_custkey,
+       NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_quartile,
+       NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+       NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile
+FROM cust
+ORDER BY o_custkey
+""",
+)
+def customer_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary quartiles
+    via ntile with total tie-break orders (engine-independent bucketing).
+    One aggregate over orders, three windows over the customer-sized
+    relation. At 100 TB ntile's global sort would bottleneck — swap for
+    approx_percentile cut points (the sketch query family) and a
+    broadcast-join bucketing; documented here, exact ntile kept for the
+    oracle gate."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice"), 2).alias("monetary"),
+    )
+    return cust.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    ).orderBy("o_custkey")
+
+
+HIST_BIN_WIDTH = 5.0
+
+
+@register(
+    "lineitem_qty_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR((l_quantity - 1.0) / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       1.0 + {HIST_BIN_WIDTH} * FLOOR((l_quantity - 1.0) / {HIST_BIN_WIDTH}) AS bin_lo,
+       COUNT(*) AS n,
+       {dsum_sql("l_extendedprice", 2)} AS sum_price
+FROM lineitem
+GROUP BY bin, bin_lo
+ORDER BY bin
+""",
+)
+def lineitem_qty_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of quantity with a per-bin revenue measure —
+    one map-side binning expression + hash aggregate; bin count is
+    data-independent so the result never grows with the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.floor((F.col("l_quantity") - 1.0) / HIST_BIN_WIDTH)
+    return (
+        li.groupBy(
+            bin_col.cast("bigint").alias("bin"),
+            (1.0 + HIST_BIN_WIDTH * bin_col).alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("bin")
+    )

@@ -138,6 +138,7 @@ def all_queries() -> dict[str, Query]:
         pipeline,
         relational,
         rollup,
+        sampling,
         similarity,
         text,
         timeseries,

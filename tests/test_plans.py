@@ -180,3 +180,31 @@ def test_profile_is_single_scan(spark, plan):
     # oracle's UNION ALL formulation would rescan per column); each scan
     # prints exactly one Location line in formatted explain
     assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_reservoir_sample_is_topk_no_shuffle(spark, plan):
+    # per-partition top-K + driver merge: no Exchange, no global Sort
+    p = plan("doc_reservoir_sample", spark)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    scan_schema = next(l for l in p.splitlines() if l.startswith("ReadSchema"))
+    assert "text" not in scan_schema  # payload column pruned
+
+
+def test_copurchase_joins_on_orderkey_not_cartesian(spark, plan):
+    # the pair generation must be an equi-join on l_orderkey (fan-out
+    # bounded by lines-per-order), never a nested-loop/cartesian product
+    p = plan("copurchase_part_pairs", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rolling_dau_replicates_day_level_not_events(spark, plan):
+    # the 7x range-join replication happens on the deduped (day, user)
+    # relation: the raw events scan must appear exactly once per side (2
+    # scans total), each pruned to (ts, user_id)
+    p = plan("daily_active_users_7d", spark)
+    scans = [l for l in p.splitlines() if l.startswith("ReadSchema")]
+    assert len(scans) == 2
+    for s in scans:
+        assert "event_type" not in s and "props" not in s and "value" not in s
