@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table
-from otus_cpp_11_spark.queries.dedup import SHINGLE_WORDS, _NORM_SQL, _word_shingles
+from otus_cpp_11_spark.queries.dedup import (
+    SHINGLE_WORDS,
+    _NORM_SQL,
+    _word_shingles,
+    _word_shingles_raw,
+)
 from otus_cpp_11_spark.registry import register
 
 DECON_NGRAM = 5
@@ -76,9 +81,11 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing >= 3 word-5-grams
     with any held-out eval doc (doc_id % 10 == 0 plays the benchmark set).
     The eval n-gram index is broadcast, so the corpus side is a map-side
-    join — no shuffle of corpus-sized data."""
+    join — no shuffle of corpus-sized data. Shingles are RAW occurrences
+    (_word_shingles_raw): both aggregates and the oracle count DISTINCT
+    themselves, so per-doc set construction would be wasted work."""
     d = load_table(spark, sf_dir, "documents")
-    grams = _word_shingles(d, DECON_NGRAM)
+    grams = _word_shingles_raw(d, DECON_NGRAM)
     eval_grams = grams.where(F.col("doc_id") % EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "shingle"
     )

@@ -67,6 +67,30 @@ def _word_shingles(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
     )
 
 
+def _word_shingles_raw(df: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle) WITHOUT per-doc dedup: every word-k-gram occurrence.
+    For consumers that aggregate with their own DISTINCT (e.g.
+    decontamination's count_distinct), the set construction's per-doc
+    array_distinct hash build is pure waste — measured 2.8s -> 0.9s on the
+    decontamination query at sf0.1. Same normalization and zip_with-slices
+    construction as _word_shingle_arrays (see its docstring for why not
+    transform/element_at)."""
+    wdf = spread(df).select(
+        "doc_id",
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+    )
+    w = F.col("w")
+    m = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    acc = F.slice(w, 1, m)
+    for off in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(w, off + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return wdf.select("doc_id", F.explode(acc).alias("shingle"))
+
+
 def _word_shingle_arrays(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
     """(doc_id, *extra_cols, shingle_set): the distinct word-k-gram shingle
     SET of each doc as one array column — the un-exploded form of
@@ -123,7 +147,9 @@ def release_dedup_caches() -> None:
     the last near_dup_pairs_minhash result have run their actions)."""
     while _dedup_caches:
         try:
-            _dedup_caches.pop().unpersist()
+            # blocking so persistent-RDD counts observed right after the
+            # call are deterministic (async unpersist races observers)
+            _dedup_caches.pop().unpersist(blocking=True)
         except Exception:
             pass  # session already stopped; nothing retained
 

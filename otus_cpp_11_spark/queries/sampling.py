@@ -299,3 +299,131 @@ def lineitem_qty_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "user_value_scd2",
+    oracle="""
+SELECT user_id, event_id, value,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL THEN TRUE ELSE FALSE END AS is_current
+FROM events
+ORDER BY user_id, valid_from, event_id
+""",
+)
+def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: turn an event log into
+    validity intervals [valid_from, valid_to) per user via lead, with an
+    is_current flag on the open interval — the lakehouse temporal-table
+    materialization. One shuffle on user_id; interval construction is a
+    single window pass, never a self-join on time."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+PATH_LEN = 3
+
+
+@register(
+    "session_top_paths",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, sid, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+paths AS (
+  SELECT user_id, sid,
+         STRING_AGG(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {PATH_LEN}
+  GROUP BY user_id, sid
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+""",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the first 3 event types of every 30-min-gap session,
+    joined into a path string, counted across sessions — the funnel-
+    discovery shape (which journeys actually happen). Reuses the
+    sessionization window (one user_id shuffle serves lag, cumsum, and
+    ranking), truncates to PATH_LEN before aggregating so the path
+    alphabet, not session length, bounds state."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from otus_cpp_11_spark.catalog import epoch_us
+
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > 30 * 60 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_new").over(w_cum).alias("sid"),
+    )
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = sess.select(
+        "user_id", "sid", "event_type", F.row_number().over(w_sess).alias("rn")
+    ).where(F.col("rn") <= PATH_LEN)
+    paths = (
+        ranked.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+    )

@@ -97,7 +97,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset({
     # CORRECTNESS_r01.json (rows+schema+hash all true)
     "corpus_dedup_stats", "exact_dup_groups",
     "doc_simhash32", "simhash_near_pairs", "ngram_jaccard_pairs",
-    "benchmark_decontamination", "doc_repetition_stats", "doc_top_terms",
+    # benchmark_decontamination NOT listed despite its r1 green: round 3
+    # switched it to raw shingles (3x faster, same semantics) — re-queues.
+    "doc_repetition_stats", "doc_top_terms",
     "prefix_min_unique_len", "word_count", "sum_of_squares",
     "unique_by_abs", "prefix_counts_l1", "multimodal_decode_features",
     "multimodal_frame_sample", "doc_passage_chunks_udtf", "doc_token_stats",

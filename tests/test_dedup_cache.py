@@ -29,4 +29,8 @@ def test_dedup_cache_is_single_generation_and_releasable(spark):
     assert after_two == after_one  # second call evicted the first generation
 
     release_dedup_caches()
-    assert _n_persistent(spark) == base
+    # <= not ==: `base` can include localCheckpoint RDDs left by earlier
+    # tests in the shared session, and the ContextCleaner collects those
+    # asynchronously — the dedup caches themselves must be gone, but
+    # unrelated leftovers may ALSO have been cleaned meanwhile
+    assert _n_persistent(spark) <= base
