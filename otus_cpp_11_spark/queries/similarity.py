@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.catalog import load_table, spread
 from otus_cpp_11_spark.registry import register
 
 TOPK = 10
@@ -698,3 +698,160 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= SEMDEDUP_COSINE).orderBy("vec_a", "vec_b")
+
+
+GRAM_ESCALE = 10**6  # per-element quantization; cells carry ESCALE^2
+
+
+@register(
+    "embedding_gram_upper",
+    oracle=f"""
+WITH units AS (
+  SELECT [CAST(FLOOR(CAST(x AS DOUBLE) * {GRAM_ESCALE}.0) AS BIGINT) FOR x IN embedding] AS eu
+  FROM embeddings
+),
+cells AS (
+  SELECT a.i AS k, b.j AS l,
+         CAST(eu[a.i + 1] * eu[b.j + 1] AS DECIMAL(38,0)) AS u
+  FROM units,
+       UNNEST(RANGE(0, LEN(eu))) AS a(i),
+       UNNEST(RANGE(0, LEN(eu))) AS b(j)
+  WHERE b.j >= a.i
+)
+SELECT CAST(k AS INT) AS k, CAST(l AS INT) AS l,
+       CAST(SUM(u) AS DOUBLE) / {GRAM_ESCALE}.0 / {GRAM_ESCALE}.0 AS gram
+FROM cells
+GROUP BY k, l
+ORDER BY k, l
+""",
+)
+def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix A^T A (upper triangle): each row contributes
+    its d(d+1)/2 outer-product cells, summed by (k, l) — the one-pass
+    partial-aggregate formulation of distributed matrix multiply (the
+    PCA/covariance building block). No joins: the expansion happens per
+    row, map-side combine collapses each partition to <= d^2 cells, and
+    the only shuffle carries those partial sums — NOT a self-join of the
+    exploded elements, which would shuffle rows*d and materialize rows*d^2
+    before aggregating. Elements are quantized to integer units ONCE per
+    row in a codegen'd projection; the nested (interpreted) HOF lambdas
+    then touch only small integer arrays. spread(): the d^2-per-row
+    expansion is the CPU hot spot, so the scan must not arrive
+    single-partition (see catalog.spread)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    units = e.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(float(GRAM_ESCALE))).cast(
+                "bigint"
+            ),
+        ).alias("eu")
+    )
+    eu = F.col("eu")
+    cells = units.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    eu,
+                    lambda x, i: F.transform(
+                        F.slice(eu, i + 1, F.size(eu) - i),
+                        lambda y, j: F.struct(
+                            i.cast("int").alias("k"),
+                            (i + j).cast("int").alias("l"),
+                            (x * y).alias("u"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.k", "c.l", F.col("c.u").cast("decimal(38,0)").alias("u"))
+        .groupBy("k", "l")
+        .agg(
+            (
+                F.sum("u").cast("double")
+                / F.lit(float(GRAM_ESCALE))
+                / F.lit(float(GRAM_ESCALE))
+            ).alias("gram")
+        )
+        .orderBy("k", "l")
+    )
+
+
+PI_SCALE = 10**6
+
+
+@register(
+    "embedding_power_iteration",
+    oracle=f"""
+WITH elems AS (
+  SELECT vec_id, t.i AS k,
+         CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE) * {PI_SCALE}.0) AS BIGINT) AS eu
+  FROM embeddings, UNNEST(RANGE(0, LEN(embedding))) AS t(i)
+),
+tj AS (SELECT vec_id, CAST(SUM(eu) AS BIGINT) AS tu FROM elems GROUP BY vec_id),
+u AS (
+  SELECT e.k, CAST(SUM(CAST(e.eu AS HUGEINT) * t.tu) AS HUGEINT) AS uu
+  FROM elems e JOIN tj t USING (vec_id)
+  GROUP BY e.k
+),
+nrm AS (SELECT SQRT(CAST(SUM(uu * uu) AS DOUBLE)) AS n FROM u)
+SELECT CAST(k AS INT) AS k,
+       CAST(uu AS DOUBLE) / {PI_SCALE}.0 / {PI_SCALE}.0 AS v1,
+       CAST(uu AS DOUBLE) / nrm.n AS v1_unit
+FROM u, nrm
+ORDER BY k
+""",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's principal direction:
+    v1 = A^T (A 1) computed as two chained fixed-point aggregates — never
+    materializing A^T A — plus the unit-normalized estimate. Everything
+    up to the final sqrt/division is exact integer units, so the iterate
+    is bit-identical across engines and partitionings; at scale the driver
+    loops this step (matrix-free, one shuffle per iteration), the standard
+    distributed PCA/Lanczos building block."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    elems = e.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.struct(
+                    i.cast("int").alias("k"),
+                    F.floor(x.cast("double") * F.lit(float(PI_SCALE)))
+                    .cast("bigint")
+                    .alias("eu"),
+                ),
+            )
+        ).alias("c"),
+    ).select("vec_id", "c.k", "c.eu")
+    tj = elems.groupBy("vec_id").agg(F.sum("eu").alias("tu"))
+    u = (
+        elems.join(tj, "vec_id")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("eu").cast("decimal(38,0)") * F.col("tu").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("uu")
+        )
+    )
+    nrm = u.agg(
+        F.sqrt(F.sum(F.col("uu") * F.col("uu")).cast("double")).alias("n")
+    )
+    return (
+        u.crossJoin(F.broadcast(nrm))
+        .select(
+            "k",
+            (
+                F.col("uu").cast("double")
+                / F.lit(float(PI_SCALE))
+                / F.lit(float(PI_SCALE))
+            ).alias("v1"),
+            (F.col("uu").cast("double") / F.col("n")).alias("v1_unit"),
+        )
+        .orderBy("k")
+    )
