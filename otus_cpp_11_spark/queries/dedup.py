@@ -831,3 +831,69 @@ def near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_EST_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.s{h} = sb.s{h} THEN 1 ELSE 0 END" for h in range(NUM_HASHES)
+)
+
+
+@register(
+    "minhash_estimate_accuracy",
+    oracle=f"""
+WITH {_NEAR_PAIRS_CTES}
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       ({_EST_MATCH_SQL}) / {NUM_HASHES}.0 AS jaccard_est,
+       ABS(({_EST_MATCH_SQL}) / {NUM_HASHES}.0 - p.jaccard) <= 0.4 AS within_bound
+FROM near_pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+""",
+)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy gate for MinHash (the HLL-gate pattern applied to
+    signatures): for every verified near-dup pair, the signature-agreement
+    Jaccard estimate (matching components / 16) next to the exact
+    array_intersect Jaccard, plus a 0.4 error-bound boolean the oracle
+    asserts literally TRUE — a signature family drifting out of spec flips
+    the boolean and fails the value hash. Estimate and exact are both
+    rational arithmetic, so the comparison is engine-exact. Signatures are
+    one extra pass over shingles; the pair relation is candidate-sized."""
+    pairs = near_dup_pairs_minhash(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    shingles = _word_shingles(d, SHINGLE_WORDS)
+    ab = shingles.select("doc_id", F.md5("shingle").alias("h")).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("b"),
+    )
+    sigs = ab.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("a") + F.lit(h) * F.col("b")) % F.lit(_M32)).alias(f"s{h}")
+            for h in range(NUM_HASHES)
+        ]
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("_sa_id"), *[F.col(f"s{h}").alias(f"sa{h}") for h in range(NUM_HASHES)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("_sb_id"), *[F.col(f"s{h}").alias(f"sb{h}") for h in range(NUM_HASHES)]
+    )
+    matches = sum(
+        F.when(F.col(f"sa{h}") == F.col(f"sb{h}"), 1).otherwise(0)
+        for h in range(NUM_HASHES)
+    )
+    est = matches / F.lit(float(NUM_HASHES))
+    return (
+        pairs.join(sa, F.col("_sa_id") == F.col("doc_a"))
+        .join(sb, F.col("_sb_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            est.alias("jaccard_est"),
+            (F.abs(est - F.col("jaccard")) <= 0.4).alias("within_bound"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
