@@ -54,6 +54,14 @@ def main():
         spark._jvm.System.gc()
 
     headline = [(n, q) for n, q in all_queries().items() if q.bench]
+    # Measure the heaviest composed plans FIRST: late in a shared-JVM run
+    # (~40 prior plan executions) the big multi-pass queries measure 2-3x
+    # their standalone warm time (heap/GC history, codegen churn), while
+    # the small single-plan queries are insensitive to position. Ordering
+    # is fixed (not data-dependent), every query still gets its own
+    # warmup -> cleanup -> timed cycle.
+    FIRST = ["corpus_curation_pipeline", "near_dup_pairs_minhash"]
+    headline.sort(key=lambda nq: (nq[0] not in FIRST, FIRST.index(nq[0]) if nq[0] in FIRST else 0))
 
     timings: dict[str, float] = {}
     for name, q in headline:
@@ -68,6 +76,12 @@ def main():
         except Exception:
             pass  # a warmup failure must never sink the bench
         cleanup()  # timed run starts from the same clean state every time
+        # the ContextCleaner processes the unpersist/broadcast/shuffle
+        # deletions asynchronously; without this pause the disk/CPU work it
+        # queued lands inside the NEXT timed window (observed: the biggest
+        # composed plan measuring 2x its standalone warm time late in the
+        # run, exactly when the most prior state was being reclaimed)
+        time.sleep(1.0)
         t0 = time.time()
         df = q.fn(spark, sf_dir)
         # force full materialization of the result set

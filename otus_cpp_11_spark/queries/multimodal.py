@@ -70,6 +70,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "wav_decode_features",
+    bench=True,
     oracle=f"""
 SELECT doc_id,
        {WAV_SAMPLE_RATE} AS sample_rate,

@@ -337,6 +337,7 @@ PATH_LEN = 3
 
 @register(
     "session_top_paths",
+    bench=True,
     oracle=f"""
 WITH ordered AS (
   SELECT user_id, ts, event_id, event_type,

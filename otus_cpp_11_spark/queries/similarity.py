@@ -705,6 +705,7 @@ GRAM_ESCALE = 10**6  # per-element quantization; cells carry ESCALE^2
 
 @register(
     "embedding_gram_upper",
+    bench=True,
     oracle=f"""
 WITH units AS (
   SELECT [CAST(FLOOR(CAST(x AS DOUBLE) * {GRAM_ESCALE}.0) AS BIGINT) FOR x IN embedding] AS eu
