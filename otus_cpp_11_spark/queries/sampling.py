@@ -428,3 +428,119 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.desc("n_sessions"), "path")
     )
+
+
+@register(
+    "supplier_lead_time_stats",
+    oracle="""
+SELECT l_suppkey AS suppkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(DATEDIFF('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_lead_days,
+       quantile_cont(DATEDIFF('day', o_orderdate, l_shipdate), 0.5) AS median_lead_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY suppkey
+HAVING COUNT(*) >= 20
+ORDER BY suppkey
+""",
+)
+def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per supplier (count, total, exact median in
+    days) — the fulfillment-latency profile. Integer datediffs make every
+    statistic engine-exact; one orderkey join (the fact-fact shuffle
+    bucketing removes at scale) then a supplier hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lead = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("suppkey"), lead.alias("lead_days"))
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("lead_days").alias("total_lead_days"),
+            F.expr("percentile(lead_days, 0.5)").alias("median_lead_days"),
+        )
+        .where(F.col("n_lines") >= 20)
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "events_hourly_profile",
+    oracle="""
+WITH hourly AS (
+  SELECT EXTRACT(hour FROM ts) AS hour_of_day, COUNT(*) AS n
+  FROM events GROUP BY hour_of_day
+),
+tot AS (SELECT SUM(n) AS total FROM hourly)
+SELECT CAST(hour_of_day AS INT) AS hour_of_day, n,
+       CAST(n AS DOUBLE) / tot.total AS share
+FROM hourly, tot
+ORDER BY hour_of_day
+""",
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile with traffic share — the diurnal-load
+    shape capacity planning reads. One map-side aggregate to 24 rows; the
+    total joins back as a broadcast scalar (rational division, exact)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.hour("ts").cast("int").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = hourly.agg(F.sum("n").alias("total"))
+    return (
+        hourly.crossJoin(F.broadcast(tot))
+        .select(
+            "hour_of_day",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+@register(
+    "customer_order_gap_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         DATEDIFF('day',
+                  LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       COUNT(gap_days) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+       MAX(gap_days) AS max_gap_days
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+HAVING COUNT(gap_days) >= 5
+ORDER BY o_custkey
+""",
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer (re-engagement cadence):
+    lag window to consecutive-order day gaps, then a hash aggregate over
+    repeat customers. One custkey shuffle serves both the window and the
+    aggregate; integer day arithmetic keeps every value engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.sum("gap_days").alias("total_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .where(F.col("n_gaps") >= 5)
+        .orderBy("o_custkey")
+    )
