@@ -46,6 +46,7 @@ __all__ = [
     "running_user_counts",
     "stream_static_enrich",
     "view_purchase_stream_join",
+    "view_purchase_stream_join_outer",
     "run_available_now",
     "write_stream_parquet",
     "minute_rollup_delta",
@@ -218,6 +219,42 @@ def view_purchase_stream_join(
         (F.col("v_user") == F.col("p_user"))
         & (F.col("p_ts") > F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (epoch_us("p_ts") - epoch_us("v_ts")).alias("gap_us"),
+    )
+
+
+def view_purchase_stream_join_outer(
+    views: DataFrame, purchases: DataFrame, window: str = "6 hours"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view emits, matched
+    or not — the attribution shape where unconverted impressions matter as
+    much as conversions. Outer streaming joins REQUIRE both watermarks and
+    the time-range join condition (Spark must know when a buffered view
+    can never match again before it may emit the null-extended row; the
+    null side arrives only after the watermark passes view.ts + window,
+    which is why outer results trail the inner ones by the watermark
+    delay). State cost is identical to the inner join."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "10 minutes")
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "10 minutes")
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window}")),
+        "left_outer",
     )
     return joined.select(
         "view_id",

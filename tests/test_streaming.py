@@ -233,3 +233,60 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
     assert not any(et == "fresh" for (_, et) in got)
     # no window/key emitted twice across batches
     assert len(keyed) == len(got)
+
+
+def test_stream_stream_outer_join_equals_batch(spark):
+    """LEFT OUTER interval join: inner pairs identical to the inner join,
+    plus exactly one null-extended row for every never-converted view
+    whose join horizon the final watermark passed. Views inside the last
+    window+delay of the stream stay buffered when the query stops — the
+    outer side only emits once Spark KNOWS no match can arrive, which is
+    the semantics (not a bug): a restart with later data resumes them
+    from the checkpoint."""
+    from pyspark.sql import functions as F
+
+    from otus_cpp_11_spark.streaming import (
+        view_purchase_stream_join,
+        view_purchase_stream_join_outer,
+    )
+
+    views = read_events_stream(spark, SF).where(F.col("event_type") == "view")
+    purchases = read_events_stream(spark, SF).where(
+        F.col("event_type") == "purchase"
+    )
+    inner = run_available_now(
+        view_purchase_stream_join(views, purchases), "t_ssj_i", "append"
+    ).collect()
+    outer = run_available_now(
+        view_purchase_stream_join_outer(views, purchases), "t_ssj_o", "append"
+    ).collect()
+
+    inner_pairs = {(r.view_id, r.purchase_id) for r in inner}
+    outer_matched = {(r.view_id, r.purchase_id) for r in outer if r.purchase_id is not None}
+    assert outer_matched == inner_pairs
+
+    import datetime
+
+    batch_views = spark.read.parquet(f"{SF}/events.parquet").where(
+        "event_type = 'view'"
+    )
+    matched_views = {r.view_id for r in inner}
+    unmatched = [r for r in outer if r.purchase_id is None]
+
+    # final watermark = min over both sides of (side max ts - 10 min);
+    # a view emits null-extended only once watermark > view.ts + 6 h
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    wm = min(
+        ev.where(f"event_type = '{t}'").agg({"ts": "max"}).first()[0]
+        for t in ("view", "purchase")
+    ) - datetime.timedelta(minutes=10)
+    horizon = wm - datetime.timedelta(hours=6)
+    finalized = {
+        r.event_id
+        for r in batch_views.select("event_id", "ts").collect()
+        if r.ts < horizon
+    }
+    assert {r.view_id for r in unmatched} == finalized - matched_views
+    # unmatched rows are fully null-extended; no duplicate emissions
+    assert all(r.gap_us is None for r in unmatched)
+    assert len(outer_matched) + len(unmatched) == len(outer)
