@@ -149,3 +149,48 @@ def doc_passage_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_id
         """
     )
+
+
+@register(
+    "doc_arrow_byte_stats",
+    oracle="""
+SELECT doc_id,
+       OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+       LEN(text) AS n_chars,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) / GREATEST(LEN(text), 1) AS bytes_per_char
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow demonstration — the lowest-overhead Python boundary:
+    RecordBatches flow in and out with ZERO pandas conversion, and the
+    computation itself runs in Arrow compute kernels (C++), so Python only
+    orchestrates. Per doc: UTF-8 byte length, character length, and
+    bytes/char (a multilingual-content signal — ASCII ~1.0, CJK ~3.0).
+    Use this path over mapInPandas whenever the kernel exists in
+    pyarrow.compute; pandas adds a copy + index machinery per batch."""
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import pyarrow.compute as pc
+
+        for batch in it:
+            text = batch.column(1)
+            n_bytes = pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64())
+            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+            ratio = pc.divide(
+                pc.cast(n_bytes, pa.float64()),
+                pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())), pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), n_bytes, n_chars, ratio],
+                names=["doc_id", "n_bytes", "n_chars", "bytes_per_char"],
+            )
+
+    return d.mapInArrow(
+        batches,
+        schema="doc_id bigint, n_bytes bigint, n_chars bigint, bytes_per_char double",
+    ).orderBy("doc_id")

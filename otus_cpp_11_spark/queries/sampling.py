@@ -544,3 +544,81 @@ def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_gaps") >= 5)
         .orderBy("o_custkey")
     )
+
+
+PRICE_BANDS = [(0.0, 910.0, "budget"), (910.0, 1500.0, "mid"), (1500.0, 1e9, "premium")]
+_BANDS_VALUES = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in PRICE_BANDS)
+
+
+@register(
+    "part_price_band_join",
+    oracle=f"""
+WITH bands(lo, hi, band) AS (VALUES {_BANDS_VALUES})
+SELECT b.band, COUNT(*) AS n_parts,
+       {dsum_sql("p.p_retailprice", 2)} AS sum_price
+FROM part p
+JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+ORDER BY b.band
+""",
+)
+def part_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (band) join: parts joined to a price-band dimension on an
+    interval predicate, then banded aggregates. A non-equi join has no
+    hash/sort-merge strategy — the correct plan is BroadcastNestedLoopJoin
+    with the TINY side broadcast (3 rows), so the fact side streams map-
+    side; a non-equi join between two large relations is the anti-pattern
+    (bucket the band boundaries into the fact row instead, as
+    lineitem_qty_histogram does)."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, "lo double, hi double, band string")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p["p_retailprice"] >= bands["lo"]) & (p["p_retailprice"] < bands["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum(F.col("p_retailprice"), 2).alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "event_value_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median_value
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       m.median_value,
+       quantile_cont(ABS(e.value - m.median_value), 0.5) AS mad
+FROM events e JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type, m.median_value
+ORDER BY e.event_type
+""",
+)
+def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation per event type (the
+    outlier-resistant stddev). Two exact-percentile passes; the per-type
+    medians relation is tiny and broadcasts back onto events, so the raw
+    scan happens twice but never shuffles by value. At 100 TB both
+    percentile passes switch to approx_percentile (t-digest) with the
+    same shape. Exact linear-interpolated percentiles agree bit-for-bit
+    between Spark `percentile` and DuckDB `quantile_cont` (same formula
+    over the same sorted run; see orders_price_percentiles)."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_value")
+        .agg(
+            F.expr("percentile(abs(value - median_value), 0.5)").alias("mad")
+        )
+        .orderBy("event_type")
+    )
