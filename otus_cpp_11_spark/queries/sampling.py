@@ -622,3 +622,33 @@ def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_REGION_REVENUE_SQL = """
+SELECT r.r_name AS region,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1000000.0)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name
+ORDER BY region
+"""
+
+
+@register("sql_api_region_revenue", oracle=_REGION_REVENUE_SQL)
+def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface: the exact same ANSI text runs on Spark (over
+    the catalog's temp views) and on the DuckDB oracle — one string, two
+    engines, hash-identical results. Demonstrates that the engine's
+    declarative layer is the full spark.sql parser/Catalyst path, not
+    just the DataFrame builder; Catalyst broadcasts the region/nation/
+    customer dims and shuffles the fact chain once, same as the
+    hand-built TPC-H plans."""
+    from otus_cpp_11_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REGION_REVENUE_SQL)

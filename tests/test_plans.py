@@ -208,3 +208,11 @@ def test_rolling_dau_replicates_day_level_not_events(spark, plan):
     assert len(scans) == 2
     for s in scans:
         assert "event_type" not in s and "props" not in s and "value" not in s
+
+
+def test_band_join_broadcasts_tiny_dim(spark, plan):
+    # a non-equi join has no hash strategy; the correct plan broadcasts
+    # the 3-row band dimension and streams the fact side map-side
+    p = plan("part_price_band_join", spark)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
