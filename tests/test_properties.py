@@ -102,3 +102,42 @@ def test_mapreduce_word_count_matches_counter(spark, lines):
     # r["count"] not r.count — Row.count is the tuple method
     got = {r.key: r["count"] for r in job.run_counts(spark, df).collect()}
     assert got == dict(want)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200)), min_size=1, max_size=8
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200)), min_size=0, max_size=8
+    ),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_bruteforce(spark, left, right):
+    """range_join_within must equal the brute-force pair set for every
+    generated (key, minute) layout — boundary inclusion (<=), cell-edge
+    replication, and exactly-once pairing all covered by search."""
+    from otus_cpp_11_spark.ops.joins import range_join_within
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, k, ts(t)) for i, (k, t) in enumerate(right)],
+        "rid long, k long, ts timestamp",
+    )
+    out = range_join_within(ldf, rdf, on="k", window="'1' HOUR")
+    got = sorted((r.l_lid, r.r_rid) for r in out.collect())
+    want = sorted(
+        (i, 100 + j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if lk == rk and rt > lt and rt <= lt + 60
+    )
+    assert got == want
