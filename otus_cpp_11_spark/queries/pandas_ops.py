@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table
 from otus_cpp_11_spark.registry import register
@@ -194,3 +195,59 @@ def doc_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         schema="doc_id bigint, n_bytes bigint, n_chars bigint, bytes_per_char double",
     ).orderBy("doc_id")
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY k_value
+ORDER BY k_value
+""",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): props parses ONCE into the
+    binary VARIANT encoding and extraction navigates that encoding —
+    unlike get_json_object (events_json_props), which re-parses the JSON
+    string per call site. With several extractions per row the VARIANT
+    form amortizes the parse; this is the open-lakehouse semi-structured
+    type (also Parquet-storable, so at scale the parse happens once at
+    ingest, not per query)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.parse_json("props").alias("v"))
+        .select(F.try_variant_get("v", "$.k", "bigint").alias("k_value"))
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_value")
+    )
+
+
+@register(
+    "python_datasource_checksum",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT i % 97) AS n_users,
+       CAST(SUM((i * 31) % 1000) AS BIGINT) AS value_decisum
+FROM RANGE(0, 5000) t(i)
+""",
+)
+def python_datasource_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource connector (sources.SyntheticEventsDataSource)
+    read through the standard spark.read.format path: the connector plans
+    8 input partitions and each task generates only its slice — the
+    arbitrary-connector contract (Kafka/JDBC/REST all reduce to
+    partitions() + read(partition)). The aggregate checksums the whole
+    stream; the oracle recomputes it from the closed form without reading
+    the source at all."""
+    from otus_cpp_11_spark.sources import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = spark.read.format("synthetic_events").option("rows", 5000).load()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum((F.col("value") * 10).cast("bigint")).alias("value_decisum"),
+    )

@@ -150,3 +150,24 @@ class TestSourceRobustness:
             .json(str(p))
         )
         assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_python_datasource_partitions_and_options(spark):
+    """Custom connector contract: the planner asks partitions(), each task
+    reads only its slice, options flow through, and results are exact."""
+    from otus_cpp_11_spark.sources import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert {r.event_id for r in rows} == set(range(1000))
+    for r in rows[:50]:
+        assert r.user_id == r.event_id % 97
+        assert r.value == (r.event_id * 31) % 1000 / 10.0
