@@ -20,7 +20,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-_SHIPPED: set[int] = set()
+# SparkContext applicationIds that already received the package zip.
+# Keyed on applicationId, NOT id(spark): a garbage-collected session's id()
+# can be reused by a brand-new session, which would silently skip shipping
+# and leave executors unable to import otus_cpp_11_spark helpers.
+_SHIPPED_APPS: set[str] = set()
+_ARCHIVE: str | None = None  # one zip per process, reused across sessions
+
+
+def _package_archive() -> str:
+    global _ARCHIVE
+    if _ARCHIVE is None:
+        import shutil
+        import tempfile
+
+        pkg_dir = Path(__file__).resolve().parent / "otus_cpp_11_spark"
+        zip_base = Path(tempfile.mkdtemp(prefix="sg-pkg-")) / "otus_cpp_11_spark"
+        _ARCHIVE = shutil.make_archive(
+            str(zip_base), "zip", pkg_dir.parent, "otus_cpp_11_spark"
+        )
+    return _ARCHIVE
 
 
 def _configure(spark: SparkSession) -> SparkSession:
@@ -34,18 +53,17 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; catalog handles the fallback
-    if id(spark) not in _SHIPPED:
-        import shutil
-        import tempfile
-
-        pkg_dir = Path(__file__).resolve().parent / "otus_cpp_11_spark"
-        zip_base = Path(tempfile.mkdtemp(prefix="sg-pkg-")) / "otus_cpp_11_spark"
-        archive = shutil.make_archive(str(zip_base), "zip", pkg_dir.parent, "otus_cpp_11_spark")
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _SHIPPED_APPS:
         try:
-            spark.sparkContext.addPyFile(archive)
-        except Exception:
-            pass  # already added under the same name on a shared context
-        _SHIPPED.add(id(spark))
+            spark.sparkContext.addPyFile(_package_archive())
+        except Exception as e:
+            # benign only when the same archive name was already registered
+            # on a shared context (e.g. by another entry module instance);
+            # anything else must surface, not be swallowed
+            if "already" not in str(e).lower():
+                raise
+        _SHIPPED_APPS.add(app_id)
     return spark
 
 

@@ -80,12 +80,20 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     partition count is already >= cores) — the gate below keeps it from
     inserting a pointless shuffle there.
 
-    The gate reads scan metadata only — ``df.inputFiles()`` (a driver-side
-    plan inspection) and, for few-file scans, the parquet footers — never
-    ``df.rdd`` (which forces a full plan-to-RDD conversion per call) and
-    never a Spark job. A lake scan with >= cores files short-circuits on
-    the file count alone; only the pathological few-big-files case pays
-    the (tiny) footer reads to count row groups.
+    The gate replays Spark's own split arithmetic
+    (``FilePartition.maxSplitBytes``: bin-pack file byte ranges into
+    partitions of ``min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/defaultParallelism))``) over ``df.inputFiles()`` — a
+    driver-side plan inspection plus ``os.path.getsize``, never a Spark
+    job. File/row-group counting was tried first and is wrong both ways:
+    Spark splits by byte-size bin-packing, so many small files can still
+    bin-pack into fewer partitions than cores, and one big file splits
+    into many partitions regardless of its row-group count (splits that
+    contain no row-group midpoint come back empty but still occupy
+    tasks). For a non-file-scan input (``inputFiles()`` empty) the gate
+    falls back to the RDD's actual partition count — one plan-to-RDD
+    conversion, paid only on that rare path, beats the unconditional
+    repartition shuffle it replaces.
     """
     sc = df.sparkSession.sparkContext
     n = partitions or sc.defaultParallelism
@@ -93,21 +101,29 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
         files = df.inputFiles()
     except Exception:
         files = []
-    if len(files) >= n:
-        return df  # at least one split per core already
-    if files:
-        import pyarrow.parquet as pq
+    if not files:
+        return df if df.rdd.getNumPartitions() >= n else df.repartition(n)
+    conf = df.sparkSession.conf
 
-        groups = 0
-        for f in files:
-            path = f.removeprefix("file:")
-            try:
-                groups += pq.ParquetFile(path).metadata.num_row_groups
-            except Exception:
-                break  # remote/odd layout: fall through to repartition
-            if groups >= n:
-                return df
-    return df.repartition(n)
+    def _size_conf(key: str, default: int) -> int:
+        raw = str(conf.get(key, str(default))).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+        for suffix, mult in units.items():
+            if raw.endswith(suffix):
+                return int(float(raw[: -len(suffix)]) * mult)
+        return int(raw)
+
+    max_pb = _size_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _size_conf("spark.sql.files.openCostInBytes", 4 << 20)
+    try:
+        total = sum(
+            os.path.getsize(f.removeprefix("file:")) for f in files
+        ) + open_cost * len(files)
+    except OSError:
+        return df.repartition(n)  # remote files: assume the worst
+    target = min(max_pb, max(open_cost, total // max(n, 1)))
+    est_splits = -(-total // max(target, 1))  # ceil
+    return df if est_splits >= n else df.repartition(n)
 
 
 def load_tables(

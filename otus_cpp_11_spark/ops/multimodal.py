@@ -255,11 +255,16 @@ def parse_ppm_bytes(b: bytes) -> tuple[int, int, int, int, int]:
     # raster starts one byte after the maxval token
     tokens, pos = [], 2
     while len(tokens) < 3:
-        while b[pos] in b" \t\r\n":
+        while pos < len(b) and b[pos] in b" \t\r\n":
             pos += 1
         start = pos
-        while b[pos] not in b" \t\r\n":
+        while pos < len(b) and b[pos] not in b" \t\r\n":
             pos += 1
+        # a header that ends mid-token (or exactly at a token boundary
+        # with no raster byte after maxval) must fail the documented
+        # ValueError contract, not escape as IndexError from the scans
+        if start == pos or (len(tokens) == 2 and pos >= len(b)):
+            raise ValueError("truncated header")
         tokens.append(int(b[start:pos]))
     w, h, maxval = tokens
     if maxval != 255:

@@ -204,7 +204,7 @@ SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
        COUNT(*) AS n
 FROM events
 GROUP BY k_value
-ORDER BY k_value
+ORDER BY k_value NULLS FIRST
 """,
 )
 def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +221,11 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.try_variant_get("v", "$.k", "bigint").alias("k_value"))
         .groupBy("k_value")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("k_value")
+        # explicit NULLS FIRST on both sides: Spark defaults ASC NULLS
+        # FIRST but DuckDB defaults NULLS LAST, so an event without an
+        # integer '$.k' would otherwise land at opposite ends and flip
+        # the row-order hash
+        .orderBy(F.col("k_value").asc_nulls_first())
     )
 
 
@@ -249,5 +253,9 @@ def python_datasource_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("user_id").alias("n_users"),
-        F.sum((F.col("value") * 10).cast("bigint")).alias("value_decisum"),
+        # round, not truncate: value = n/10.0, and (n/10.0)*10.0 is not
+        # guaranteed to land >= n after FP rounding — a bare cast would
+        # truncate such a value to n-1 and break the oracle's exact
+        # integer sum; round() is robust to representation error
+        F.sum(F.round(F.col("value") * 10).cast("bigint")).alias("value_decisum"),
     )

@@ -1,5 +1,7 @@
 """Invariants for curation/batch-prep operators beyond the row-level
-oracle gate: conservation laws that must hold at any scale factor."""
+oracle gate: conservation laws that must hold at any scale factor, and
+the size-gated join strategies that decide whether the plans survive a
+100x scale-up (r3 verdict: forced broadcasts must degrade, not OOM)."""
 
 from __future__ import annotations
 
@@ -9,6 +11,63 @@ from otus_cpp_11_spark.catalog import load_table
 from otus_cpp_11_spark.queries.rollup import doc_pack_bins, events_multires_rollup
 
 SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _plan(df):
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def test_decontamination_broadcast_gate_degrades(spark, monkeypatch):
+    """The eval-index broadcast is probe-gated: small eval set -> hint
+    planted (map-side join even when the planner's own threshold would
+    not broadcast); eval set over the memory ceiling -> no hint, the
+    join degrades to sort-merge, and the values are identical."""
+    from otus_cpp_11_spark.queries import curation
+
+    d = load_table(spark, SF01, "documents")
+    assert curation.eval_index_fits_broadcast(d)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = curation.benchmark_decontamination(spark, SF01)
+        assert "BroadcastHashJoin" in _plan(hinted)
+        monkeypatch.setattr(curation, "DECON_BROADCAST_MAX_EVAL_CHARS", 0)
+        degraded = curation.benchmark_decontamination(spark, SF01)
+        p = _plan(degraded)
+        assert "BroadcastHashJoin" not in p
+        assert "SortMergeJoin" in p
+        assert degraded.collect() == hinted.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_top_terms_join_strategy_left_to_aqe(spark):
+    """doc_top_terms plants no broadcast hint (a web corpus has a
+    billion-term vocab): with broadcasts disabled the tf-df join is a
+    sort-merge and values are unchanged; with defaults the runtime picks
+    broadcast from the df relation's actual (tiny) size."""
+    from otus_cpp_11_spark.queries import curation
+
+    default_df = curation.doc_top_terms(spark, SF01)
+    rows_default = default_df.collect()
+    assert "BroadcastHashJoin" in str(
+        default_df._jdf.queryExecution().executedPlan()
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        degraded = curation.doc_top_terms(spark, SF01)
+        assert "SortMergeJoin" in _plan(degraded)
+        assert degraded.collect() == rows_default
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
 def test_pack_bins_conserve_docs_and_tokens(spark):

@@ -118,6 +118,11 @@ class TestRealCodecs:
             parse_ppm_bytes(b"P5\n2 1\n255\n" + bytes(6))  # not P6
         with pytest.raises(ValueError):
             parse_ppm_bytes(b"P6\n2 2\n255\n" + bytes(6))  # truncated raster
+        # headers that end mid-scan must honor the ValueError contract,
+        # not escape as IndexError from the byte-index loops
+        for bad in (b"P6", b"P6\n", b"P6\n2 ", b"P6\n2 1", b"P6\n2 1\n255"):
+            with pytest.raises(ValueError):
+                parse_ppm_bytes(bad)
 
     def test_decode_matches_synthesis_on_spark(self, spark):
         from otus_cpp_11_spark.ops.multimodal import (

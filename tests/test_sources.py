@@ -171,3 +171,19 @@ def test_python_datasource_partitions_and_options(spark):
     for r in rows[:50]:
         assert r.user_id == r.event_id % 97
         assert r.value == (r.event_id * 31) % 1000 / 10.0
+
+
+def test_spread_gate_uses_split_math(spark):
+    """spread() replays Spark's byte-size split arithmetic: a small
+    single-file scan repartitions to the requested width, while a
+    non-file-scan input that already has enough partitions is returned
+    untouched (identity — no shuffle inserted)."""
+    from otus_cpp_11_spark.catalog import spread
+
+    scan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert spread(scan, 8).rdd.getNumPartitions() == 8
+
+    wide = spark.range(0, 1000, 1, 16)
+    assert spread(wide, 8) is wide
+    narrow = spark.range(0, 1000, 1, 2)
+    assert spread(narrow, 8).rdd.getNumPartitions() == 8
