@@ -36,6 +36,7 @@ from otus_cpp_11_spark.catalog import load_table
 from otus_cpp_11_spark.queries.dedup import (
     SHINGLE_WORDS,
     _NORM_SQL,
+    _normalized,
     _word_shingles,
     _word_shingles_raw,
 )
@@ -382,6 +383,222 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_first_seen").cast("double") / F.col("n_shingles")).alias(
                 "novelty_ratio"
             ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPAN_TOKENS = 5  # minimum duplicated token run = one SPAN_TOKENS-gram
+
+
+def _positioned_grams_sql(k: int) -> str:
+    """DuckDB CTE body: every word-k-gram occurrence WITH its 1-based token
+    position (the positioned twin of _shingles_sql)."""
+    gram = " || ' ' || ".join(f"w[pos+{off}]" for off in range(k))
+    return f"""
+  SELECT doc_id, pos, {gram} AS gram
+  FROM (SELECT doc_id, w, UNNEST(RANGE(1, GREATEST(LEN(w) - {k - 1}, 0) + 1)) AS pos
+        FROM (SELECT doc_id,
+                     LIST_FILTER(STRING_SPLIT({_NORM_SQL}, ' '), x -> x <> '') AS w
+              FROM documents) base) t
+"""
+
+
+_SPANS_SQL = f"""
+grams AS ({_positioned_grams_sql(SPAN_TOKENS)}),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram),
+dup AS (
+  SELECT g.doc_id, g.pos, f.first_doc
+  FROM grams g JOIN first f USING (gram)
+  WHERE f.first_doc < g.doc_id
+),
+marked AS (
+  SELECT doc_id, pos, first_doc,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SPAN_TOKENS} THEN 0 ELSE 1 END AS is_start
+  FROM dup
+),
+runs AS (
+  SELECT doc_id, pos, first_doc,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+),
+spans AS (
+  SELECT doc_id,
+         MIN(pos) AS span_start,
+         MAX(pos) - MIN(pos) + {SPAN_TOKENS} AS span_len,
+         COUNT(*) AS n_dup_grams,
+         MIN(first_doc) AS source_doc
+  FROM runs GROUP BY doc_id, run
+)
+"""
+
+
+def _positioned_grams(df: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram): every word-SPAN_TOKENS-gram occurrence of the
+    normalized text with its 1-based token position. Same zip_with-slices
+    construction as dedup._word_shingle_arrays (see its docstring for why
+    not transform/element_at); posexplode keeps the position the slices
+    trick would otherwise discard."""
+    from otus_cpp_11_spark.catalog import spread
+
+    k = SPAN_TOKENS
+    wdf = spread(df).select(
+        "doc_id",
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+    )
+    w = F.col("w")
+    m = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    acc = F.slice(w, 1, m)
+    for off in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(w, off + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return wdf.select("doc_id", F.posexplode(acc).alias("pos0", "gram")).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "gram"
+    )
+
+
+def _repeated_spans(d: DataFrame) -> DataFrame:
+    """Maximal repeated token spans (the distributed shape of Lee et al.
+    2022, 'Deduplicating Training Data Makes Language Models Better' — the
+    suffix-array ExactSubstr dedup, re-expressed as sorted shingle
+    attribution so it distributes):
+
+    1. every k-token gram occurrence keeps its in-doc position;
+    2. a gram's ATTRIBUTION is the minimum doc_id containing it
+       (ingestion order — the doc that gets to keep the text);
+    3. a position is DUPLICATED iff its gram also occurs in an earlier
+       doc; consecutive duplicated positions within a doc merge into
+       maximal spans (gap <= k keeps coverage contiguous: grams at p and
+       p+k cover adjacent token ranges [p, p+k-1] and [p+k, p+2k-1]).
+
+    Returns (doc_id, span_start, span_len, n_dup_grams, source_doc) where
+    span_len counts TOKENS covered and source_doc is the earliest doc any
+    gram in the span was first seen in.
+
+    Scale: the gram relation is O(corpus tokens) and shuffles once on gram
+    for the min-doc attribution (map-side partial min); the attribution
+    join is co-partitioned with that aggregate's exchange (AQE reuses it);
+    the duplicated-position relation — usually a small fraction of the
+    corpus — shuffles once on doc_id where ONE window pass computes both
+    the run-break flag and the running run-id (same partition/order spec).
+    Nothing ever pairs docs with docs, so cost is linear in corpus size,
+    immune to duplicate-cluster blowup — at 100 TB this is the standard
+    distributed approximation of the suffix-array family (a true suffix
+    array is single-node; k-gram attribution finds the same >= k-token
+    repeats, fragmenting only spans with internal period < k)."""
+    grams = _positioned_grams(d)
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    dup = (
+        grams.join(first, "gram")
+        .where(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", "pos", "first_doc")
+    )
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    is_start = F.when(
+        F.col("pos") - F.lag("pos").over(wo) <= SPAN_TOKENS, F.lit(0)
+    ).otherwise(F.lit(1))
+    run = F.sum("is_start").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dup.withColumn("is_start", is_start)
+        .withColumn("run", run)
+        .groupBy("doc_id", "run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + SPAN_TOKENS).alias("span_len"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.min("first_doc").alias("source_doc"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_dup_grams", "source_doc")
+    )
+
+
+@register(
+    "doc_repeated_spans",
+    oracle=f"""
+WITH {_SPANS_SQL}
+SELECT doc_id, span_start, span_len, n_dup_grams, source_doc
+FROM spans
+ORDER BY doc_id, span_start
+""",
+    bench=True,
+)
+def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sequence exact substring dedup, detection half (Lee et al.
+    ExactSubstr shape — see _repeated_spans): every maximal cross-document
+    repeated token span of >= SPAN_TOKENS tokens, with the earliest doc
+    that owns the text. Document-level dedup (exact/MinHash/SimHash) asks
+    'is this DOC a copy'; this asks 'which PARTS of this doc are copies' —
+    the strongest known dedup lever for LM training data."""
+    d = load_table(spark, sf_dir, "documents")
+    return _repeated_spans(d).orderBy("doc_id", "span_start")
+
+
+@register(
+    "repeated_span_strip_stats",
+    oracle=f"""
+WITH {_SPANS_SQL},
+tok AS (
+  SELECT doc_id,
+         LEN(LIST_FILTER(STRING_SPLIT({_NORM_SQL}, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(span_len) AS BIGINT) AS tokens_removed
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.tokens_removed, 0) AS tokens_removed,
+       CASE WHEN t.n_tokens = 0 THEN 0.0
+            ELSE CAST(COALESCE(a.tokens_removed, 0) AS DOUBLE) / t.n_tokens
+       END AS frac_removed
+FROM tok t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def repeated_span_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sequence exact substring dedup, strip half: per document, how
+    many tokens the span-removal pass deletes (spans are disjoint maximal
+    coverage intervals, so removed tokens = sum of span lengths) and the
+    surviving fraction — the corpus-shrink accounting a pretraining
+    pipeline reports after ExactSubstr dedup. Every doc appears, including
+    span-free ones (left join, zero-filled)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(_normalized(), " "), lambda x: x != F.lit(""))
+        ).alias("n_tokens"),
+    )
+    agg = (
+        _repeated_spans(d)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").cast("bigint").alias("tokens_removed"),
+        )
+    )
+    return (
+        tok.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("tokens_removed", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            )
+            .alias("frac_removed"),
         )
         .orderBy("doc_id")
     )

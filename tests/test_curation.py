@@ -105,3 +105,32 @@ def test_multires_tiers_conserve_counts(spark):
     assert {r["n"] for r in totals} == {n_raw}
     # fixed-point units survive re-aggregation bit-identically
     assert by_res["1m"]["u"] == by_res["1h"]["u"] == by_res["1d"]["u"]
+
+
+def test_repeated_spans_planted_corpus(spark):
+    """Hand-computed span semantics on a planted corpus: run merging,
+    coverage-contiguity gap rule (<= k), attribution to the earliest doc,
+    and exclusion of first-occurrence (owner) docs."""
+    from otus_cpp_11_spark.queries.curation import SPAN_TOKENS, _repeated_spans
+
+    assert SPAN_TOKENS == 5
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x x a b c d e f g h y y z w q"),
+            (3, "a b c d e q1 q2 q3 q4 q5 q6 f g h i j"),
+            (4, "a b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.span_start): r
+        for r in _repeated_spans(docs).collect()
+    }
+    # doc 2: grams at pos 3..6 all first-seen in doc 1 -> one merged span
+    # covering tokens 3..10 (8 tokens)
+    assert set(rows) == {(2, 3), (3, 1), (3, 12)}
+    assert (rows[(2, 3)].span_len, rows[(2, 3)].n_dup_grams, rows[(2, 3)].source_doc) == (8, 4, 1)
+    # doc 3: two repeats separated by > k fresh tokens -> two spans
+    assert (rows[(3, 1)].span_len, rows[(3, 1)].n_dup_grams, rows[(3, 1)].source_doc) == (5, 1, 1)
+    assert (rows[(3, 12)].span_len, rows[(3, 12)].n_dup_grams, rows[(3, 12)].source_doc) == (5, 1, 1)
