@@ -14,7 +14,13 @@ from pyspark.sql.window import Window
 
 from otus_cpp_11_spark.catalog import load_table, spread
 from otus_cpp_11_spark.queries.dedup import _NEAR_PAIRS_CTES, _NORM_SQL, _normalized
-from otus_cpp_11_spark.queries.text import _STOP_SQL, STOPWORDS
+from otus_cpp_11_spark.queries.text import (
+    _QC_CTES,
+    _STOP_SQL,
+    QC_BIAS,
+    STOPWORDS,
+    classifier_scores,
+)
 from otus_cpp_11_spark.registry import register
 
 SAMPLE_PER_SOURCE = 5
@@ -41,6 +47,7 @@ exact_keepers AS (
   SELECT MIN(doc_id) AS doc_id
   FROM documents GROUP BY MD5({_NORM_SQL})
 ),
+{_QC_CTES},
 scored AS (
   SELECT doc_id, source,
          LEN(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
@@ -53,12 +60,14 @@ kept AS (
   SELECT s.doc_id, s.source, s.n_tokens
   FROM scored s
   JOIN exact_keepers k ON k.doc_id = s.doc_id
+  JOIN qc_scores q ON q.doc_id = s.doc_id
   LEFT JOIN clusters c ON c.doc_id = s.doc_id
   WHERE (c.doc_id IS NULL OR c.cluster_id = s.doc_id)
     AND s.n_tokens >= 20
     AND CAST(s.n_stop AS DOUBLE) / s.n_tokens >= 0.05
     AND s.n_lower_tokens > 0
     AND CAST(s.en_hits AS DOUBLE) / s.n_lower_tokens >= 0.02
+    AND (q.score_units + {QC_BIAS} * q.n_tokens) > 0
 )
 SELECT source, COUNT(*) AS n_docs_kept,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
@@ -71,11 +80,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical curation job in one declarative plan: exact-dedup
     keepers (min doc_id per normalized hash) ∩ near-dup cluster keepers
     (cluster_id == doc_id from the iterative CC over verified MinHash
-    pairs; unclustered docs keep themselves) → quality gate (>= 20 tokens,
-    stopword ratio >= 0.05) → language gate (en by stopword hit rate) →
-    per-source kept-doc and token accounting. Keeper selection runs on the
-    full corpus, then gates filter keepers (order documented — reversing
-    it changes which near-dups anchor clusters)."""
+    pairs; unclustered docs keep themselves) → composite quality gate
+    (heuristic: >= 20 tokens, stopword ratio >= 0.05; learned: hashed-
+    feature classifier score above the intercept — text.classifier_scores)
+    → language gate (en by stopword hit rate) → per-source kept-doc and
+    token accounting. Keeper selection runs on the full corpus, then gates
+    filter keepers (order documented — reversing it changes which
+    near-dups anchor clusters)."""
     from otus_cpp_11_spark.ops.graph import connected_components
     from otus_cpp_11_spark.queries.dedup import near_dup_pairs_minhash
 
@@ -99,8 +110,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(low, lambda x: x.isin([*STOPWORDS]))).alias("en_hits"),
         F.size(low).alias("n_lower_tokens"),
     )
+    qc_pass = (
+        classifier_scores(d)
+        .where((F.col("score_units") + QC_BIAS * F.col("n_tokens")) > 0)
+        .select(F.col("doc_id").alias("q_doc"))
+    )
     kept = (
         scored.join(exact_keepers, scored["doc_id"] == exact_keepers["k_doc"], "semi")
+        .join(qc_pass, scored["doc_id"] == qc_pass["q_doc"], "semi")
         .join(clusters, scored["doc_id"] == clusters["c_doc"], "left")
         .where(F.col("c_doc").isNull() | (F.col("cluster_id") == F.col("doc_id")))
         .where(

@@ -246,3 +246,54 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("sse_units"),
     ).orderBy("vec_id")
+
+
+@register(
+    "events_minute_rollup_streamed",
+    oracle=f"""
+SELECT date_trunc('minute', ts) AS bucket_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * {VALUE_SCALE}.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / {VALUE_SCALE}.0 AS sum_value
+FROM events
+GROUP BY bucket_start
+ORDER BY bucket_start
+""",
+)
+def events_minute_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, driver-visible: replay the events table
+    through the INCREMENTAL minute-rollup maintainer (foreachBatch upsert
+    with idempotent-retry markers, streaming.incremental_minute_rollup)
+    under Trigger.AvailableNow, then return the materialized tier. The
+    oracle is the plain batch aggregate — the maintained tier must be
+    bit-identical to a from-scratch batch rollup no matter how the stream
+    was micro-batched, because counts and sums ride as exact integer
+    units until the final divide. This is the continuous-aggregate
+    contract a 100 TB ingest pipeline relies on: the streaming path and
+    the backfill path produce the same table.
+
+    Previously the streaming family was proven only by pytest equivalence
+    (memory sink vs batch same-function); this query puts one end-to-end
+    streaming behavior under the driver's cross-engine correctness gate.
+    """
+    import tempfile
+
+    from otus_cpp_11_spark.streaming import (
+        incremental_minute_rollup,
+        read_events_stream,
+    )
+
+    tier_path = tempfile.mkdtemp(prefix="sg-tier-") + "/minute"
+    q = incremental_minute_rollup(read_events_stream(spark, sf_dir), tier_path)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(tier_path)
+        .select(
+            "bucket_start",
+            "n_events",
+            (F.col("units").cast("double") / F.lit(float(VALUE_SCALE))).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("bucket_start")
+    )

@@ -146,3 +146,105 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
         ).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: fastText-style linear classifier inference.
+# The model is a hashed bag-of-words linear classifier (the production
+# quality-filter shape: CCNet / fastText wiki-vs-crawl): each token hashes
+# to one of QC_BUCKETS feature buckets and the document score is the mean
+# bucket weight. Training happens offline; what a 100 TB engine needs is
+# the INFERENCE path — weights ship to every executor as a plan literal
+# (a broadcast-sized array) and the dot product is a pure Column
+# expression in whole-stage codegen: no UDF, no model server, no shuffle
+# beyond the per-doc aggregate. The weights below are a fixed
+# deterministic stand-in for trained coefficients (a Weyl sequence over
+# the buckets — the engine contract is identical for real ones).
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 64
+QC_BIAS = 40  # intercept, in weight units per token
+QC_WEIGHTS = tuple((b * 2654435761) % 2001 - 1000 for b in range(QC_BUCKETS))
+
+# Token -> bucket: the last two hex nibbles of md5 give h32 % 256, and
+# 64 | 256 makes (h32 % 256) % 64 == h32 % 64 — so both engines read just
+# two characters of the digest instead of converting all eight.
+_QC_NIB = "(STRPOS('0123456789abcdef', SUBSTRING(h, {j}, 1)) - 1)"
+_QC_BUCKET_SQL = f"(({_QC_NIB.format(j=7)} * 16 + {_QC_NIB.format(j=8)}) % {QC_BUCKETS})"
+_QC_CTES = f"""qc_toks AS (
+  SELECT doc_id,
+         UNNEST(LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+qc_buckets AS (
+  SELECT doc_id, {_QC_BUCKET_SQL} AS bucket
+  FROM (SELECT doc_id, MD5(term) AS h FROM qc_toks) t
+),
+qc_scores AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(bucket * 2654435761 % 2001 - 1000) AS BIGINT) AS score_units
+  FROM qc_buckets GROUP BY doc_id
+)"""
+
+
+def classifier_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, score_units): hashed-feature linear classifier
+    inference as Column expressions. The weight vector is a plan literal —
+    Spark serializes it into every task exactly like a broadcast variable,
+    but element_at(weights, bucket) stays inside whole-stage codegen."""
+    weights = F.array(*[F.lit(w) for w in QC_WEIGHTS])
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                    " ",
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    bucket = F.conv(F.substring(F.md5("term"), 7, 2), 16, 10).cast("bigint") % QC_BUCKETS
+    return (
+        toks.select("doc_id", F.element_at(weights, (bucket + 1).cast("int")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("score_units"),
+        )
+    )
+
+
+@register(
+    "doc_quality_classifier",
+    oracle=f"""
+WITH {_QC_CTES}
+SELECT doc_id, n_tokens, score_units,
+       CAST(score_units AS DOUBLE) / n_tokens AS mean_weight,
+       (score_units + {QC_BIAS} * n_tokens) > 0 AS quality_pass
+FROM qc_scores
+ORDER BY doc_id
+""",
+    bench=True,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (inference): per-doc mean hashed-feature
+    weight and the pass/fail decision at the QC_BIAS intercept. Docs with
+    zero tokens have no features and drop out (both engines build from
+    the same token relation). Complements the heuristic doc_quality_score:
+    that one is hand-set ratios, this one is the learned-coefficient
+    path a production curation stack ranks by. One explode + one per-doc
+    aggregate (map-side combined); score arithmetic is all-integer so the
+    cross-engine hash matches exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    s = classifier_scores(d)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "score_units",
+        (F.col("score_units").cast("double") / F.col("n_tokens")).alias("mean_weight"),
+        ((F.col("score_units") + QC_BIAS * F.col("n_tokens")) > 0).alias("quality_pass"),
+    ).orderBy("doc_id")
