@@ -40,6 +40,24 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 
+def query_source_hash(q: Query) -> str:
+    """Fingerprint of WHAT a green driver row certified: the query
+    function's literal source plus the RENDERED oracle SQL (f-string
+    constants expanded, so an oracle-CTE edit changes the hash even when
+    the decorator line doesn't). Recorded in DRIVER_VERIFIED at green
+    time; tests/test_registry_window.py recomputes it so 'materially
+    changed since verification' is mechanical, not judgment. Limitation:
+    a behavior change hidden entirely inside a shared helper the function
+    calls (with an unchanged oracle) still needs the old human rule —
+    remove the entry when you rewrite a helper's semantics."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(q.fn)
+    digest = hashlib.sha256((src + "\x00" + (q.oracle or "")).encode()).hexdigest()
+    return digest[:12]
+
+
 def register(
     name: str, oracle: str | None = None, bench: bool = False
 ) -> Callable[[QueryFn], QueryFn]:
@@ -53,68 +71,152 @@ def register(
 
 
 # Queries with a green hash_match row in a previous round's driver
-# CORRECTNESS report. The driver verifies the FIRST 50 entries of
+# CORRECTNESS report, mapped to the source hash (query_source_hash) of the
+# code that was verified. The driver verifies the FIRST 50 entries of
 # ``queries()`` each round, so ``all_queries()`` orders not-yet-verified
 # queries first: already-proven ones yield their window slot (they remain
 # gated locally by scripts/check_oracle.py every round).
 #
 # A green row certifies the CODE that was verified, not the name: any
-# query whose Spark impl or oracle SQL materially changes after its green
-# round MUST leave this set so the driver re-verifies the new code.
-# Removed for round 2 on that rule: near_dup_pairs_minhash (impl + oracle
-# rewritten: Carter-Wegman signatures, array_intersect verify, salted
-# candidates) and doc_dedup_clusters / near_dup_edit_distance (their
-# oracles embed the rewritten near-pairs CTE chain and their impls
-# consume the rewritten pairs query). Both re-verified green in r2.
-# NOT listed despite r2 rows: user_event_sessions / purchase_prior_click_asof
-# / view_purchase_within_6h (errored on TIMESTAMP_NTZ in r2, impls touched
-# by the round-3 epoch_us fix — they re-queue) and events_user_sketches
-# (rows-only in r2; round 3 added an exact-count oracle gate, re-queues).
-DRIVER_VERIFIED: frozenset[str] = frozenset({
-    # CORRECTNESS_r02.json (rows+schema+hash all true)
-    "ann_cosine_top10", "bpe_pair_counts", "corpus_curation_pipeline",
-    "customer_monthly_retention", "customer_order_window_family",
-    "daily_open_shipments", "doc_dedup_clusters", "doc_pack_bins",
-    "doc_passage_chunks",
-    # embedding_near_dup_pairs deliberately NOT listed despite its r2 green:
-    # round 3 added the hot-block salt-grid path, so it re-queues.
-    "embedding_quantization", "events_multires_rollup",
-    "events_session_windows", "events_sliding_10min_5min",
-    "events_tumbling_5min", "ivf_cosine_top5", "label_centroids",
-    "label_whitening_residuals", "lineitem_measures_unpivot",
-    "lineitem_price_qty_corr", "lsh_cosine_top5",
-    "lsh_cosine_top5_multiprobe", "nation_richest_customer",
-    "near_dup_edit_distance", "near_dup_pairs_minhash",
-    "orders_price_percentiles", "q11_important_stock",
-    "q12_priority_shipping", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_relation",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_discounted_revenue", "q20_potential_promotion",
-    "q21_waiting_supplier", "q22_global_sales_opportunity",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "user_value_moving_avg", "user_value_zscore_outliers",
-    # CORRECTNESS_r01.json (rows+schema+hash all true)
-    "corpus_dedup_stats", "exact_dup_groups",
-    "doc_simhash32", "simhash_near_pairs", "ngram_jaccard_pairs",
-    # benchmark_decontamination NOT listed despite its r1 green: round 3
-    # switched it to raw shingles (3x faster, same semantics) — re-queues.
-    "doc_repetition_stats", "doc_top_terms",
-    "prefix_min_unique_len", "word_count", "sum_of_squares",
-    "unique_by_abs", "prefix_counts_l1", "multimodal_decode_features",
-    "multimodal_frame_sample", "doc_passage_chunks_udtf", "doc_token_stats",
-    "doc_quality_score", "doc_lang_id", "doc_fingerprint",
-    "cross_modal_doc_features", "latest_event_per_user",
-    "balanced_doc_sample", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "customers_without_orders",
-    "suppliers_with_returns", "top3_orders_per_customer",
-    "customer_running_spend", "orders_rollup", "orders_cube",
-    "order_distinct_aggs", "nation_set_ops", "scalar_string_math",
-    "orders_by_month", "nation_supplier_left_join",
-    "region_nation_full_outer", "customers_above_avg_balance",
-    "parts_larger_than_brand_avg", "orderstatus_pivot",
-    "orders_grouping_sets", "region_nation_list", "q10_returned_revenue",
-})
+# query whose Spark impl or rendered oracle SQL changes after its green
+# round MUST leave this dict so the driver re-verifies the new code —
+# tests/test_registry_window.py recomputes every hash and fails on drift,
+# making "materially changed" mechanical (see query_source_hash for the
+# shared-helper caveat). Regenerate entries with
+# scripts/gen_verified_hashes.py after promoting a round's greens.
+#
+# Round-4 membership: the r1+r2 set carried from round 3, plus the 50
+# r3 greens, MINUS the queries round 4 touched (re-queued for the
+# driver window): benchmark_decontamination + doc_top_terms (broadcast
+# size-gating), python_datasource_checksum (round-before-cast),
+# events_props_variant (NULLS FIRST), ppm_decode_features (truncated-
+# header contract), corpus_curation_pipeline (composite learned-quality
+# gate).
+DRIVER_VERIFIED: dict[str, str] = {
+    "ann_cosine_top10": "216042f41a73",
+    "balanced_doc_sample": "e369f0894200",
+    "bpe_pair_counts": "d96cbbee11ec",
+    "copurchase_part_pairs": "86f91ab99906",
+    "corpus_dedup_stats": "3fa9e48f7a71",
+    "cross_modal_doc_features": "1a3d8a0a163a",
+    "customer_monthly_retention": "5005e34e6d54",
+    "customer_order_gap_stats": "6d3cb75325f9",
+    "customer_order_window_family": "e056a8223d4c",
+    "customer_rfm_quartiles": "6b43762ac3f2",
+    "customer_running_spend": "471b2c9922e8",
+    "customers_above_avg_balance": "2c2142b03318",
+    "customers_without_orders": "9a01c8532a3d",
+    "daily_active_users_7d": "9355cc7481e4",
+    "daily_open_shipments": "e3385cf3d8ee",
+    "doc_arrow_byte_stats": "48790875d2b1",
+    "doc_dedup_clusters": "5150a5c0e008",
+    "doc_fingerprint": "33da4a56e6be",
+    "doc_lang_id": "9244112be464",
+    "doc_leading_tokens": "60f3d6d44749",
+    "doc_novelty_score": "5c60ea70b6ed",
+    "doc_pack_bins": "640fc7df9845",
+    "doc_passage_chunks": "2d16d9cda11b",
+    "doc_passage_chunks_udtf": "3bf8387a5432",
+    "doc_quality_score": "39314f0f9dff",
+    "doc_repetition_stats": "d70389bb5105",
+    "doc_reservoir_sample": "ed8d4fafb39a",
+    "doc_simhash32": "9a4d28b0fe15",
+    "doc_stratified_sample": "5cbbfac47518",
+    "doc_token_stats": "f1fc9c5f44ba",
+    "embedding_gram_upper": "f0e2d768f439",
+    "embedding_near_dup_pairs": "fe5ace666bf3",
+    "embedding_norms_by_label": "b079260add86",
+    "embedding_power_iteration": "ace381c5764a",
+    "embedding_quantization": "f5bb24cd0b57",
+    "embedding_random_projection": "149313e23aa4",
+    "event_type_transitions": "5d5953723362",
+    "event_value_mad": "a8aa5b034a6c",
+    "events_hourly_profile": "08fe54a7b8b8",
+    "events_json_props": "fd96cba6cc74",
+    "events_multires_rollup": "9500a9fc4621",
+    "events_session_windows": "ee61ffbf866a",
+    "events_sliding_10min_5min": "9f43a94d569f",
+    "events_tumbling_5min": "f1e4a9109b9d",
+    "events_user_sketches": "70afbca65e63",
+    "exact_dup_groups": "8902aa321cb1",
+    "ivf_cosine_top5": "4587a141ad18",
+    "kmeans_assign_update": "1957709e4ad9",
+    "label_centroids": "03cb7a43743a",
+    "label_whitening_residuals": "156309353abe",
+    "latest_event_per_user": "256c7a2b2007",
+    "lineitem_measures_unpivot": "858016643174",
+    "lineitem_price_qty_corr": "46672c6c7ad5",
+    "lineitem_profile": "be479a6b9360",
+    "lineitem_qty_histogram": "5ad92f95736c",
+    "lsh_cosine_top5": "bcbb1c08dc09",
+    "lsh_cosine_top5_multiprobe": "8a46b082e0db",
+    "minhash_estimate_accuracy": "3f8b1be63edc",
+    "multimodal_decode_features": "ba3641b52a2e",
+    "multimodal_frame_sample": "6c3ae1db4d13",
+    "nation_richest_customer": "c569db84fd24",
+    "nation_set_ops": "ee0a45799605",
+    "nation_supplier_left_join": "5d0529977719",
+    "near_dup_containment": "3332e22c712b",
+    "near_dup_edit_distance": "b2229664d09f",
+    "near_dup_pairs_minhash": "9e5069a0a0ba",
+    "ngram_jaccard_pairs": "1ce24908ed83",
+    "order_distinct_aggs": "798ac52398ee",
+    "orders_by_month": "3b5d56427f88",
+    "orders_cube": "977856a76063",
+    "orders_grouping_sets": "7c2a2fcda67b",
+    "orders_price_percentiles": "00142ef3899e",
+    "orders_rollup": "cc0326964a00",
+    "orders_yoy_growth": "36e8f4429a72",
+    "orderstatus_pivot": "051fd9dd302a",
+    "part_price_band_join": "feedac3b7d7c",
+    "parts_larger_than_brand_avg": "84c2c686d6ac",
+    "prefix_counts_l1": "09a990ed70ba",
+    "prefix_min_unique_len": "576b6d406c65",
+    "purchase_prior_click_asof": "369dcfcd828a",
+    "q10_returned_revenue": "a4d4957ae078",
+    "q11_important_stock": "b454a09f76f4",
+    "q12_priority_shipping": "d4cca0b4c80f",
+    "q13_customer_distribution": "18c33d02b9f8",
+    "q14_promo_revenue": "d1f7ed07548b",
+    "q15_top_supplier": "267d02ce303f",
+    "q16_part_supplier_relation": "325feca847e9",
+    "q17_small_quantity_revenue": "d8f1b63dc433",
+    "q18_large_orders": "2d8c864c3af3",
+    "q19_discounted_revenue": "f2e73c0311bf",
+    "q1_pricing_summary": "3560e363e9ed",
+    "q20_potential_promotion": "7b4ee3233b46",
+    "q21_waiting_supplier": "73abdeeeea2e",
+    "q22_global_sales_opportunity": "b6a092e119de",
+    "q2_min_cost_supplier": "048685ea0a11",
+    "q3_shipping_priority": "918d9d1a9938",
+    "q4_order_priority": "df07a6d2b909",
+    "q5_local_supplier_volume": "f16005f54f02",
+    "q6_forecast_revenue": "91e2e7229798",
+    "q7_nation_volume": "16361c09da0f",
+    "q8_market_share": "3f69435e2395",
+    "q9_product_profit": "306004d14e1d",
+    "region_nation_full_outer": "f11eea99322c",
+    "region_nation_list": "47ff2923d217",
+    "scalar_string_math": "ace55f30e0cd",
+    "semantic_dedup_pairs": "98c7aff24981",
+    "session_top_paths": "28010065c846",
+    "simhash_near_pairs": "cb3090db559e",
+    "source_mixture_weights": "b323abe853a0",
+    "sql_api_region_revenue": "c90b46011de4",
+    "sum_of_squares": "be018e408243",
+    "supplier_lead_time_stats": "1fe1c74caabd",
+    "suppliers_with_returns": "7a66c41651f6",
+    "top3_orders_per_customer": "e381e519d72e",
+    "unique_by_abs": "aec470f57ab8",
+    "user_event_sessions": "2789bd95a888",
+    "user_funnel_conversion": "fe16d90615f6",
+    "user_value_moving_avg": "7afcd06d0608",
+    "user_value_scd2": "3be5f39e67c1",
+    "user_value_zscore_outliers": "8abd139e579a",
+    "view_purchase_within_6h": "ceb393bc123c",
+    "wav_decode_features": "c5e596df5226",
+    "word_count": "8d6c7475043d",
+}
 
 # Unverified queries that exceed the 50-slot window this round, ordered
 # after the rest of the unverified set (they stay gated by the local

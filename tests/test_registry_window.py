@@ -28,4 +28,28 @@ def test_unverified_queries_fill_the_driver_window():
 
     # defer list only names real, currently-unverified queries
     assert WINDOW_DEFER <= set(names)
-    assert not (WINDOW_DEFER & DRIVER_VERIFIED)
+    assert not (WINDOW_DEFER & set(DRIVER_VERIFIED))
+
+
+def test_driver_verified_hashes_match_current_source():
+    """A green driver row certifies the CODE it ran, not the name: every
+    DRIVER_VERIFIED entry records the source hash at green time, and this
+    test recomputes it — edit a verified query's impl or rendered oracle
+    and the entry must leave the dict (re-queueing the query into the
+    driver's verification window) before the suite goes green again."""
+    from otus_cpp_11_spark.registry import (
+        DRIVER_VERIFIED,
+        all_queries,
+        query_source_hash,
+    )
+
+    qs = all_queries()
+    stale = {
+        name: (recorded, query_source_hash(qs[name]))
+        for name, recorded in DRIVER_VERIFIED.items()
+        if query_source_hash(qs[name]) != recorded
+    }
+    assert not stale, (
+        "impl/oracle changed since driver verification — remove these from "
+        f"DRIVER_VERIFIED to re-queue them: {stale}"
+    )
