@@ -657,3 +657,169 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing and corpus-LM surprisal — round-4 curation additions.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_EMAIL_MOD = 7
+PII_PHONE_MOD = 11
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+WITH salted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % {PII_PHONE_MOD} = 0
+                 THEN ' call 555-' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                 ELSE '' END AS t
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, t,
+         REGEXP_REPLACE(REGEXP_REPLACE(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM salted
+)
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(t, '{PII_EMAIL_RE}')) AS n_emails,
+       LEN(REGEXP_EXTRACT_ALL(t, '{PII_PHONE_RE}')) AS n_phones,
+       LENGTH(clean) AS clean_len,
+       LENGTH(t) - LENGTH(clean) AS delta_chars
+FROM scrubbed
+ORDER BY doc_id
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the mandatory scrub pass of any training
+    corpus): count and replace email addresses and phone numbers with
+    typed placeholders, reporting per-doc match counts and the redaction
+    size delta. The synthetic corpus carries no PII, so deterministic
+    PII is INJECTED first from closed forms of doc_id (the same
+    synthesize-then-operate pattern as the multimodal codecs,
+    ops/multimodal.py) — the regex scan and replace over the salted text
+    is the real operator and runs entirely in whole-stage codegen; the
+    oracle runs the same regexes in DuckDB's RE2, pinning a
+    dialect-portable pattern subset. One scan, no shuffle (ORDER BY
+    aside); at 100 TB this is a narrow map stage."""
+    d = load_table(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % PII_EMAIL_MOD == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % PII_PHONE_MOD == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        salted.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0)).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), 0)).alias(
+                "n_phones"
+            ),
+            F.length(clean).alias("clean_len"),
+            (F.length("t") - F.length(clean)).alias("delta_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_bigram_surprisal",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '),
+                             x -> x <> '') AS w
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+  FROM (SELECT doc_id, w, UNNEST(RANGE(1, GREATEST(LEN(w) - 1, 0) + 1)) AS i
+        FROM words) t
+),
+cnt AS (SELECT bigram, COUNT(*) AS c FROM bigrams GROUP BY bigram)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(1000000 // c.c) AS BIGINT) AS surprisal_units,
+       CAST(SUM(1000000 // c.c) AS DOUBLE) / COUNT(*) AS mean_surprisal
+FROM bigrams b JOIN cnt c USING (bigram)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality signal (the KenLM-filter shape, statistics taken
+    from the corpus itself): per-doc mean reciprocal corpus frequency of
+    its word bigrams, in exact integer micro-units (1e6 div count — both
+    engines use true integer division, so no transcendental log and no FP
+    summation order to disagree on). High surprisal = bigrams the corpus
+    has rarely seen (noise, mojibake, or genuinely novel text); low =
+    boilerplate. Two shuffles, both linear: corpus bigram counts
+    (map-side combined) and the per-doc aggregate; the count-relation
+    join strategy is AQE's call for the same reason as doc_top_terms — a
+    web-scale bigram vocabulary outgrows any broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+    )
+    w = F.col("w")
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, m),
+                F.slice(w, 2, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bigrams.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("1000000 div c")).cast("bigint").alias("surprisal_units"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_units",
+            (F.col("surprisal_units").cast("double") / F.col("n_bigrams")).alias(
+                "mean_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )

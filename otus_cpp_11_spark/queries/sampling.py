@@ -652,3 +652,50 @@ def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REGION_REVENUE_SQL)
+
+
+N_SHARDS = 8
+
+
+@register(
+    "doc_shard_assignment",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+sharded AS (
+  SELECT doc_id, h,
+         ((STRPOS('0123456789abcdef', SUBSTRING(h, 7, 1)) - 1) * 16
+          + (STRPOS('0123456789abcdef', SUBSTRING(h, 8, 1)) - 1)) % {N_SHARDS} AS shard
+  FROM hashed
+)
+SELECT shard, doc_id,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+FROM sharded
+ORDER BY shard, pos
+""",
+)
+def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every doc
+    hashes to a shard (md5 of its id — two hex nibbles give h32 % 256,
+    and {N_SHARDS} | 256 keeps it exact) and to a position within the
+    shard (md5-hex order, doc_id tie-break). Reproducible across runs,
+    engines, and cluster sizes — the property a resumable training job
+    needs from its data order, which a random shuffle or a
+    partition-dependent zipWithIndex cannot give. At 100 TB the per-shard
+    ROW_NUMBER is a range-partitioned sort WITHIN each shard (~1/N of the
+    corpus), never a global sort; writers emit one sorted file sequence
+    per shard."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 7, 2), 16, 10).cast("bigint") % N_SHARDS
+    ).alias("shard")
+    hashed = d.select("doc_id", h.alias("h"), shard)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        hashed.select(
+            "shard", "doc_id", F.row_number().over(w).alias("pos")
+        )
+        .orderBy("shard", "pos")
+    )
