@@ -216,3 +216,36 @@ def test_band_join_broadcasts_tiny_dim(spark, plan):
     p = plan("part_price_band_join", spark)
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_repeated_spans_linear_no_pairs(spark, plan):
+    # substring dedup must stay linear: gram attribution is an equi-join
+    # (never nested-loop/cartesian), the min-doc aggregate combines
+    # map-side, and the run-merge window is partitioned by doc_id (a
+    # global window would serialize the corpus through one task)
+    import re
+
+    p = plan("doc_repeated_spans", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_min" in p
+    assert re.search(r"windowspecdefinition\(doc_id#\d+L, pos#\d+L ASC", p)
+
+
+def test_quality_classifier_stays_jvm_side(spark, plan):
+    # learned-classifier inference is pure Column expressions: no Python
+    # eval node, no join, map-side partial aggregation before the one
+    # per-doc exchange
+    p = plan("doc_quality_classifier", spark)
+    assert "EvalPython" not in p  # no row- or arrow-batched Python
+    assert "Join" not in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_pii_scrub_is_single_narrow_scan(spark, plan):
+    # scan -> regex project -> sort; no joins, no aggregates, and only the
+    # output ordering's range exchange
+    p = plan("pii_scrub_stats", spark)
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    assert p.count("Scan parquet") <= 2  # tree + detail section
