@@ -219,16 +219,19 @@ def test_band_join_broadcasts_tiny_dim(spark, plan):
 
 
 def test_repeated_spans_linear_no_pairs(spark, plan):
-    # substring dedup must stay linear: gram attribution is an equi-join
-    # (never nested-loop/cartesian), the min-doc aggregate combines
-    # map-side, and the run-merge window is partitioned by doc_id (a
-    # global window would serialize the corpus through one task)
+    # substring dedup must stay linear and single-pass: gram attribution
+    # is min() OVER (PARTITION BY gram) — no join at all, so the corpus
+    # is scanned/shingled exactly once (the agg+join form scanned twice:
+    # no exchange reuse across a partial-agg sibling) — and the
+    # run-merge window is partitioned by doc_id (a global window would
+    # serialize the corpus through one task)
     import re
 
     p = plan("doc_repeated_spans", spark)
+    assert "Join" not in p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "partial_min" in p
+    assert p.count("Scan parquet") <= 2  # tree + detail section
+    assert re.search(r"windowspecdefinition\(gram#\d+", p)
     assert re.search(r"windowspecdefinition\(doc_id#\d+L, pos#\d+L ASC", p)
 
 
