@@ -273,6 +273,60 @@ near_pairs AS (
 )"""
 
 
+def _minhash_bands(sets: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) for every doc in the shingle-SET relation:
+    16 Carter-Wegman min-signatures (one md5 per shingle; see the
+    _SIGS_SQL comment) folded into NUM_BANDS banded signatures of _R rows.
+    Shared by the self-join near-dup family (_lsh_candidate_pair_sets)
+    and the incremental index-vs-incoming variant — in production the
+    INDEX side of this relation is computed once at ingest and stored.
+
+    The 16 min-signatures deliberately go through explode + groupBy, NOT
+    array_min(transform(...)): HOF lambdas are interpreted per element
+    while the exploded md5 runs in whole-stage codegen (measured 4x the
+    whole query at sf0.1), and the groupBy's map-side partial min means
+    the shuffle carries 16 ints per doc, not the shingle relation."""
+    shingles = sets.select("doc_id", F.explode("shingle_set").alias("shingle"))
+    ab = shingles.select(
+        "doc_id", F.md5("shingle").alias("h")
+    ).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("b"),
+    )
+    sigs = ab.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("a") + F.lit(h) * F.col("b")) % F.lit(_M32)).alias(
+                f"s{h}"
+            )
+            for h in range(NUM_HASHES)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"s{b * _R + i}").cast("string")
+                            for i in range(_R)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+    )
+
+
+
 HOT_BUCKET_THRESHOLD = 4096  # band-bucket size above which the grid path kicks in
 HOT_BUCKET_SALTS = 8
 
@@ -392,46 +446,7 @@ def _lsh_candidate_pair_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = _cache(
         _word_shingle_arrays(d, SHINGLE_WORDS).where(F.size("shingle_set") > 0)
     )
-    shingles = sets.select("doc_id", F.explode("shingle_set").alias("shingle"))
-    ab = shingles.select(
-        "doc_id", F.md5("shingle").alias("h")
-    ).select(
-        "doc_id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("a"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("b"),
-    )
-    sigs = ab.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("a") + F.lit(h) * F.col("b")) % F.lit(_M32)).alias(
-                f"s{h}"
-            )
-            for h in range(NUM_HASHES)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"s{b * _R + i}").cast("string")
-                            for i in range(_R)
-                        ],
-                    )
-                ).alias("band_sig"),
-            )
-            for b in range(NUM_BANDS)
-        ]
-    )
-    bands = _cache(
-        sigs.select("doc_id", F.explode(band_structs).alias("bs")).select(
-            "doc_id",
-            F.col("bs.band").alias("band"),
-            F.col("bs.band_sig").alias("band_sig"),
-        )
-    )
+    bands = _cache(_minhash_bands(sets))
 
     candidates = banded_candidate_pairs(bands)
     a = sets.select(
@@ -896,4 +911,101 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(est - F.col("jaccard")) <= 0.4).alias("within_bound"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+INCREMENTAL_MOD = 4
+INCREMENTAL_REM = 3  # doc_id % 4 == 3 plays the incoming shard
+
+
+@register(
+    "incremental_near_dup",
+    oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+         {_SIGS_SQL}
+  FROM (SELECT doc_id, ({_A_SQL}) AS a, ({_B_SQL}) AS b
+        FROM (SELECT doc_id, MD5(shingle) AS h FROM shingles) hashed) ab
+  GROUP BY doc_id
+),
+band_cols AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
+bands AS ({_BAND_UNPIVOT_SQL}),
+candidates AS (
+  SELECT DISTINCT i.doc_id AS new_doc, x.doc_id AS index_doc
+  FROM bands i JOIN bands x ON i.band = x.band AND i.band_sig = x.band_sig
+  WHERE i.doc_id % {INCREMENTAL_MOD} = {INCREMENTAL_REM}
+    AND x.doc_id % {INCREMENTAL_MOD} <> {INCREMENTAL_REM}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+  SELECT c.new_doc, c.index_doc, COUNT(*) AS n_common, sa.n AS n_a, sb.n AS n_b
+  FROM candidates c
+  JOIN shingles x ON x.doc_id = c.new_doc
+  JOIN shingles y ON y.doc_id = c.index_doc AND y.shingle = x.shingle
+  JOIN sizes sa ON sa.doc_id = c.new_doc
+  JOIN sizes sb ON sb.doc_id = c.index_doc
+  GROUP BY c.new_doc, c.index_doc, sa.n, sb.n
+)
+SELECT new_doc, index_doc,
+       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY new_doc, index_doc
+""",
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: dedup an INCOMING shard against the EXISTING
+    corpus index — the shape a production ingest actually runs (nobody
+    re-dedups 100 TB for each new crawl; new docs are checked against a
+    stored signature index and only accepted if novel). doc_id % 4 == 3
+    models the incoming shard; everything else is the index.
+
+    Candidate generation joins the incoming band signatures against the
+    index band signatures on (band, band_sig) — never doc x doc, and
+    unlike the self-join family there is no a<b ordering trick: the roles
+    are asymmetric (new_doc, index_doc). Verification is the same
+    candidate-bounded array_intersect.
+
+    Scale: at 100 TB the index side of _minhash_bands is PRECOMPUTED and
+    stored (signatures are write-once at ingest — 16 ints + 8 band hashes
+    per doc, ~0.1% of corpus bytes); only the incoming shard pays
+    shingling. The incoming side is small, so AQE broadcasts its band
+    relation and the index is probed in place without shuffling; no
+    explicit hint — a backfill-sized 'incoming' batch degrades to a
+    shuffle join instead of OOMing (same policy as decontamination's
+    probe gate). Hot band buckets from boilerplate are index-side; AQE
+    skew-join splits them."""
+    d = load_table(spark, sf_dir, "documents")
+    release_dedup_caches()
+    sets = _cache(
+        _word_shingle_arrays(d, SHINGLE_WORDS).where(F.size("shingle_set") > 0)
+    )
+    bands = _cache(_minhash_bands(sets))
+    is_inc = F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_REM
+    inc = bands.where(is_inc).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_sig"
+    )
+    idx = bands.where(~is_inc).select(
+        F.col("doc_id").alias("index_doc"), "band", "band_sig"
+    )
+    candidates = (
+        inc.join(idx, ["band", "band_sig"]).select("new_doc", "index_doc").distinct()
+    )
+    a = sets.select(F.col("doc_id").alias("_ida"), F.col("shingle_set").alias("_seta"))
+    b = sets.select(F.col("doc_id").alias("_idb"), F.col("shingle_set").alias("_setb"))
+    paired = candidates.join(a, F.col("_ida") == F.col("new_doc")).join(
+        b, F.col("_idb") == F.col("index_doc")
+    )
+    n_common = F.size(F.array_intersect("_seta", "_setb"))
+    jac = paired.select(
+        "new_doc",
+        "index_doc",
+        (
+            n_common.cast("double")
+            / (F.size("_seta") + F.size("_setb") - n_common)
+        ).alias("jaccard"),
+    )
+    return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy(
+        "new_doc", "index_doc"
     )
