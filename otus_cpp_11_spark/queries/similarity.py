@@ -856,3 +856,191 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale path for ANN at 100 TB.
+# ---------------------------------------------------------------------------
+
+PQ_SUBVECTORS = 4
+PQ_CODEBOOK = 16  # codes per subvector -> 4 bits; 4 subvectors -> 2 bytes/vec
+PQ_SCALE = 10**12  # fixed-point digits for squared-diff terms
+
+
+def _pq_centroids(e: DataFrame) -> dict[int, list[float]]:
+    """The PQ codebook: the first PQ_CODEBOOK vectors by vec_id, split per
+    subvector downstream. This is the standard init-by-first-K before
+    k-means refinement (the refinement loop is kmeans_assign_update's
+    machinery); shipping a trained codebook changes nothing structurally.
+    The collect is K rows — a bounded model artifact, same class as the
+    kmeans centroid collect, not a data-sized driver pull."""
+    rows = (
+        e.where(F.col("vec_id") < PQ_CODEBOOK)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return {int(r["vec_id"]): list(r["embedding"]) for r in rows}
+
+
+def _pq_term(x: Column, y: Column) -> Column:
+    d = x.cast("double") - y
+    return F.floor(d * d * F.lit(float(PQ_SCALE))).cast("decimal(38,0)")
+
+
+def _pq_dist(sub: Column, cent_slice: list[float]) -> Column:
+    """Fixed-point-exact squared L2 distance between an array<float> slice
+    and a codebook slice (literal), in integer units — argmin comparisons
+    are then exact in both engines (same recipe as _dec_dot)."""
+    cent = F.array(*[F.lit(float(v)) for v in cent_slice])
+    diffs = F.zip_with(sub, cent, _pq_term)
+    return F.aggregate(
+        diffs,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, p: (acc + p).cast("decimal(38,0)"),
+    )
+
+
+_PQ_DIST_SQL = (
+    "LIST_SUM([CAST(FLOOR((CAST(v.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))"
+    " * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))"
+    f" * {PQ_SCALE}.0) AS DECIMAL(38,0))"
+    " FOR i IN RANGE(sv.s * 16 + 1, sv.s * 16 + 17)])"
+)
+
+_PQ_CODE_COLS = ", ".join(
+    f"MAX(CASE WHEN s = {s} THEN code END) AS code_{s}" for s in range(PQ_SUBVECTORS)
+)
+
+
+@register(
+    "pq_code_assignment",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS code, embedding AS cemb FROM embeddings WHERE vec_id < {PQ_CODEBOOK}
+),
+sv AS (SELECT UNNEST(RANGE(0, {PQ_SUBVECTORS})) AS s),
+dists AS (
+  SELECT v.vec_id, sv.s, c.code, {_PQ_DIST_SQL} AS dist
+  FROM embeddings v CROSS JOIN sv CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, s, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+  FROM dists
+)
+SELECT vec_id, {_PQ_CODE_COLS}
+FROM best WHERE rk = 1
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+)
+def pq_code_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode: each 64-dim vector compresses to 4
+    codes of 4 bits (one argmin per 16-dim subvector against its
+    codebook) — a 128x memory reduction that is what actually lets an
+    ANN index hold billions of vectors in RAM at 100 TB corpus scale
+    (IVF narrows the search; PQ shrinks the residency). The encode is a
+    narrow map: codebooks ride as plan literals, all 64 subvector
+    distances are fixed-point-exact Column expressions, argmin is a
+    least-of-structs with code tie-break — no shuffle, no UDF, no
+    vector leaves its partition."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pq_centroids(e)
+    dim = len(cents[0])
+    dsub = dim // PQ_SUBVECTORS
+    cols: list = ["vec_id"]
+    for s in range(PQ_SUBVECTORS):
+        sub = F.slice(F.col("embedding"), s * dsub + 1, dsub)
+        structs = [
+            F.struct(
+                _pq_dist(sub, cents[c][s * dsub : (s + 1) * dsub]).alias("d"),
+                F.lit(c).cast("bigint").alias("code"),
+            )
+            for c in range(PQ_CODEBOOK)
+        ]
+        cols.append(F.least(*structs).getField("code").alias(f"code_{s}"))
+    return e.select(*cols).orderBy("vec_id")
+
+
+@register(
+    "pq_adc_top10",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS code, embedding AS cemb FROM embeddings WHERE vec_id < {PQ_CODEBOOK}
+),
+sv AS (SELECT UNNEST(RANGE(0, {PQ_SUBVECTORS})) AS s),
+dists AS (
+  SELECT v.vec_id, sv.s, c.code, {_PQ_DIST_SQL} AS dist
+  FROM embeddings v CROSS JOIN sv CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, s, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+  FROM dists
+),
+codes AS (SELECT vec_id, s, code FROM best WHERE rk = 1),
+dtable AS (SELECT s, code, dist FROM dists WHERE vec_id = 0),
+adc AS (
+  SELECT c.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc_units
+  FROM codes c JOIN dtable d ON d.s = c.s AND d.code = c.code
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_units
+FROM adc
+ORDER BY adc_units, vec_id
+LIMIT 10
+""",
+)
+def pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC): the query vector (vec_id 0)
+    precomputes one distance-table entry per (subvector, code) against
+    the codebook — 64 exact integers, computed driver-side from the same
+    fixed-point recipe the encode uses — and each database vector's
+    approximate distance is then 4 table LOOKUPS + 3 adds on its PQ
+    codes: no float math per vector at query time, which is the entire
+    point of PQ (scan billions of 2-byte codes instead of 256-byte
+    vectors). Here encode + lookup fuse into one narrow map with a
+    TakeOrderedAndProject top-k: no shuffle, no vector movement; at
+    scale the codes are a stored column and only the lookup runs."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pq_centroids(e)
+    dim = len(cents[0])
+    dsub = dim // PQ_SUBVECTORS
+    q = cents[0]  # vec_id 0 is the query vector
+    dtable = [
+        [
+            sum(
+                math.floor(
+                    (q[s * dsub + i] - cents[c][s * dsub + i])
+                    * (q[s * dsub + i] - cents[c][s * dsub + i])
+                    * float(PQ_SCALE)
+                )
+                for i in range(dsub)
+            )
+            for c in range(PQ_CODEBOOK)
+        ]
+        for s in range(PQ_SUBVECTORS)
+    ]
+    adc = None
+    for s in range(PQ_SUBVECTORS):
+        sub = F.slice(F.col("embedding"), s * dsub + 1, dsub)
+        structs = [
+            F.struct(
+                _pq_dist(sub, cents[c][s * dsub : (s + 1) * dsub]).alias("d"),
+                F.lit(c).cast("bigint").alias("code"),
+            )
+            for c in range(PQ_CODEBOOK)
+        ]
+        code = F.least(*structs).getField("code")
+        table = F.array(*[F.lit(v).cast("bigint") for v in dtable[s]])
+        term = F.element_at(table, (code + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    return (
+        e.where(F.col("vec_id") != 0)
+        .select("vec_id", adc.alias("adc_units"))
+        .orderBy("adc_units", "vec_id")
+        .limit(10)
+    )

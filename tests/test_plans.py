@@ -252,3 +252,21 @@ def test_pii_scrub_is_single_narrow_scan(spark, plan):
     assert "Join" not in p
     assert "HashAggregate" not in p
     assert p.count("Scan parquet") <= 2  # tree + detail section
+
+
+def test_pq_encode_is_narrow_map(spark, plan):
+    # PQ encode: codebooks are plan literals, argmin is least-of-structs —
+    # no join, no aggregate exchange, no vector leaves its partition
+    p = plan("pq_code_assignment", spark)
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    assert "EvalPython" not in p
+
+
+def test_pq_adc_topk_no_shuffle(spark, plan):
+    # ADC search: distance-table lookups fused into the scan, top-k via
+    # per-partition heap + driver merge, never a global sort/exchange
+    p = plan("pq_adc_top10", spark)
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
