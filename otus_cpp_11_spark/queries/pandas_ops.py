@@ -259,3 +259,58 @@ def python_datasource_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer sum; round() is robust to representation error
         F.sum(F.round(F.col("value") * 10).cast("bigint")).alias("value_decisum"),
     )
+
+
+@register(
+    "python_datasource_stream_checksum",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT i % 97) AS n_users,
+       CAST(SUM((i * 31) % 1000) AS BIGINT) AS value_decisum
+FROM RANGE(0, 5000) t(i)
+""",
+)
+def python_datasource_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource, STREAMING face: the same synthetic
+    connector read through spark.readStream — offsets are row indices,
+    each micro-batch advances by batch_rows, and readBetweenOffsets
+    replays committed ranges (the cursor-connector recovery contract).
+    The stream drains through a memory sink (one append per micro-batch,
+    five 1000-row batches here) and the checksum over the materialized
+    table must equal the closed form no matter how the offsets were
+    micro-batched — exactly the invariant a Kafka/CDC ingest relies on.
+    AvailableNow advances a simple stream reader by only one batch per
+    start, so the drain runs on a processing-time trigger with a bounded
+    catch-up poll instead."""
+    import time
+
+    from otus_cpp_11_spark.sources import register_synthetic_source
+
+    n = 5000
+    register_synthetic_source(spark)
+    df = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", n)
+        .option("batch_rows", 1000)
+        .load()
+    )
+    name = "synthetic_events_stream"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < n:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 10).cast("bigint")).alias("value_decisum"),
+    )

@@ -15,7 +15,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SOURCE_NAME = "synthetic_events"
 DEFAULT_ROWS = 5000
@@ -46,8 +51,39 @@ class _Reader(DataSourceReader):
             yield i, i % 97, (i * 31) % 1000 / 10.0
 
 
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming face of the same closed-form generator:
+    offsets are row indices, each micro-batch advances by ``batch_rows``
+    until the capped ``rows`` is reached, after which reads return the
+    unchanged offset (no progress -> an AvailableNow drain terminates).
+    ``readBetweenOffsets`` replays any committed range identically —
+    the exactly-once-replay contract a real cursor/offset connector
+    (Kafka, kinesis, CDC log) must honor on recovery."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("rows", DEFAULT_ROWS))
+        self.batch = int(options.get("batch_rows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.batch, self.n)
+        return self._rows(lo, hi), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(int(start["i"]), int(end["i"]))
+
+    @staticmethod
+    def _rows(lo: int, hi: int) -> Iterator[tuple]:
+        return iter([(i, i % 97, (i * 31) % 1000 / 10.0) for i in range(lo, hi)])
+
+
 class SyntheticEventsDataSource(DataSource):
-    """spark.read.format("synthetic_events").option("rows", N).load()"""
+    """spark.read.format("synthetic_events").option("rows", N).load() —
+    batch face; ``spark.readStream`` on the same format gets the
+    offset-tracked streaming face (_StreamReader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -58,6 +94,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> _Reader:
         return _Reader(self.options)
+
+    def simpleStreamReader(self, schema) -> _StreamReader:
+        return _StreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

@@ -187,3 +187,22 @@ def test_spread_gate_uses_split_math(spark):
     assert spread(wide, 8) is wide
     narrow = spark.range(0, 1000, 1, 2)
     assert spread(narrow, 8).rdd.getNumPartitions() == 8
+
+
+def test_stream_reader_offset_contract():
+    """The streaming face's offset arithmetic: batches advance by
+    batch_rows, cap at rows (then stop progressing — what terminates an
+    AvailableNow drain), and readBetweenOffsets replays any committed
+    range identically (the recovery contract)."""
+    from otus_cpp_11_spark.sources import _StreamReader
+
+    r = _StreamReader({"rows": 25, "batch_rows": 10})
+    off = r.initialOffset()
+    seen = []
+    for want in (10, 20, 25, 25):
+        rows, off = r.read(off)
+        seen.extend(rows)
+        assert off == {"i": want}
+    assert [t[0] for t in seen] == list(range(25))
+    replay = list(r.readBetweenOffsets({"i": 10}, {"i": 20}))
+    assert replay == [t for t in seen if 10 <= t[0] < 20]
