@@ -920,6 +920,7 @@ INCREMENTAL_REM = 3  # doc_id % 4 == 3 plays the incoming shard
 
 @register(
     "incremental_near_dup",
+    bench=True,
     oracle=f"""
 WITH shingles AS ({_SHINGLES_SQL}),
 sigs AS (

@@ -964,6 +964,7 @@ def pq_code_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pq_adc_top10",
+    bench=True,
     oracle=f"""
 WITH cent AS (
   SELECT vec_id AS code, embedding AS cemb FROM embeddings WHERE vec_id < {PQ_CODEBOOK}

@@ -91,3 +91,74 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert not pushed or "day" not in pushed[0]
     want = e.where(F.col("day") == "2024-01-05").count()
     assert df.count() == want > 0
+
+
+def test_bucketed_band_index_probe_has_no_exchange(spark, tmp_path, no_broadcast):
+    """The stored dedup index at scale: minhash band signatures persisted
+    BUCKETED on the bucket key, so an incremental ingest probes the index
+    with zero Exchange — new shards are checked for near-dups without
+    re-shuffling (or re-shingling) the corpus-sized index. This is the
+    storage layout incremental_near_dup's docstring promises; here it is
+    proven on the plan."""
+    import pyspark.sql.functions as F
+
+    from otus_cpp_11_spark.catalog import load_table
+    from otus_cpp_11_spark.queries.dedup import (
+        INCREMENTAL_MOD,
+        INCREMENTAL_REM,
+        _minhash_bands,
+        _word_shingle_arrays,
+        release_dedup_caches,
+    )
+
+    d = load_table(spark, SF, "documents")
+    sets = _word_shingle_arrays(d, 3).where(F.size("shingle_set") > 0)
+    bands = _minhash_bands(sets).withColumn(
+        "bkey", F.concat_ws("|", F.col("band"), F.col("band_sig"))
+    )
+    is_inc = F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_REM
+    write_bucketed(
+        bands.where(~is_inc).withColumnRenamed("doc_id", "index_doc"),
+        "t_band_index",
+        "bkey",
+        BUCKETS,
+        str(tmp_path / "idx"),
+    )
+    write_bucketed(
+        bands.where(is_inc).withColumnRenamed("doc_id", "new_doc"),
+        "t_incoming_bands",
+        "bkey",
+        BUCKETS,
+        str(tmp_path / "inc"),
+    )
+    try:
+        probe = (
+            spark.table("t_incoming_bands")
+            .drop("band", "band_sig")
+            .join(spark.table("t_band_index").drop("band", "band_sig"), "bkey")
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # the bucketed probe finds the same candidate pairs as the
+        # in-memory band join the query runs
+        got = sorted(
+            map(tuple, probe.select("new_doc", "index_doc").distinct().collect())
+        )
+        inc = bands.where(is_inc).select(
+            F.col("doc_id").alias("new_doc"), "bkey"
+        )
+        idx = bands.where(~is_inc).select(
+            F.col("doc_id").alias("index_doc"), "bkey"
+        )
+        want = sorted(
+            map(
+                tuple,
+                inc.join(idx, "bkey").select("new_doc", "index_doc").distinct().collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+    finally:
+        release_dedup_caches()
+        spark.sql("DROP TABLE IF EXISTS t_band_index")
+        spark.sql("DROP TABLE IF EXISTS t_incoming_bands")
