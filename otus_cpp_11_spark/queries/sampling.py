@@ -682,10 +682,14 @@ def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard (md5-hex order, doc_id tie-break). Reproducible across runs,
     engines, and cluster sizes — the property a resumable training job
     needs from its data order, which a random shuffle or a
-    partition-dependent zipWithIndex cannot give. At 100 TB the per-shard
-    ROW_NUMBER is a range-partitioned sort WITHIN each shard (~1/N of the
-    corpus), never a global sort; writers emit one sorted file sequence
-    per shard."""
+    partition-dependent zipWithIndex cannot give. Parallelism equals the
+    shard count (each shard's ROW_NUMBER sorts ~1/N of the corpus in its
+    own task) — {N_SHARDS} here matches the tiny testdata, a production
+    pipeline uses thousands of shards (shard count is chosen for target
+    file sizes anyway, ~corpus/1 GB), so the per-task sort stays bounded
+    and writers emit one sorted file sequence per shard. A single global
+    ordering would serialize the final rank through one task — that's
+    why training-data order is sharded in the first place."""
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     shard = (

@@ -962,11 +962,7 @@ def pq_code_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(*cols).orderBy("vec_id")
 
 
-@register(
-    "pq_adc_top10",
-    bench=True,
-    oracle=f"""
-WITH cent AS (
+_PQ_ADC_CTES = f"""cent AS (
   SELECT vec_id AS code, embedding AS cemb FROM embeddings WHERE vec_id < {PQ_CODEBOOK}
 ),
 sv AS (SELECT UNNEST(RANGE(0, {PQ_SUBVECTORS})) AS s),
@@ -986,7 +982,14 @@ adc AS (
   FROM codes c JOIN dtable d ON d.s = c.s AND d.code = c.code
   WHERE c.vec_id <> 0
   GROUP BY c.vec_id
-)
+)"""
+
+
+@register(
+    "pq_adc_top10",
+    bench=True,
+    oracle=f"""
+WITH {_PQ_ADC_CTES}
 SELECT vec_id, adc_units
 FROM adc
 ORDER BY adc_units, vec_id
@@ -1044,4 +1047,75 @@ def pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", adc.alias("adc_units"))
         .orderBy("adc_units", "vec_id")
         .limit(10)
+    )
+
+
+@register(
+    "ivf_pq_top5",
+    oracle=f"""
+WITH {_PQ_ADC_CTES},
+q AS (SELECT label AS qlabel FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, e.label, a.adc_units
+FROM adc a
+JOIN embeddings e ON e.vec_id = a.vec_id
+CROSS JOIN q
+WHERE e.label = q.qlabel
+ORDER BY a.adc_units, a.vec_id
+LIMIT {IVF_TOPK}
+""",
+)
+def ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full production ANN recipe in one plan — the coarse
+    quantizer (label = cell id, as in ivf_cosine_top5) prunes the scan to
+    the query's cell, then candidates rank by PQ asymmetric distance
+    (table lookups on 2-byte codes, as in pq_adc_top10) instead of full
+    float math. At 100 TB this is the only shape that works: IVF divides
+    the corpus scanned, PQ divides the bytes per vector scanned, and both
+    factors multiply — a billion-vector index probes ~1/n_cells of 2-byte
+    codes per query. Same narrow-map + TakeOrderedAndProject plan as the
+    flat ADC scan; the cell filter just reaches the scan as a pushed
+    predicate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pq_centroids(e)
+    dim = len(cents[0])
+    dsub = dim // PQ_SUBVECTORS
+    import math
+
+    q = cents[QUERY_VEC_ID]
+    qlabel = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID).select("label").first()["label"]
+    )
+    dtable = [
+        [
+            sum(
+                math.floor(
+                    (q[s * dsub + i] - cents[c][s * dsub + i])
+                    * (q[s * dsub + i] - cents[c][s * dsub + i])
+                    * float(PQ_SCALE)
+                )
+                for i in range(dsub)
+            )
+            for c in range(PQ_CODEBOOK)
+        ]
+        for s in range(PQ_SUBVECTORS)
+    ]
+    adc = None
+    for s in range(PQ_SUBVECTORS):
+        sub = F.slice(F.col("embedding"), s * dsub + 1, dsub)
+        structs = [
+            F.struct(
+                _pq_dist(sub, cents[c][s * dsub : (s + 1) * dsub]).alias("d"),
+                F.lit(c).cast("bigint").alias("code"),
+            )
+            for c in range(PQ_CODEBOOK)
+        ]
+        code = F.least(*structs).getField("code")
+        table = F.array(*[F.lit(v).cast("bigint") for v in dtable[s]])
+        term = F.element_at(table, (code + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    return (
+        e.where((F.col("vec_id") != QUERY_VEC_ID) & (F.col("label") == qlabel))
+        .select("vec_id", "label", adc.alias("adc_units"))
+        .orderBy("adc_units", "vec_id")
+        .limit(IVF_TOPK)
     )
