@@ -833,3 +833,84 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_after_span_strip",
+    oracle=f"""
+WITH {_SPANS_SQL},
+tok AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT({_NORM_SQL}, ' '), x -> x <> '') AS w
+  FROM documents
+),
+spanlist AS (
+  SELECT doc_id, LIST([s.span_start, s.span_start + s.span_len - 1]) AS iv
+  FROM spans s GROUP BY doc_id
+),
+stripped AS (
+  SELECT t.doc_id,
+         CASE WHEN sl.doc_id IS NULL THEN t.w
+              ELSE [t.w[i] FOR i IN RANGE(1, LEN(t.w) + 1)
+                    IF LEN(LIST_FILTER(sl.iv, v -> i >= v[1] AND i <= v[2])) = 0]
+         END AS kept
+  FROM tok t LEFT JOIN spanlist sl ON sl.doc_id = t.doc_id
+)
+SELECT doc_id,
+       LEN(kept) AS n_tokens_kept,
+       -- COALESCE: DuckDB's ARRAY_TO_STRING of an empty list is NULL,
+       -- Spark's array_join is '' — a fully-stripped doc must hash ''
+       MD5(COALESCE(ARRAY_TO_STRING(kept, ' '), '')) AS kept_text_hash
+FROM stripped
+ORDER BY doc_id
+""",
+)
+def corpus_after_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sequence substring dedup, APPLY half: emit each document's
+    surviving text with every cross-document repeated span removed —
+    repeated_span_strip_stats says how much would go; this actually
+    removes it (returning the md5 of the kept text rather than the text
+    itself keeps the driver compare row-sized; the construction is the
+    full rewritten token stream). Spans arrive per doc as a compact
+    interval array (disjoint by construction), the token filter is a
+    positional HOF over the words array — per-doc work, no extra
+    shuffle beyond the span build plus one doc_id join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+    )
+    spans = _repeated_spans(d)
+    spanlist = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.array(F.col("span_start"), F.col("span_start") + F.col("span_len") - 1)
+        ).alias("iv")
+    )
+    joined = tok.join(spanlist, "doc_id", "left")
+    idx = F.zip_with(
+        F.col("w"),
+        F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1))),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.when(F.col("iv").isNull(), F.col("w")).otherwise(
+        F.transform(
+            F.filter(
+                idx,
+                lambda p: ~F.exists(
+                    F.col("iv"),
+                    lambda v: (p.getField("i") >= v.getItem(0))
+                    & (p.getField("i") <= v.getItem(1)),
+                ),
+            ),
+            lambda p: p.getField("t"),
+        )
+    )
+    return (
+        joined.select("doc_id", kept.alias("kept"))
+        .select(
+            "doc_id",
+            F.size("kept").alias("n_tokens_kept"),
+            F.md5(F.array_join("kept", " ")).alias("kept_text_hash"),
+        )
+        .orderBy("doc_id")
+    )

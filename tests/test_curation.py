@@ -134,3 +134,23 @@ def test_repeated_spans_planted_corpus(spark):
     # doc 3: two repeats separated by > k fresh tokens -> two spans
     assert (rows[(3, 1)].span_len, rows[(3, 1)].n_dup_grams, rows[(3, 1)].source_doc) == (5, 1, 1)
     assert (rows[(3, 12)].span_len, rows[(3, 12)].n_dup_grams, rows[(3, 12)].source_doc) == (5, 1, 1)
+
+
+def test_span_strip_apply_matches_stats(spark):
+    """Conservation law between the strip ACCOUNTING and the strip APPLY:
+    for every doc, tokens kept by corpus_after_span_strip must equal
+    n_tokens - tokens_removed from repeated_span_strip_stats (spans are
+    disjoint coverage intervals, so the two paths must agree exactly)."""
+    from otus_cpp_11_spark.queries.curation import (
+        corpus_after_span_strip,
+        repeated_span_strip_stats,
+    )
+
+    kept = {
+        r.doc_id: r.n_tokens_kept
+        for r in corpus_after_span_strip(spark, SF).collect()
+    }
+    stats = repeated_span_strip_stats(spark, SF).collect()
+    assert kept and len(kept) == len(stats)
+    for r in stats:
+        assert kept[r.doc_id] == r.n_tokens - r.tokens_removed, r.doc_id
