@@ -943,7 +943,13 @@ def pq_code_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow map: codebooks ride as plan literals, all 64 subvector
     distances are fixed-point-exact Column expressions, argmin is a
     least-of-structs with code tie-break — no shuffle, no UDF, no
-    vector leaves its partition."""
+    vector leaves its partition. Measured cost is ~0.7 ms/vector, all
+    HOF-interpretation overhead (a codegen expansion via literal-index
+    element_at was tried and is 4.5x SLOWER — 1024 nested decimal casts
+    deoptimize codegen); if encode throughput ever dominates, the numpy
+    form of the same fixed-point math in an Arrow-batched kernel is the
+    ~10x path (label_whitening_residuals proves that path hash-matches),
+    traded here for a plan with zero Python."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = _pq_centroids(e)
     dim = len(cents[0])
