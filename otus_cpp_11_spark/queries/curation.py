@@ -488,7 +488,17 @@ def _repeated_spans(d: DataFrame) -> DataFrame:
     below it — measured: 2 scans, 0 ReusedExchange) and shuffled the gram
     relation into both sides of a sort-merge join; the window shuffles it
     once and sorts within partitions (measured 1.6 s -> 1.07 s at sf0.1,
-    identical results). The duplicated-position relation — usually a
+    identical results). Skew boundary of the window form: a hot gram's
+    rows land in one window partition, so it skews the stage only when a
+    SINGLE 5-gram's occurrence count rivals a whole shuffle partition
+    (~corpus_tokens / shuffle_partitions — at 100 TB with 1e5 reduce
+    partitions, one gram in ~0.005% of ALL tokens; ordinary boilerplate
+    sits orders of magnitude below). For a corpus where ultra-hot
+    template grams do cross that line, the skew-immune formulation is
+    the cached agg+join (persist grams once, groupBy-min — the partial
+    aggregate collapses the hot gram map-side; measured 1.24 s vs
+    0.92 s here, identical results), at the price of materializing the
+    gram relation. The duplicated-position relation — usually a
     small fraction of the corpus — then shuffles once on doc_id where one
     window pass computes both the run-break flag and the running run-id
     (same partition/order spec). Nothing ever pairs docs with docs, so
