@@ -801,12 +801,18 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines use true integer division, so no transcendental log and no FP
     summation order to disagree on). High surprisal = bigrams the corpus
     has rarely seen (noise, mojibake, or genuinely novel text); low =
-    boilerplate. Two shuffles, both linear: the corpus frequency comes
-    from count(*) OVER (PARTITION BY bigram) — one shuffle of the bigram
-    relation, no aggregate-plus-self-join (which would scan and tokenize
-    the corpus twice; see _repeated_spans) — then the per-doc aggregate.
-    A web-scale bigram vocabulary outgrows any broadcast, so no join
-    strategy question even arises in the window form."""
+    boilerplate. The corpus frequency deliberately comes from an
+    aggregate-plus-join, NOT count() OVER (PARTITION BY bigram), even
+    though the window form was measured faster at test scale and is used
+    for spans (_repeated_spans): hot BIGRAMS are zipf-top keys — "of
+    the" alone can be ~1% of ALL corpus bigrams, thousands of times a
+    shuffle partition at 100 TB — and a window cannot split a partition,
+    while this shape is skew-immune twice over (the partial aggregate
+    collapses hot bigrams map-side; AQE skew-join splits the probe-side
+    join). 5-gram frequencies are zipf-suppressed enough for the window;
+    bigrams are not. The double tokenize scan is the accepted price —
+    scans are cheap, stuck tasks are not. Count-relation join strategy
+    is AQE's call (a web-scale bigram vocab outgrows any broadcast)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id",
@@ -824,11 +830,10 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    counted = bigrams.withColumn(
-        "c", F.count(F.lit(1)).over(Window.partitionBy("bigram"))
-    )
+    cnt = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     return (
-        counted.groupBy("doc_id")
+        bigrams.join(cnt, "bigram")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(F.expr("1000000 div c")).cast("bigint").alias("surprisal_units"),
