@@ -314,3 +314,52 @@ def python_datasource_stream_checksum(spark: SparkSession, sf_dir: str) -> DataF
         F.count_distinct("user_id").alias("n_users"),
         F.sum(F.round(F.col("value") * 10).cast("bigint")).alias("value_decisum"),
     )
+
+
+@register(
+    "user_value_udaf_sum",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS BIGINT) AS value_units
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def user_value_udaf_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the UDAF face of the Python surface
+    (completing UDTF / applyInPandas / mapInPandas / mapInArrow): a
+    custom vectorized aggregate used INSIDE a regular .agg(),
+    Arrow-batched per group with map-side partial application
+    by Spark. The aggregate is the engine's exact fixed-point sum
+    (floor(value*1e6) summed in int64 — numpy float64 floor is the same
+    IEEE op both engines run), so even the custom-UDAF path hash-matches
+    the oracle bit-for-bit. For a plain sum the built-in is always
+    preferable (see dsum); the value here is the surface contract —
+    production UDAFs carry logic built-ins lack (custom sketches,
+    online-moment updates) and this is the shape they plug in as."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def decisum(v: pd.Series) -> int:
+        return int(
+            np.floor(v.to_numpy(dtype="float64") * 1e6).astype("int64").sum()
+        )
+
+    # Spark rejects mixing GROUPED_AGG pandas UDFs with non-pandas
+    # aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count rides as a pandas aggregate too.
+    @pandas_udf("long")
+    def pcount(v: pd.Series) -> int:
+        return int(len(v))
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            pcount(F.col("value")).alias("n_events"),
+            decisum(F.col("value")).alias("value_units"),
+        )
+        .orderBy("user_id")
+    )

@@ -490,3 +490,47 @@ def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_clicked_after_view")
         ).alias("click_to_purchase_rate"),
     )
+
+
+@register(
+    "events_tumbling_5min_streamed",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""",
+)
+def events_tumbling_5min_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of the tumbling window, driver-visible: replay
+    events through streaming.tumbling_counts (watermarked window
+    aggregate — the core Structured Streaming primitive) under
+    Trigger.AvailableNow into a memory sink and return the completed
+    result table. The oracle is the plain batch aggregate: for a bounded
+    replay the watermarked streaming aggregate must converge to exactly
+    the batch answer (same fixed-point units), which is the
+    streaming=batch contract the pytest family proves pairwise and this
+    row seals under the cross-engine gate."""
+    from otus_cpp_11_spark.queries import dsum
+    from otus_cpp_11_spark.streaming import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = run_available_now(agg, "tumbling_5min_stream", output_mode="complete")
+    return out.orderBy("window_start", "event_type")
