@@ -141,3 +141,127 @@ def test_range_join_matches_bruteforce(spark, left, right):
         if lk == rk and rt > lt and rt <= lt + 60
     )
     assert got == want
+
+
+def brute_repeated_spans(docs: list[tuple[int, str]], k: int):
+    """Pure-Python model of _repeated_spans: positioned k-gram attribution
+    to min doc_id, dup positions merged into coverage-contiguous spans."""
+    import re
+
+    grams: dict[str, int] = {}  # gram -> first doc_id
+    toks = {}
+    for doc_id, text in sorted(docs):
+        w = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        toks[doc_id] = w
+        for i in range(len(w) - k + 1):
+            g = " ".join(w[i : i + k])
+            grams.setdefault(g, doc_id)
+    out = []
+    for doc_id, w in sorted(toks.items()):
+        dup = [
+            (i + 1, grams[" ".join(w[i : i + k])])
+            for i in range(len(w) - k + 1)
+            if grams[" ".join(w[i : i + k])] < doc_id
+        ]
+        run: list[tuple[int, int]] = []
+        for pos, first in dup:
+            if run and pos - run[-1][0] <= k:
+                run.append((pos, first))
+            else:
+                if run:
+                    out.append(_span_row(doc_id, run, k))
+                run = [(pos, first)]
+        if run:
+            out.append(_span_row(doc_id, run, k))
+    return sorted(out)
+
+
+def _span_row(doc_id, run, k):
+    ps = [p for p, _ in run]
+    return (doc_id, ps[0], ps[-1] - ps[0] + k, len(ps), min(f for _, f in run))
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=6
+    )
+)
+@settings(**SETTINGS)
+def test_repeated_spans_match_bruteforce(spark, docs):
+    from otus_cpp_11_spark.queries.curation import SPAN_TOKENS, _repeated_spans
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, _repeated_spans(df).collect()))
+    assert got == brute_repeated_spans(rows, SPAN_TOKENS)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, width=32), min_size=8, max_size=8
+        ),
+        min_size=4,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_pq_assignment_matches_bruteforce(spark, vecs):
+    """PQ encode vs a numpy-free Python argmin using the same fixed-point
+    per-term floors (codebook = first 2 vectors, 2 subvectors of 4 dims
+    — parameters monkeypatched small so examples stay cheap)."""
+    import math
+
+    from otus_cpp_11_spark.queries import similarity as sim
+
+    K, S = 2, 2
+    dim = 8
+    dsub = dim // S
+    old_cb, old_sv = sim.PQ_CODEBOOK, sim.PQ_SUBVECTORS
+    sim.PQ_CODEBOOK, sim.PQ_SUBVECTORS = K, S
+    try:
+        import pyspark.sql.functions as F
+
+        rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        cents = {
+            int(r["vec_id"]): list(r["embedding"])
+            for r in df.where(F.col("vec_id") < K).collect()
+        }
+        cols = ["vec_id"]
+        for s in range(S):
+            sub = F.slice(F.col("embedding"), s * dsub + 1, dsub)
+            structs = [
+                F.struct(
+                    sim._pq_dist(sub, cents[c][s * dsub : (s + 1) * dsub]).alias("d"),
+                    F.lit(c).cast("bigint").alias("code"),
+                )
+                for c in range(K)
+            ]
+            cols.append(F.least(*structs).getField("code").alias(f"code_{s}"))
+        got = {
+            r["vec_id"]: (r["code_0"], r["code_1"])
+            for r in df.select(*cols).collect()
+        }
+        for vid, emb, _ in rows:
+            # float32 round-trip: compare on the values Spark actually read
+            ev = [float(x) for x in df.where(F.col("vec_id") == vid).first()["embedding"]]
+            want = []
+            for s in range(S):
+                best = None
+                for c in range(K):
+                    d = sum(
+                        math.floor(
+                            (ev[s * dsub + i] - cents[c][s * dsub + i]) ** 2
+                            * float(sim.PQ_SCALE)
+                        )
+                        for i in range(dsub)
+                    )
+                    if best is None or (d, c) < best:
+                        best = (d, c)
+                want.append(best[1])
+            assert got[vid] == tuple(want), vid
+    finally:
+        sim.PQ_CODEBOOK, sim.PQ_SUBVECTORS = old_cb, old_sv
