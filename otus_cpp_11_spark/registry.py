@@ -85,18 +85,18 @@ def register(
 # shared-helper caveat). Regenerate entries with
 # scripts/gen_verified_hashes.py after promoting a round's greens.
 #
-# Round-4 membership: the r1+r2 set carried from round 3, plus the 50
-# r3 greens, MINUS the queries round 4 touched (re-queued for the
-# driver window): benchmark_decontamination + doc_top_terms (broadcast
-# size-gating), python_datasource_checksum (round-before-cast),
-# events_props_variant (NULLS FIRST), ppm_decode_features (truncated-
-# header contract), corpus_curation_pipeline (composite learned-quality
-# gate).
+# Round-5 membership: every green row from rounds 1-4 (the r4 driver
+# report was 50/50 green, bringing cumulative coverage to 144/144), each
+# pinned to the source hash current at promotion time. Round-5 edits
+# remove their entries below (see the r5 note near WINDOW_DEFER).
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
     "balanced_doc_sample": "e369f0894200",
+    "benchmark_decontamination": "7a996f13be83",
     "bpe_pair_counts": "d96cbbee11ec",
     "copurchase_part_pairs": "86f91ab99906",
+    "corpus_after_span_strip": "521eaebb4885",
+    "corpus_curation_pipeline": "17e330209e81",
     "corpus_dedup_stats": "3fa9e48f7a71",
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_monthly_retention": "5005e34e6d54",
@@ -109,6 +109,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
     "doc_arrow_byte_stats": "48790875d2b1",
+    "doc_bigram_surprisal": "101994b12e10",
     "doc_dedup_clusters": "5150a5c0e008",
     "doc_fingerprint": "33da4a56e6be",
     "doc_lang_id": "9244112be464",
@@ -117,12 +118,16 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_pack_bins": "640fc7df9845",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
+    "doc_quality_classifier": "496dd16e1f78",
     "doc_quality_score": "39314f0f9dff",
+    "doc_repeated_spans": "021ae1e34c5c",
     "doc_repetition_stats": "d70389bb5105",
     "doc_reservoir_sample": "ed8d4fafb39a",
+    "doc_shard_assignment": "b7508cca5e2e",
     "doc_simhash32": "9a4d28b0fe15",
     "doc_stratified_sample": "5cbbfac47518",
     "doc_token_stats": "f1fc9c5f44ba",
+    "doc_top_terms": "eb589333b071",
     "embedding_gram_upper": "f0e2d768f439",
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
@@ -133,13 +138,18 @@ DRIVER_VERIFIED: dict[str, str] = {
     "event_value_mad": "a8aa5b034a6c",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
+    "events_minute_rollup_streamed": "ef0a33733bdb",
     "events_multires_rollup": "9500a9fc4621",
+    "events_props_variant": "31a6172af1b4",
     "events_session_windows": "ee61ffbf866a",
     "events_sliding_10min_5min": "9f43a94d569f",
     "events_tumbling_5min": "f1e4a9109b9d",
+    "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
     "exact_dup_groups": "8902aa321cb1",
+    "incremental_near_dup": "106378cb3ab8",
     "ivf_cosine_top5": "4587a141ad18",
+    "ivf_pq_top5": "97ee82b5a88d",
     "kmeans_assign_update": "1957709e4ad9",
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
@@ -170,9 +180,15 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orderstatus_pivot": "051fd9dd302a",
     "part_price_band_join": "feedac3b7d7c",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
+    "pii_scrub_stats": "7f34c028e2b4",
+    "ppm_decode_features": "9da4f48f676c",
+    "pq_adc_top10": "16dd1c6862bb",
+    "pq_code_assignment": "7641df8d45ae",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
+    "python_datasource_checksum": "063511ddd858",
+    "python_datasource_stream_checksum": "00ca38e72045",
     "q10_returned_revenue": "a4d4957ae078",
     "q11_important_stock": "b454a09f76f4",
     "q12_priority_shipping": "d4cca0b4c80f",
@@ -197,6 +213,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "q9_product_profit": "306004d14e1d",
     "region_nation_full_outer": "f11eea99322c",
     "region_nation_list": "47ff2923d217",
+    "repeated_span_strip_stats": "b639a37b01e7",
     "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "98c7aff24981",
     "session_top_paths": "28010065c846",
@@ -212,6 +229,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_funnel_conversion": "fe16d90615f6",
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_scd2": "3be5f39e67c1",
+    "user_value_udaf_sum": "e8f79d7db0ec",
     "user_value_zscore_outliers": "8abd139e579a",
     "view_purchase_within_6h": "ceb393bc123c",
     "wav_decode_features": "c5e596df5226",
