@@ -53,17 +53,18 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; catalog handles the fallback
-    app_id = spark.sparkContext.applicationId
-    if app_id not in _SHIPPED_APPS:
-        try:
-            spark.sparkContext.addPyFile(_package_archive())
-        except Exception as e:
-            # benign only when the same archive name was already registered
-            # on a shared context (e.g. by another entry module instance);
-            # anything else must surface, not be swallowed
-            if "already" not in str(e).lower():
-                raise
-        _SHIPPED_APPS.add(app_id)
+    sc = spark.sparkContext
+    if sc.applicationId not in _SHIPPED_APPS:
+        # A shared context may already carry the archive (another entry
+        # module instance shipped it): detect that from the context's own
+        # resource list instead of pattern-matching exception messages, so
+        # a genuine shipping failure always surfaces.
+        archive = _package_archive()
+        basename = Path(archive).name
+        already = any(Path(f).name == basename for f in sc.listFiles)
+        if not already:
+            sc.addPyFile(archive)
+        _SHIPPED_APPS.add(sc.applicationId)
     return spark
 
 

@@ -106,12 +106,22 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     conf = df.sparkSession.conf
 
     def _size_conf(key: str, default: int) -> int:
-        raw = str(conf.get(key, str(default))).strip().lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
-        for suffix, mult in units.items():
-            if raw.endswith(suffix):
-                return int(float(raw[: -len(suffix)]) * mult)
-        return int(raw)
+        # Spark size strings: optional one-letter k/m/g/t/p multiplier,
+        # optional trailing 'b' ('128m', '128mb', '1gb', plain bytes). The
+        # multiplier must be matched BEFORE the bare-'b' suffix or '128mb'
+        # parses as float('128m'). Unparseable values fall back to the
+        # default — a heuristic gate must never crash the query it guards.
+        try:
+            raw = str(conf.get(key, str(default))).strip().lower()
+            if raw.endswith("b"):
+                raw = raw[:-1]
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+            mult = units.get(raw[-1:], 1)
+            if mult != 1:
+                raw = raw[:-1]
+            return int(float(raw) * mult)
+        except (ValueError, TypeError):
+            return default
 
     max_pb = _size_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
     open_cost = _size_conf("spark.sql.files.openCostInBytes", 4 << 20)

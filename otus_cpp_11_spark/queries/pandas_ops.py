@@ -309,6 +309,14 @@ def python_datasource_stream_checksum(spark: SparkSession, sf_dir: str) -> DataF
     finally:
         q.stop()
         q.awaitTermination()
+    got = spark.table(name).count()
+    if got < n:
+        # An environment stall must report as an ERROR, not as a checksum
+        # over a partial table — a red hash row would be indistinguishable
+        # from a real correctness bug.
+        raise TimeoutError(
+            f"stream drained only {got}/{n} rows within the 120 s deadline"
+        )
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("user_id").alias("n_users"),

@@ -149,7 +149,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "exact_dup_groups": "8902aa321cb1",
     "incremental_near_dup": "106378cb3ab8",
     "ivf_cosine_top5": "4587a141ad18",
-    "ivf_pq_top5": "97ee82b5a88d",
     "kmeans_assign_update": "1957709e4ad9",
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
@@ -182,13 +181,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_decode_features": "9da4f48f676c",
-    "pq_adc_top10": "16dd1c6862bb",
-    "pq_code_assignment": "7641df8d45ae",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
-    "python_datasource_stream_checksum": "00ca38e72045",
     "q10_returned_revenue": "a4d4957ae078",
     "q11_important_stock": "b454a09f76f4",
     "q12_priority_shipping": "d4cca0b4c80f",

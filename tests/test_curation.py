@@ -31,6 +31,7 @@ def test_decontamination_broadcast_gate_degrades(spark, monkeypatch):
 
     d = load_table(spark, SF01, "documents")
     assert curation.eval_index_fits_broadcast(d)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
@@ -43,7 +44,7 @@ def test_decontamination_broadcast_gate_degrades(spark, monkeypatch):
         assert "SortMergeJoin" in p
         assert degraded.collect() == hinted.collect()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
@@ -59,6 +60,7 @@ def test_top_terms_join_strategy_left_to_aqe(spark):
     assert "BroadcastHashJoin" in str(
         default_df._jdf.queryExecution().executedPlan()
     )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
@@ -66,7 +68,7 @@ def test_top_terms_join_strategy_left_to_aqe(spark):
         assert "SortMergeJoin" in _plan(degraded)
         assert degraded.collect() == rows_default
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 

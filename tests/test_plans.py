@@ -270,3 +270,23 @@ def test_pq_adc_topk_no_shuffle(spark, plan):
     assert "Join" not in p
     assert "TakeOrderedAndProject" in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_pq_adc_runs_over_stored_codes(spark, plan):
+    # ADC search never re-encodes at query time: the scan target is the
+    # materialized codes index, and the per-subvector distance math
+    # (zip_with over embedding slices) is absent from the query plan
+    p = plan("pq_adc_top10", spark)
+    assert "sg-pq-codes-" in p
+    assert "zip_with" not in p
+    assert "embedding" not in p  # vectors never touched on the search path
+
+
+def test_ivf_pq_cell_filter_pushes_into_codes_scan(spark, plan):
+    # the IVF cell predicate prunes the stored-codes parquet scan (at
+    # scale: partition pruning on a cell-partitioned index layout)
+    import re
+
+    p = plan("ivf_pq_top5", spark)
+    assert "sg-pq-codes-" in p
+    assert re.search(r"PushedFilters: \[[^\]]*label", p)
