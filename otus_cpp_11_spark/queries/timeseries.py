@@ -319,8 +319,17 @@ def user_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user anomaly detection: flag events whose value is >= 3 standard
     deviations from that user's mean. Mean and E[x^2] come from fixed-point
     sums (exact, order-free), so mean/var/sqrt/z are bit-identical across
-    engines — sqrt is IEEE-correctly-rounded everywhere. One aggregate over
-    users (tiny) broadcast back onto events; the raw scan is map-side."""
+    engines — sqrt is IEEE-correctly-rounded everywhere.
+
+    Join strategy is deliberately UNHINTED (r4 verdict): user_id is not a
+    bounded dimension — 10^8-10^9 users make the per-user stats relation
+    GBs, and a forced broadcast would OOM every executor. The stats side
+    is an aggregate output, so AQE knows its exact size the moment its
+    stage completes and converts the join to broadcast only when it
+    genuinely fits (no probe job needed — unlike decontamination, where
+    gating before the plan mattered because the probe avoided a
+    corpus-sized shuffle WRITE; here the events side's shuffle is
+    replanned away by AQE before it executes)."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -341,7 +350,7 @@ def user_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (F.col("value") - F.col("mean")) / F.sqrt(F.col("var"))
     return (
-        e.join(F.broadcast(m), "user_id")
+        e.join(m, "user_id")
         .where(F.abs(z) >= ZSCORE_CUT)
         .select("event_id", "user_id", "value", z.alias("zscore"))
         .orderBy("event_id")

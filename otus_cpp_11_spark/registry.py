@@ -226,7 +226,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
-    "user_value_zscore_outliers": "8abd139e579a",
     "view_purchase_within_6h": "ceb393bc123c",
     "wav_decode_features": "c5e596df5226",
     "word_count": "8d6c7475043d",

@@ -188,11 +188,18 @@ def running_user_counts(events: DataFrame) -> DataFrame:
 
 
 def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
-    """Stream-static join: each micro-batch joins against the (broadcastable)
-    static dimension — no state, no watermark needed; the dim is re-resolved
-    per batch, so a lake-backed dim picks up slowly-changing updates. The
-    standard enrichment shape (events × user profile)."""
-    return events.join(F.broadcast(user_dim), "user_id", "left")
+    """Stream-static join: each micro-batch joins against the static
+    dimension — no state, no watermark needed; the dim is re-resolved per
+    batch, so a lake-backed dim picks up slowly-changing updates. The
+    standard enrichment shape (events × user profile).
+
+    No broadcast hint (r4 verdict): a per-USER dim is unbounded at web
+    scale, and a forced broadcast would ship GBs into every micro-batch's
+    executors. The planner size-gates instead — a dim under
+    autoBroadcastJoinThreshold broadcasts from its own statistics each
+    batch; one that outgrows it degrades to a shuffle join rather than
+    OOMing the stream."""
+    return events.join(user_dim, "user_id", "left")
 
 
 def view_purchase_stream_join(

@@ -290,3 +290,28 @@ def test_ivf_pq_cell_filter_pushes_into_codes_scan(spark, plan):
     p = plan("ivf_pq_top5", spark)
     assert "sg-pq-codes-" in p
     assert re.search(r"PushedFilters: \[[^\]]*label", p)
+
+
+def test_zscore_join_strategy_left_to_aqe(spark):
+    # user_value_zscore_outliers plants no broadcast hint (user_id is an
+    # unbounded key at web scale): AQE converts from the stats relation's
+    # actual runtime size on testdata, and with broadcasts disabled the
+    # join degrades to sort-merge with identical values instead of OOMing
+    qs = all_queries()
+    q = qs["user_value_zscore_outliers"]
+    default_df = q.fn(spark, SF)
+    rows_default = default_df.collect()
+    assert "BroadcastHashJoin" in default_df._jdf.queryExecution().executedPlan().toString()
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        degraded = q.fn(spark, SF)
+        got = degraded.collect()
+        final = degraded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in final
+        assert "SortMergeJoin" in final
+        assert got == rows_default
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
