@@ -247,6 +247,7 @@ def all_queries() -> dict[str, Query]:
     group) so the driver's first-50 correctness window always lands on
     queries that still need a green row."""
     from otus_cpp_11_spark.queries import (  # noqa: F401
+        bpe,
         curation,
         dedup,
         mapreduce_ops,
