@@ -543,3 +543,89 @@ def events_tumbling_5min_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = run_available_now(agg, "tumbling_5min_stream", output_mode="complete")
     return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "events_session_windows_streamed",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def events_session_windows_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of session windows, driver-visible: replay
+    events through streaming.session_counts (watermarked
+    ``session_window`` aggregate — dynamic-length windows are the
+    hardest streaming state shape, since windows MERGE when a new event
+    bridges two open sessions) under Trigger.AvailableNow into a memory
+    sink. The oracle rebuilds session extents via lag+cumsum, exactly
+    the batch contract: for a bounded replay the streamed sessions must
+    equal the batch sessionization bit-for-bit (same >= gap boundary
+    semantics as events_session_windows, the r1 ADVICE fix)."""
+    from otus_cpp_11_spark.streaming import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    from otus_cpp_11_spark.streaming import session_counts
+
+    out = run_available_now(
+        session_counts(stream), "session_windows_stream", output_mode="complete"
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "view_purchase_within_6h_streamed",
+    oracle="""
+SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'view') a
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '6 hours'
+ORDER BY view_id, purchase_id
+""",
+)
+def view_purchase_within_6h_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of the bounded range join, driver-visible: the
+    stream-stream interval join (both sides watermarked so buffered join
+    state is evictable — the shape that survives an unbounded stream)
+    replayed under Trigger.AvailableNow and compared against the BATCH
+    range join's oracle. Inner interval joins emit matches as both sides
+    arrive (append mode); the watermark only bounds state, so a bounded
+    replay converges to exactly the batch answer."""
+    from otus_cpp_11_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        view_purchase_stream_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    views = stream.where(F.col("event_type") == "view")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    out = run_available_now(
+        view_purchase_stream_join(views, purchases),
+        "view_purchase_stream",
+        output_mode="append",
+    )
+    return out.orderBy("view_id", "purchase_id")
