@@ -306,3 +306,80 @@ def sample_frames(payloads: DataFrame, every_n: int = 2) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     )
     return frames.where(F.col("frame_idx") % every_n == 0)
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing (aHash) — image-level near-dup, bridging the
+# multimodal decode path into the dedup family.
+# --------------------------------------------------------------------------
+
+AHASH_GRID = 4  # 4x4 grid -> 16-bit hash
+
+
+def ppm_raster(b: bytes) -> tuple[int, int, bytes]:
+    """Header parse + raw RGB raster (same byte walk as parse_ppm_bytes,
+    returning pixels instead of channel sums)."""
+    if b[0:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos] in b" \t\r\n":
+            pos += 1
+        start = pos
+        while pos < len(b) and b[pos] not in b" \t\r\n":
+            pos += 1
+        if start == pos or (len(tokens) == 2 and pos >= len(b)):
+            raise ValueError("truncated header")
+        tokens.append(int(b[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = b[pos + 1 : pos + 1 + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated raster")
+    return w, h, raster
+
+
+def ahash16_from_ppm(b: bytes) -> int:
+    """Average hash over the decoded raster, ALL-INTEGER so Spark and the
+    closed-form oracle agree bit-for-bit: gray = r+g+b (sum, no division),
+    pixels bin into a 4x4 grid (cell = x*4//w + 4*(y*4//h) — the resize
+    step of classic aHash, making the hash dimension-independent), and
+    bit(c) = 1 iff the cell's AVERAGE gray exceeds the image average,
+    compared cross-multiplied (cell_sum * total_cnt > total_sum *
+    cell_cnt) so no rational ever materializes. Grid cells that receive
+    no pixels (w or h < 4) contribute 0 bits in both engines."""
+    w, h, raster = ppm_raster(b)
+    cell_sum = [0] * (AHASH_GRID * AHASH_GRID)
+    cell_cnt = [0] * (AHASH_GRID * AHASH_GRID)
+    for y in range(h):
+        row = 3 * y * w
+        cy = AHASH_GRID * (y * AHASH_GRID // h)
+        for x in range(w):
+            i = row + 3 * x
+            gray = raster[i] + raster[i + 1] + raster[i + 2]
+            c = x * AHASH_GRID // w + cy
+            cell_sum[c] += gray
+            cell_cnt[c] += 1
+    total_sum, total_cnt = sum(cell_sum), sum(cell_cnt)
+    hash_bits = 0
+    for c in range(AHASH_GRID * AHASH_GRID):
+        if cell_cnt[c] and cell_sum[c] * total_cnt > total_sum * cell_cnt[c]:
+            hash_bits |= 1 << c
+    return hash_bits
+
+
+def decode_ppm_ahash(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hash over (doc_id, payload): real byte
+    parse + integer grid math per image, one 16-bit hash out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": [ahash16_from_ppm(bytes(b)) for b in pdf["payload"]],
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema="doc_id bigint, ahash bigint")

@@ -119,3 +119,157 @@ def ppm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-channel sums from the closed form."""
     d = load_table(spark, sf_dir, "documents")
     return decode_ppm_features(synthesize_ppm_payloads(d)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Image perceptual hashing: aHash over the decoded raster + hamming
+# near-dup — image-level dedup, the bridge between the multimodal decode
+# path and the dedup family (r4 verdict item 5).
+# --------------------------------------------------------------------------
+
+AHASH_HAMMING_MAX = 2
+
+# Closed-form oracle for the aHash: pixels are (doc_id + kx*x + ky*y) % 256
+# per channel (synthesize_ppm_payloads), gray = r+g+b, 4x4 grid binning,
+# bit = cell average > image average via cross-multiplication — the exact
+# integer recipe of ops.multimodal.ahash16_from_ppm.
+_AHASH_SQL = """
+px AS (
+  SELECT doc_id,
+         doc_id % 8 + 2 AS w, doc_id % 5 + 2 AS h,
+         i % (doc_id % 8 + 2) AS x, i // (doc_id % 8 + 2) AS y
+  FROM documents CROSS JOIN UNNEST(RANGE(0, (doc_id % 8 + 2) * (doc_id % 5 + 2))) AS t(i)
+),
+g AS (
+  SELECT doc_id,
+         (x * 4) // w + 4 * ((y * 4) // h) AS cell,
+         (doc_id + 3*x + 5*y) % 256 + (doc_id + 7*x + 11*y) % 256
+           + (doc_id + 13*x + 17*y) % 256 AS gray
+  FROM px
+),
+cells AS (SELECT doc_id, cell, SUM(gray) AS cs, COUNT(*) AS cc FROM g GROUP BY doc_id, cell),
+tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cc) AS tc FROM cells GROUP BY doc_id),
+hashes AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN c.cs * t.tc > t.ts * c.cc THEN 1 << c.cell ELSE 0 END) AS BIGINT) AS ahash
+  FROM cells c JOIN tot t USING (doc_id)
+  GROUP BY c.doc_id
+)
+"""
+
+
+@register(
+    "ppm_ahash16",
+    oracle=f"""
+WITH {_AHASH_SQL}
+SELECT doc_id, ahash FROM hashes ORDER BY doc_id
+""",
+)
+def ppm_ahash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash (aHash) per image: synthesize a real binary PPM per
+    document, parse the raster from raw bytes inside Arrow-batched
+    mapInPandas, and compute the 16-bit average hash with all-integer
+    grid math (ops.multimodal.ahash16_from_ppm — the 4x4 binning IS the
+    resize step, so the hash is dimension-independent; brightness-shift
+    tolerance comes from thresholding against the image's own mean). The
+    oracle recomputes the hash from the pixel closed form, so any
+    misparse or off-by-one in the grid binning hash-mismatches."""
+    from otus_cpp_11_spark.ops.multimodal import (
+        decode_ppm_ahash,
+        synthesize_ppm_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_ppm_ahash(synthesize_ppm_payloads(d)).orderBy("doc_id")
+
+
+@register(
+    "ppm_ahash_near_dup_counts",
+    oracle=f"""
+WITH {_AHASH_SQL},
+hc AS (SELECT ahash, COUNT(*) AS n_docs FROM hashes GROUP BY ahash),
+bands AS (
+  SELECT ahash, n_docs, b, (ahash >> (4 * b)) % 16 AS band_val
+  FROM hc CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT a.ahash AS h_a, b.ahash AS h_b, b.n_docs AS nb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.band_val = b.band_val AND a.ahash <> b.ahash
+),
+nbr AS (
+  SELECT h_a AS ahash, CAST(SUM(nb) AS BIGINT) AS n_nbr
+  FROM cand WHERE BIT_COUNT(XOR(h_a, h_b)) <= {AHASH_HAMMING_MAX}
+  GROUP BY h_a
+)
+SELECT h.doc_id,
+       CAST(c.n_docs - 1 + COALESCE(n.n_nbr, 0) AS BIGINT) AS n_near_dups
+FROM hashes h
+JOIN hc c USING (ahash)
+LEFT JOIN nbr n USING (ahash)
+ORDER BY h.doc_id
+""",
+)
+def ppm_ahash_near_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection: per document, how many other images
+    sit within hamming distance AHASH_HAMMING_MAX (=2) of its aHash
+    (identical hashes count — they're hamming 0). The entire near-dup
+    graph is built over DISTINCT HASH VALUES, not documents: a 16-bit
+    perceptual hash has at most 65536 distinct values, so the banded
+    candidate join (4x4-bit pigeonhole bands — any pair within hamming 3
+    shares an untouched band, superset of our threshold) is
+    CORPUS-SIZE-INDEPENDENT, and per-doc attribution is one join of docs
+    against the bounded (hash -> neighbor-weight) relation. This is the
+    right shape for collision-heavy perceptual hashes, where doc-level
+    banding would pay quadratic candidates inside every identical-hash
+    cluster; with a 64-bit phash the same plan holds with band width 16
+    and the hash-pair join still bounded by observed-distinct values
+    (<= corpus but typically << — AQE sizes the attribution join)."""
+    from otus_cpp_11_spark.ops.multimodal import (
+        decode_ppm_ahash,
+        synthesize_ppm_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = decode_ppm_ahash(synthesize_ppm_payloads(d))
+    hc = hashes.groupBy("ahash").agg(F.count(F.lit(1)).alias("n_docs"))
+    bands = hc.select(
+        "ahash",
+        "n_docs",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn(
+        "band_val", F.expr("pmod(shiftright(ahash, cast(4 * b as int)), 16)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.ahash") != F.col("b.ahash")),
+        )
+        .select(
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+            F.col("b.n_docs").alias("nb"),
+        )
+        .distinct()
+    )
+    nbr = (
+        cand.where(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= AHASH_HAMMING_MAX
+        )
+        .groupBy(F.col("h_a").alias("ahash"))
+        .agg(F.sum("nb").cast("bigint").alias("n_nbr"))
+    )
+    return (
+        hashes.join(hc, "ahash")
+        .join(nbr, "ahash", "left")
+        .select(
+            "doc_id",
+            (F.col("n_docs") - 1 + F.coalesce("n_nbr", F.lit(0)))
+            .cast("bigint")
+            .alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )

@@ -140,3 +140,40 @@ class TestRealCodecs:
             want = _wav_samples(doc_id)
             assert rows[doc_id].n_samples == len(want)
             assert rows[doc_id].pcm_sum == sum(want)
+
+
+def test_ahash_near_dup_counts_match_brute_force(spark):
+    # the banded distinct-hash-value plan must equal the all-pairs
+    # definition: for every doc, count others within hamming <= 2
+    from otus_cpp_11_spark.registry import all_queries
+
+    qs = all_queries()
+    hashes = {
+        r["doc_id"]: r["ahash"]
+        for r in qs["ppm_ahash16"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    got = {
+        r["doc_id"]: r["n_near_dups"]
+        for r in qs["ppm_ahash_near_dup_counts"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(got) == set(hashes)
+    for d, h in hashes.items():
+        want = sum(
+            1
+            for d2, h2 in hashes.items()
+            if d2 != d and bin(h ^ h2).count("1") <= 2
+        )
+        assert got[d] == want, (d, got[d], want)
+
+
+def test_ahash_brightness_shift_tolerance():
+    # the defining perceptual property: a constant brightness shift that
+    # does not wrap any channel byte leaves the aHash unchanged
+    from otus_cpp_11_spark.ops.multimodal import ahash16_from_ppm
+
+    w, h = 6, 4
+    base = [(37 + 3 * x + 5 * y) % 200 for y in range(h) for x in range(w)]
+    def ppm(shift):
+        raster = bytes(v + shift for v in base for _ in range(3))
+        return f"P6\n{w} {h}\n255\n".encode() + raster
+    assert ahash16_from_ppm(ppm(0)) == ahash16_from_ppm(ppm(40))
