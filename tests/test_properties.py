@@ -265,3 +265,47 @@ def test_pq_assignment_matches_bruteforce(spark, vecs):
             assert got[vid] == tuple(want), vid
     finally:
         sim.PQ_CODEBOOK, sim.PQ_SUBVECTORS = old_cb, old_sv
+
+
+def test_repeated_spans_periodic_text_coverage(spark):
+    """The documented internal-period-< k caveat (curation.py): on periodic
+    text, k-gram attribution may re-draw span boundaries versus the true
+    maximal repeat (e.g. a period-1 run longer than its source still marks
+    every position, because every k-gram of the run exists in the earlier
+    doc) — but the planted cases pin down that (a) the implementation
+    matches the k-gram definition exactly and (b) every token of every
+    true >= k cross-doc repeat is COVERED by some span, i.e. the
+    approximation never loses duplicated text, it only over-extends."""
+    from otus_cpp_11_spark.queries.curation import SPAN_TOKENS, _repeated_spans
+
+    k = SPAN_TOKENS
+    assert k == 5  # positions below are hand-computed for k = 5
+    docs = [
+        (0, "x " * 12 + "alpha beta gamma delta epsilon"),  # owns the x-run
+        (1, "u1 u2 u3 " + "x " * 12 + "v1 v2 v3"),  # straight periodic copy
+        (2, "x y " * 10 + "w1 w2 w3"),  # period-2 run, first owner
+        (3, "p1 p2 " + "x y " * 10 + "q1"),  # copies doc2's run
+        (4, "x " * 30),  # period-1 run LONGER than its doc-0 source
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, _repeated_spans(df).collect()))
+    assert got == brute_repeated_spans(docs, k)
+
+    spans: dict[int, list[range]] = {}
+    for doc_id, start, length, _n, _src in got:
+        spans.setdefault(doc_id, []).append(range(start, start + length))
+
+    def covered(doc_id, t0, t1):  # 1-based inclusive token positions
+        rs = spans.get(doc_id, [])
+        return all(any(t in r for r in rs) for t in range(t0, t1 + 1))
+
+    assert covered(1, 4, 15)  # the 12-token x-run copied from doc 0
+    assert covered(3, 3, 22)  # the 20-token "x y" run copied from doc 2
+    # period-1 over-extension: doc 4's entire 30-token run marks duplicated
+    # (every 5-gram is "x x x x x", first seen in doc 0's 12-token run) —
+    # one span covering all 30 tokens, NOT clipped to the source's length;
+    # this is the documented approximation direction (over-cover, never
+    # under-cover)
+    assert covered(4, 1, 30)
+    doc4 = [s for s in got if s[0] == 4]
+    assert doc4 == [(4, 1, 30, 26, 0)]
