@@ -91,27 +91,18 @@ def register(
 # remove their entries below (see the r5 note near WINDOW_DEFER).
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
-    "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
     "bpe_pair_counts": "d96cbbee11ec",
     "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_dedup_stats": "3fa9e48f7a71",
-    "cross_modal_doc_features": "1a3d8a0a163a",
-    "customer_monthly_retention": "5005e34e6d54",
     "customer_order_gap_stats": "6d3cb75325f9",
-    "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
-    "customer_running_spend": "471b2c9922e8",
-    "customers_above_avg_balance": "2c2142b03318",
-    "customers_without_orders": "9a01c8532a3d",
     "daily_active_users_7d": "9355cc7481e4",
-    "daily_open_shipments": "e3385cf3d8ee",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
     "doc_dedup_clusters": "5150a5c0e008",
-    "doc_fingerprint": "33da4a56e6be",
     "doc_lang_id": "9244112be464",
     "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
@@ -152,9 +143,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "kmeans_assign_update": "1957709e4ad9",
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
-    "latest_event_per_user": "256c7a2b2007",
     "lineitem_measures_unpivot": "858016643174",
-    "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
     "lineitem_qty_histogram": "5ad92f95736c",
     "lsh_cosine_top5": "bcbb1c08dc09",
@@ -162,55 +151,31 @@ DRIVER_VERIFIED: dict[str, str] = {
     "minhash_estimate_accuracy": "3f8b1be63edc",
     "multimodal_decode_features": "ba3641b52a2e",
     "multimodal_frame_sample": "6c3ae1db4d13",
-    "nation_richest_customer": "c569db84fd24",
-    "nation_set_ops": "ee0a45799605",
-    "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
     "ngram_jaccard_pairs": "1ce24908ed83",
-    "order_distinct_aggs": "798ac52398ee",
-    "orders_by_month": "3b5d56427f88",
-    "orders_cube": "977856a76063",
-    "orders_grouping_sets": "7c2a2fcda67b",
-    "orders_price_percentiles": "00142ef3899e",
-    "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
-    "orderstatus_pivot": "051fd9dd302a",
     "part_price_band_join": "feedac3b7d7c",
-    "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_decode_features": "9da4f48f676c",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
-    "q10_returned_revenue": "a4d4957ae078",
     "q11_important_stock": "b454a09f76f4",
     "q12_priority_shipping": "d4cca0b4c80f",
     "q13_customer_distribution": "18c33d02b9f8",
-    "q14_promo_revenue": "d1f7ed07548b",
     "q15_top_supplier": "267d02ce303f",
     "q16_part_supplier_relation": "325feca847e9",
     "q17_small_quantity_revenue": "d8f1b63dc433",
-    "q18_large_orders": "2d8c864c3af3",
-    "q19_discounted_revenue": "f2e73c0311bf",
-    "q1_pricing_summary": "3560e363e9ed",
     "q20_potential_promotion": "7b4ee3233b46",
     "q21_waiting_supplier": "73abdeeeea2e",
     "q22_global_sales_opportunity": "b6a092e119de",
     "q2_min_cost_supplier": "048685ea0a11",
-    "q3_shipping_priority": "918d9d1a9938",
     "q4_order_priority": "df07a6d2b909",
-    "q5_local_supplier_volume": "f16005f54f02",
-    "q6_forecast_revenue": "91e2e7229798",
-    "q7_nation_volume": "16361c09da0f",
-    "q8_market_share": "3f69435e2395",
     "q9_product_profit": "306004d14e1d",
-    "region_nation_full_outer": "f11eea99322c",
-    "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
-    "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "98c7aff24981",
     "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
@@ -218,8 +183,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
-    "suppliers_with_returns": "7a66c41651f6",
-    "top3_orders_per_customer": "e381e519d72e",
     "unique_by_abs": "aec470f57ab8",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
@@ -235,10 +198,54 @@ DRIVER_VERIFIED: dict[str, str] = {
 # after the rest of the unverified set (they stay gated by the local
 # oracle harness and take a slot next round). Queries added mid-round go
 # here so they don't displace the 50 already queued for driver rows.
-# Round 3: empty — the 90 r1+r2 greens yield their slots, so the 3 NTZ-fix
-# re-queues, the 11 r2 deferrals, and every query added this round all fit
-# inside the 50-slot window.
+# Round 5: empty — 13 new/changed queries + 37 oldest-green re-queues
+# fill the window exactly.
 WINDOW_DEFER: frozenset[str] = frozenset()
+
+# Oldest-green re-verification queue (r4 verdict item 7): queries whose
+# only driver row is from rounds 1-2, re-queued oldest-first into the
+# slots the window has spare this round. Ordered AFTER new/changed
+# queries by all_queries() so a fresh operator never loses its slot to a
+# routine re-verification.
+REVERIFY: frozenset[str] = frozenset({
+    "balanced_doc_sample",
+    "cross_modal_doc_features",
+    "customer_monthly_retention",
+    "customer_order_window_family",
+    "customer_running_spend",
+    "customers_above_avg_balance",
+    "customers_without_orders",
+    "daily_open_shipments",
+    "doc_fingerprint",
+    "latest_event_per_user",
+    "lineitem_price_qty_corr",
+    "nation_richest_customer",
+    "nation_set_ops",
+    "nation_supplier_left_join",
+    "order_distinct_aggs",
+    "orders_by_month",
+    "orders_cube",
+    "orders_grouping_sets",
+    "orders_price_percentiles",
+    "orders_rollup",
+    "orderstatus_pivot",
+    "parts_larger_than_brand_avg",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "region_nation_full_outer",
+    "region_nation_list",
+    "scalar_string_math",
+    "suppliers_with_returns",
+    "top3_orders_per_customer",
+})
 
 
 def all_queries() -> dict[str, Query]:
@@ -265,6 +272,10 @@ def all_queries() -> dict[str, Query]:
 
     items = list(_REGISTRY.items())
     items.sort(
-        key=lambda kv: (kv[0] in DRIVER_VERIFIED, kv[0] in WINDOW_DEFER)
-    )  # stable within each group
+        key=lambda kv: (
+            kv[0] in DRIVER_VERIFIED,
+            kv[0] in WINDOW_DEFER,
+            kv[0] in REVERIFY,
+        )
+    )  # stable within each group: new/changed, then re-verifications
     return dict(items)
