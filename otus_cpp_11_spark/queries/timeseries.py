@@ -629,3 +629,107 @@ def view_purchase_within_6h_streamed(spark: SparkSession, sf_dir: str) -> DataFr
         output_mode="append",
     )
     return out.orderBy("view_id", "purchase_id")
+
+
+@register(
+    "events_sliding_10min_5min_streamed",
+    oracle="""
+WITH starts AS (
+  SELECT event_id, value,
+         time_bucket(INTERVAL '5 minutes', ts) - offs * INTERVAL '5 minutes' AS window_start
+  FROM events
+  CROSS JOIN (SELECT UNNEST([0, 1]) AS offs) o
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM starts
+GROUP BY window_start
+ORDER BY window_start
+""",
+)
+def events_sliding_10min_5min_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of the sliding window, driver-visible:
+    streaming.sliding_counts (watermarked overlapping windows — each
+    event updates width/slide window states) drained under
+    Trigger.AvailableNow into a memory sink, against the batch oracle's
+    explicit two-offset expansion. Completes the driver-gated set for
+    the three window shapes (tumbling r4, session + sliding r5)."""
+    from otus_cpp_11_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        sliding_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        sliding_counts(stream), "sliding_10min_stream", output_mode="complete"
+    )
+    return out.orderBy("window_start")
+
+
+@register(
+    "events_dedup_streamed",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+ORDER BY event_id
+""",
+)
+def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state, driver-visible: the
+    events stream UNIONED WITH ITSELF (every event arrives twice, the
+    at-least-once delivery a real ingest must tolerate) flows through
+    dropDuplicatesWithinWatermark on event_id, which keeps a key
+    fingerprint only until the watermark passes it — state is O(events
+    per lateness horizon), the only dedup that survives an unbounded
+    stream. A bounded double-delivery replay must drain to exactly one
+    row per event: the oracle is the plain distinct event list."""
+    from otus_cpp_11_spark.streaming import (
+        dedup_by_event_id,
+        read_events_stream,
+        run_available_now,
+    )
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    out = run_available_now(
+        dedup_by_event_id(doubled).select("event_id", "user_id", "event_type"),
+        "dedup_stream",
+        output_mode="append",
+    )
+    return out.orderBy("event_id")
+
+
+@register(
+    "running_user_counts_streamed",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def running_user_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator, driver-visible:
+    streaming.running_user_counts (applyInPandasWithState — an
+    Arrow-batched per-key fold whose state is one long per user) drained
+    in update mode; each micro-batch emits the user's new cumulative
+    count, so the LAST update per user equals the batch count. The
+    memory sink keeps every update, hence the max-per-user collapse
+    before comparing to the plain batch aggregate — the
+    custom-stateful-operator analogue of the streaming=batch contract."""
+    from otus_cpp_11_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        running_user_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_available_now(
+        running_user_counts(stream), "running_counts_stream", output_mode="update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
