@@ -97,9 +97,11 @@ DRIVER_VERIFIED: dict[str, str] = {
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_dedup_stats": "3fa9e48f7a71",
+    "customer_monthly_retention": "5005e34e6d54",
     "customer_order_gap_stats": "6d3cb75325f9",
     "customer_rfm_quartiles": "6b43762ac3f2",
     "daily_active_users_7d": "9355cc7481e4",
+    "daily_open_shipments": "e3385cf3d8ee",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
     "doc_dedup_clusters": "5150a5c0e008",
@@ -144,6 +146,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
     "lineitem_measures_unpivot": "858016643174",
+    "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
     "lineitem_qty_histogram": "5ad92f95736c",
     "lsh_cosine_top5": "bcbb1c08dc09",
@@ -210,15 +213,12 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 REVERIFY: frozenset[str] = frozenset({
     "balanced_doc_sample",
     "cross_modal_doc_features",
-    "customer_monthly_retention",
     "customer_order_window_family",
     "customer_running_spend",
     "customers_above_avg_balance",
     "customers_without_orders",
-    "daily_open_shipments",
     "doc_fingerprint",
     "latest_event_per_user",
-    "lineitem_price_qty_corr",
     "nation_richest_customer",
     "nation_set_ops",
     "nation_supplier_left_join",
