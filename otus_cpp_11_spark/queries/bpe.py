@@ -271,3 +271,48 @@ def doc_pack_bins_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@register(
+    "source_token_fertility",
+    oracle=f"""
+WITH words AS (
+  SELECT d.source, UNNEST(REGEXP_EXTRACT_ALL(LOWER(d.text), '[a-z]+')) AS word
+  FROM documents d
+),
+enc AS ({_ENC_SQL})
+SELECT w.source,
+       COUNT(*) AS n_words,
+       CAST(SUM(LEN(e.toks)) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(LEN(e.toks)) AS DOUBLE) / COUNT(*) AS fertility
+FROM words w JOIN enc e USING (word)
+GROUP BY w.source
+ORDER BY w.source
+""",
+)
+def source_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens per word) by corpus source —
+    the standard tokenizer-vs-domain health metric (fertility creep on a
+    domain means the merge table underfits it and token budgets inflate).
+    Same vocab-sized encode as every BPE query; fertility is an exact
+    int/int division so both engines round identically."""
+    d = load_table(spark, sf_dir, "documents")
+    words = spread(d).select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    vocab = _vocab_token_counts(words)
+    return (
+        words.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+            (
+                F.sum("n_toks").cast("double") / F.count(F.lit(1))
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )

@@ -1226,3 +1226,61 @@ def ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_units", "vec_id")
         .limit(IVF_TOPK)
     )
+
+
+ADC_SHORTLIST = 50
+
+
+@register(
+    "pq_adc_rerank_top5",
+    oracle=f"""
+WITH {_PQ_ADC_CTES},
+short AS (
+  SELECT vec_id, adc_units FROM adc ORDER BY adc_units, vec_id LIMIT {ADC_SHORTLIST}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT s.vec_id, s.adc_units,
+         {_dot_sql("e.embedding", "q.qv")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM short s JOIN embeddings e USING (vec_id) CROSS JOIN q
+)
+SELECT vec_id, adc_units, cosine
+FROM rer
+ORDER BY cosine DESC, vec_id
+LIMIT 5
+""",
+)
+def pq_adc_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN serving pattern: PQ
+    asymmetric distance over STORED codes shortlists {ADC_SHORTLIST}
+    candidates (integer table lookups on 2 bytes/vector, quantization
+    error and all), then ONLY those candidates fetch their full vectors
+    for an exact fixed-point cosine rerank. At billions of vectors the
+    cost split is the whole point: stage 1 touches codes (cheap scan,
+    TakeOrderedAndProject), stage 2 touches {ADC_SHORTLIST} full vectors
+    (a point-lookup join) — full-precision math never runs corpus-wide.
+    AQE broadcasts the {ADC_SHORTLIST}-row shortlist into the fetch
+    join from its runtime size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _pq_centroids(e)
+    dtable = _pq_dtable(cents, cents[0])
+    codes = _pq_stored_codes(spark, sf_dir)
+    short = (
+        codes.where(F.col("vec_id") != 0)
+        .select("vec_id", _adc_expr(dtable).alias("adc_units"))
+        .orderBy("adc_units", "vec_id")
+        .limit(ADC_SHORTLIST)
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        short.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "adc_units",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+    )

@@ -99,6 +99,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "corpus_dedup_stats": "3fa9e48f7a71",
     "customer_monthly_retention": "5005e34e6d54",
     "customer_order_gap_stats": "6d3cb75325f9",
+    "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
     "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
@@ -154,6 +155,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "minhash_estimate_accuracy": "3f8b1be63edc",
     "multimodal_decode_features": "ba3641b52a2e",
     "multimodal_frame_sample": "6c3ae1db4d13",
+    "nation_richest_customer": "c569db84fd24",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
@@ -213,13 +215,11 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 REVERIFY: frozenset[str] = frozenset({
     "balanced_doc_sample",
     "cross_modal_doc_features",
-    "customer_order_window_family",
     "customer_running_spend",
     "customers_above_avg_balance",
     "customers_without_orders",
     "doc_fingerprint",
     "latest_event_per_user",
-    "nation_richest_customer",
     "nation_set_ops",
     "nation_supplier_left_join",
     "order_distinct_aggs",
