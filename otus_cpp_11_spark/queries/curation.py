@@ -929,3 +929,128 @@ def corpus_after_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# how target-like its hashed n-gram feature distribution is, so a curation
+# pipeline can importance-resample the raw pool toward a target domain
+# without training a model.
+
+DSIR_BUCKETS = 64
+DSIR_UNIT = 1_000_000  # fixed-point scale for the per-bucket probability ratio
+_DSIR_BUCKET_SQL = (
+    "((STRPOS('0123456789abcdef', SUBSTRING(MD5(f), 7, 1)) - 1) * 16"
+    " + (STRPOS('0123456789abcdef', SUBSTRING(MD5(f), 8, 1)) - 1))"
+    f" % {DSIR_BUCKETS}"
+)
+# unigrams ++ adjacent bigrams, as one array expression (no window, no
+# second explode): DSIR's feature space over the whitespace token stream.
+_DSIR_FEATS_EXPR = (
+    "concat(t, transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+    " (x, i) -> concat(x, ' ', element_at(t, i + 2))))"
+)
+
+
+@register(
+    "doc_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         UNNEST(LIST_CONCAT(t,
+             LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i + 1]))) AS f
+  FROM toks
+),
+bucketed AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM feats
+),
+dist AS (
+  SELECT b, COUNT(*) AS raw_n,
+         COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
+  FROM bucketed GROUP BY b
+),
+ratio AS (
+  SELECT b, ({DSIR_UNIT} * (tgt_n + 1)) // (raw_n + 1) AS r FROM dist
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(r) AS BIGINT) AS dsir_units
+  FROM bucketed JOIN ratio USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_feats, 0) AS n_feats,
+       COALESCE(p.dsir_units, 0) AS dsir_units,
+       CASE WHEN p.n_feats > 0
+            THEN CAST(p.dsir_units AS DOUBLE) / p.n_feats END AS mean_units
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+""",
+    bench=True,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hash every unigram+bigram feature into
+    {DSIR_BUCKETS} md5 buckets, estimate the target distribution from the
+    lang='en' slice and the raw distribution from the whole pool
+    (add-1 smoothed), and score each doc by the sum of its features'
+    target/raw probability ratios. The ratio is kept in exact fixed
+    point — ``(UNIT*(tgt+1)) div (raw+1)`` integer division — instead of
+    DSIR's log-likelihood ratio because transcendental logs are not
+    identically rounded across engines; the fixed-point ratio sum is a
+    monotone analogue of the same target-likeness ordering (documented
+    deviation, same resampling intent).
+
+    Scale shape: one explode of the corpus token stream, ONE shuffle on
+    the 6-bit bucket key for the distribution aggregate (64 rows out —
+    partial aggregation collapses almost everything map-side), then a
+    join of the re-exploded features against the 64-row ratio relation,
+    which AQE converts to broadcast at runtime (bounded by construction:
+    the bucket space is fixed, not data-dependent — no hint needed, same
+    policy as top-terms). Per-doc sums shuffle (doc_id) once. At 100 TB
+    the feature explode is the dominant cost and is embarrassingly
+    parallel; the 64-row model table is the only global state, the
+    property that makes DSIR tractable where a learned classifier needs
+    a training loop. Feature hashing uses the same two-nibble md5
+    arithmetic as doc_shard_assignment so both engines bucket
+    identically."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", "lang", toks.alias("t"))
+    feats = base.select(
+        "doc_id", "lang", F.explode(F.expr(_DSIR_FEATS_EXPR)).alias("f")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f")), 7, 2), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    bucketed = feats.select("doc_id", "lang", bucket.alias("b"))
+    dist = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_n"),
+    )
+    ratio = dist.select(
+        "b", F.expr(f"({DSIR_UNIT} * (tgt_n + 1)) div (raw_n + 1)").alias("r")
+    )
+    per_doc = (
+        bucketed.join(ratio, "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("r").alias("dsir_units"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("dsir_units", F.lit(0)).alias("dsir_units"),
+            F.when(
+                F.col("n_feats") > 0,
+                F.col("dsir_units").cast("double") / F.col("n_feats"),
+            ).alias("mean_units"),
+        )
+        .orderBy("doc_id")
+    )

@@ -18,7 +18,7 @@ materializes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table, spread
@@ -1283,4 +1283,97 @@ def pq_adc_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN JOIN: every query vector gets its top-k neighbors in one relational
+# plan — the many-query generalization of the single-query ANN paths above,
+# and the shape retrieval-augmentation / SemDeDup-style curation actually
+# runs (a whole query SET against the corpus, not one vector at a time).
+
+KNN_QUERY_MOD = 20  # vec_id % 20 == 0 -> the query subset (1/20 of the table)
+KNN_TOPK = 3
+
+
+@register(
+    "knn_join_lsh_top3",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_bucket_sql("embedding")} AS qbucket
+  FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+),
+cand AS (
+  SELECT vec_id, label, embedding,
+         {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {_dot_sql("c.embedding", "q.qv")} /
+         (SQRT({_dot_sql("c.embedding", "c.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM q JOIN cand c ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rnk
+FROM ranked WHERE rnk <= {KNN_TOPK}
+ORDER BY query_id, rnk
+""",
+    bench=True,
+)
+def knn_join_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN join: the query subset (every {KNN_QUERY_MOD}th
+    vector) joins the corpus on equal LSH sign-signature, scores cosine
+    inside each bucket only, and a per-query window keeps the top
+    {KNN_TOPK} (total tie-break on neighbor_id). This is the retrieval /
+    SemDeDup workhorse: N queries answered in ONE plan — a bucket
+    equi-join plus a windowed rank — instead of N single-query scans.
+
+    Scale shape: both sides compute the bucket as a pure column
+    expression (at 100 TB it is computed at write time and used as the
+    partition key, making the join partition-aligned with zero shuffle
+    of the corpus side); the equi-join shuffles each side once on the
+    bucket id; the rank shuffles candidate rows once on query_id.
+    Candidate volume per bucket is |corpus|/2^planes — the standard LSH
+    scaling rule applies (plane count grows with log N so per-bucket
+    population stays bounded; recall is recovered with the multiprobe
+    expansion of lsh_cosine_top5_multiprobe, same plan shape with an
+    exploded probe list). Per-query work is therefore bounded and the
+    whole join is linear in corpus size at fixed bucket occupancy —
+    never all-pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _bucket_col(F.col("embedding")).alias("qbucket"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("cv"),
+        _bucket_col(F.col("embedding")).alias("bucket"),
+    )
+    scored = (
+        q.join(
+            cand,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine_sim(F.col("cv"), F.col("qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= KNN_TOPK)
+        .orderBy("query_id", "rnk")
     )

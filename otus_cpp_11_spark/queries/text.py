@@ -248,3 +248,115 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("score_units").cast("double") / F.col("n_tokens")).alias("mean_weight"),
         ((F.col("score_units") + QC_BIAS * F.col("n_tokens")) > 0).alias("quality_pass"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules (Rae et al. 2021, appendix A1.1) —
+# the rule battery production corpora actually ship: every rule computed in
+# one scan, each as its own boolean column so accounting ("which rule killed
+# how many docs") falls out of the same plan.
+
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+
+@register(
+    "doc_gopher_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+           + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS n_symbols
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         LEN(toks) AS n_words,
+         CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS BIGINT) AS n_word_chars,
+         LEN(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+         LEN(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS n_stop,
+         n_symbols
+  FROM t
+)
+SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop, n_symbols,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS rule_word_count,
+       (n_words > 0 AND CAST(n_word_chars AS DOUBLE) / n_words
+            BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}) AS rule_mean_word_len,
+       (n_words > 0 AND CAST(n_symbols AS DOUBLE) / n_words
+            < {GOPHER_MAX_SYMBOL_RATIO}) AS rule_symbol_ratio,
+       (n_words > 0 AND CAST(n_alpha_words AS DOUBLE) / n_words
+            > {GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha_frac,
+       (n_stop >= {GOPHER_MIN_STOP_HITS}) AS rule_stopwords,
+       ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+        AND n_words > 0
+        AND CAST(n_word_chars AS DOUBLE) / n_words
+              BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+        AND CAST(n_symbols AS DOUBLE) / n_words < {GOPHER_MAX_SYMBOL_RATIO}
+        AND CAST(n_alpha_words AS DOUBLE) / n_words > {GOPHER_MIN_ALPHA_FRAC}
+        AND n_stop >= {GOPHER_MIN_STOP_HITS}) AS gopher_pass
+FROM s
+ORDER BY doc_id
+""",
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (word-count bounds, mean word length,
+    symbol-to-word ratio, alphabetic-word fraction, minimum stopword
+    hits), each rule surfaced as its own boolean plus the composite
+    gate. All signals come out of ONE narrow scan — higher-order array
+    functions over the whitespace token array, no explode, no shuffle,
+    whole-stage codegen end to end — so at 100 TB this is a pure map
+    over the corpus whose cost is the scan itself. Ratios are int/int
+    double divisions (bit-identical across engines); symbol counting is
+    exact integer REPLACE-length arithmetic. Complements
+    doc_quality_score (C4-style stopword heuristic),
+    doc_quality_classifier (learned), and doc_repetition_stats
+    (Gopher's repetition section) — together the four faces of a
+    production quality stack."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks)
+    n_word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin([*STOPWORDS])))
+    n_symbols = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ) + F.expr("(LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) div 3")
+    s = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop"),
+        n_symbols.cast("bigint").alias("n_symbols"),
+    )
+    nw = F.col("n_words")
+    mean_len = F.col("n_word_chars").cast("double") / nw
+    sym_ratio = F.col("n_symbols").cast("double") / nw
+    alpha_frac = F.col("n_alpha_words").cast("double") / nw
+    r_words = nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mean = (nw > 0) & mean_len.between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+    r_sym = (nw > 0) & (sym_ratio < GOPHER_MAX_SYMBOL_RATIO)
+    r_alpha = (nw > 0) & (alpha_frac > GOPHER_MIN_ALPHA_FRAC)
+    r_stop = F.col("n_stop") >= GOPHER_MIN_STOP_HITS
+    return s.select(
+        "doc_id",
+        "n_words",
+        "n_word_chars",
+        "n_alpha_words",
+        "n_stop",
+        "n_symbols",
+        r_words.alias("rule_word_count"),
+        r_mean.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_frac"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mean & r_sym & r_alpha & r_stop).alias("gopher_pass"),
+    ).orderBy("doc_id")

@@ -161,12 +161,15 @@ DRIVER_VERIFIED: dict[str, str] = {
     "near_dup_pairs_minhash": "9e5069a0a0ba",
     "ngram_jaccard_pairs": "1ce24908ed83",
     "orders_yoy_growth": "36e8f4429a72",
+    "orders_price_percentiles": "00142ef3899e",
     "part_price_band_join": "feedac3b7d7c",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_decode_features": "9da4f48f676c",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
+    "q7_nation_volume": "16361c09da0f",
+    "q8_market_share": "3f69435e2395",
     "python_datasource_checksum": "063511ddd858",
     "q11_important_stock": "b454a09f76f4",
     "q12_priority_shipping": "d4cca0b4c80f",
@@ -203,15 +206,19 @@ DRIVER_VERIFIED: dict[str, str] = {
 # after the rest of the unverified set (they stay gated by the local
 # oracle harness and take a slot next round). Queries added mid-round go
 # here so they don't displace the 50 already queued for driver rows.
-# Round 5: empty — 13 new/changed queries + 37 oldest-green re-queues
-# fill the window exactly.
+# Round 5: empty — new/changed queries + oldest-green re-queues fill the
+# window exactly; each operator added mid-round displaced the youngest
+# re-queue instead (its r2 pin restored — see the REVERIFY note).
 WINDOW_DEFER: frozenset[str] = frozenset()
 
 # Oldest-green re-verification queue (r4 verdict item 7): queries whose
 # only driver row is from rounds 1-2, re-queued oldest-first into the
 # slots the window has spare this round. Ordered AFTER new/changed
 # queries by all_queries() so a fresh operator never loses its slot to a
-# routine re-verification.
+# routine re-verification. Mid-round operator additions (doc_gopher_rules,
+# doc_dsir_weights, knn_join_lsh_top3, ...) each displace the youngest
+# member of this queue — its still-valid r2 pin goes back into
+# DRIVER_VERIFIED — keeping the driver window at exactly 50.
 REVERIFY: frozenset[str] = frozenset({
     "balanced_doc_sample",
     "cross_modal_doc_features",
@@ -226,7 +233,6 @@ REVERIFY: frozenset[str] = frozenset({
     "orders_by_month",
     "orders_cube",
     "orders_grouping_sets",
-    "orders_price_percentiles",
     "orders_rollup",
     "orderstatus_pivot",
     "parts_larger_than_brand_avg",
@@ -238,8 +244,6 @@ REVERIFY: frozenset[str] = frozenset({
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
     "region_nation_full_outer",
     "region_nation_list",
     "scalar_string_math",

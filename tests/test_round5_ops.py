@@ -1,0 +1,163 @@
+"""Round-5 mid-round operators: Gopher rule battery (planted edge docs, one
+per rule), DSIR importance weights (separable planted vocabularies), and the
+blocked k-NN join (brute-force within-bucket equivalence + plan shape)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Plant a documents.parquet with the production schema so the query
+    under test runs its real end-to-end path (load_table included)."""
+    df = spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, (t, lang) in enumerate(rows)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+class TestGopherRules:
+    def test_each_rule_fires_on_its_planted_doc(self, spark, tmp_path):
+        from otus_cpp_11_spark.queries.text import doc_gopher_rules
+
+        good = "the quick brown fox jumps over the lazy dog and then " + (
+            "word " * 40
+        ).strip()
+        rows = [
+            (good, "en"),                               # 0: passes everything
+            ("the of short", "en"),                     # 1: too few words
+            (("supercalifragilistic " * 50).strip() + " the of", "en"),  # 2: mean len
+            (good + " " + ("# " * 20).strip(), "en"),   # 3: symbol ratio
+            (("1 2 3 4 5 " * 10).strip() + " the of", "en"),  # 4: alpha frac
+            (("word " * 50).strip(), "en"),             # 5: no stopwords
+        ]
+        out = {
+            r.doc_id: r
+            for r in doc_gopher_rules(spark, _write_docs(spark, tmp_path, rows))
+            .collect()
+        }
+        assert out[0].gopher_pass
+        assert not out[1].rule_word_count and not out[1].gopher_pass
+        assert not out[2].rule_mean_word_len and not out[2].gopher_pass
+        assert not out[3].rule_symbol_ratio and not out[3].gopher_pass
+        assert not out[4].rule_alpha_frac and not out[4].gopher_pass
+        assert not out[5].rule_stopwords and not out[5].gopher_pass
+        # the distinguishing rule is the ONLY failing rule on docs 3-5
+        # (each planted doc isolates one signal)
+        assert out[3].rule_word_count and out[3].rule_mean_word_len
+        assert out[4].rule_word_count and out[4].rule_stopwords
+        assert out[5].rule_word_count and out[5].rule_alpha_frac
+
+    def test_signal_arithmetic(self, spark, tmp_path):
+        from otus_cpp_11_spark.queries.text import doc_gopher_rules
+
+        rows = [("aa bbb # ... the", "en")]
+        r = doc_gopher_rules(spark, _write_docs(spark, tmp_path, rows)).collect()[0]
+        assert r.n_words == 5
+        # '#' and '...' both count as words AND as symbols by design
+        assert r.n_word_chars == len("aabbb#...the")
+        assert r.n_symbols == 2
+        assert r.n_alpha_words == 3
+        assert r.n_stop == 1
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_higher(self, spark, tmp_path):
+        """Separable vocabularies: en docs draw from {alpha..}, others from
+        {zeta..}. Every en doc's features live in target-heavy buckets, so
+        its mean ratio must exceed every non-en doc's."""
+        from otus_cpp_11_spark.queries.curation import doc_dsir_weights
+
+        en = "alpha beta gamma delta epsilon alpha beta gamma"
+        de = "zeta eta theta iota kappa zeta eta theta"
+        rows = [(en, "en")] * 4 + [(de, "de")] * 4
+        out = doc_dsir_weights(spark, _write_docs(spark, tmp_path, rows)).collect()
+        en_means = [r.mean_units for r in out if r.doc_id < 4]
+        de_means = [r.mean_units for r in out if r.doc_id >= 4]
+        assert min(en_means) > max(de_means)
+
+    def test_feature_count_is_unigrams_plus_bigrams(self, spark, tmp_path):
+        from otus_cpp_11_spark.queries.curation import doc_dsir_weights
+
+        rows = [("a b c d", "en"), ("solo", "en"), ("", "en")]
+        out = {
+            r.doc_id: r
+            for r in doc_dsir_weights(
+                spark, _write_docs(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert out[0].n_feats == 4 + 3
+        assert out[1].n_feats == 1
+        # empty doc: zero-filled, not dropped
+        assert out[2].n_feats == 0 and out[2].dsir_units == 0
+        assert out[2].mean_units is None
+
+
+class TestKnnJoin:
+    def test_matches_brute_force_within_buckets(self, spark):
+        """Replicate bucket assignment + fixed-point cosine in numpy over
+        the full sf0.001 table and check the join returns exactly the
+        brute-force within-bucket top-3 per query."""
+        import numpy as np
+
+        from otus_cpp_11_spark.queries.similarity import (
+            KNN_QUERY_MOD,
+            KNN_TOPK,
+            _SCALE,
+            _hyperplanes,
+            knn_join_lsh_top3,
+        )
+
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        planes = [np.array(p) for p in _hyperplanes()]
+
+        def fdot(a, b):
+            return math.fsum(
+                float(np.floor(x * y * _SCALE)) for x, y in zip(a, b)
+            ) / _SCALE
+
+        def bucket(v):
+            return sum(
+                (1 << k) for k, p in enumerate(planes) if fdot(v, p) > 0
+            )
+
+        buckets = {vid: bucket(v) for vid, v in vecs.items()}
+        expect = {}
+        for qid, qv in vecs.items():
+            if qid % KNN_QUERY_MOD:
+                continue
+            cands = []
+            for vid, v in vecs.items():
+                if vid == qid or buckets[vid] != buckets[qid]:
+                    continue
+                cos = fdot(v, qv) / (
+                    math.sqrt(fdot(v, v)) * math.sqrt(fdot(qv, qv))
+                )
+                cands.append((-cos, vid))
+            cands.sort()
+            expect[qid] = [vid for _, vid in cands[:KNN_TOPK]]
+
+        got = {}
+        for r in knn_join_lsh_top3(spark, SF_SMOKE).collect():
+            got.setdefault(r.query_id, []).append(r.neighbor_id)
+        assert got == {q: n for q, n in expect.items() if n}
+
+    def test_plan_is_equi_join_not_cartesian(self, spark):
+        from otus_cpp_11_spark.queries.similarity import knn_join_lsh_top3
+
+        plan = knn_join_lsh_top3(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
