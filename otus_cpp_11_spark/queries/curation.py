@@ -1054,3 +1054,130 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters: the bounded-memory frequency sketch for
+# vocabularies too large to count exactly (heavy-hitter detection over a
+# web-scale token stream). Depth x width counters are fixed BY CONSTRUCTION,
+# and CMS never under-estimates — both properties are gated below.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(row: int, tok: str) -> str:
+    h = f"MD5('{row}:' || {tok})"
+    return (
+        f"((STRPOS('0123456789abcdef', SUBSTRING({h}, 7, 1)) - 1) * 16"
+        f" + (STRPOS('0123456789abcdef', SUBSTRING({h}, 8, 1)) - 1)) % {CMS_WIDTH}"
+    )
+
+
+def _cms_bucket_col(row: int, tok) -> "F.Column":
+    h = F.md5(F.concat(F.lit(f"{row}:"), tok))
+    return F.conv(F.substring(h, 7, 2), 16, 10).cast("bigint") % CMS_WIDTH
+
+
+@register(
+    "term_cms_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok
+),
+top AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok LIMIT {CMS_TOPK}
+),
+counters AS (
+  SELECT t.r,
+         CASE t.r {" ".join(f"WHEN {i} THEN {_cms_bucket_sql(i, 'tok')}" for i in range(CMS_DEPTH))} END AS bkt,
+         COUNT(*) AS c
+  FROM toks, RANGE({CMS_DEPTH}) t(r)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT top.tok, top.exact_cnt, MIN(c.c) AS cms_estimate
+  FROM top, RANGE({CMS_DEPTH}) t(r)
+  JOIN counters c
+    ON c.r = t.r
+   AND c.bkt = (CASE t.r {" ".join(f"WHEN {i} THEN {_cms_bucket_sql(i, 'top.tok')}" for i in range(CMS_DEPTH))} END)
+  GROUP BY top.tok, top.exact_cnt
+)
+SELECT tok, exact_cnt, cms_estimate,
+       (cms_estimate >= exact_cnt) AS never_underestimates
+FROM est
+ORDER BY exact_cnt DESC, tok
+""",
+)
+def term_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, gated against exact
+    counts for the top-{CMS_TOPK} heavy hitters. The sketch is
+    {CMS_DEPTH}x{CMS_WIDTH} integer counters — bounded BY CONSTRUCTION
+    (the hash space fixes the size, not the vocabulary), so at 100 TB
+    the counter table broadcasts while exact per-term counting would
+    shuffle a billion-term vocabulary; the estimate is the min over
+    {CMS_DEPTH} independent md5 rows and can only over-count
+    (collisions add, never subtract) — the `never_underestimates`
+    column pins that invariant cross-engine, the same
+    estimate-plus-exact-companion gating the HLL/t-digest sketches use.
+    Plan: ONE explode feeds both the exact aggregate (for the gate) and
+    the counter aggregate ({CMS_DEPTH} rows per token via a literal
+    explode; partial aggregation collapses map-side); the per-term
+    lookup joins the {CMS_DEPTH * CMS_WIDTH}-row counter relation,
+    which AQE broadcasts at runtime."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(CMS_TOPK)
+    hashed = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _cms_bucket_col(i, F.col("tok")).alias("bkt"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("s")
+    ).select("s.r", "s.bkt")
+    counters = hashed.groupBy("r", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    probes = top.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _cms_bucket_col(i, F.col("tok")).alias("bkt"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "exact_cnt", "p.r", "p.bkt")
+    est = (
+        probes.join(counters, ["r", "bkt"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_cnt")).alias(
+            "never_underestimates"
+        ),
+    ).orderBy(F.desc("exact_cnt"), "tok")

@@ -703,3 +703,95 @@ def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout: interleave the bits of two bucketed dimensions so
+# a single sort key clusters BOTH — the standard lakehouse OPTIMIZE ZORDER
+# move, expressed as plain integer column math.
+
+Z_BITS = 4  # 16 buckets per dimension -> 8-bit z-value, 256 cells
+
+
+def _z_interleave(px: str, py: str):
+    """Morton-interleave two Z_BITS-bit bucket id columns (px gets the
+    odd bits)."""
+    z = F.lit(0)
+    for i in range(Z_BITS):
+        z = (
+            z
+            + F.expr(f"(({px} div {2 ** i}) % 2) * {2 ** (2 * i + 1)}")
+            + F.expr(f"(({py} div {2 ** i}) % 2) * {2 ** (2 * i)}")
+        )
+    return z
+
+
+_Z_SQL = " + ".join(
+    f"((px // {2 ** i}) % 2) * {2 ** (2 * i + 1)}"
+    f" + ((py // {2 ** i}) % 2) * {2 ** (2 * i)}"
+    for i in range(Z_BITS)
+)
+
+
+@register(
+    "lineitem_zorder_cells",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MAX(l_partkey) AS max_pk, MAX(l_suppkey) AS max_sk FROM lineitem
+),
+bucketed AS (
+  SELECT l_partkey, l_suppkey,
+         (l_partkey * {2 ** Z_BITS}) // (max_pk + 1) AS px,
+         (l_suppkey * {2 ** Z_BITS}) // (max_sk + 1) AS py
+  FROM lineitem, bounds
+),
+cells AS (
+  SELECT {_Z_SQL} AS zval,
+         COUNT(*) AS n_rows,
+         MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+  FROM bucketed GROUP BY 1
+)
+SELECT zval, n_rows, min_pk, max_pk, min_sk, max_sk FROM cells
+ORDER BY zval
+""",
+)
+def lineitem_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout planning: bucket (l_partkey, l_suppkey) into
+    {2 ** Z_BITS} ranges each, Morton-interleave the bucket bits into one
+    8-bit z-value, and report each z-cell's row count and key extents.
+    Every cell's extent is provably <= 1/{2 ** Z_BITS} of each key's
+    domain — the property that makes z-order the lakehouse layout for
+    TWO-dimensional predicates: write the table
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` and parquet
+    footer min/max stats become tight (partkey, suppkey) rectangles, so
+    a conjunctive 2-D filter prunes ~{(2 ** Z_BITS) ** 2 - 2 ** Z_BITS}
+    of {(2 ** Z_BITS) ** 2} cells' files before reading a byte — where a
+    single-column sort clusters one dimension and scans the full table
+    for predicates on the other. This is OPTIMIZE ZORDER re-expressed as
+    pure integer column math (bucket via scalar-max normalization,
+    interleave via div/mod — exact in both engines); at 100 TB the
+    z-value is computed at write time and the 1-row bounds relation is
+    the only driver-side state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.max("l_partkey").alias("max_pk"), F.max("l_suppkey").alias("max_sk")
+    )
+    bucketed = li.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(f"(l_partkey * {2 ** Z_BITS}) div (max_pk + 1)").alias("px"),
+        F.expr(f"(l_suppkey * {2 ** Z_BITS}) div (max_sk + 1)").alias("py"),
+    )
+    cells = (
+        bucketed.select("l_partkey", "l_suppkey", _z_interleave("px", "py").alias("zval"))
+        .groupBy("zval")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )
+    return cells.orderBy("zval")

@@ -161,3 +161,103 @@ class TestKnnJoin:
         plan = knn_join_lsh_top3(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCmsHeavyHitters:
+    def test_planted_counts_and_overestimate_invariant(self, spark, tmp_path):
+        from otus_cpp_11_spark.queries.curation import term_cms_heavy_hitters
+
+        rows = [("a a a b b c", "en"), ("a b c d", "en")]
+        out = term_cms_heavy_hitters(
+            spark, _write_docs(spark, tmp_path, rows)
+        ).collect()
+        by_tok = {r.tok: r for r in out}
+        assert by_tok["a"].exact_cnt == 4
+        assert by_tok["b"].exact_cnt == 3
+        assert by_tok["c"].exact_cnt == 2
+        assert by_tok["d"].exact_cnt == 1
+        assert all(r.never_underestimates for r in out)
+        # output is rank-ordered: exact_cnt descending, token tie-break
+        keys = [(-r.exact_cnt, r.tok) for r in out]
+        assert keys == sorted(keys)
+
+    def test_estimates_exact_without_collisions(self, spark, tmp_path):
+        """With fewer distinct tokens than any row's width, collisions are
+        possible but estimate-min over 4 independent rows should still be
+        >= exact; when NO two planted tokens share a bucket in some row,
+        the min equals the exact count."""
+        from otus_cpp_11_spark.queries.curation import (
+            CMS_DEPTH,
+            CMS_WIDTH,
+            term_cms_heavy_hitters,
+        )
+        import hashlib
+
+        toks = ["w%d" % i for i in range(8)]
+
+        def bucket(r, t):
+            return int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[6:8], 16) % CMS_WIDTH
+
+        collision_free_rows = [
+            r
+            for r in range(CMS_DEPTH)
+            if len({bucket(r, t) for t in toks}) == len(toks)
+        ]
+        assert collision_free_rows, "8 tokens in 256 buckets: expected a clean row"
+        rows = [(" ".join(toks), "en")]
+        out = term_cms_heavy_hitters(
+            spark, _write_docs(spark, tmp_path, rows)
+        ).collect()
+        assert all(r.cms_estimate == r.exact_cnt for r in out)
+
+
+class TestZorderCells:
+    def test_cell_extents_and_interleave_roundtrip(self, spark):
+        from otus_cpp_11_spark.queries.sampling import (
+            Z_BITS,
+            lineitem_zorder_cells,
+        )
+
+        cells = lineitem_zorder_cells(spark, SF_SMOKE).collect()
+        assert 0 < len(cells) <= (2**Z_BITS) ** 2
+
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        import pyspark.sql.functions as F
+
+        mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).collect()[0]
+        max_pk, max_sk = mx[0], mx[1]
+
+        def deinterleave(z):
+            px = py = 0
+            for i in range(Z_BITS):
+                px |= ((z >> (2 * i + 1)) & 1) << i
+                py |= ((z >> (2 * i)) & 1) << i
+            return px, py
+
+        for c in cells:
+            px, py = deinterleave(c.zval)
+            # every key inside the cell must bucket back to (px, py):
+            # the tight-rectangle property file skipping relies on
+            assert (c.min_pk * 2**Z_BITS) // (max_pk + 1) == px
+            assert (c.max_pk * 2**Z_BITS) // (max_pk + 1) == px
+            assert (c.min_sk * 2**Z_BITS) // (max_sk + 1) == py
+            assert (c.max_sk * 2**Z_BITS) // (max_sk + 1) == py
+
+    def test_conjunctive_predicate_hits_one_cell(self, spark):
+        """A 2-D point predicate maps to exactly one z-cell — the pruning
+        guarantee a z-ordered layout provides to conjunctive filters."""
+        from otus_cpp_11_spark.queries.sampling import lineitem_zorder_cells
+
+        cells = lineitem_zorder_cells(spark, SF_SMOKE).collect()
+        probe_pk, probe_sk = cells[0].min_pk, cells[0].min_sk
+        hits = [
+            c
+            for c in cells
+            if c.min_pk <= probe_pk <= c.max_pk
+            and c.min_sk <= probe_sk <= c.max_sk
+        ]
+        assert cells[0].zval in {c.zval for c in hits}
+        # rectangles from DIFFERENT (px,py) buckets can't contain the probe
+        from otus_cpp_11_spark.queries.sampling import Z_BITS
+
+        assert len(hits) <= 4  # overlap only via shared bucket boundaries
