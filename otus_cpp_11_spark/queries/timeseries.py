@@ -733,3 +733,59 @@ def running_user_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_events").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "view_purchase_left_outer_streamed",
+    oracle="""
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM p))
+         - INTERVAL '10 minutes' AS w
+)
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM v JOIN p
+  ON v.user_id = p.user_id AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '6 hours'
+UNION ALL
+SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id, CAST(NULL AS BIGINT)
+FROM v, wm
+WHERE v.ts < wm.w - INTERVAL '6 hours'
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = v.user_id
+      AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '6 hours'
+  )
+ORDER BY view_id, purchase_id
+""",
+)
+def view_purchase_left_outer_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream LEFT OUTER interval join, driver-visible: every
+    view emits, matched or null-extended — but a null-extended row may
+    only appear once Spark KNOWS no match can arrive, i.e. once the
+    final watermark (min over both sides of max event time - 10 min)
+    passes view.ts + 6 h. The oracle encodes exactly that horizon: the
+    batch range join's inner pairs, plus one null row per never-matched
+    view STRICTLY older than watermark - 6 h; views inside the horizon
+    stay buffered when the bounded replay stops (a restart resumes them
+    from the checkpoint — semantics, not loss; pinned by
+    tests/test_streaming.py::test_stream_stream_outer_join_equals_batch).
+    State is watermark-evictable on both sides, identical to the inner
+    join — the property that lets attribution (unconverted impressions)
+    run on an unbounded stream."""
+    from otus_cpp_11_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        view_purchase_stream_join_outer,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    views = stream.where(F.col("event_type") == "view")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    out = run_available_now(
+        view_purchase_stream_join_outer(views, purchases),
+        "view_purchase_outer_stream",
+        output_mode="append",
+    )
+    return out.orderBy("view_id", "purchase_id")
