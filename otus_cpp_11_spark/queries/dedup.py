@@ -1010,3 +1010,78 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy(
         "new_doc", "index_doc"
     )
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_NEAR_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM near_pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM near_pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT doc_id, group_key,
+       CASE WHEN ((STRPOS('0123456789abcdef',
+                          SUBSTRING(MD5(CAST(group_key AS VARCHAR)), 7, 1)) - 1) * 16
+                + (STRPOS('0123456789abcdef',
+                          SUBSTRING(MD5(CAST(group_key AS VARCHAR)), 8, 1)) - 1)) % 8 = 0
+            THEN 'val' ELSE 'train' END AS split
+FROM grouped
+ORDER BY doc_id
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the fold is hashed from the doc's
+    NEAR-DUP CLUSTER root (singleton docs fall back to their own id), so
+    a document and all its near-duplicates land in the SAME fold by
+    construction — the split discipline that keeps paraphrased copies of
+    a val document out of train (the eval-contamination channel plain
+    per-doc random splits leave open; same motivation as benchmark
+    decontamination, applied at split time). Deterministic md5 fold
+    hash (two-nibble arithmetic, identical in both engines), expected
+    1/8 of groups in val.
+
+    Scale shape: reuses the LSH near-dup pair graph + iterative
+    connected components (never all-pairs); the cluster relation is
+    |duplicated docs| rows — orders of magnitude smaller than the corpus
+    — so the left join back to documents is AQE-broadcastable at
+    moderate duplication rates and degrades to shuffle when half the
+    web is a copy of the other half. The fold hash is a pure column
+    expression over the group key, so the split column can be computed
+    at write time and used as a partition key (train/val live in
+    separate partitions; no scan-time filtering)."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = doc_dedup_clusters(spark, sf_dir)
+    grouped = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("group_key"),
+        )
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("group_key").cast("string")), 7, 2), 16, 10
+        ).cast("bigint")
+        % 8
+    )
+    return grouped.select(
+        "doc_id",
+        "group_key",
+        F.when(h == 0, "val").otherwise("train").alias("split"),
+    ).orderBy("doc_id")

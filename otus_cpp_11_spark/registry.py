@@ -168,6 +168,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
+    "q6_forecast_revenue": "91e2e7229798",
     "q14_promo_revenue": "d1f7ed07548b",
     "q18_large_orders": "2d8c864c3af3",
     "q19_discounted_revenue": "f2e73c0311bf",
@@ -243,7 +244,6 @@ REVERIFY: frozenset[str] = frozenset({
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "region_nation_full_outer",
     "region_nation_list",
     "scalar_string_math",

@@ -261,3 +261,34 @@ class TestZorderCells:
         from otus_cpp_11_spark.queries.sampling import Z_BITS
 
         assert len(hits) <= 4  # overlap only via shared bucket boundaries
+
+
+class TestLeakageSafeSplit:
+    def test_near_dup_pairs_never_straddle_folds(self, spark):
+        from otus_cpp_11_spark.queries.dedup import (
+            leakage_safe_split,
+            near_dup_pairs_minhash,
+        )
+
+        split = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(spark, SF_SMOKE).collect()
+        }
+        pairs = near_dup_pairs_minhash(spark, SF_SMOKE).collect()
+        for p in pairs:
+            assert split[p.doc_a] == split[p.doc_b], (p.doc_a, p.doc_b)
+        # both folds exist and every doc is assigned exactly once
+        assert set(split.values()) <= {"train", "val"}
+        n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+        assert len(split) == n_docs
+
+    def test_fold_is_group_deterministic(self, spark):
+        """Same group key -> same fold, independent of the doc's own id
+        (the property per-doc hashing lacks)."""
+        from otus_cpp_11_spark.queries.dedup import leakage_safe_split
+
+        rows = leakage_safe_split(spark, SF_SMOKE).collect()
+        by_group = {}
+        for r in rows:
+            by_group.setdefault(r.group_key, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_group.values())
