@@ -292,3 +292,47 @@ class TestLeakageSafeSplit:
         for r in rows:
             by_group.setdefault(r.group_key, set()).add(r.split)
         assert all(len(s) == 1 for s in by_group.values())
+
+
+class TestObservedFunnel:
+    def test_metrics_ride_the_single_action(self, spark):
+        """Observation metrics must equal independently recomputed stage
+        counts, and both stages' metrics arrive from ONE action on the
+        final frame (no per-metric re-scan jobs)."""
+        import pyspark.sql.functions as F
+
+        from otus_cpp_11_spark.ops.observe import curation_funnel_observed
+
+        result, obs = curation_funnel_observed(spark, SF_SMOKE)
+        rows = result.collect()  # the one action
+
+        got_in, got_kept = obs["input"].get, obs["kept"].get
+
+        d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        scored = d.select(
+            F.size(toks).alias("n_tokens"),
+            F.size(
+                F.filter(
+                    toks,
+                    lambda x: x.isin(
+                        ["the", "a", "and", "of", "to", "in", "is", "for"]
+                    ),
+                )
+            ).alias("n_stop"),
+        )
+        exp_in = scored.agg(
+            F.count(F.lit(1)), F.sum("n_tokens")
+        ).collect()[0]
+        kept = scored.where(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05)
+        )
+        exp_kept = kept.agg(F.count(F.lit(1)), F.sum("n_tokens")).collect()[0]
+
+        assert (got_in["n_docs"], got_in["n_tokens"]) == tuple(exp_in)
+        assert (got_kept["n_docs"], got_kept["n_tokens"]) == tuple(exp_kept)
+        # funnel shape: kept <= input; result rows aggregate the kept set
+        assert got_kept["n_docs"] <= got_in["n_docs"]
+        assert sum(r.n_docs_kept for r in rows) == got_kept["n_docs"]
+        assert sum(r.total_tokens for r in rows) == got_kept["n_tokens"]
