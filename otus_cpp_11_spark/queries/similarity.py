@@ -1377,3 +1377,105 @@ def knn_join_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= KNN_TOPK)
         .orderBy("query_id", "rnk")
     )
+
+
+@register(
+    "knn_recall_at_3",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {_bucket_sql("embedding")} AS qbucket
+  FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+),
+exact_ranked AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           {_dot_sql("e.embedding", "q.qv")} /
+           (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) DESC,
+           e.vec_id) AS rnk
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+exact_top AS (SELECT query_id, vec_id FROM exact_ranked WHERE rnk <= {KNN_TOPK}),
+lsh_ranked AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           {_dot_sql("e.embedding", "q.qv")} /
+           (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) DESC,
+           e.vec_id) AS rnk
+  FROM embeddings e JOIN q ON {_bucket_sql("e.embedding")} = q.qbucket
+  WHERE e.vec_id <> q.query_id
+),
+lsh_top AS (SELECT query_id, vec_id FROM lsh_ranked WHERE rnk <= {KNN_TOPK})
+SELECT x.query_id,
+       CAST(COUNT(l.vec_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(l.vec_id) AS DOUBLE) / {KNN_TOPK} AS recall
+FROM exact_top x
+LEFT JOIN lsh_top l ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+""",
+)
+def knn_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{KNN_TOPK} of the LSH-blocked k-NN join against the exact
+    brute-force top-{KNN_TOPK}, per query — the eval metric every ANN
+    index ships with, computed as a query inside the engine rather than
+    in an offline notebook. The exact side scores the sampled query set
+    against the whole corpus (the reason recall evals run on SAMPLES:
+    the query side is bounded by construction — {KNN_QUERY_MOD}x fewer
+    rows — so Catalyst broadcasts it and the corpus streams through one
+    narrow scoring pass, never corpus x corpus); the LSH side restricts
+    to the query's sign-signature bucket, exactly knn_join_lsh_top3's
+    plan. The overlap join is per-(query, vec) on two {KNN_TOPK}-row
+    relations. Recall is n_overlap/{KNN_TOPK} in int/int double. At
+    100 TB this runs periodically over a fixed probe set to regression-
+    gate index quality (bucket-occupancy drift, plane staleness) — the
+    same sample-probe pattern as the sketch accuracy gates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _bucket_col(F.col("embedding")).alias("qbucket"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("cv"),
+        _bucket_col(F.col("embedding")).alias("bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nid")
+    exact_top = (
+        q.crossJoin(cand)
+        .where(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id", "nid", cosine_sim(F.col("cv"), F.col("qv")).alias("cosine")
+        )
+        .select("query_id", "nid", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= KNN_TOPK)
+        .select("query_id", "nid")
+    )
+    lsh_top = (
+        q.join(
+            cand,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("nid") != F.col("query_id")),
+        )
+        .select(
+            "query_id", "nid", cosine_sim(F.col("cv"), F.col("qv")).alias("cosine")
+        )
+        .select("query_id", "nid", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= KNN_TOPK)
+        .select(F.col("query_id").alias("l_qid"), F.col("nid").alias("l_nid"))
+    )
+    return (
+        exact_top.join(
+            lsh_top,
+            (F.col("query_id") == F.col("l_qid")) & (F.col("nid") == F.col("l_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("l_nid").alias("n_overlap"),
+            (F.count("l_nid").cast("double") / KNN_TOPK).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -168,6 +168,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
+    "q10_returned_revenue": "a4d4957ae078",
     "q6_forecast_revenue": "91e2e7229798",
     "q14_promo_revenue": "d1f7ed07548b",
     "q18_large_orders": "2d8c864c3af3",
@@ -240,7 +241,6 @@ REVERIFY: frozenset[str] = frozenset({
     "orders_rollup",
     "orderstatus_pivot",
     "parts_larger_than_brand_avg",
-    "q10_returned_revenue",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

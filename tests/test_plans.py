@@ -315,3 +315,36 @@ def test_zscore_join_strategy_left_to_aqe(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_gopher_rules_single_scan_no_shuffle(spark, plan):
+    # all five rules are HOF array math in one narrow projection: no
+    # joins, no aggregates, no Python; the only exchange is the output
+    # ordering's range partition
+    p = plan("doc_gopher_rules", spark)
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    assert "EvalPython" not in p
+    assert p.count("Scan parquet") <= 2  # tree + detail section
+
+
+def test_dsir_score_join_is_runtime_sized(spark, plan):
+    # the 64-row ratio model is bounded by the hash space, not the data:
+    # no literal broadcast hint in the source; AQE converts at runtime
+    # (plan shows the exchange-backed join pre-AQE) and the distribution
+    # aggregate partial-combines map-side
+    p = plan("doc_dsir_weights", spark)
+    assert "partial_count" in p or "HashAggregate" in p
+    from otus_cpp_11_spark.queries.curation import doc_dsir_weights
+    import inspect
+
+    assert "F.broadcast" not in inspect.getsource(doc_dsir_weights)
+
+
+def test_zorder_cells_one_aggregate_exchange(spark, plan):
+    # z-value is pure integer projection; the only shuffle moves <= 256
+    # cell rows (post partial-agg), plus the 1-row bounds broadcast
+    p = plan("lineitem_zorder_cells", spark)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # 1-row bounds
+    assert "EvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final: map-side combine

@@ -336,3 +336,57 @@ class TestObservedFunnel:
         assert got_kept["n_docs"] <= got_in["n_docs"]
         assert sum(r.n_docs_kept for r in rows) == got_kept["n_docs"]
         assert sum(r.total_tokens for r in rows) == got_kept["n_tokens"]
+
+
+class TestKnnRecall:
+    def test_recall_matches_set_intersection(self, spark):
+        """recall@k must equal |lsh_top ∩ exact_top| / k computed from
+        the already-equivalence-tested knn join and a brute-force exact
+        ranking (reusing the fixed-point numpy model)."""
+        import numpy as np
+
+        from otus_cpp_11_spark.queries.similarity import (
+            KNN_QUERY_MOD,
+            KNN_TOPK,
+            _SCALE,
+            _hyperplanes,
+            knn_join_lsh_top3,
+            knn_recall_at_3,
+        )
+
+        rows = (
+            spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+        def fdot(a, b):
+            return math.fsum(
+                float(np.floor(x * y * _SCALE)) for x, y in zip(a, b)
+            ) / _SCALE
+
+        exact_top = {}
+        for qid, qv in vecs.items():
+            if qid % KNN_QUERY_MOD:
+                continue
+            scored = sorted(
+                (
+                    (-fdot(v, qv) / (math.sqrt(fdot(v, v)) * math.sqrt(fdot(qv, qv))), vid)
+                    for vid, v in vecs.items()
+                    if vid != qid
+                ),
+            )
+            exact_top[qid] = {vid for _, vid in scored[:KNN_TOPK]}
+
+        lsh_top = {}
+        for r in knn_join_lsh_top3(spark, SF_SMOKE).collect():
+            lsh_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+        out = {r.query_id: r for r in knn_recall_at_3(spark, SF_SMOKE).collect()}
+        assert set(out) == set(exact_top)
+        for qid, r in out.items():
+            want = len(exact_top[qid] & lsh_top.get(qid, set()))
+            assert r.n_overlap == want, (qid, r.n_overlap, want)
+            assert r.recall == want / KNN_TOPK
+            assert 0 <= r.recall <= 1
