@@ -390,3 +390,58 @@ class TestKnnRecall:
             assert r.n_overlap == want, (qid, r.n_overlap, want)
             assert r.recall == want / KNN_TOPK
             assert 0 <= r.recall <= 1
+
+
+class TestZorderPruning:
+    def test_zordered_partition_layout_prunes_2d_predicate(self, spark, tmp_path):
+        """The full z-order loop: write the fact z-bucketed (zval as the
+        partition key), translate a 2-D key rectangle into its candidate
+        z-cells on the driver (bounded: <= 256 cells), and assert the
+        scan partition-prunes to those cells — file skipping a
+        single-column sort cannot give on the second dimension."""
+        import pyspark.sql.functions as F
+
+        from otus_cpp_11_spark.queries.sampling import Z_BITS, _z_interleave
+
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).collect()[0]
+        max_pk, max_sk = mx[0], mx[1]
+        bucketed = li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(f"(l_partkey * {2 ** Z_BITS}) div ({max_pk} + 1)").alias("px"),
+            F.expr(f"(l_suppkey * {2 ** Z_BITS}) div ({max_sk} + 1)").alias("py"),
+        ).select("l_partkey", "l_suppkey", _z_interleave("px", "py").alias("zval"))
+        path = str(tmp_path / "li_z")
+        bucketed.write.mode("overwrite").partitionBy("zval").parquet(path)
+
+        # rectangle = one (px, py) bucket -> exactly one candidate z-cell
+        def interleave(px, py):
+            z = 0
+            for i in range(Z_BITS):
+                z |= ((px >> i) & 1) << (2 * i + 1)
+                z |= ((py >> i) & 1) << (2 * i)
+            return z
+
+        px, py = 3, 7
+        zcell = interleave(px, py)
+        lo_pk = -(-(px * (max_pk + 1)) // (2 ** Z_BITS))  # ceil
+        hi_pk = ((px + 1) * (max_pk + 1)) // (2 ** Z_BITS) - 1
+        lo_sk = -(-(py * (max_sk + 1)) // (2 ** Z_BITS))
+        hi_sk = ((py + 1) * (max_sk + 1)) // (2 ** Z_BITS) - 1
+
+        scan = (
+            spark.read.parquet(path)
+            .where(F.col("zval") == zcell)
+            .where(F.col("l_partkey").between(lo_pk, hi_pk))
+            .where(F.col("l_suppkey").between(lo_sk, hi_sk))
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "zval" in plan
+
+        # pruned read returns exactly the rectangle's rows
+        expect = li.where(
+            F.col("l_partkey").between(lo_pk, hi_pk)
+            & F.col("l_suppkey").between(lo_sk, hi_sk)
+        ).count()
+        assert scan.count() == expect
