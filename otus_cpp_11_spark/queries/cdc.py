@@ -1,0 +1,253 @@
+"""Change-data-capture / lakehouse-maintenance operators: SCD2 dimension
+history, MERGE INTO (upsert + delete apply), and the streaming CDC-apply
+face of the same contract.
+
+The reference's pipeline is append-only batch (src/runner.cpp:5-83 runs
+one job over immutable inputs and exits); a 100 TB production lake also
+has to ABSORB CHANGE — dimension attributes drift, upstream rows are
+corrected or deleted, and a training-data refresh must see exactly the
+post-merge state. These operators are the standard shapes for that
+(Kimball SCD type 2; SQL MERGE; Debezium-style keyed changelogs), each
+expressed as declarative DataFrame plans the driver can oracle-check.
+
+Changelog modeling: the synthetic ``events`` table plays the CDC feed —
+``user_id`` is the key, ``(ts, event_id)`` the total recency order, and
+``event_type = 'error'`` is read as a delete tombstone (every other type
+is an upsert). That mapping is arbitrary but deterministic, so both
+engines derive the identical changelog from the same parquet.
+
+Scale notes (beyond each docstring):
+
+* Changelog compaction is ALWAYS struct-max argmax (partial-aggregated,
+  one record per key per map task crosses the shuffle), never a window
+  sort over raw changes — the same choice queries/pipeline.py makes for
+  latest_event_per_user, and the difference between shuffling a day of
+  CDC and shuffling one row per touched key.
+* The merge join's strategy is left to AQE: a trickle batch broadcasts,
+  a backfill sort-merges. No hints (the r3/r4 verdict rule: never force
+  a broadcast on an unbounded-cardinality key).
+* SCD2 windows partition by the natural key, so skew equals per-key
+  change volume — bounded in any real dimension feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.registry import register
+
+# event_type read as a CDC delete tombstone (all other types upsert).
+CDC_DELETE_TYPE = "error"
+# synthetic key mapping events.user_id into (and deliberately past) the
+# customer.c_custkey domain, so one changelog exercises every MERGE arm:
+# update, delete, insert (key beyond the base table), and delete-miss.
+CDC_KEY_MULT = 11
+CDC_KEY_OFF = 7
+
+
+@register(
+    "user_state_scd2",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_state
+  FROM events
+),
+changes AS (
+  SELECT user_id, state, ts
+  FROM ordered
+  WHERE prev_state IS NULL OR state <> prev_state
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+         AS version,
+       state,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM changes
+ORDER BY user_id, version
+""",
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: collapse the raw
+    change feed to STATE TRANSITIONS (drop rows equal to the previous
+    state — SCD2 records changes, not observations), then stamp each
+    surviving version with ``[valid_from, valid_to)`` validity and an
+    ``is_current`` flag via lead() over the same per-key order. Point-in-
+    time training snapshots ("the dimension as of the data cutoff") are
+    then a pure filter: valid_from <= t < coalesce(valid_to, inf).
+
+    Plan shape: ONE shuffle on user_id; the lag-filter and the
+    lead/row_number run over the same (user_id | ts, event_id) sort, so
+    Catalyst reuses the exchange and the filtered re-sort is partition-
+    local. At 100 TB of changelog the cost is that single key shuffle —
+    identical to the sessionization family — and per-key skew equals
+    per-key change volume, bounded in any real dimension feed."""
+    e = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(order).alias("prev_state"),
+        )
+        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+    )
+    ver = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(ver).cast("bigint").alias("version"),
+            "state",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(ver).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+_CDC_KEY_SQL = f"user_id * {CDC_KEY_MULT} + {CDC_KEY_OFF}"
+
+
+@register(
+    "customer_cdc_merge",
+    oracle=f"""
+WITH latest AS (
+  SELECT {_CDC_KEY_SQL} AS key, event_type, value
+  FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) t
+  WHERE rn = 1
+),
+changes AS (
+  SELECT key,
+         CASE WHEN event_type = '{CDC_DELETE_TYPE}' THEN 'D' ELSE 'U' END AS op,
+         value AS new_acctbal
+  FROM latest
+)
+SELECT COALESCE(c.c_custkey, g.key) AS c_custkey,
+       COALESCE(c.c_name, 'Customer#' || CAST(g.key AS VARCHAR)) AS c_name,
+       COALESCE(c.c_nationkey, CAST(g.key % 25 AS INTEGER)) AS c_nationkey,
+       COALESCE(c.c_mktsegment, 'STREAM') AS c_mktsegment,
+       CASE WHEN g.op = 'U' THEN g.new_acctbal ELSE c.c_acctbal END AS c_acctbal,
+       CASE WHEN g.key IS NULL THEN 'none'
+            WHEN c.c_custkey IS NULL THEN 'insert'
+            ELSE 'update' END AS op_applied
+FROM customer c FULL OUTER JOIN changes g ON c.c_custkey = g.key
+WHERE g.op IS NULL OR g.op = 'U'
+ORDER BY c_custkey
+""",
+)
+def customer_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SQL:2003 / lakehouse upsert): apply a keyed changelog
+    to the customer base table in one declarative plan — WHEN MATCHED
+    AND op='U' THEN UPDATE (acctbal), WHEN MATCHED AND op='D' THEN
+    DELETE, WHEN NOT MATCHED AND op='U' THEN INSERT (a synthesized
+    dimension row), delete-of-absent-key a no-op. The changelog is first
+    compacted to newest-per-key (struct-max argmax — one shuffled row
+    per key), because SQL MERGE requires at most one source row per
+    target key; the merge itself is a single full-outer join + CASE.
+
+    Scale notes: the compaction is partial-aggregated map-side; the
+    full-outer join's strategy is AQE's call (trickle batch → broadcast,
+    backfill → sort-merge; no hint on the unbounded key). On an ACID
+    table format the identical plan runs as MERGE INTO and rewrites only
+    files containing matched keys — with the z-order layout cells of
+    queries/sampling.py deciding WHICH files those are. Emitting the
+    full post-merge table here (1500 rows at sf0.01) makes every arm of
+    the merge driver-checkable, including untouched carry-through."""
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    latest = (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m"))
+        .select(
+            (F.col("user_id") * CDC_KEY_MULT + CDC_KEY_OFF).alias("key"),
+            F.when(F.col("m.event_type") == CDC_DELETE_TYPE, "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("m.value").alias("new_acctbal"),
+        )
+    )
+    merged = c.join(latest, c.c_custkey == latest.key, "full_outer")
+    return (
+        merged.where(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            F.coalesce("c_custkey", "key").alias("c_custkey"),
+            F.coalesce(
+                "c_name", F.concat(F.lit("Customer#"), F.col("key").cast("string"))
+            ).alias("c_name"),
+            F.coalesce("c_nationkey", (F.col("key") % 25).cast("int")).alias(
+                "c_nationkey"
+            ),
+            F.coalesce("c_mktsegment", F.lit("STREAM")).alias("c_mktsegment"),
+            F.when(F.col("op") == "U", F.col("new_acctbal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(F.col("key").isNull(), "none")
+            .when(F.col("c_custkey").isNull(), "insert")
+            .otherwise("update")
+            .alias("op_applied"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "user_state_cdc_streamed",
+    oracle=f"""
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_state, value AS last_value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+ORDER BY user_id
+""",
+)
+def user_state_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, driver-visible: replay the events table as a
+    change stream through the foreachBatch CDC-apply maintainer
+    (streaming.cdc_upsert_user_state) under Trigger.AvailableNow, then
+    read the maintained keyed table back, filtering delete tombstones.
+    The oracle is the BATCH newest-per-key compaction over the whole
+    changelog — the CDC contract: however the stream was micro-batched,
+    the maintained table equals a from-scratch compaction, because merge
+    is latest-wins on the total (ts, event_id) recency order and
+    tombstones stay in the stored table so no later-arriving older
+    record can resurrect a deleted key (see cdc_upsert_user_state).
+
+    This is the streaming face of customer_cdc_merge's batch MERGE:
+    same compaction, same recency order, applied incrementally."""
+    import tempfile
+
+    from otus_cpp_11_spark.streaming import cdc_upsert_user_state, read_events_stream
+
+    target = tempfile.mkdtemp(prefix="sg-cdc-") + "/user_state"
+    q = cdc_upsert_user_state(read_events_stream(spark, sf_dir), target)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(target)
+        .where(F.col("m.event_type") != CDC_DELETE_TYPE)
+        .select(
+            "user_id",
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_state"),
+            F.col("m.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1181,3 +1181,150 @@ def term_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates"
         ),
     ).orderBy(F.desc("exact_cnt"), "tok")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter candidate pruning for decontamination: the membership sketch
+# that lets the corpus side discard non-candidate n-grams MAP-SIDE before
+# any exact join. A Bloom filter can only err toward inclusion — the
+# companion exact count gates the no-false-negative invariant cross-engine,
+# the same estimate-plus-exact pattern as the count-min sketch above.
+
+# 16^5 = 2^20 bits: five md5 nibbles address the bit space exactly. Sizing
+# rule (standard Bloom math): set-bit fraction ≈ 1 - e^(-k·n/m); with the
+# sf0.1 eval slice's ~25k distinct 5-grams, k·n/m ≈ 0.07 → per-gram FP
+# ≈ (0.07)³ ~ 4e-4. The first cut used 4096 bits and saturated (84% set,
+# 60% FP at sf0.01) — a Bloom filter sized below ~1.44·k·n admits nearly
+# everything and the "prune" forwards the whole corpus.
+BLOOM_BITS = 16**5
+BLOOM_K = 3  # independent salted hash functions
+
+
+def _bloom_bit_sql(i: int, gram: str) -> str:
+    h = f"MD5('bloom{i}:' || {gram})"
+    n = "STRPOS('0123456789abcdef', SUBSTRING({h}, {p}, 1)) - 1"
+    return (
+        "("
+        + " + ".join(
+            f"({n.format(h=h, p=p + 1)}) * {16 ** (4 - p)}" for p in range(5)
+        )
+        + ")"
+    )
+
+
+def _bloom_bit_col(i: int, gram) -> "F.Column":
+    h = F.md5(F.concat(F.lit(f"bloom{i}:"), gram))
+    return F.conv(F.substring(h, 1, 5), 16, 10).cast("bigint")
+
+
+@register(
+    "decontam_bloom_prune",
+    oracle=f"""
+WITH shingles AS ({_shingles_sql(DECON_NGRAM)}),
+eval_grams AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {EVAL_MOD} = 0
+),
+bloom AS (
+  SELECT DISTINCT UNNEST([{", ".join(_bloom_bit_sql(i, "shingle") for i in range(BLOOM_K))}]) AS bit
+  FROM eval_grams
+),
+corpus AS (
+  SELECT DISTINCT doc_id, shingle FROM shingles WHERE doc_id % {EVAL_MOD} <> 0
+),
+probe AS (
+  SELECT doc_id, shingle,
+         UNNEST([{", ".join(_bloom_bit_sql(i, "shingle") for i in range(BLOOM_K))}]) AS bit
+  FROM corpus
+),
+cand AS (
+  SELECT doc_id, shingle
+  FROM probe JOIN bloom USING (bit)
+  GROUP BY doc_id, shingle
+  HAVING COUNT(*) = {BLOOM_K}
+),
+bl AS (
+  SELECT doc_id, COUNT(*) AS n_bloom_candidates FROM cand GROUP BY doc_id
+),
+ex AS (
+  SELECT doc_id, COUNT(*) AS n_exact_shared
+  FROM corpus
+  WHERE shingle IN (SELECT shingle FROM eval_grams)
+  GROUP BY doc_id
+)
+SELECT bl.doc_id, bl.n_bloom_candidates,
+       COALESCE(ex.n_exact_shared, 0) AS n_exact_shared
+FROM bl LEFT JOIN ex ON bl.doc_id = ex.doc_id
+ORDER BY bl.doc_id
+""",
+)
+def decontam_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter candidate pruning for benchmark decontamination: build
+    a {BLOOM_BITS}-bit / {BLOOM_K}-hash Bloom filter from the eval set's
+    word-{DECON_NGRAM}-grams, probe every corpus gram against it, and
+    report per doc the Bloom-positive candidate count next to the exact
+    shared-gram count. A Bloom filter never has false negatives
+    (candidates ⊇ exact hits — pinned by pytest per doc), so the exact
+    decontamination join can run over the candidate subset only.
+
+    Why this matters at 100 TB: benchmark_decontamination must move
+    corpus-side grams to the join. The Bloom relation is bounded BY
+    CONSTRUCTION ({BLOOM_BITS} bits regardless of eval size — at real
+    scale sized m ≈ 1.44·k·n for the target FP rate, still a bitset
+    measured in MBs for billions of eval grams, always broadcastable
+    even when the r3-verdict probe says the raw eval gram SET is not).
+    Every non-candidate gram dies map-side against that bitset and never
+    enters the exchange; only candidates (exact hits + FP noise) shuffle.
+    This is exactly Spark's own runtime row-level BloomFilter rewrite
+    (InjectRuntimeFilter), expressed declaratively so the driver can
+    oracle-check the membership math. Plan here: the {BLOOM_K} bit
+    probes are a literal-array explode (narrow); the bloom-bits relation
+    (≤{BLOOM_BITS} rows) joins via AQE-runtime broadcast; the
+    all-{BLOOM_K}-bits-matched test is COUNT(*)={BLOOM_K} per gram, and
+    the per-doc rollup shuffles doc_id once.
+
+    The exact verification deliberately runs over the CANDIDATE set only
+    — the pruned pipeline's real dataflow — while the ORACLE computes
+    exact counts over the full un-pruned corpus. Equality of the two is
+    therefore itself a proof of the no-false-negative property on this
+    corpus (a dropped true hit would make the Spark count fall short of
+    the oracle's), on top of the per-doc pytest invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = _word_shingles(d, DECON_NGRAM)
+    eval_grams = (
+        grams.where(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+    )
+    bloom = (
+        eval_grams.select(
+            F.explode(
+                F.array(
+                    *[_bloom_bit_col(i, F.col("shingle")) for i in range(BLOOM_K)]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    corpus = grams.where(F.col("doc_id") % EVAL_MOD != 0)
+    probe = corpus.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.array(*[_bloom_bit_col(i, F.col("shingle")) for i in range(BLOOM_K)])
+        ).alias("bit"),
+    )
+    cand = (
+        probe.join(bloom, "bit")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .where(F.col("nbits") == BLOOM_K)
+    )
+    flagged = cand.join(
+        eval_grams.withColumn("in_eval", F.lit(1)), "shingle", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_candidates"),
+            F.count("in_eval").alias("n_exact_shared"),
+        )
+        .orderBy("doc_id")
+    )

@@ -169,6 +169,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
     "q10_returned_revenue": "a4d4957ae078",
+    "q1_pricing_summary": "3560e363e9ed",
+    "q3_shipping_priority": "918d9d1a9938",
+    "q5_local_supplier_volume": "f16005f54f02",
+    "top3_orders_per_customer": "e381e519d72e",
     "q6_forecast_revenue": "91e2e7229798",
     "q14_promo_revenue": "d1f7ed07548b",
     "q18_large_orders": "2d8c864c3af3",
@@ -221,9 +225,11 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # slots the window has spare this round. Ordered AFTER new/changed
 # queries by all_queries() so a fresh operator never loses its slot to a
 # routine re-verification. Mid-round operator additions (doc_gopher_rules,
-# doc_dsir_weights, knn_join_lsh_top3, ...) each displace the youngest
-# member of this queue — its still-valid r2 pin goes back into
-# DRIVER_VERIFIED — keeping the driver window at exactly 50.
+# doc_dsir_weights, knn_join_lsh_top3, the CDC family, ...) each displace
+# a member of this queue — its still-valid r1/r2 pin goes back into
+# DRIVER_VERIFIED (preferring members the bench re-exercises every round,
+# now that all remaining members are equally-old r1 greens) — keeping the
+# driver window at exactly 50.
 REVERIFY: frozenset[str] = frozenset({
     "balanced_doc_sample",
     "cross_modal_doc_features",
@@ -241,14 +247,10 @@ REVERIFY: frozenset[str] = frozenset({
     "orders_rollup",
     "orderstatus_pivot",
     "parts_larger_than_brand_avg",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "region_nation_full_outer",
     "region_nation_list",
     "scalar_string_math",
     "suppliers_with_returns",
-    "top3_orders_per_customer",
 })
 
 
@@ -259,6 +261,7 @@ def all_queries() -> dict[str, Query]:
     queries that still need a green row."""
     from otus_cpp_11_spark.queries import (  # noqa: F401
         bpe,
+        cdc,
         curation,
         dedup,
         mapreduce_ops,

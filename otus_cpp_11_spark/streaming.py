@@ -51,6 +51,7 @@ __all__ = [
     "write_stream_parquet",
     "minute_rollup_delta",
     "incremental_minute_rollup",
+    "cdc_upsert_user_state",
 ]
 
 
@@ -383,6 +384,70 @@ def incremental_minute_rollup(
         # materialize BEFORE overwriting the directory being read
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(tier_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_upsert_user_state(
+    events_stream: DataFrame, target_path: str, checkpoint: str | None = None
+):
+    """Maintain a keyed latest-state table (one row per user_id) from a
+    change stream — the CDC-apply / MERGE INTO primitive every lakehouse
+    ingest runs: each micro-batch is compacted to its newest record per
+    key (struct-max argmax, the same partial-aggregated shape as
+    queries.pipeline.latest_event_per_user), merged latest-wins against
+    the stored target, and the target is atomically rewritten.
+
+    Tombstones stay IN the stored table: a record whose event_type is
+    'error' marks the key deleted, but dropping the row at merge time
+    would let an older record from a later micro-batch resurrect the key
+    (file streams deliver in file order, not event-time order). Readers
+    filter tombstones; the merge keeps them so (ts, event_id) recency
+    comparisons always see the full history's maximum. This is exactly
+    Debezium/Delta CDC semantics: deletes are versioned records, and
+    compaction — not arrival order — decides survival.
+
+    Scale notes: with an ACID table the rewrite becomes MERGE INTO keyed
+    on user_id touching only matched files; the target is one row per
+    live key (orders of magnitude smaller than the stream), and the
+    per-batch work is one partial-aggregated compaction plus a join
+    against that compact table. Retries are idempotent via the same
+    in-table ``_last_batch_id`` marker as incremental_minute_rollup —
+    marker and data move in one atomic write."""
+    from pyspark.errors import AnalysisException
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg-ckpt-")
+    rec = F.struct("ts", "event_id", "event_type", "value")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(target_path)
+        except AnalysisException:
+            existing = None  # first batch: target doesn't exist yet
+        if existing is not None and "_last_batch_id" in existing.columns:
+            applied = existing.agg(F.max("_last_batch_id")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # retry of an already-merged batch: no-op
+        delta = batch_df.groupBy("user_id").agg(F.max(rec).alias("m"))
+        if existing is None:
+            merged = delta
+        else:
+            merged = (
+                existing.select("user_id", "m")
+                .unionByName(delta)
+                .groupBy("user_id")
+                .agg(F.max("m").alias("m"))
+            )
+        merged = merged.withColumn("_last_batch_id", F.lit(batch_id))
+        # materialize BEFORE overwriting the directory being read
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(target_path)
 
     return (
         events_stream.writeStream.foreachBatch(merge)

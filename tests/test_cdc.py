@@ -1,0 +1,224 @@
+"""CDC / lakehouse-maintenance operator tests: SCD2 history invariants,
+MERGE arm behavior, multi-batch streaming upsert vs batch compaction
+(incl. tombstone retention and retry idempotence), and the Bloom prune's
+no-false-negative guarantee.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.queries.cdc import (
+    CDC_DELETE_TYPE,
+    CDC_KEY_MULT,
+    CDC_KEY_OFF,
+    customer_cdc_merge,
+    user_state_scd2,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+class TestScd2:
+    def test_history_invariants(self, spark):
+        hist = user_state_scd2(spark, SF).collect()
+        by_user: dict[int, list] = {}
+        for r in hist:
+            by_user.setdefault(r.user_id, []).append(r)
+        assert by_user
+        for rows in by_user.values():
+            # versions contiguous from 1, in order
+            assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+            # validity chain: each version ends where the next begins; only
+            # the last is open-ended/current
+            for a, b in zip(rows, rows[1:]):
+                assert a.valid_to == b.valid_from
+                assert a.valid_from < a.valid_to
+                assert not a.is_current
+                # SCD2 records CHANGES: adjacent versions differ
+                assert a.state != b.state
+            assert rows[-1].valid_to is None and rows[-1].is_current
+
+    def test_matches_event_replay(self, spark):
+        """Brute-force model: replay each user's events in (ts, event_id)
+        order and record state transitions."""
+        events = sorted(
+            load_table(spark, SF, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect(),
+            key=lambda r: (r.user_id, r.ts, r.event_id),
+        )
+        want: dict[int, list] = {}
+        for r in events:
+            runs = want.setdefault(r.user_id, [])
+            if not runs or runs[-1][0] != r.event_type:
+                runs.append((r.event_type, r.ts))
+        got: dict[int, list] = {}
+        for r in user_state_scd2(spark, SF).collect():
+            got.setdefault(r.user_id, []).append((r.state, r.valid_from))
+        assert got == want
+
+
+class TestCdcMerge:
+    def test_merge_arms(self, spark):
+        merged = {r.c_custkey: r for r in customer_cdc_merge(spark, SF).collect()}
+        base = {r.c_custkey: r for r in load_table(spark, SF, "customer").collect()}
+        latest = {
+            r.user_id: r.m
+            for r in load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m"))
+            .collect()
+        }
+        changes = {
+            u * CDC_KEY_MULT + CDC_KEY_OFF: m for u, m in latest.items()
+        }
+        n_upd = n_ins = n_del = 0
+        for key, m in changes.items():
+            if m.event_type == CDC_DELETE_TYPE:
+                # delete: matched key removed, absent key a no-op
+                assert key not in merged
+                n_del += key in base
+            elif key in base:
+                assert merged[key].op_applied == "update"
+                assert merged[key].c_acctbal == m.value
+                assert merged[key].c_name == base[key].c_name  # non-SET cols keep
+                n_upd += 1
+            else:
+                assert merged[key].op_applied == "insert"
+                assert merged[key].c_acctbal == m.value
+                assert merged[key].c_mktsegment == "STREAM"
+                n_ins += 1
+        # untouched base rows carry through verbatim
+        for key, row in base.items():
+            if key not in changes:
+                assert merged[key].op_applied == "none"
+                assert merged[key].c_acctbal == row.c_acctbal
+        # the synthetic changelog exercises every arm
+        assert n_upd and n_ins and n_del
+        assert len(merged) == len(base) + n_ins - n_del
+
+
+class TestCdcUpsertStream:
+    def _schema_rows(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_id bigint, "
+            "event_type string, value double"
+        )
+
+    def test_multibatch_equals_batch_compaction(self, spark, tmp_path):
+        from otus_cpp_11_spark.streaming import cdc_upsert_user_state
+
+        events = load_table(spark, SF, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        src = str(tmp_path / "cdc_src")
+        events.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        target = str(tmp_path / "state")
+        cdc_upsert_user_state(stream, target).awaitTermination()
+        got = spark.read.parquet(target).select("user_id", "m")
+        want = events.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+        )
+        assert _rows(got, "user_id") == _rows(want, "user_id")
+
+        # retry idempotence: replaying the same source (batch_ids restart
+        # at 0, all <= applied marker) must leave the target unchanged
+        applied = (
+            spark.read.parquet(target).agg({"_last_batch_id": "max"}).first()[0]
+        )
+        cdc_upsert_user_state(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            target,
+        ).awaitTermination()
+        again = spark.read.parquet(target)
+        assert again.agg({"_last_batch_id": "max"}).first()[0] == applied
+        assert _rows(again.select("user_id", "m"), "user_id") == _rows(
+            want, "user_id"
+        )
+
+    def test_tombstone_survives_any_batch_order(self, spark, tmp_path):
+        """A delete tombstone must win on recency REGARDLESS of which
+        micro-batch delivers it: user 1's delete is the newest record
+        (stays dead even if an older upsert arrives in a later batch);
+        user 2's delete is superseded by a newer upsert (stays alive).
+        The records are spread across 4 files, so whatever order the file
+        source picks, compaction — not arrival order — decides."""
+        from otus_cpp_11_spark.streaming import cdc_upsert_user_state
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 10, "click", 1.0),
+            (1, t0 + dt.timedelta(minutes=5), 11, CDC_DELETE_TYPE, 0.0),
+            (2, t0, 20, CDC_DELETE_TYPE, 0.0),
+            (2, t0 + dt.timedelta(minutes=5), 21, "view", 2.0),
+        ]
+        events = self._schema_rows(spark, rows)
+        src = str(tmp_path / "tomb_src")
+        events.repartition(4).write.parquet(src)
+        target = str(tmp_path / "tomb_state")
+        cdc_upsert_user_state(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            target,
+        ).awaitTermination()
+        state = spark.read.parquet(target)
+        # tombstone rows are STORED (resurrection-proofing) ...
+        assert state.count() == 2
+        # ... and filtered at read time: user 1 dead, user 2 alive
+        live = {
+            r.user_id: r
+            for r in state.where(
+                F.col("m.event_type") != CDC_DELETE_TYPE
+            ).collect()
+        }
+        assert set(live) == {2}
+        assert live[2].m.event_id == 21 and live[2].m.value == 2.0
+
+
+class TestBloomPrune:
+    def test_no_false_negatives_and_fp_accounting(self, spark):
+        from otus_cpp_11_spark.queries.curation import (
+            DECON_NGRAM,
+            EVAL_MOD,
+            decontam_bloom_prune,
+        )
+        from otus_cpp_11_spark.queries.dedup import _word_shingles
+
+        got = {r.doc_id: r for r in decontam_bloom_prune(spark, SF).collect()}
+        # independent exact computation over the FULL corpus (no pruning)
+        grams = _word_shingles(load_table(spark, SF, "documents"), DECON_NGRAM)
+        ev = grams.where(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+        exact = {
+            r.doc_id: r.n
+            for r in grams.where(F.col("doc_id") % EVAL_MOD != 0)
+            .join(ev, "shingle", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # no false negatives: every doc with exact shared grams is a
+        # candidate doc, with its exact count fully recovered from the
+        # pruned (candidate-only) verification
+        for doc_id, n in exact.items():
+            assert doc_id in got, f"bloom dropped true hit doc {doc_id}"
+            assert got[doc_id].n_exact_shared == n
+        # FP accounting: candidates can only exceed exact hits
+        for r in got.values():
+            assert r.n_bloom_candidates >= r.n_exact_shared
+            assert r.n_exact_shared == exact.get(r.doc_id, 0)
