@@ -383,3 +383,81 @@ def decode_ppm_ahash(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, schema="doc_id bigint, ahash bigint")
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprinting: energy-delta fingerprint over the decoded PCM +
+# hamming near-dup — audio-level dedup, bridging the WAV decode path into
+# the dedup family the way ahash16_from_ppm does for images.
+# --------------------------------------------------------------------------
+
+AUDIO_FP_WINDOW = 8  # PCM samples per energy window
+AUDIO_FP_BITS = 16  # fingerprint width (energy-delta bits)
+
+
+def audio_fp16_from_wav(b: bytes) -> int:
+    """Haitsma–Kalker-shaped audio fingerprint, simplified to one band and
+    ALL-INTEGER so Spark and the closed-form oracle agree bit-for-bit:
+    the PCM stream splits into complete {AUDIO_FP_WINDOW}-sample windows,
+    each window's energy is the exact integer sum of squared samples, and
+    bit(w) = 1 iff window w+1's energy exceeds window w's — the
+    energy-DELTA sign, which is what makes the fingerprint robust to
+    uniform gain (scaling every sample scales both energies). The first
+    {AUDIO_FP_BITS} delta bits pack little-endian into one integer.
+
+    The real parse is the same stdlib chunk walk as parse_wav_bytes; a
+    misread fmt field, a wrong data offset, or a sign error in the PCM
+    unpack all flip energy comparisons and hash-mismatch the oracle."""
+    import struct
+
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, _sr, _rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1 or bits != 16 or n_channels != 1:
+        raise ValueError(f"unsupported WAV encoding {audio_format}/{bits}")
+    n = len(data) // block_align
+    samples = struct.unpack(f"<{n}h", data[: n * block_align])
+    n_win = n // AUDIO_FP_WINDOW
+    energies = [
+        sum(
+            s * s
+            for s in samples[w * AUDIO_FP_WINDOW : (w + 1) * AUDIO_FP_WINDOW]
+        )
+        for w in range(n_win)
+    ]
+    fp = 0
+    for w in range(min(n_win - 1, AUDIO_FP_BITS)):
+        if energies[w + 1] > energies[w]:
+            fp |= 1 << w
+    return fp
+
+
+def decode_wav_fingerprint(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched audio fingerprint over (doc_id, payload): real byte
+    parse + integer energy-delta math per clip, one 16-bit hash out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": [audio_fp16_from_wav(bytes(b)) for b in pdf["payload"]],
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema="doc_id bigint, afp bigint")

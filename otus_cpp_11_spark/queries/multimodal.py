@@ -273,3 +273,151 @@ def ppm_ahash_near_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint near-dup: the WAV-decode → dedup bridge, same pattern
+# as the aHash image bridge above.
+# --------------------------------------------------------------------------
+
+AUDIO_FP_HAMMING_MAX = 2
+
+# Closed-form oracle: PCM samples are ((doc_id*31 + 7i) % 256 - 128) * 256
+# (ops.multimodal._wav_samples), windows of 8, energy = exact integer sum
+# of squares, bit(w) = energy(w+1) > energy(w) — the exact integer recipe
+# of ops.multimodal.audio_fp16_from_wav.
+_AFP_SQL = """
+s AS (
+  SELECT doc_id, i // 8 AS w,
+         ((doc_id * 31 + 7 * i) % 256 - 128) * 256 AS smp
+  FROM documents
+  CROSS JOIN UNNEST(RANGE(0, ((doc_id % 100 + 50) // 8) * 8)) AS t(i)
+),
+e AS (SELECT doc_id, w, SUM(smp * smp) AS energy FROM s GROUP BY doc_id, w),
+fps AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w < 16 AND nxt > energy THEN 1 << w ELSE 0 END)
+              AS BIGINT) AS afp
+  FROM (SELECT doc_id, w, energy,
+               LEAD(energy) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
+        FROM e) t
+  GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "wav_fingerprint16",
+    oracle=f"""
+WITH {_AFP_SQL}
+SELECT doc_id, afp FROM fps ORDER BY doc_id
+""",
+)
+def wav_fingerprint16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint per clip: synthesize a real 16-bit mono RIFF/WAVE
+    payload per document, parse the PCM from raw bytes inside
+    Arrow-batched mapInPandas, and compute the 16-bit energy-delta
+    fingerprint (Haitsma–Kalker shape, one band, all-integer —
+    ops.multimodal.audio_fp16_from_wav). Gain-invariant by construction:
+    the bits are SIGNS of adjacent-window energy deltas, so uniform
+    volume scaling preserves the hash (pinned by pytest with a
+    hand-scaled payload). The oracle recomputes the fingerprint from the
+    sample closed form, so any misparsed offset, sign error, or window
+    off-by-one hash-mismatches."""
+    from otus_cpp_11_spark.ops.multimodal import (
+        decode_wav_fingerprint,
+        synthesize_wav_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_wav_fingerprint(synthesize_wav_payloads(d)).orderBy("doc_id")
+
+
+@register(
+    "wav_fp_near_dup_counts",
+    oracle=f"""
+WITH {_AFP_SQL},
+hc AS (SELECT afp, COUNT(*) AS n_docs FROM fps GROUP BY afp),
+bands AS (
+  SELECT afp, n_docs, b, (afp >> (4 * b)) % 16 AS band_val
+  FROM hc CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT a.afp AS h_a, b.afp AS h_b, b.n_docs AS nb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.band_val = b.band_val AND a.afp <> b.afp
+),
+nbr AS (
+  SELECT h_a AS afp, CAST(SUM(nb) AS BIGINT) AS n_nbr
+  FROM cand WHERE BIT_COUNT(XOR(h_a, h_b)) <= {AUDIO_FP_HAMMING_MAX}
+  GROUP BY h_a
+)
+SELECT f.doc_id,
+       CAST(c.n_docs - 1 + COALESCE(n.n_nbr, 0) AS BIGINT) AS n_near_dups
+FROM fps f
+JOIN hc c USING (afp)
+LEFT JOIN nbr n USING (afp)
+ORDER BY f.doc_id
+""",
+)
+def wav_fp_near_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection: per clip, how many other clips sit
+    within hamming distance {AUDIO_FP_HAMMING_MAX} of its energy-delta
+    fingerprint (identical fingerprints are hamming 0). Same
+    distinct-hash-value graph as ppm_ahash_near_dup_counts: the banded
+    candidate join (4x4-bit pigeonhole) runs over at most 2^16 distinct
+    fingerprint values — CORPUS-SIZE-INDEPENDENT — and doc attribution
+    is one join against the bounded (hash -> neighbor-weight) relation.
+    With this, every binary modality the engine decodes (image via
+    aHash, audio via energy fingerprint) feeds the same bounded near-dup
+    machinery — the full multimodal-dedup story a pretraining pipeline
+    needs."""
+    from otus_cpp_11_spark.ops.multimodal import (
+        decode_wav_fingerprint,
+        synthesize_wav_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = decode_wav_fingerprint(synthesize_wav_payloads(d))
+    hc = fps.groupBy("afp").agg(F.count(F.lit(1)).alias("n_docs"))
+    bands = hc.select(
+        "afp",
+        "n_docs",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn(
+        "band_val", F.expr("pmod(shiftright(afp, cast(4 * b as int)), 16)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.afp") != F.col("b.afp")),
+        )
+        .select(
+            F.col("a.afp").alias("h_a"),
+            F.col("b.afp").alias("h_b"),
+            F.col("b.n_docs").alias("nb"),
+        )
+        .distinct()
+    )
+    nbr = (
+        cand.where(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            <= AUDIO_FP_HAMMING_MAX
+        )
+        .groupBy(F.col("h_a").alias("afp"))
+        .agg(F.sum("nb").cast("bigint").alias("n_nbr"))
+    )
+    return (
+        fps.join(hc, "afp")
+        .join(nbr, "afp", "left")
+        .select(
+            "doc_id",
+            (F.col("n_docs") - 1 + F.coalesce("n_nbr", F.lit(0)))
+            .cast("bigint")
+            .alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )

@@ -160,6 +160,8 @@ DRIVER_VERIFIED: dict[str, str] = {
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
     "ngram_jaccard_pairs": "1ce24908ed83",
+    "orders_cube": "977856a76063",
+    "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
     "orders_price_percentiles": "00142ef3899e",
     "part_price_band_join": "feedac3b7d7c",
@@ -242,9 +244,7 @@ REVERIFY: frozenset[str] = frozenset({
     "nation_supplier_left_join",
     "order_distinct_aggs",
     "orders_by_month",
-    "orders_cube",
     "orders_grouping_sets",
-    "orders_rollup",
     "orderstatus_pivot",
     "parts_larger_than_brand_avg",
     "region_nation_full_outer",

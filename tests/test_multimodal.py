@@ -177,3 +177,52 @@ def test_ahash_brightness_shift_tolerance():
         raster = bytes(v + shift for v in base for _ in range(3))
         return f"P6\n{w} {h}\n255\n".encode() + raster
     assert ahash16_from_ppm(ppm(0)) == ahash16_from_ppm(ppm(40))
+
+
+def test_wav_fp_near_dup_counts_match_brute_force(spark):
+    # same contract as the aHash test: the banded distinct-value plan must
+    # equal the all-pairs hamming definition
+    from otus_cpp_11_spark.registry import all_queries
+
+    qs = all_queries()
+    fps = {
+        r["doc_id"]: r["afp"]
+        for r in qs["wav_fingerprint16"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    got = {
+        r["doc_id"]: r["n_near_dups"]
+        for r in qs["wav_fp_near_dup_counts"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert set(got) == set(fps)
+    for d, h in fps.items():
+        want = sum(
+            1 for d2, h2 in fps.items() if d2 != d and bin(h ^ h2).count("1") <= 2
+        )
+        assert got[d] == want, (d, got[d], want)
+
+
+def test_audio_fingerprint_gain_invariance():
+    # the defining perceptual property: uniform volume scaling preserves
+    # every energy-delta sign, hence the fingerprint
+    import io
+    import struct
+    import wave
+
+    from otus_cpp_11_spark.ops.multimodal import audio_fp16_from_wav
+
+    base = [((17 * i) % 199) - 99 for i in range(120)]  # |s| < 128: 2x safe
+
+    def wav(gain):
+        samples = [s * gain for s in base]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    assert audio_fp16_from_wav(wav(1)) == audio_fp16_from_wav(wav(2))
+    assert audio_fp16_from_wav(wav(1)) != 0  # non-degenerate signal

@@ -348,3 +348,57 @@ def test_zorder_cells_one_aggregate_exchange(spark, plan):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # 1-row bounds
     assert "EvalPython" not in p
     assert p.count("HashAggregate") >= 2  # partial + final: map-side combine
+
+
+def test_scd2_single_key_shuffle_no_join(spark, plan):
+    # history build = windows over ONE user_id exchange (lag-collapse and
+    # lead/row_number reuse the same sort); no join, no Python, and every
+    # hash shuffle is on the natural key only
+    p = plan("user_state_scd2", spark)
+    assert "Window" in p
+    lines = [ln for ln in p.splitlines() if "hashpartitioning(" in ln]
+    assert lines and all("user_id" in ln for ln in lines)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "EvalPython"):
+        assert bad not in p, bad
+
+
+def test_cdc_merge_compacts_with_aggregate_not_window(spark, plan):
+    # changelog compaction must be the partial-aggregated argmax (one row
+    # per key crosses the wire), never a window sort over raw changes; the
+    # merge itself is a full-outer sort-merge join (unbounded key, no
+    # broadcast hint), and no arm degenerates to a cartesian
+    p = plan("customer_cdc_merge", spark)
+    assert "Window" not in p
+    assert "SortMergeJoin" in p and "FullOuter" in p
+    assert "Aggregate" in p  # struct-max argmax (hash or sort impl)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in p, bad
+    import inspect
+
+    from otus_cpp_11_spark.queries.cdc import customer_cdc_merge
+
+    assert "F.broadcast" not in inspect.getsource(customer_cdc_merge)
+
+
+def test_bloom_prune_broadcasts_filter_no_pairs(spark, plan):
+    # the bloom-bits relation is bounded by construction (2^20 bits), so
+    # the membership probe is a broadcast hash join — corpus grams are
+    # filtered map-side, never shuffled to meet the filter — and nothing
+    # in the plan is a cartesian pair enumeration
+    p = plan("decontam_bloom_prune", spark)
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p  # per-gram bit-count + per-doc rollup combine
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in p, bad
+
+
+def test_wav_near_dup_arrow_decode_bounded_join(spark, plan):
+    # decode rides Arrow-batched mapInPandas (never row-at-a-time Python);
+    # the candidate graph is an equi-join on (band, band_val) over distinct
+    # fingerprint values — no cartesian anywhere
+    p = plan("wav_fp_near_dup_counts", spark)
+    assert "MapInPandas" in p  # Arrow-batched decode operator
+    assert "BatchEvalPython" not in p
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in p, bad
