@@ -360,3 +360,70 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("rule_stopwords"),
         (r_words & r_mean & r_sym & r_alpha & r_stop).alias("gopher_pass"),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_datacard",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(LEN(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT MD5(text)) AS n_distinct_exact,
+       COUNT(*) FILTER (WHERE lang = 'en') AS n_en,
+       CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE) / COUNT(*) AS pct_en,
+       CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS DOUBLE) / COUNT(*) AS exact_dup_rate,
+       CAST(SUM(CAST(LEN(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_tokens,
+       MIN(LEN(list_filter(string_split(text, ' '), x -> x <> ''))) AS min_tokens,
+       MAX(LEN(list_filter(string_split(text, ' '), x -> x <> ''))) AS max_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data card: the one-row-per-source summary a dataset
+    release ships (docs, tokens, language mix, exact-dup rate, length
+    envelope — the 'Datasheets for Datasets' accounting). Every ratio is
+    an int/int division in double, so both engines agree bit-for-bit.
+
+    Plan shape: ONE narrow scan feeds a single source-keyed aggregate —
+    counts, token sums, and min/max partial-combine map-side; the only
+    distinct aggregate (exact-hash dedup accounting) is over md5(text),
+    which Spark plans as the standard two-phase distinct expand. Output
+    is one row per source regardless of corpus size, so at 100 TB this
+    is a full scan (unavoidable — it summarizes everything) and nothing
+    else; the scan is shared with nothing and prunes to the three
+    columns it reads."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n_tok = F.size(toks).cast("bigint")
+    return (
+        d.select("source", "lang", F.md5("text").alias("h"), n_tok.alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.count_distinct("h").alias("n_distinct_exact"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_distinct_exact",
+            "n_en",
+            (F.col("n_en").cast("double") / F.col("n_docs")).alias("pct_en"),
+            (
+                (F.col("n_docs") - F.col("n_distinct_exact")).cast("double")
+                / F.col("n_docs")
+            ).alias("exact_dup_rate"),
+            (F.col("n_tokens").cast("double") / F.col("n_docs")).alias(
+                "mean_tokens"
+            ),
+            "min_tokens",
+            "max_tokens",
+        )
+        .orderBy("source")
+    )

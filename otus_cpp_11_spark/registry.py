@@ -160,6 +160,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
     "ngram_jaccard_pairs": "1ce24908ed83",
+    "orders_by_month": "3b5d56427f88",
     "orders_cube": "977856a76063",
     "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
@@ -243,7 +244,6 @@ REVERIFY: frozenset[str] = frozenset({
     "nation_set_ops",
     "nation_supplier_left_join",
     "order_distinct_aggs",
-    "orders_by_month",
     "orders_grouping_sets",
     "orderstatus_pivot",
     "parts_larger_than_brand_avg",

@@ -402,3 +402,41 @@ def test_wav_near_dup_arrow_decode_bounded_join(spark, plan):
     assert "BatchEvalPython" not in p
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in p, bad
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    # Spark's own InjectRuntimeFilter is the engine-native twin of the
+    # declarative decontam_bloom_prune: with a selective dim filter and a
+    # non-broadcast join, the optimizer plants a bloom_filter_agg on the
+    # creation side and a might-contain probe on the fact scan, so fact
+    # rows die before the exchange. Thresholds are lowered to make the
+    # testdata eligible (defaults target 10 GB scans); restored after.
+    import pyspark.sql.functions as F
+
+    from otus_cpp_11_spark.catalog import load_table
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "10MB")
+        spark.conf.set(keys[1], "1KB")
+        spark.conf.set(keys[2], "-1")  # force the non-broadcast join path
+        li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        o = load_table(spark, "/root/testdata/sf0.01", "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
