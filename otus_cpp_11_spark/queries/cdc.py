@@ -47,10 +47,10 @@ CDC_KEY_MULT = 11
 CDC_KEY_OFF = 7
 
 
-@register(
-    "user_state_scd2",
-    oracle="""
-WITH ordered AS (
+# SCD2 history as a DuckDB CTE chain (shared by the history build and the
+# point-in-time enrich oracles).
+_SCD2_HIST_SQL = """
+ordered AS (
   SELECT user_id, event_type AS state, ts, event_id,
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_state
@@ -60,15 +60,49 @@ changes AS (
   SELECT user_id, state, ts
   FROM ordered
   WHERE prev_state IS NULL OR state <> prev_state
+),
+hist AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+           AS version,
+         state,
+         ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM changes
 )
-SELECT user_id,
-       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
-         AS version,
-       state,
-       ts AS valid_from,
-       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
-FROM changes
+"""
+
+
+def _scd2_history(events: DataFrame) -> DataFrame:
+    """(user_id, version, state, valid_from, valid_to): the SCD2 history
+    plan shared by user_state_scd2 and events_pit_enrich — collapse the
+    change feed to state transitions, then stamp versions and validity
+    over the same per-key order."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(order).alias("prev_state"),
+    ).where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+    ver = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.row_number().over(ver).cast("bigint").alias("version"),
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(ver).alias("valid_to"),
+    )
+
+
+@register(
+    "user_state_scd2",
+    oracle=f"""
+WITH {_SCD2_HIST_SQL}
+SELECT user_id, version, state, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM hist
 ORDER BY user_id, version
 """,
 )
@@ -88,26 +122,8 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the sessionization family — and per-key skew equals
     per-key change volume, bounded in any real dimension feed."""
     e = load_table(spark, sf_dir, "events")
-    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        e.select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            "ts",
-            "event_id",
-            F.lag("event_type").over(order).alias("prev_state"),
-        )
-        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
-    )
-    ver = Window.partitionBy("user_id").orderBy("ts")
     return (
-        changes.select(
-            "user_id",
-            F.row_number().over(ver).cast("bigint").alias("version"),
-            "state",
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(ver).alias("valid_to"),
-        )
+        _scd2_history(e)
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "version")
     )
@@ -250,4 +266,70 @@ def user_state_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.value").alias("last_value"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "events_pit_enrich",
+    oracle=f"""
+WITH {_SCD2_HIST_SQL}
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       h.state AS prior_state, h.version AS prior_version
+FROM events e
+LEFT JOIN hist h
+  ON h.user_id = e.user_id AND h.valid_from < e.ts
+     AND (h.valid_to IS NULL OR h.valid_to >= e.ts)
+ORDER BY e.event_id
+""",
+)
+def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join (the feature-store staple): each
+    fact row is enriched with the dimension version that was valid
+    STRICTLY BEFORE its event time — never the version the event itself
+    created, never a later one. Using future attribute values is the
+    classic training-data leakage bug; the PIT join is the operator that
+    prevents it. Here each event gets the state the user was
+    transitioning FROM (its first event gets NULL), against the SCD2
+    history of ``user_state_scd2``.
+
+    Implementation is the backward as-of join (ops.joins.asof_join —
+    union+window, ONE key shuffle, linear in |facts|+|versions|) with
+    the fact timestamp shifted by -1 microsecond so ``valid_from <= t``
+    becomes the strict ``valid_from < ts`` (timestamps are
+    µs-quantized, so the shift is exact). The ORACLE deliberately uses
+    the other formulation — an interval join on
+    ``valid_from < ts AND (valid_to IS NULL OR valid_to >= ts)`` — so
+    the cross-engine match also proves the two PIT formulations agree,
+    which only holds when the history's validity intervals are exactly
+    contiguous and disjoint. At 100 TB the as-of form wins: the interval
+    join materializes (fact × candidate-version) pairs before filtering,
+    the as-of form never builds a pair."""
+    from otus_cpp_11_spark.ops.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    facts = e.select("event_id", "user_id", "ts", "event_type").withColumn(
+        "_pit_ts", F.expr("ts - interval 1 microsecond")
+    )
+    hist = _scd2_history(e).select(
+        "user_id", F.col("valid_from").alias("vts"), "state", "version"
+    )
+    return (
+        asof_join(
+            facts,
+            hist,
+            on="user_id",
+            left_time="_pit_ts",
+            right_time="vts",
+            right_cols=["state", "version"],
+            prefix="prior_",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            "prior_state",
+            "prior_version",
+        )
+        .orderBy("event_id")
     )

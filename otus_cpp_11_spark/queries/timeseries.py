@@ -789,3 +789,49 @@ def view_purchase_left_outer_streamed(spark: SparkSession, sf_dir: str) -> DataF
         output_mode="append",
     )
     return out.orderBy("view_id", "purchase_id")
+
+
+@register(
+    "events_enriched_streamed",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment, e.event_type, COUNT(*) AS n_events
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id * 11 + 7
+GROUP BY mktsegment, e.event_type
+ORDER BY mktsegment NULLS FIRST, e.event_type
+""",
+)
+def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, driver-visible: replay events through
+    streaming.stream_static_enrich against the customer dimension (the
+    same user_id*11+7 key mapping as the CDC family, so some events miss
+    the dim — the left join's null segment is part of the contract),
+    collect the enriched stream from an append memory sink, and
+    aggregate per (mktsegment, event_type). The oracle is the plain
+    batch left join + aggregate: stream-static is STATELESS (the dim is
+    re-resolved each micro-batch), so for a bounded replay the enriched
+    stream equals the batch join row-for-row however it was
+    micro-batched. The r4 verdict's broadcast note is baked in:
+    stream_static_enrich carries no hint, so the planner size-gates the
+    per-batch dim join instead of force-shipping an unbounded dim."""
+    from otus_cpp_11_spark.queries.cdc import CDC_KEY_MULT, CDC_KEY_OFF
+    from otus_cpp_11_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        stream_static_enrich,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "user_id", F.col("user_id") * CDC_KEY_MULT + CDC_KEY_OFF
+    )
+    out = run_available_now(
+        stream_static_enrich(ev, dim), "events_enriched_stream", "append"
+    )
+    return (
+        out.groupBy(F.col("c_mktsegment").alias("mktsegment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("mktsegment").asc_nulls_first(), "event_type")
+    )

@@ -156,6 +156,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "multimodal_decode_features": "ba3641b52a2e",
     "multimodal_frame_sample": "6c3ae1db4d13",
     "nation_richest_customer": "c569db84fd24",
+    "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
@@ -171,6 +172,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
+    "region_nation_full_outer": "f11eea99322c",
     "q10_returned_revenue": "a4d4957ae078",
     "q1_pricing_summary": "3560e363e9ed",
     "q3_shipping_priority": "918d9d1a9938",
@@ -242,12 +244,10 @@ REVERIFY: frozenset[str] = frozenset({
     "doc_fingerprint",
     "latest_event_per_user",
     "nation_set_ops",
-    "nation_supplier_left_join",
     "order_distinct_aggs",
     "orders_grouping_sets",
     "orderstatus_pivot",
     "parts_larger_than_brand_avg",
-    "region_nation_full_outer",
     "region_nation_list",
     "scalar_string_math",
     "suppliers_with_returns",

@@ -222,3 +222,35 @@ class TestBloomPrune:
         for r in got.values():
             assert r.n_bloom_candidates >= r.n_exact_shared
             assert r.n_exact_shared == exact.get(r.doc_id, 0)
+
+
+class TestPitEnrich:
+    def test_pit_never_leaks_the_version_an_event_created(self, spark):
+        """The leakage contract: an event that STARTS a version must see
+        the version it transitioned FROM (or NULL for the user's first),
+        never its own; an event inside a run sees its own run's state."""
+        from otus_cpp_11_spark.queries.cdc import events_pit_enrich, user_state_scd2
+
+        hist: dict[tuple, object] = {}
+        for r in user_state_scd2(spark, SF).collect():
+            hist[(r.user_id, r.valid_from)] = r
+        enriched = events_pit_enrich(spark, SF).collect()
+        n_starts = n_inside = 0
+        for r in enriched:
+            started = hist.get((r.user_id, r.ts))
+            if started is not None and (
+                r.prior_state is None or r.prior_state != started.state
+            ):
+                # this event began a new version: prior must be the
+                # immediately preceding version, never the new one
+                if started.version == 1:
+                    assert r.prior_state is None and r.prior_version is None
+                else:
+                    assert r.prior_version == started.version - 1
+                    assert r.prior_state != started.state
+                n_starts += 1
+            else:
+                # inside a run: the active (pre-existing) state is its own
+                assert r.prior_state == r.event_type
+                n_inside += 1
+        assert n_starts and n_inside
