@@ -333,3 +333,50 @@ def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "user_state_scd2_streamed",
+    oracle=f"""
+WITH {_SCD2_HIST_SQL}
+SELECT user_id, version, state, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM hist
+ORDER BY user_id, version
+""",
+)
+def user_state_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, driver-visible: replay the change feed
+    through the INCREMENTAL SCD2 maintainer
+    (streaming.incremental_scd2_history — per-batch scoped recompute of
+    touched keys only, late events rewriting their key's validity chain,
+    double idempotence via the batch marker plus SCD2's own
+    duplication-collapse) under Trigger.AvailableNow, then return the
+    maintained history. The oracle is the from-scratch batch SCD2 —
+    the maintained chain must be bit-identical no matter how the stream
+    was micro-batched, the same streaming=backfill contract as the
+    rollup tier and the CDC-apply table."""
+    import tempfile
+
+    from otus_cpp_11_spark.streaming import (
+        incremental_scd2_history,
+        read_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="sg-scd2-")
+    q = incremental_scd2_history(
+        read_events_stream(spark, sf_dir), base + "/hist", base + "/raw"
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(base + "/hist")
+        .select(
+            "user_id",
+            "version",
+            "state",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -146,6 +146,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "kmeans_assign_update": "1957709e4ad9",
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
+    "latest_event_per_user": "256c7a2b2007",
     "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
@@ -242,7 +243,6 @@ REVERIFY: frozenset[str] = frozenset({
     "customers_above_avg_balance",
     "customers_without_orders",
     "doc_fingerprint",
-    "latest_event_per_user",
     "nation_set_ops",
     "order_distinct_aggs",
     "orders_grouping_sets",

@@ -52,6 +52,7 @@ __all__ = [
     "minute_rollup_delta",
     "incremental_minute_rollup",
     "cdc_upsert_user_state",
+    "incremental_scd2_history",
 ]
 
 
@@ -448,6 +449,71 @@ def cdc_upsert_user_state(
         # materialize BEFORE overwriting the directory being read
         merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(target_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def incremental_scd2_history(
+    events_stream: DataFrame, hist_path: str, raw_path: str, checkpoint: str | None = None
+):
+    """Maintain an SCD2 history table incrementally from a change stream —
+    the scoped-recompute lakehouse pattern: SCD2 validity chains cannot be
+    appended blindly (a late event can land BETWEEN existing transitions
+    and rewrite a user's collapse), so each micro-batch (1) appends its
+    raw records to a per-key change store, (2) recomputes the history of
+    the TOUCHED KEYS ONLY from that store, and (3) replaces exactly those
+    keys' rows in the history table. Untouched keys' history is carried
+    byte-for-byte; the recompute cost scales with the batch's key
+    footprint, not the table.
+
+    Idempotence is two-layered: the history write is guarded by the same
+    in-table ``_last_batch_id`` marker as the other maintainers, and the
+    raw-store append needs no guard at all because SCD2 is idempotent
+    under record duplication BY CONSTRUCTION — a replayed raw record has
+    the same (ts, event_id, state), lands adjacent to its twin in the
+    per-key order, and the lag-collapse drops it as a same-state run
+    member, leaving every transition and version number unchanged. (A
+    retry that died between the raw append and the history write
+    re-appends duplicates, then the recompute collapses them away.)
+
+    At scale: raw store partitioned/z-ordered by key so the touched-key
+    recompute is partition-pruned; history replace becomes MERGE INTO
+    keyed on user_id under an ACID format."""
+    from pyspark.errors import AnalysisException
+
+    from otus_cpp_11_spark.queries.cdc import _scd2_history
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg-ckpt-")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            old_hist = spark.read.parquet(hist_path)
+        except AnalysisException:
+            old_hist = None
+        if old_hist is not None and "_last_batch_id" in old_hist.columns:
+            applied = old_hist.agg(F.max("_last_batch_id")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # retry of an already-merged batch: no-op
+        batch_df.write.mode("append").parquet(raw_path)
+        touched = batch_df.select("user_id").distinct()
+        raw = spark.read.parquet(raw_path)
+        delta = _scd2_history(raw.join(touched, "user_id", "left_semi"))
+        if old_hist is None:
+            merged = delta
+        else:
+            merged = old_hist.drop("_last_batch_id").join(
+                touched, "user_id", "left_anti"
+            ).unionByName(delta)
+        merged = merged.withColumn("_last_batch_id", F.lit(batch_id))
+        # materialize BEFORE overwriting the directory being read
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(hist_path)
 
     return (
         events_stream.writeStream.foreachBatch(merge)

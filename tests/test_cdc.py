@@ -254,3 +254,84 @@ class TestPitEnrich:
                 assert r.prior_state == r.event_type
                 n_inside += 1
         assert n_starts and n_inside
+
+
+class TestIncrementalScd2:
+    def test_multibatch_equals_batch_history(self, spark, tmp_path):
+        from otus_cpp_11_spark.queries.cdc import _scd2_history
+        from otus_cpp_11_spark.streaming import incremental_scd2_history
+
+        events = load_table(spark, SF, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        src = str(tmp_path / "scd2_src")
+        events.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        hist, raw = str(tmp_path / "hist"), str(tmp_path / "raw")
+        incremental_scd2_history(stream, hist, raw).awaitTermination()
+        got = spark.read.parquet(hist).drop("_last_batch_id")
+        want = _scd2_history(events)
+        assert _rows(got, "user_id", "version") == _rows(want, "user_id", "version")
+
+    def test_late_event_rewrites_only_its_keys_chain(self, spark, tmp_path):
+        """A late change landing BETWEEN existing transitions must rewrite
+        its key's validity chain (new middle version, re-numbered
+        successors) while an untouched key's history carries unchanged —
+        the scoped-recompute contract."""
+        from otus_cpp_11_spark.streaming import incremental_scd2_history
+
+        t0 = dt.datetime(2024, 1, 1)
+        mk = lambda u, ts, eid, st: (u, ts, eid, st, 0.0)  # noqa: E731
+        schema = (
+            "user_id bigint, ts timestamp, event_id bigint, "
+            "event_type string, value double"
+        )
+        src = str(tmp_path / "src")
+        first = spark.createDataFrame(
+            [
+                mk(1, t0, 10, "click"),
+                mk(1, t0 + dt.timedelta(hours=2), 12, "view"),
+                mk(2, t0, 20, "click"),
+            ],
+            schema,
+        )
+        first.coalesce(1).write.mode("append").parquet(src)
+        hist, raw = str(tmp_path / "hist"), str(tmp_path / "raw")
+        ckpt = str(tmp_path / "ckpt")
+        stream = lambda: (  # noqa: E731
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        incremental_scd2_history(stream(), hist, raw, ckpt).awaitTermination()
+        v1 = {
+            (r.user_id, r.version): (r.state, r.valid_from)
+            for r in spark.read.parquet(hist).collect()
+        }
+        assert v1[(1, 1)][0] == "click" and v1[(1, 2)][0] == "view"
+
+        # the late event: lands between user 1's two existing transitions
+        late = spark.createDataFrame(
+            [mk(1, t0 + dt.timedelta(hours=1), 11, "purchase")], schema
+        )
+        late.coalesce(1).write.mode("append").parquet(src)
+        # same checkpoint: AvailableNow picks up ONLY the new file
+        incremental_scd2_history(stream(), hist, raw, ckpt).awaitTermination()
+        rows = spark.read.parquet(hist).collect()
+        u1 = sorted(
+            [(r.version, r.state, r.valid_from, r.valid_to) for r in rows if r.user_id == 1]
+        )
+        assert [(v, s) for v, s, *_ in u1] == [
+            (1, "click"),
+            (2, "purchase"),
+            (3, "view"),
+        ]
+        # chain contiguous through the inserted version
+        assert u1[0][3] == u1[1][2] and u1[1][3] == u1[2][2]
+        # untouched key carried byte-for-byte
+        u2 = [(r.version, r.state) for r in rows if r.user_id == 2]
+        assert u2 == [(1, "click")]
