@@ -380,3 +380,84 @@ def user_state_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@register(
+    "forget_sweep_accounting",
+    oracle=f"""
+WITH latest AS (
+  SELECT user_id, event_type
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) t
+  WHERE rn = 1
+),
+forget AS (
+  SELECT user_id FROM latest WHERE event_type = '{CDC_DELETE_TYPE}'
+),
+{_SCD2_HIST_SQL}
+SELECT 'events' AS table_name,
+       COUNT(*) AS n_rows_to_forget,
+       COUNT(DISTINCT user_id) AS n_keys
+FROM events WHERE user_id IN (SELECT user_id FROM forget)
+UNION ALL
+SELECT 'customer',
+       COUNT(*), COUNT(DISTINCT c_custkey)
+FROM customer
+WHERE c_custkey IN (SELECT {_CDC_KEY_SQL} FROM forget)
+UNION ALL
+SELECT 'user_state_history',
+       COUNT(*), COUNT(DISTINCT user_id)
+FROM hist WHERE user_id IN (SELECT user_id FROM forget)
+ORDER BY table_name
+""",
+)
+def forget_sweep_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep planning (GDPR Art. 17): given the
+    forget list (keys whose latest change is a delete tombstone — the
+    same population customer_cdc_merge deletes), account for every row
+    the erasure must touch across the lake: the raw change feed, the
+    customer dimension (via the CDC key mapping), and the SCD2 history.
+    The accounting step is what a compliance pipeline runs FIRST — the
+    deletes themselves are then per-table MERGEs (customer_cdc_merge's
+    delete arm), and this query is the audit evidence that they reached
+    everything.
+
+    Plan shape: the forget list is one struct-max argmax over the feed
+    (partial-aggregated, one row per key), then three left-semi probes —
+    each a scan of its table against the small key relation, which AQE
+    broadcasts at runtime (bounded by the tombstoned-key count, no hint
+    — the standard rule). At 100 TB each probe is one pruned scan; with
+    the key-partitioned/z-ordered layouts the scans skip to matching
+    files. Nothing shuffles except the three 1-row aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    forget = (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+        .where(F.col("m.event_type") == CDC_DELETE_TYPE)
+        .select("user_id")
+    )
+    fkeys = forget.select(
+        (F.col("user_id") * CDC_KEY_MULT + CDC_KEY_OFF).alias("key")
+    )
+
+    def acct(df, name, key_col):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows_to_forget"),
+            F.count_distinct(F.col(key_col)).alias("n_keys"),
+        )
+
+    ev = e.join(forget, "user_id", "left_semi")
+    cu = c.join(fkeys, c.c_custkey == fkeys.key, "left_semi")
+    hi = _scd2_history(e).join(forget, "user_id", "left_semi")
+    return (
+        acct(ev, "events", "user_id")
+        .unionByName(acct(cu, "customer", "c_custkey"))
+        .unionByName(acct(hi, "user_state_history", "user_id"))
+        .orderBy("table_name")
+    )

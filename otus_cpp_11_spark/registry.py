@@ -162,6 +162,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
     "ngram_jaccard_pairs": "1ce24908ed83",
+    "order_distinct_aggs": "798ac52398ee",
     "orders_by_month": "3b5d56427f88",
     "orders_cube": "977856a76063",
     "orders_rollup": "cc0326964a00",
@@ -244,7 +245,6 @@ REVERIFY: frozenset[str] = frozenset({
     "customers_without_orders",
     "doc_fingerprint",
     "nation_set_ops",
-    "order_distinct_aggs",
     "orders_grouping_sets",
     "orderstatus_pivot",
     "parts_larger_than_brand_avg",

@@ -440,3 +440,27 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pit_enrich_is_asof_not_interval_join(spark, plan):
+    # the PIT join must be the union+window as-of form (one key shuffle,
+    # linear): a window over user_id, NO join operator between facts and
+    # history — the interval-join formulation (materializes fact x
+    # candidate-version pairs) appears only in the oracle
+    p = plan("events_pit_enrich", spark)
+    assert "Window" in p
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in p, bad
+    lines = [ln for ln in p.splitlines() if "hashpartitioning(" in ln]
+    assert lines and all("_k" in ln or "user_id" in ln for ln in lines)
+
+
+def test_forget_sweep_probes_are_semi_joins(spark, plan):
+    # the erasure audit is three LEFT SEMI probes against the bounded
+    # forget-key relation — semi joins never replicate matched rows, and
+    # nothing degenerates to a pair enumeration
+    p = plan("forget_sweep_accounting", spark)
+    assert "LeftSemi" in p
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in p, bad
