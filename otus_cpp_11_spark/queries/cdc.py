@@ -98,6 +98,7 @@ def _scd2_history(events: DataFrame) -> DataFrame:
 
 @register(
     "user_state_scd2",
+    bench=True,
     oracle=f"""
 WITH {_SCD2_HIST_SQL}
 SELECT user_id, version, state, valid_from, valid_to,
@@ -134,6 +135,7 @@ _CDC_KEY_SQL = f"user_id * {CDC_KEY_MULT} + {CDC_KEY_OFF}"
 
 @register(
     "customer_cdc_merge",
+    bench=True,
     oracle=f"""
 WITH latest AS (
   SELECT {_CDC_KEY_SQL} AS key, event_type, value

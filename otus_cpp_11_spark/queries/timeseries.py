@@ -791,15 +791,23 @@ def view_purchase_left_outer_streamed(spark: SparkSession, sf_dir: str) -> DataF
     return out.orderBy("view_id", "purchase_id")
 
 
-@register(
-    "events_enriched_streamed",
-    oracle="""
+def _enrich_oracle() -> str:
+    # interpolate the CDC key constants so the oracle can never drift from
+    # the Spark-side mapping (the r4 PQ_DSUB advice rule)
+    from otus_cpp_11_spark.queries.cdc import CDC_KEY_MULT, CDC_KEY_OFF
+
+    return f"""
 SELECT c.c_mktsegment AS mktsegment, e.event_type, COUNT(*) AS n_events
 FROM events e
-LEFT JOIN customer c ON c.c_custkey = e.user_id * 11 + 7
+LEFT JOIN customer c ON c.c_custkey = e.user_id * {CDC_KEY_MULT} + {CDC_KEY_OFF}
 GROUP BY mktsegment, e.event_type
 ORDER BY mktsegment NULLS FIRST, e.event_type
-""",
+"""
+
+
+@register(
+    "events_enriched_streamed",
+    oracle=_enrich_oracle(),
 )
 def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, driver-visible: replay events through
