@@ -162,11 +162,13 @@ def synthesize_wav_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema="doc_id bigint, payload binary")
 
 
-def parse_wav_bytes(b: bytes) -> tuple[int, int, int, int, int]:
-    """Real RIFF/WAVE parse with stdlib struct only: walk the chunk list,
-    read the fmt fields, unpack the PCM data. Returns (sample_rate,
-    n_channels, bits_per_sample, n_samples, pcm_sum). Raises ValueError on
-    malformed containers."""
+def _wav_fmt_data(b: bytes) -> tuple[int, int, int, int, int, bytes]:
+    """THE RIFF/WAVE chunk walk (stdlib struct only) every audio consumer
+    builds on: validates the container, walks the word-aligned chunk
+    list, unpacks the fmt fields. Returns (audio_format, n_channels,
+    sample_rate, block_align, bits_per_sample, data_bytes). Raises
+    ValueError on malformed containers — a single walk, so a parser fix
+    can never diverge the feature and fingerprint decoders."""
     import struct
 
     if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -187,6 +189,16 @@ def parse_wav_bytes(b: bytes) -> tuple[int, int, int, int, int]:
     audio_format, n_channels, sample_rate, _rate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
+    return audio_format, n_channels, sample_rate, block_align, bits, data
+
+
+def parse_wav_bytes(b: bytes) -> tuple[int, int, int, int, int]:
+    """Real RIFF/WAVE parse (shared chunk walk ``_wav_fmt_data``) plus PCM
+    unpack. Returns (sample_rate, n_channels, bits_per_sample, n_samples,
+    pcm_sum). Raises ValueError on malformed containers."""
+    import struct
+
+    audio_format, n_channels, sample_rate, block_align, bits, data = _wav_fmt_data(b)
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV encoding {audio_format}/{bits}")
     n_samples = len(data) // block_align
@@ -248,30 +260,10 @@ def synthesize_ppm_payloads(docs: DataFrame) -> DataFrame:
 
 def parse_ppm_bytes(b: bytes) -> tuple[int, int, int, int, int]:
     """Real PPM P6 parse: magic, whitespace-delimited header tokens, then
-    the RGB raster. Returns (width, height, r_sum, g_sum, b_sum)."""
-    if b[0:2] != b"P6":
-        raise ValueError("not a P6 PPM")
-    # header = magic + width + height + maxval, whitespace-separated; the
-    # raster starts one byte after the maxval token
-    tokens, pos = [], 2
-    while len(tokens) < 3:
-        while pos < len(b) and b[pos] in b" \t\r\n":
-            pos += 1
-        start = pos
-        while pos < len(b) and b[pos] not in b" \t\r\n":
-            pos += 1
-        # a header that ends mid-token (or exactly at a token boundary
-        # with no raster byte after maxval) must fail the documented
-        # ValueError contract, not escape as IndexError from the scans
-        if start == pos or (len(tokens) == 2 and pos >= len(b)):
-            raise ValueError("truncated header")
-        tokens.append(int(b[start:pos]))
-    w, h, maxval = tokens
-    if maxval != 255:
-        raise ValueError(f"unsupported maxval {maxval}")
-    raster = b[pos + 1 : pos + 1 + 3 * w * h]
-    if len(raster) != 3 * w * h:
-        raise ValueError("truncated raster")
+    the RGB raster. Returns (width, height, r_sum, g_sum, b_sum). One
+    byte walk for the whole image family: this is ``ppm_raster`` plus
+    channel sums, so a parser fix can never diverge the two decoders."""
+    w, h, raster = ppm_raster(b)
     return w, h, sum(raster[0::3]), sum(raster[1::3]), sum(raster[2::3])
 
 
@@ -317,8 +309,9 @@ AHASH_GRID = 4  # 4x4 grid -> 16-bit hash
 
 
 def ppm_raster(b: bytes) -> tuple[int, int, bytes]:
-    """Header parse + raw RGB raster (same byte walk as parse_ppm_bytes,
-    returning pixels instead of channel sums)."""
+    """THE PPM P6 byte walk (magic, whitespace-delimited header tokens,
+    raw RGB raster) — the single parser every image consumer
+    (parse_ppm_bytes, ahash16_from_ppm) builds on."""
     if b[0:2] != b"P6":
         raise ValueError("not a P6 PPM")
     tokens, pos = [], 2
@@ -405,29 +398,13 @@ def audio_fp16_from_wav(b: bytes) -> int:
     uniform gain (scaling every sample scales both energies). The first
     {AUDIO_FP_BITS} delta bits pack little-endian into one integer.
 
-    The real parse is the same stdlib chunk walk as parse_wav_bytes; a
-    misread fmt field, a wrong data offset, or a sign error in the PCM
-    unpack all flip energy comparisons and hash-mismatch the oracle."""
+    The real parse is the SHARED stdlib chunk walk (_wav_fmt_data — one
+    parser for the whole audio family); a misread fmt field, a wrong
+    data offset, or a sign error in the PCM unpack all flip energy
+    comparisons and hash-mismatch the oracle."""
     import struct
 
-    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE container")
-    fmt = data = None
-    pos = 12
-    while pos + 8 <= len(b):
-        cid = b[pos : pos + 4]
-        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        body = b[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt = body
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
-        raise ValueError("missing fmt/data chunk")
-    audio_format, n_channels, _sr, _rate, block_align, bits = struct.unpack(
-        "<HHIIHH", fmt[:16]
-    )
+    audio_format, n_channels, _sr, block_align, bits, data = _wav_fmt_data(b)
     if audio_format != 1 or bits != 16 or n_channels != 1:
         raise ValueError(f"unsupported WAV encoding {audio_format}/{bits}")
     n = len(data) // block_align

@@ -57,17 +57,17 @@ ordered AS (
   FROM events
 ),
 changes AS (
-  SELECT user_id, state, ts
+  SELECT user_id, state, ts, event_id
   FROM ordered
   WHERE prev_state IS NULL OR state <> prev_state
 ),
 hist AS (
   SELECT user_id,
-         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
-           AS version,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS version,
          state,
          ts AS valid_from,
-         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
   FROM changes
 )
 """
@@ -77,7 +77,12 @@ def _scd2_history(events: DataFrame) -> DataFrame:
     """(user_id, version, state, valid_from, valid_to): the SCD2 history
     plan shared by user_state_scd2 and events_pit_enrich — collapse the
     change feed to state transitions, then stamp versions and validity
-    over the same per-key order."""
+    over the same per-key order. BOTH windows tie-break on event_id: two
+    transitions of one user at the same timestamp would otherwise get
+    plan-dependent version/validity assignment (and the engines could
+    legally disagree); with the tie-break the earlier-id version gets an
+    empty [T, T) validity — deterministic bookkeeping both engines
+    compute identically."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = events.select(
         "user_id",
@@ -86,13 +91,12 @@ def _scd2_history(events: DataFrame) -> DataFrame:
         "event_id",
         F.lag("event_type").over(order).alias("prev_state"),
     ).where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
-    ver = Window.partitionBy("user_id").orderBy("ts")
     return changes.select(
         "user_id",
-        F.row_number().over(ver).cast("bigint").alias("version"),
+        F.row_number().over(order).cast("bigint").alias("version"),
         "state",
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(ver).alias("valid_to"),
+        F.lead("ts").over(order).alias("valid_to"),
     )
 
 
@@ -312,8 +316,15 @@ def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = e.select("event_id", "user_id", "ts", "event_type").withColumn(
         "_pit_ts", F.expr("ts - interval 1 microsecond")
     )
-    hist = _scd2_history(e).select(
-        "user_id", F.col("valid_from").alias("vts"), "state", "version"
+    # drop empty [T, T) versions (same-timestamp transition bookkeeping):
+    # they can never be active at any instant — the oracle's interval
+    # predicate excludes them arithmetically — and removing them resolves
+    # the as-of join's right-side (key, time) tie, which asof_join's
+    # contract requires the caller to do
+    hist = (
+        _scd2_history(e)
+        .where(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .select("user_id", F.col("valid_from").alias("vts"), "state", "version")
     )
     return (
         asof_join(

@@ -132,7 +132,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "event_value_mad": "a8aa5b034a6c",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
-    "events_minute_rollup_streamed": "ef0a33733bdb",
     "events_multires_rollup": "9500a9fc4621",
     "events_props_variant": "31a6172af1b4",
     "events_session_windows": "ee61ffbf866a",
@@ -170,11 +169,13 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_price_percentiles": "00142ef3899e",
     "part_price_band_join": "feedac3b7d7c",
     "pii_scrub_stats": "7f34c028e2b4",
-    "ppm_decode_features": "9da4f48f676c",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
     "region_nation_full_outer": "f11eea99322c",
+    "region_nation_list": "47ff2923d217",
+    "scalar_string_math": "ace55f30e0cd",
+    "suppliers_with_returns": "7a66c41651f6",
     "q10_returned_revenue": "a4d4957ae078",
     "q1_pricing_summary": "3560e363e9ed",
     "q3_shipping_priority": "918d9d1a9938",
@@ -214,7 +215,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
     "view_purchase_within_6h": "ceb393bc123c",
-    "wav_decode_features": "c5e596df5226",
     "word_count": "8d6c7475043d",
 }
 
@@ -248,9 +248,6 @@ REVERIFY: frozenset[str] = frozenset({
     "orders_grouping_sets",
     "orderstatus_pivot",
     "parts_larger_than_brand_avg",
-    "region_nation_list",
-    "scalar_string_math",
-    "suppliers_with_returns",
 })
 
 

@@ -204,15 +204,13 @@ def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     return events.join(user_dim, "user_id", "left")
 
 
-def view_purchase_stream_join(
-    views: DataFrame, purchases: DataFrame, window: str = "6 hours"
+def _view_purchase_join(
+    views: DataFrame, purchases: DataFrame, window: str, how: str
 ) -> DataFrame:
-    """Stream-stream interval join: view→purchase conversions within
-    `window`, the streaming face of ops.joins.range_join_within (same
-    semantics, asserted equal in tests). Both sides are watermarked so the
-    join state is evictable: a buffered view can be dropped once the
-    watermark passes view.ts + window, a purchase once matched horizons
-    pass. Without watermarks this state grows without bound."""
+    """ONE definition of the view→purchase interval-join condition and
+    projection, shared by the inner and left-outer faces — a change to
+    the conversion window bound or the watermark can never diverge the
+    two attributions."""
     v = views.select(
         F.col("event_id").alias("view_id"),
         F.col("user_id").alias("v_user"),
@@ -228,6 +226,7 @@ def view_purchase_stream_join(
         (F.col("v_user") == F.col("p_user"))
         & (F.col("p_ts") > F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window}")),
+        how,
     )
     return joined.select(
         "view_id",
@@ -235,6 +234,18 @@ def view_purchase_stream_join(
         F.col("v_user").alias("user_id"),
         (epoch_us("p_ts") - epoch_us("v_ts")).alias("gap_us"),
     )
+
+
+def view_purchase_stream_join(
+    views: DataFrame, purchases: DataFrame, window: str = "6 hours"
+) -> DataFrame:
+    """Stream-stream interval join: view→purchase conversions within
+    `window`, the streaming face of ops.joins.range_join_within (same
+    semantics, asserted equal in tests). Both sides are watermarked so the
+    join state is evictable: a buffered view can be dropped once the
+    watermark passes view.ts + window, a purchase once matched horizons
+    pass. Without watermarks this state grows without bound."""
+    return _view_purchase_join(views, purchases, window, "inner")
 
 
 def view_purchase_stream_join_outer(
@@ -248,29 +259,7 @@ def view_purchase_stream_join_outer(
     null side arrives only after the watermark passes view.ts + window,
     which is why outer results trail the inner ones by the watermark
     delay). State cost is identical to the inner join."""
-    v = views.select(
-        F.col("event_id").alias("view_id"),
-        F.col("user_id").alias("v_user"),
-        F.col("ts").alias("v_ts"),
-    ).withWatermark("v_ts", "10 minutes")
-    p = purchases.select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-    ).withWatermark("p_ts", "10 minutes")
-    joined = v.join(
-        p,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window}")),
-        "left_outer",
-    )
-    return joined.select(
-        "view_id",
-        "purchase_id",
-        F.col("v_user").alias("user_id"),
-        (epoch_us("p_ts") - epoch_us("v_ts")).alias("gap_us"),
-    )
+    return _view_purchase_join(views, purchases, window, "left_outer")
 
 
 # --------------------------------------------------------------------------
@@ -332,6 +321,70 @@ def minute_rollup_delta(events: DataFrame) -> DataFrame:
     )
 
 
+def _run_incremental_maintainer(
+    events_stream: DataFrame,
+    target_path: str,
+    merge_fn,
+    checkpoint: str | None,
+):
+    """THE foreachBatch maintainer scaffold every incremental table
+    (rollup tier, CDC-apply state, SCD2 history) runs on: existence-
+    checked target read, ``_last_batch_id`` retry marker, materialize-
+    before-overwrite, ``Trigger.AvailableNow``. ``merge_fn(existing,
+    batch_df) -> DataFrame`` gets the current target WITHOUT the marker
+    column (None before the first batch) and returns the new contents.
+    Holding the guard/marker/rewrite protocol in one place means a
+    protocol fix can never drift between the maintainers.
+
+    Cross-run guard: foreachBatch batch ids are scoped to a CHECKPOINT,
+    so the in-table marker can only distinguish a same-run retry from a
+    NEW run while the checkpoint persists. Maintaining an existing
+    target with a fresh throwaway checkpoint restarts ids at 0 — early
+    batches would be swallowed as "retries" and later ones re-applied —
+    so that call shape is refused up front: resume with the checkpoint
+    the target was built with, or start a fresh target."""
+    from pyspark.errors import AnalysisException
+
+    spark = events_stream.sparkSession
+    if checkpoint is None:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+        if jpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jpath):
+            raise ValueError(
+                f"target {target_path!r} already exists but no persistent "
+                "checkpoint was given: a fresh checkpoint restarts batch ids "
+                "at 0, so the retry marker cannot tell a foreachBatch retry "
+                "from a re-run (data would be dropped or double-applied). "
+                "Pass the checkpoint the target was built with, or use a "
+                "fresh target."
+            )
+        checkpoint = tempfile.mkdtemp(prefix="sg-ckpt-")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        try:
+            existing = bspark.read.parquet(target_path)
+        except AnalysisException:
+            existing = None  # first batch: target doesn't exist yet
+        if existing is not None and "_last_batch_id" in existing.columns:
+            applied = existing.agg(F.max("_last_batch_id")).first()[0]
+            if applied is not None and applied >= batch_id:
+                return  # retry of an already-merged batch: no-op
+            existing = existing.drop("_last_batch_id")
+        merged = merge_fn(existing, batch_df).withColumn(
+            "_last_batch_id", F.lit(batch_id)
+        )
+        # materialize BEFORE overwriting the directory being read
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(target_path)
+
+    return (
+        events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_minute_rollup(
     events_stream: DataFrame, tier_path: str, checkpoint: str | None = None
 ):
@@ -354,44 +407,21 @@ def incremental_minute_rollup(
     The marker rides in the tier itself, so tier + marker move in one
     write (a sidecar file could desync from the tier on a crash between
     the two writes)."""
-    from pyspark.errors import AnalysisException
 
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg-ckpt-")
-
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(tier_path)
-        except AnalysisException:
-            existing = None  # first batch: tier doesn't exist yet
-        if existing is not None and "_last_batch_id" in existing.columns:
-            applied = existing.agg(F.max("_last_batch_id")).first()[0]
-            if applied is not None and applied >= batch_id:
-                return  # retry of an already-merged batch: no-op
+    def merge_fn(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         delta = minute_rollup_delta(batch_df)
         if existing is None:
-            merged = delta
-        else:
-            merged = (
-                existing.drop("_last_batch_id")
-                .unionByName(delta)
-                .groupBy("bucket_start")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("units").alias("units"),
-                )
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("bucket_start")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("units").alias("units"),
             )
-        merged = merged.withColumn("_last_batch_id", F.lit(batch_id))
-        # materialize BEFORE overwriting the directory being read
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").parquet(tier_path)
+        )
 
-    return (
-        events_stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _run_incremental_maintainer(events_stream, tier_path, merge_fn, checkpoint)
 
 
 def cdc_upsert_user_state(
@@ -420,41 +450,21 @@ def cdc_upsert_user_state(
     against that compact table. Retries are idempotent via the same
     in-table ``_last_batch_id`` marker as incremental_minute_rollup —
     marker and data move in one atomic write."""
-    from pyspark.errors import AnalysisException
-
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg-ckpt-")
     rec = F.struct("ts", "event_id", "event_type", "value")
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            existing = spark.read.parquet(target_path)
-        except AnalysisException:
-            existing = None  # first batch: target doesn't exist yet
-        if existing is not None and "_last_batch_id" in existing.columns:
-            applied = existing.agg(F.max("_last_batch_id")).first()[0]
-            if applied is not None and applied >= batch_id:
-                return  # retry of an already-merged batch: no-op
+    def merge_fn(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         delta = batch_df.groupBy("user_id").agg(F.max(rec).alias("m"))
         if existing is None:
-            merged = delta
-        else:
-            merged = (
-                existing.select("user_id", "m")
-                .unionByName(delta)
-                .groupBy("user_id")
-                .agg(F.max("m").alias("m"))
-            )
-        merged = merged.withColumn("_last_batch_id", F.lit(batch_id))
-        # materialize BEFORE overwriting the directory being read
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").parquet(target_path)
+            return delta
+        return (
+            existing.select("user_id", "m")
+            .unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.max("m").alias("m"))
+        )
 
-    return (
-        events_stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _run_incremental_maintainer(
+        events_stream, target_path, merge_fn, checkpoint
     )
 
 
@@ -484,40 +494,15 @@ def incremental_scd2_history(
     At scale: raw store partitioned/z-ordered by key so the touched-key
     recompute is partition-pruned; history replace becomes MERGE INTO
     keyed on user_id under an ACID format."""
-    from pyspark.errors import AnalysisException
-
     from otus_cpp_11_spark.queries.cdc import _scd2_history
 
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg-ckpt-")
-
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            old_hist = spark.read.parquet(hist_path)
-        except AnalysisException:
-            old_hist = None
-        if old_hist is not None and "_last_batch_id" in old_hist.columns:
-            applied = old_hist.agg(F.max("_last_batch_id")).first()[0]
-            if applied is not None and applied >= batch_id:
-                return  # retry of an already-merged batch: no-op
+    def merge_fn(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         batch_df.write.mode("append").parquet(raw_path)
         touched = batch_df.select("user_id").distinct()
-        raw = spark.read.parquet(raw_path)
+        raw = batch_df.sparkSession.read.parquet(raw_path)
         delta = _scd2_history(raw.join(touched, "user_id", "left_semi"))
-        if old_hist is None:
-            merged = delta
-        else:
-            merged = old_hist.drop("_last_batch_id").join(
-                touched, "user_id", "left_anti"
-            ).unionByName(delta)
-        merged = merged.withColumn("_last_batch_id", F.lit(batch_id))
-        # materialize BEFORE overwriting the directory being read
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").parquet(hist_path)
+        if existing is None:
+            return delta
+        return existing.join(touched, "user_id", "left_anti").unionByName(delta)
 
-    return (
-        events_stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _run_incremental_maintainer(events_stream, hist_path, merge_fn, checkpoint)

@@ -127,15 +127,16 @@ class TestCdcUpsertStream:
             .parquet(src)
         )
         target = str(tmp_path / "state")
-        cdc_upsert_user_state(stream, target).awaitTermination()
+        ckpt = str(tmp_path / "ckpt")
+        cdc_upsert_user_state(stream, target, ckpt).awaitTermination()
         got = spark.read.parquet(target).select("user_id", "m")
         want = events.groupBy("user_id").agg(
             F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
         )
         assert _rows(got, "user_id") == _rows(want, "user_id")
 
-        # retry idempotence: replaying the same source (batch_ids restart
-        # at 0, all <= applied marker) must leave the target unchanged
+        # resume idempotence: same checkpoint, no new files -> no batches,
+        # target unchanged
         applied = (
             spark.read.parquet(target).agg({"_last_batch_id": "max"}).first()[0]
         )
@@ -144,12 +145,24 @@ class TestCdcUpsertStream:
             .option("maxFilesPerTrigger", 1)
             .parquet(src),
             target,
+            ckpt,
         ).awaitTermination()
         again = spark.read.parquet(target)
         assert again.agg({"_last_batch_id": "max"}).first()[0] == applied
         assert _rows(again.select("user_id", "m"), "user_id") == _rows(
             want, "user_id"
         )
+
+        # cross-run guard: existing target + throwaway checkpoint refused
+        import pytest
+
+        with pytest.raises(ValueError, match="checkpoint"):
+            cdc_upsert_user_state(
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                target,
+            )
 
     def test_tombstone_survives_any_batch_order(self, spark, tmp_path):
         """A delete tombstone must win on recency REGARDLESS of which

@@ -148,26 +148,24 @@ def test_incremental_rollup_equals_batch(spark, batch_events, tmp_path):
         .parquet(src)
     )
     tier = str(tmp_path / "minute_tier")
-    q = incremental_minute_rollup(stream, tier)
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_minute_rollup(stream, tier, ckpt)
     q.awaitTermination()
     got = spark.read.parquet(tier).drop("_last_batch_id")
     want = minute_rollup_delta(batch_events)
     assert _rows(got, "bucket_start") == _rows(want, "bucket_start")
 
-    # Retry idempotence: re-delivering an already-merged batch_id must be
-    # a no-op (foreachBatch re-runs the last batch when a failure lands
-    # between the sink write and the checkpoint commit).
-    tier_df = spark.read.parquet(tier)
-    applied = tier_df.agg({"_last_batch_id": "max"}).first()[0]
+    # Resume idempotence: resuming with the ORIGINAL checkpoint sees no
+    # new files, processes no batches, and leaves the tier unchanged.
+    applied = spark.read.parquet(tier).agg({"_last_batch_id": "max"}).first()[0]
     from otus_cpp_11_spark.streaming import incremental_minute_rollup as _imr
 
-    # second stream over the same source starts batch_ids at 0 again —
-    # every batch is <= applied, so the tier must be unchanged
     q2 = _imr(
         spark.readStream.schema(batch_events.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src),
         tier,
+        ckpt,
     )
     q2.awaitTermination()
     again = spark.read.parquet(tier)
@@ -175,6 +173,20 @@ def test_incremental_rollup_equals_batch(spark, batch_events, tmp_path):
     assert _rows(again.drop("_last_batch_id"), "bucket_start") == _rows(
         want, "bucket_start"
     )
+
+    # Cross-run guard: maintaining an EXISTING tier with a fresh
+    # throwaway checkpoint would restart batch ids at 0 (early batches
+    # swallowed as retries, later ones double-applied) — refused up front.
+    with pytest.raises(ValueError, match="checkpoint"):
+        _imr(
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            tier,
+        )
+    assert _rows(
+        spark.read.parquet(tier).drop("_last_batch_id"), "bucket_start"
+    ) == _rows(want, "bucket_start")
 
 
 def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
