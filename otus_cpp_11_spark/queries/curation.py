@@ -254,7 +254,7 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion, and tf is vocab-×-docs-sized, far smaller than the
     corpus text itself."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = _normalized()
     toks = d.select(
         "doc_id",
         F.explode(

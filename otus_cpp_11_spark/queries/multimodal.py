@@ -183,31 +183,90 @@ def ppm_ahash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm_ahash(synthesize_ppm_payloads(d)).orderBy("doc_id")
 
 
-@register(
-    "ppm_ahash_near_dup_counts",
-    oracle=f"""
-WITH {_AHASH_SQL},
-hc AS (SELECT ahash, COUNT(*) AS n_docs FROM hashes GROUP BY ahash),
+def _banded_near_dup_sql(src_cte: str, hash_col: str, hamming_max: int) -> str:
+    """DuckDB CTE chain for the distinct-hash-value banded near-dup count
+    — ONE definition shared by every 16-bit perceptual hash family
+    (image aHash, audio energy fingerprint), so the banding math can
+    never drift between modalities or from the Spark twin below."""
+    return f"""
+hc AS (SELECT {hash_col}, COUNT(*) AS n_docs FROM {src_cte} GROUP BY {hash_col}),
 bands AS (
-  SELECT ahash, n_docs, b, (ahash >> (4 * b)) % 16 AS band_val
+  SELECT {hash_col}, n_docs, b, ({hash_col} >> (4 * b)) % 16 AS band_val
   FROM hc CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS b) bs
 ),
 cand AS (
-  SELECT DISTINCT a.ahash AS h_a, b.ahash AS h_b, b.n_docs AS nb
+  SELECT DISTINCT a.{hash_col} AS h_a, b.{hash_col} AS h_b, b.n_docs AS nb
   FROM bands a JOIN bands b
-    ON a.b = b.b AND a.band_val = b.band_val AND a.ahash <> b.ahash
+    ON a.b = b.b AND a.band_val = b.band_val AND a.{hash_col} <> b.{hash_col}
 ),
 nbr AS (
-  SELECT h_a AS ahash, CAST(SUM(nb) AS BIGINT) AS n_nbr
-  FROM cand WHERE BIT_COUNT(XOR(h_a, h_b)) <= {AHASH_HAMMING_MAX}
+  SELECT h_a AS {hash_col}, CAST(SUM(nb) AS BIGINT) AS n_nbr
+  FROM cand WHERE BIT_COUNT(XOR(h_a, h_b)) <= {hamming_max}
   GROUP BY h_a
 )
-SELECT h.doc_id,
+SELECT s.doc_id,
        CAST(c.n_docs - 1 + COALESCE(n.n_nbr, 0) AS BIGINT) AS n_near_dups
-FROM hashes h
-JOIN hc c USING (ahash)
-LEFT JOIN nbr n USING (ahash)
-ORDER BY h.doc_id
+FROM {src_cte} s
+JOIN hc c USING ({hash_col})
+LEFT JOIN nbr n USING ({hash_col})
+ORDER BY s.doc_id
+"""
+
+
+def _banded_near_dup_counts(
+    hashes: DataFrame, hash_col: str, hamming_max: int
+) -> DataFrame:
+    """Spark twin of _banded_near_dup_sql: per doc, how many other docs
+    sit within `hamming_max` of its 16-bit hash (identical hashes are
+    hamming 0). The graph is built over DISTINCT HASH VALUES (at most
+    2^16 — corpus-size-independent) via 4x4-bit pigeonhole bands, then
+    attributed back to docs with one bounded join."""
+    hc = hashes.groupBy(hash_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    bands = hc.select(
+        hash_col,
+        "n_docs",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"pmod(shiftright({hash_col}, cast(4 * b as int)), 16)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{hash_col}") != F.col(f"b.{hash_col}")),
+        )
+        .select(
+            F.col(f"a.{hash_col}").alias("h_a"),
+            F.col(f"b.{hash_col}").alias("h_b"),
+            F.col("b.n_docs").alias("nb"),
+        )
+        .distinct()
+    )
+    nbr = (
+        cand.where(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= hamming_max)
+        .groupBy(F.col("h_a").alias(hash_col))
+        .agg(F.sum("nb").cast("bigint").alias("n_nbr"))
+    )
+    return (
+        hashes.join(hc, hash_col)
+        .join(nbr, hash_col, "left")
+        .select(
+            "doc_id",
+            (F.col("n_docs") - 1 + F.coalesce("n_nbr", F.lit(0)))
+            .cast("bigint")
+            .alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ppm_ahash_near_dup_counts",
+    oracle=f"""
+WITH {_AHASH_SQL},{_banded_near_dup_sql("hashes", "ahash", AHASH_HAMMING_MAX)}
 """,
 )
 def ppm_ahash_near_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,47 +291,7 @@ def ppm_ahash_near_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     hashes = decode_ppm_ahash(synthesize_ppm_payloads(d))
-    hc = hashes.groupBy("ahash").agg(F.count(F.lit(1)).alias("n_docs"))
-    bands = hc.select(
-        "ahash",
-        "n_docs",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
-    ).withColumn(
-        "band_val", F.expr("pmod(shiftright(ahash, cast(4 * b as int)), 16)")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.ahash") != F.col("b.ahash")),
-        )
-        .select(
-            F.col("a.ahash").alias("h_a"),
-            F.col("b.ahash").alias("h_b"),
-            F.col("b.n_docs").alias("nb"),
-        )
-        .distinct()
-    )
-    nbr = (
-        cand.where(
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= AHASH_HAMMING_MAX
-        )
-        .groupBy(F.col("h_a").alias("ahash"))
-        .agg(F.sum("nb").cast("bigint").alias("n_nbr"))
-    )
-    return (
-        hashes.join(hc, "ahash")
-        .join(nbr, "ahash", "left")
-        .select(
-            "doc_id",
-            (F.col("n_docs") - 1 + F.coalesce("n_nbr", F.lit(0)))
-            .cast("bigint")
-            .alias("n_near_dups"),
-        )
-        .orderBy("doc_id")
-    )
+    return _banded_near_dup_counts(hashes, "ahash", AHASH_HAMMING_MAX)
 
 
 # --------------------------------------------------------------------------
@@ -336,28 +355,7 @@ def wav_fingerprint16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "wav_fp_near_dup_counts",
     oracle=f"""
-WITH {_AFP_SQL},
-hc AS (SELECT afp, COUNT(*) AS n_docs FROM fps GROUP BY afp),
-bands AS (
-  SELECT afp, n_docs, b, (afp >> (4 * b)) % 16 AS band_val
-  FROM hc CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS b) bs
-),
-cand AS (
-  SELECT DISTINCT a.afp AS h_a, b.afp AS h_b, b.n_docs AS nb
-  FROM bands a JOIN bands b
-    ON a.b = b.b AND a.band_val = b.band_val AND a.afp <> b.afp
-),
-nbr AS (
-  SELECT h_a AS afp, CAST(SUM(nb) AS BIGINT) AS n_nbr
-  FROM cand WHERE BIT_COUNT(XOR(h_a, h_b)) <= {AUDIO_FP_HAMMING_MAX}
-  GROUP BY h_a
-)
-SELECT f.doc_id,
-       CAST(c.n_docs - 1 + COALESCE(n.n_nbr, 0) AS BIGINT) AS n_near_dups
-FROM fps f
-JOIN hc c USING (afp)
-LEFT JOIN nbr n USING (afp)
-ORDER BY f.doc_id
+WITH {_AFP_SQL},{_banded_near_dup_sql("fps", "afp", AUDIO_FP_HAMMING_MAX)}
 """,
 )
 def wav_fp_near_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,45 +377,4 @@ def wav_fp_near_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     fps = decode_wav_fingerprint(synthesize_wav_payloads(d))
-    hc = fps.groupBy("afp").agg(F.count(F.lit(1)).alias("n_docs"))
-    bands = hc.select(
-        "afp",
-        "n_docs",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
-    ).withColumn(
-        "band_val", F.expr("pmod(shiftright(afp, cast(4 * b as int)), 16)")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.afp") != F.col("b.afp")),
-        )
-        .select(
-            F.col("a.afp").alias("h_a"),
-            F.col("b.afp").alias("h_b"),
-            F.col("b.n_docs").alias("nb"),
-        )
-        .distinct()
-    )
-    nbr = (
-        cand.where(
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-            <= AUDIO_FP_HAMMING_MAX
-        )
-        .groupBy(F.col("h_a").alias("afp"))
-        .agg(F.sum("nb").cast("bigint").alias("n_nbr"))
-    )
-    return (
-        fps.join(hc, "afp")
-        .join(nbr, "afp", "left")
-        .select(
-            "doc_id",
-            (F.col("n_docs") - 1 + F.coalesce("n_nbr", F.lit(0)))
-            .cast("bigint")
-            .alias("n_near_dups"),
-        )
-        .orderBy("doc_id")
-    )
+    return _banded_near_dup_counts(fps, "afp", AUDIO_FP_HAMMING_MAX)

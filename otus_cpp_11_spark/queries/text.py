@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.queries.dedup import _normalized
 from otus_cpp_11_spark.registry import register
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
@@ -63,7 +64,8 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_chars, n_tokens,
-       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END
+         AS stopword_ratio,
        CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
             THEN 1 ELSE 0 END AS quality_ok
 FROM t
@@ -72,15 +74,17 @@ ORDER BY doc_id
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length + stopword-ratio heuristics (the classic
-    pretraining-corpus filters, e.g. C4-style), as pure column math."""
+    pretraining-corpus filters, e.g. C4-style), as pure column math. The
+    ratio is NULL-guarded for zero-token docs: unguarded n_stop/0 is NULL
+    in Spark but NaN in DuckDB, the one family member that previously
+    lacked the guard doc_lang_id and the DSIR mean carry."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
-    stop_lits = [F.lit(w) for w in STOPWORDS]
     n_stop = F.size(
         F.filter(toks, lambda x: x.isin([*STOPWORDS]))
     )
     n_tokens = F.size(toks)
-    ratio = n_stop.cast("double") / n_tokens
+    ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens)
     return d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -142,9 +146,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-        ).alias("fingerprint"),
+        F.md5(_normalized()).alias("fingerprint"),
     ).orderBy("doc_id")
 
 
@@ -200,7 +202,7 @@ def classifier_scores(d: DataFrame) -> DataFrame:
         F.explode(
             F.filter(
                 F.split(
-                    F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                    _normalized(),
                     " ",
                 ),
                 lambda x: x != F.lit(""),

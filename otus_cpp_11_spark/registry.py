@@ -101,6 +101,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "customer_order_gap_stats": "6d3cb75325f9",
     "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
+    "customers_above_avg_balance": "2c2142b03318",
     "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
     "doc_arrow_byte_stats": "48790875d2b1",
@@ -113,7 +114,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_quality_classifier": "496dd16e1f78",
-    "doc_quality_score": "39314f0f9dff",
     "doc_repeated_spans": "021ae1e34c5c",
     "doc_repetition_stats": "d70389bb5105",
     "doc_reservoir_sample": "ed8d4fafb39a",
@@ -121,7 +121,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_simhash32": "9a4d28b0fe15",
     "doc_stratified_sample": "5cbbfac47518",
     "doc_token_stats": "f1fc9c5f44ba",
-    "doc_top_terms": "eb589333b071",
     "embedding_gram_upper": "f0e2d768f439",
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
@@ -168,6 +167,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_yoy_growth": "36e8f4429a72",
     "orders_price_percentiles": "00142ef3899e",
     "part_price_band_join": "feedac3b7d7c",
+    "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
@@ -241,13 +241,11 @@ REVERIFY: frozenset[str] = frozenset({
     "balanced_doc_sample",
     "cross_modal_doc_features",
     "customer_running_spend",
-    "customers_above_avg_balance",
     "customers_without_orders",
     "doc_fingerprint",
     "nation_set_ops",
     "orders_grouping_sets",
     "orderstatus_pivot",
-    "parts_larger_than_brand_avg",
 })
 
 
