@@ -21,7 +21,7 @@ order-insensitive value-hash matches the oracle bit-for-bit):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
