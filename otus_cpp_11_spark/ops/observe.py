@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table
-from otus_cpp_11_spark.queries.text import STOPWORDS
+from otus_cpp_11_spark.queries.text import (
+    QUALITY_MIN_STOP_RATIO,
+    QUALITY_MIN_TOKENS,
+    STOPWORDS,
+    _tokens,
+)
 
 
 def observe_stage(df: DataFrame, name: str, *metrics) -> tuple[DataFrame, Observation]:
@@ -40,12 +45,12 @@ def curation_funnel_observed(
     gate. One action computes the per-source result AND both metric sets;
     ``obs["input"].get`` / ``obs["kept"].get`` read them afterwards.
 
-    The gate mirrors doc_quality_score's heuristic (>= 20 tokens,
-    stopword ratio >= 0.05) — the point here is the instrumentation
+    The gate IS doc_quality_score's heuristic (same imported tokenizer
+    and threshold constants, so they cannot drift) — the point here is the instrumentation
     contract, not a new gate: rejected-row accounting falls out as
     input - kept without a second job."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    toks = _tokens()
     scored = d.select(
         "doc_id",
         "source",
@@ -59,8 +64,11 @@ def curation_funnel_observed(
         F.sum("n_tokens").alias("n_tokens"),
     )
     kept = scored.where(
-        (F.col("n_tokens") >= 20)
-        & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05)
+        (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        & (
+            F.col("n_stop").cast("double") / F.col("n_tokens")
+            >= QUALITY_MIN_STOP_RATIO
+        )
     )
     kept, obs_kept = observe_stage(
         kept,

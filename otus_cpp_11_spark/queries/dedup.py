@@ -67,36 +67,12 @@ def _word_shingles(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
     )
 
 
-def _word_shingles_raw(df: DataFrame, k: int) -> DataFrame:
-    """(doc_id, shingle) WITHOUT per-doc dedup: every word-k-gram occurrence.
-    For consumers that aggregate with their own DISTINCT (e.g.
-    decontamination's count_distinct), the set construction's per-doc
-    array_distinct hash build is pure waste — measured 2.8s -> 0.9s on the
-    decontamination query at sf0.1. Same normalization and zip_with-slices
-    construction as _word_shingle_arrays (see its docstring for why not
-    transform/element_at)."""
-    wdf = spread(df).select(
-        "doc_id",
-        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
-    )
-    w = F.col("w")
-    m = F.greatest(F.size(w) - (k - 1), F.lit(0))
-    acc = F.slice(w, 1, m)
-    for off in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(w, off + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return wdf.select("doc_id", F.explode(acc).alias("shingle"))
-
-
-def _word_shingle_arrays(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
-    """(doc_id, *extra_cols, shingle_set): the distinct word-k-gram shingle
-    SET of each doc as one array column — the un-exploded form of
-    _word_shingles. Staying array-typed lets exact-Jaccard verification run
-    as array_intersect on candidate pairs (no re-shuffle of the exploded
-    shingle relation).
+def _word_shingle_arrays_raw(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, shingle_arr): every word-k-gram occurrence of
+    the normalized text as one array column — THE shingle construction
+    every variant (raw explode, distinct set) builds on, so the tuned
+    form below can never drift between the dedup and decontamination
+    families.
 
     Construction is zip_with over k shifted slices of the words array, NOT
     transform(sequence, i -> element_at(w, i+off)): HOF lambdas are
@@ -121,8 +97,31 @@ def _word_shingle_arrays(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
             F.slice(w, off + 1, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    arr = F.array_distinct(acc)
-    return wdf.select("doc_id", *extra_cols, arr.alias("shingle_set"))
+    return wdf.select("doc_id", *extra_cols, acc.alias("shingle_arr"))
+
+
+def _word_shingles_raw(df: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle) WITHOUT per-doc dedup: every word-k-gram occurrence.
+    For consumers that aggregate with their own DISTINCT (e.g.
+    decontamination's count_distinct), the set construction's per-doc
+    array_distinct hash build is pure waste — measured 2.8s -> 0.9s on the
+    decontamination query at sf0.1."""
+    arrays = _word_shingle_arrays_raw(df, k)
+    return arrays.select("doc_id", F.explode("shingle_arr").alias("shingle"))
+
+
+def _word_shingle_arrays(df: DataFrame, k: int, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, shingle_set): the distinct word-k-gram shingle
+    SET of each doc as one array column — the un-exploded form of
+    _word_shingles. Staying array-typed lets exact-Jaccard verification run
+    as array_intersect on candidate pairs (no re-shuffle of the exploded
+    shingle relation)."""
+    arrays = _word_shingle_arrays_raw(df, k, *extra_cols)
+    return arrays.select(
+        "doc_id",
+        *extra_cols,
+        F.array_distinct("shingle_arr").alias("shingle_set"),
+    )
 
 
 # Single-generation dedup cache: near_dup_pairs_minhash references the
@@ -153,9 +152,6 @@ def release_dedup_caches() -> None:
         except Exception:
             pass  # session already stopped; nothing retained
 
-
-# Back-compat name used before bands joined the cache generation.
-release_shingle_cache = release_dedup_caches
 
 
 _SHINGLES_SQL = f"""
@@ -273,6 +269,26 @@ near_pairs AS (
 )"""
 
 
+def _minhash_sigs(shingles: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{NUM_HASHES-1}): the Carter-Wegman min-signature
+    family from an exploded (doc_id, shingle) relation — ONE definition
+    shared by banding (_minhash_bands) and the accuracy gate
+    (minhash_estimate_accuracy), so the gate always measures the exact
+    sketch candidate generation uses; a change to NUM_HASHES, the a/b
+    split, or the modulus can never diverge the two."""
+    ab = shingles.select("doc_id", F.md5("shingle").alias("h")).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("a"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("b"),
+    )
+    return ab.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("a") + F.lit(h) * F.col("b")) % F.lit(_M32)).alias(f"s{h}")
+            for h in range(NUM_HASHES)
+        ]
+    )
+
+
 def _minhash_bands(sets: DataFrame) -> DataFrame:
     """(doc_id, band, band_sig) for every doc in the shingle-SET relation:
     16 Carter-Wegman min-signatures (one md5 per shingle; see the
@@ -287,21 +303,7 @@ def _minhash_bands(sets: DataFrame) -> DataFrame:
     whole query at sf0.1), and the groupBy's map-side partial min means
     the shuffle carries 16 ints per doc, not the shingle relation."""
     shingles = sets.select("doc_id", F.explode("shingle_set").alias("shingle"))
-    ab = shingles.select(
-        "doc_id", F.md5("shingle").alias("h")
-    ).select(
-        "doc_id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("a"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("b"),
-    )
-    sigs = ab.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("a") + F.lit(h) * F.col("b")) % F.lit(_M32)).alias(
-                f"s{h}"
-            )
-            for h in range(NUM_HASHES)
-        ]
-    )
+    sigs = _minhash_sigs(shingles)
     band_structs = F.array(
         *[
             F.struct(
@@ -361,23 +363,24 @@ def banded_candidate_pairs(
         "band", "band_sig", F.lit(True).alias("_hot")
     )
 
-    def pair_select_plain(df):
+    def bucket_self_join(df, dedupe):
+        # ONE definition of the (band, band_sig, doc_id<) candidate join,
+        # used by both the no-hot-bucket short circuit (deduped here) and
+        # the skew path's cold slice (deduped after the hot union) — the
+        # bucketing key can never drift between the two paths
         a, b = df.alias("a"), df.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.band_sig") == F.col("b.band_sig"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
+        pairs = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        return pairs.distinct() if dedupe else pairs
 
     if hot.limit(1).count() == 0:
-        return pair_select_plain(bands)
+        return bucket_self_join(bands, dedupe=True)
 
     tagged = bands.join(F.broadcast(hot), ["band", "band_sig"], "left")
     cold = tagged.where(F.col("_hot").isNull()).drop("_hot")
@@ -388,15 +391,7 @@ def banded_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
 
-    a, b = cold.alias("a"), cold.alias("b")
-    cold_pairs = pair_select(
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-    )
+    cold_pairs = bucket_self_join(cold, dedupe=False)
 
     cells = F.array(*[F.lit(i) for i in range(num_salts)])
     g = F.pmod(F.hash("doc_id"), F.lit(num_salts))
@@ -878,17 +873,7 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_dup_pairs_minhash(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     shingles = _word_shingles(d, SHINGLE_WORDS)
-    ab = shingles.select("doc_id", F.md5("shingle").alias("h")).select(
-        "doc_id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("a"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("b"),
-    )
-    sigs = ab.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("a") + F.lit(h) * F.col("b")) % F.lit(_M32)).alias(f"s{h}")
-            for h in range(NUM_HASHES)
-        ]
-    )
+    sigs = _minhash_sigs(shingles)
     sa = sigs.select(
         F.col("doc_id").alias("_sa_id"), *[F.col(f"s{h}").alias(f"sa{h}") for h in range(NUM_HASHES)]
     )

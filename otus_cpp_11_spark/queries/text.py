@@ -20,6 +20,11 @@ from otus_cpp_11_spark.registry import register
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# The C4-style quality gate, importable so instrumented pipelines
+# (ops/observe.py) gate with EXACTLY the thresholds this query verifies.
+QUALITY_MIN_TOKENS = 20
+QUALITY_MIN_STOP_RATIO = 0.05
+
 
 def _tokens(col: str = "text"):
     """Whitespace tokens with empties dropped (lecture normalize+tokenize,
@@ -66,7 +71,8 @@ WITH t AS (
 SELECT doc_id, n_chars, n_tokens,
        CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens END
          AS stopword_ratio,
-       CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+       CASE WHEN n_tokens >= {QUALITY_MIN_TOKENS}
+             AND CAST(n_stop AS DOUBLE) / n_tokens >= {QUALITY_MIN_STOP_RATIO}
             THEN 1 ELSE 0 END AS quality_ok
 FROM t
 ORDER BY doc_id
@@ -90,7 +96,11 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         ratio.alias("stopword_ratio"),
-        F.when((n_tokens >= 20) & (ratio >= 0.05), 1).otherwise(0).alias("quality_ok"),
+        F.when(
+            (n_tokens >= QUALITY_MIN_TOKENS) & (ratio >= QUALITY_MIN_STOP_RATIO), 1
+        )
+        .otherwise(0)
+        .alias("quality_ok"),
     ).orderBy("doc_id")
 
 

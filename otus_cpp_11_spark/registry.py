@@ -101,6 +101,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "customer_order_gap_stats": "6d3cb75325f9",
     "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
+    "customer_running_spend": "471b2c9922e8",
     "customers_above_avg_balance": "2c2142b03318",
     "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
@@ -151,7 +152,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "lineitem_qty_histogram": "5ad92f95736c",
     "lsh_cosine_top5": "bcbb1c08dc09",
     "lsh_cosine_top5_multiprobe": "8a46b082e0db",
-    "minhash_estimate_accuracy": "3f8b1be63edc",
     "multimodal_decode_features": "ba3641b52a2e",
     "multimodal_frame_sample": "6c3ae1db4d13",
     "nation_richest_customer": "c569db84fd24",
@@ -240,7 +240,6 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 REVERIFY: frozenset[str] = frozenset({
     "balanced_doc_sample",
     "cross_modal_doc_features",
-    "customer_running_spend",
     "customers_without_orders",
     "doc_fingerprint",
     "nation_set_ops",
