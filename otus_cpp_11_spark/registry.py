@@ -85,36 +85,49 @@ def register(
 # shared-helper caveat). Regenerate entries with
 # scripts/gen_verified_hashes.py after promoting a round's greens.
 #
-# Round-5 membership: every green row from rounds 1-4 (the r4 driver
-# report was 50/50 green, bringing cumulative coverage to 144/144), each
-# pinned to the source hash current at promotion time. Round-5 edits
-# remove their entries below (see the r5 note near WINDOW_DEFER).
+# Round-6 membership: every green row from rounds 1-5 (the r5 driver
+# report was 50/50 green, bringing cumulative coverage to 176/176), each
+# pinned to the source hash current at promotion time. Round-6 edits
+# remove their entries below (see the r6 note near WINDOW_DEFER).
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
+    "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
     "bpe_pair_counts": "d96cbbee11ec",
+    "bpe_token_frequencies": "eb69fe0ecb4e",
     "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
+    "corpus_datacard": "4e127f435efa",
     "corpus_dedup_stats": "3fa9e48f7a71",
+    "cross_modal_doc_features": "1a3d8a0a163a",
+    "customer_cdc_merge": "db72fbdb81d5",
     "customer_monthly_retention": "5005e34e6d54",
     "customer_order_gap_stats": "6d3cb75325f9",
     "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
     "customer_running_spend": "471b2c9922e8",
     "customers_above_avg_balance": "2c2142b03318",
+    "customers_without_orders": "9a01c8532a3d",
     "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
+    "decontam_bloom_prune": "004a9cd16c69",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
+    "doc_bpe_token_stats": "bb37dd0bc15d",
     "doc_dedup_clusters": "5150a5c0e008",
+    "doc_dsir_weights": "391a5a705947",
+    "doc_fingerprint": "ac4f9cbb8f09",
+    "doc_gopher_rules": "9eb3349e7818",
     "doc_lang_id": "9244112be464",
     "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
     "doc_pack_bins": "640fc7df9845",
+    "doc_pack_bins_bpe": "8838e9c0f7af",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_quality_classifier": "496dd16e1f78",
+    "doc_quality_score": "c49088db0448",
     "doc_repeated_spans": "021ae1e34c5c",
     "doc_repetition_stats": "d70389bb5105",
     "doc_reservoir_sample": "ed8d4fafb39a",
@@ -122,6 +135,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_simhash32": "9a4d28b0fe15",
     "doc_stratified_sample": "5cbbfac47518",
     "doc_token_stats": "f1fc9c5f44ba",
+    "doc_top_terms": "36f7b8dcb415",
     "embedding_gram_upper": "f0e2d768f439",
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
@@ -130,31 +144,45 @@ DRIVER_VERIFIED: dict[str, str] = {
     "embedding_random_projection": "149313e23aa4",
     "event_type_transitions": "5d5953723362",
     "event_value_mad": "a8aa5b034a6c",
+    "events_dedup_streamed": "b83a47cdb13a",
+    "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
+    "events_minute_rollup_streamed": "ef0a33733bdb",
     "events_multires_rollup": "9500a9fc4621",
+    "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
     "events_session_windows": "ee61ffbf866a",
+    "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min": "9f43a94d569f",
+    "events_sliding_10min_5min_streamed": "ee09d3535501",
     "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
     "exact_dup_groups": "8902aa321cb1",
+    "forget_sweep_accounting": "6fb00d148c74",
     "incremental_near_dup": "106378cb3ab8",
     "ivf_cosine_top5": "4587a141ad18",
+    "ivf_pq_top5": "984566e4c151",
     "kmeans_assign_update": "1957709e4ad9",
+    "knn_join_lsh_top3": "635fe257dd5a",
+    "knn_recall_at_3": "3fff87b5a1d2",
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
     "latest_event_per_user": "256c7a2b2007",
+    "leakage_safe_split": "be57faff60a0",
     "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
     "lineitem_qty_histogram": "5ad92f95736c",
+    "lineitem_zorder_cells": "ed3ff23d2c3b",
     "lsh_cosine_top5": "bcbb1c08dc09",
     "lsh_cosine_top5_multiprobe": "8a46b082e0db",
+    "minhash_estimate_accuracy": "d049fca2dea7",
     "multimodal_decode_features": "ba3641b52a2e",
     "multimodal_frame_sample": "6c3ae1db4d13",
     "nation_richest_customer": "c569db84fd24",
+    "nation_set_ops": "ee0a45799605",
     "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
@@ -163,58 +191,80 @@ DRIVER_VERIFIED: dict[str, str] = {
     "order_distinct_aggs": "798ac52398ee",
     "orders_by_month": "3b5d56427f88",
     "orders_cube": "977856a76063",
+    "orders_grouping_sets": "7c2a2fcda67b",
+    "orders_price_percentiles": "00142ef3899e",
     "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
-    "orders_price_percentiles": "00142ef3899e",
+    "orderstatus_pivot": "051fd9dd302a",
     "part_price_band_join": "feedac3b7d7c",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
+    "ppm_ahash16": "86dc850ac759",
+    "ppm_ahash_near_dup_counts": "2df65b831d36",
+    "ppm_decode_features": "9da4f48f676c",
+    "pq_adc_rerank_top5": "1d721961f9ed",
+    "pq_adc_top10": "464767265696",
+    "pq_code_assignment": "c33530f39f3e",
+    "pq_encode_arrow": "d468a2b1f089",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
-    "region_nation_full_outer": "f11eea99322c",
-    "region_nation_list": "47ff2923d217",
-    "scalar_string_math": "ace55f30e0cd",
-    "suppliers_with_returns": "7a66c41651f6",
-    "q10_returned_revenue": "a4d4957ae078",
-    "q1_pricing_summary": "3560e363e9ed",
-    "q3_shipping_priority": "918d9d1a9938",
-    "q5_local_supplier_volume": "f16005f54f02",
-    "top3_orders_per_customer": "e381e519d72e",
-    "q6_forecast_revenue": "91e2e7229798",
-    "q14_promo_revenue": "d1f7ed07548b",
-    "q18_large_orders": "2d8c864c3af3",
-    "q19_discounted_revenue": "f2e73c0311bf",
-    "q7_nation_volume": "16361c09da0f",
-    "q8_market_share": "3f69435e2395",
     "python_datasource_checksum": "063511ddd858",
+    "python_datasource_stream_checksum": "609b3f6c9262",
+    "q10_returned_revenue": "a4d4957ae078",
     "q11_important_stock": "b454a09f76f4",
     "q12_priority_shipping": "d4cca0b4c80f",
     "q13_customer_distribution": "18c33d02b9f8",
+    "q14_promo_revenue": "d1f7ed07548b",
     "q15_top_supplier": "267d02ce303f",
     "q16_part_supplier_relation": "325feca847e9",
     "q17_small_quantity_revenue": "d8f1b63dc433",
+    "q18_large_orders": "2d8c864c3af3",
+    "q19_discounted_revenue": "f2e73c0311bf",
+    "q1_pricing_summary": "3560e363e9ed",
     "q20_potential_promotion": "7b4ee3233b46",
     "q21_waiting_supplier": "73abdeeeea2e",
     "q22_global_sales_opportunity": "b6a092e119de",
     "q2_min_cost_supplier": "048685ea0a11",
+    "q3_shipping_priority": "918d9d1a9938",
     "q4_order_priority": "df07a6d2b909",
+    "q5_local_supplier_volume": "f16005f54f02",
+    "q6_forecast_revenue": "91e2e7229798",
+    "q7_nation_volume": "16361c09da0f",
+    "q8_market_share": "3f69435e2395",
     "q9_product_profit": "306004d14e1d",
+    "region_nation_full_outer": "f11eea99322c",
+    "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
+    "running_user_counts_streamed": "fbca008c058d",
+    "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "98c7aff24981",
     "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
+    "source_token_fertility": "f05c9e5c824c",
     "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
+    "suppliers_with_returns": "7a66c41651f6",
+    "term_cms_heavy_hitters": "c42035a2f51d",
+    "top3_orders_per_customer": "e381e519d72e",
     "unique_by_abs": "aec470f57ab8",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
+    "user_state_cdc_streamed": "64fbb5550d53",
+    "user_state_scd2": "a7229906f4e7",
+    "user_state_scd2_streamed": "aa6d1ac0a95a",
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
+    "user_value_zscore_outliers": "2c6fb32b13af",
+    "view_purchase_left_outer_streamed": "f8e79f71ba33",
     "view_purchase_within_6h": "ceb393bc123c",
+    "view_purchase_within_6h_streamed": "fa86e1f70ded",
+    "wav_decode_features": "c5e596df5226",
+    "wav_fingerprint16": "3048e2e0c324",
+    "wav_fp_near_dup_counts": "8b3dc099b104",
     "word_count": "8d6c7475043d",
 }
 
@@ -222,30 +272,20 @@ DRIVER_VERIFIED: dict[str, str] = {
 # after the rest of the unverified set (they stay gated by the local
 # oracle harness and take a slot next round). Queries added mid-round go
 # here so they don't displace the 50 already queued for driver rows.
-# Round 5: empty — new/changed queries + oldest-green re-queues fill the
-# window exactly; each operator added mid-round displaced the youngest
-# re-queue instead (its r2 pin restored — see the REVERIFY note).
+# Round 6: empty — new/changed queries + oldest-green re-queues fill the
+# window exactly (see the REVERIFY note).
 WINDOW_DEFER: frozenset[str] = frozenset()
 
-# Oldest-green re-verification queue (r4 verdict item 7): queries whose
-# only driver row is from rounds 1-2, re-queued oldest-first into the
-# slots the window has spare this round. Ordered AFTER new/changed
-# queries by all_queries() so a fresh operator never loses its slot to a
-# routine re-verification. Mid-round operator additions (doc_gopher_rules,
-# doc_dsir_weights, knn_join_lsh_top3, the CDC family, ...) each displace
-# a member of this queue — its still-valid r1/r2 pin goes back into
-# DRIVER_VERIFIED (preferring members the bench re-exercises every round,
-# now that all remaining members are equally-old r1 greens) — keeping the
-# driver window at exactly 50.
-REVERIFY: frozenset[str] = frozenset({
-    "balanced_doc_sample",
-    "cross_modal_doc_features",
-    "customers_without_orders",
-    "doc_fingerprint",
-    "nation_set_ops",
-    "orders_grouping_sets",
-    "orderstatus_pivot",
-})
+# Oldest-green re-verification queue (r4 verdict item 7, refilled per the
+# r5 verdict item 5): queries whose only driver row is from rounds 1-2,
+# re-queued oldest-first into the slots the window has spare this round.
+# Ordered AFTER new/changed queries by all_queries() so a fresh operator
+# never loses its slot to a routine re-verification. Members leave
+# DRIVER_VERIFIED while queued; their still-valid old pin is restored if
+# a mid-round operator addition displaces them (keeping the window at
+# exactly 50). Refilled at round end once the round's own edits are
+# counted — see scripts/gen_verified_hashes.py workflow.
+REVERIFY: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:
