@@ -254,11 +254,10 @@ def user_state_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the streaming face of customer_cdc_merge's batch MERGE:
     same compaction, same recency order, applied incrementally."""
-    import tempfile
-
+    from otus_cpp_11_spark.session import scratch_dir
     from otus_cpp_11_spark.streaming import cdc_upsert_user_state, read_events_stream
 
-    target = tempfile.mkdtemp(prefix="sg-cdc-") + "/user_state"
+    target = scratch_dir("sg-cdc-") + "/user_state"
     q = cdc_upsert_user_state(read_events_stream(spark, sf_dir), target)
     q.awaitTermination()
     return (
@@ -369,14 +368,13 @@ def user_state_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the maintained chain must be bit-identical no matter how the stream
     was micro-batched, the same streaming=backfill contract as the
     rollup tier and the CDC-apply table."""
-    import tempfile
-
+    from otus_cpp_11_spark.session import scratch_dir
     from otus_cpp_11_spark.streaming import (
         incremental_scd2_history,
         read_events_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="sg-scd2-")
+    base = scratch_dir("sg-scd2-")
     q = incremental_scd2_history(
         read_events_stream(spark, sf_dir), base + "/hist", base + "/raw"
     )

@@ -276,14 +276,13 @@ def events_minute_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     (memory sink vs batch same-function); this query puts one end-to-end
     streaming behavior under the driver's cross-engine correctness gate.
     """
-    import tempfile
-
+    from otus_cpp_11_spark.session import scratch_dir
     from otus_cpp_11_spark.streaming import (
         incremental_minute_rollup,
         read_events_stream,
     )
 
-    tier_path = tempfile.mkdtemp(prefix="sg-tier-") + "/minute"
+    tier_path = scratch_dir("sg-tier-") + "/minute"
     q = incremental_minute_rollup(read_events_stream(spark, sf_dir), tier_path)
     q.awaitTermination()
     return (

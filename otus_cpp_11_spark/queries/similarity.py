@@ -1409,7 +1409,7 @@ lsh_ranked AS (
 lsh_top AS (SELECT query_id, vec_id FROM lsh_ranked WHERE rnk <= {KNN_TOPK})
 SELECT x.query_id,
        CAST(COUNT(l.vec_id) AS BIGINT) AS n_overlap,
-       CAST(COUNT(l.vec_id) AS DOUBLE) / {KNN_TOPK} AS recall
+       CAST(COUNT(l.vec_id) AS DOUBLE) / COUNT(*) AS recall
 FROM exact_top x
 LEFT JOIN lsh_top l ON l.query_id = x.query_id AND l.vec_id = x.vec_id
 GROUP BY x.query_id
@@ -1427,7 +1427,9 @@ def knn_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow scoring pass, never corpus x corpus); the LSH side restricts
     to the query's sign-signature bucket, exactly knn_join_lsh_top3's
     plan. The overlap join is per-(query, vec) on two {KNN_TOPK}-row
-    relations. Recall is n_overlap/{KNN_TOPK} in int/int double. At
+    relations. Recall is n_overlap over the query's EXACT top-k row
+    count (int/int double) so it measures recall-of-achievable even if
+    a query has fewer than k exact neighbors. At
     100 TB this runs periodically over a fixed probe set to regression-
     gate index quality (bucket-occupancy drift, plane staleness) — the
     same sample-probe pattern as the sketch accuracy gates."""
@@ -1475,7 +1477,12 @@ def knn_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.count("l_nid").alias("n_overlap"),
-            (F.count("l_nid").cast("double") / KNN_TOPK).alias("recall"),
+            # denominator = this query's EXACT top-k row count, not the
+            # constant k: if a query ever has fewer than k exact
+            # neighbors (tiny corpus, future KNN_QUERY_MOD change) the
+            # metric stays recall-of-achievable instead of silently
+            # understating (r5 ADVICE).
+            (F.count("l_nid").cast("double") / F.count(F.lit(1))).alias("recall"),
         )
         .orderBy("query_id")
     )

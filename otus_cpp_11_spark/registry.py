@@ -148,7 +148,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
-    "events_minute_rollup_streamed": "ef0a33733bdb",
     "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
@@ -166,7 +165,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ivf_pq_top5": "984566e4c151",
     "kmeans_assign_update": "1957709e4ad9",
     "knn_join_lsh_top3": "635fe257dd5a",
-    "knn_recall_at_3": "3fff87b5a1d2",
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
     "latest_event_per_user": "256c7a2b2007",
@@ -252,9 +250,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "unique_by_abs": "aec470f57ab8",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
-    "user_state_cdc_streamed": "64fbb5550d53",
     "user_state_scd2": "a7229906f4e7",
-    "user_state_scd2_streamed": "aa6d1ac0a95a",
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",

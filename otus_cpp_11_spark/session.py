@@ -13,9 +13,30 @@ every conf here is chosen for a multi-executor cluster at ~100 TB scale:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Fresh scratch directory for a maintained-table query (streamed CDC
+    state, rollup tiers, SCD2 raw stores, compaction staging). Each call
+    returns a NEW empty dir — the maintainers require a fresh target per
+    invocation — but all of them live under one per-process root that is
+    removed at interpreter exit, so repeated bench/oracle invocations
+    don't leak a full copy of every maintained table per call (r5 ADVICE).
+    At scale the equivalent is a job-scoped prefix on the cluster FS that
+    the orchestrator garbage-collects."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="sg-scratch-")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 def get_spark(

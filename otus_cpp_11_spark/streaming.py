@@ -26,7 +26,6 @@ Scale notes (100 TB / real cluster):
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Iterable, Iterator
 from typing import Any
 
@@ -36,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from otus_cpp_11_spark.catalog import epoch_us
+from otus_cpp_11_spark.session import scratch_dir
 
 __all__ = [
     "read_events_stream",
@@ -288,7 +288,7 @@ def write_stream_parquet(df: DataFrame, path: str, checkpoint: str | None = None
     """Parquet sink with checkpointing — the durable-output path. Returns
     the StreamingQuery (caller awaits). Checkpoint dir carries offsets +
     state across restarts; at scale it lives on the cluster FS."""
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="sg-ckpt-")
+    checkpoint = checkpoint or scratch_dir("sg-ckpt-")
     return (
         df.writeStream.format("parquet")
         .option("path", path)
@@ -329,12 +329,26 @@ def _run_incremental_maintainer(
 ):
     """THE foreachBatch maintainer scaffold every incremental table
     (rollup tier, CDC-apply state, SCD2 history) runs on: existence-
-    checked target read, ``_last_batch_id`` retry marker, materialize-
-    before-overwrite, ``Trigger.AvailableNow``. ``merge_fn(existing,
-    batch_df) -> DataFrame`` gets the current target WITHOUT the marker
-    column (None before the first batch) and returns the new contents.
-    Holding the guard/marker/rewrite protocol in one place means a
-    protocol fix can never drift between the maintainers.
+    checked target read, ``_last_batch_id`` retry marker, staging-
+    sibling write + directory swap, ``Trigger.AvailableNow``.
+    ``merge_fn(existing, batch_df) -> DataFrame`` gets the current
+    target WITHOUT the marker column (None before the first batch) and
+    returns the new contents. Holding the guard/marker/rewrite protocol
+    in one place means a protocol fix can never drift between the
+    maintainers.
+
+    Durability: the new table is fully written to a ``.staging-<id>``
+    sibling while the current target stays intact (the sibling write is
+    also what lets the lazy ``existing`` scan keep feeding the merge —
+    no materialize-before-overwrite step needed), then the swap is two
+    FS metadata ops (delete old target, rename staging in). A crash
+    during the data write loses nothing; a crash between the two swap
+    ops leaves no reader-visible target but the complete new table
+    survives under the staging path for recovery. Single-op atomicity
+    is an ACID-table-format property (MERGE INTO under Delta/Iceberg is
+    the production shape; for the CDC state table, whose target is the
+    only copy of the maintained state, that upgrade — or a rebuildable
+    raw store — is required for unattended crash safety).
 
     Cross-run guard: foreachBatch batch ids are scoped to a CHECKPOINT,
     so the in-table marker can only distinguish a same-run retry from a
@@ -357,7 +371,7 @@ def _run_incremental_maintainer(
                 "Pass the checkpoint the target was built with, or use a "
                 "fresh target."
             )
-        checkpoint = tempfile.mkdtemp(prefix="sg-ckpt-")
+        checkpoint = scratch_dir("sg-ckpt-")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
@@ -373,9 +387,14 @@ def _run_incremental_maintainer(
         merged = merge_fn(existing, batch_df).withColumn(
             "_last_batch_id", F.lit(batch_id)
         )
-        # materialize BEFORE overwriting the directory being read
-        merged = merged.localCheckpoint()
-        merged.write.mode("overwrite").parquet(target_path)
+        # staging-sibling write + swap (see the scaffold docstring);
+        # mode('overwrite') on staging also clears a dead retry's debris
+        staging = target_path.rstrip("/") + f".staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        jpath = bspark._jvm.org.apache.hadoop.fs.Path
+        fs = jpath(target_path).getFileSystem(bspark._jsc.hadoopConfiguration())
+        fs.delete(jpath(target_path), True)
+        fs.rename(jpath(staging), jpath(target_path))
 
     return (
         events_stream.writeStream.foreachBatch(merge)
@@ -495,6 +514,26 @@ def incremental_scd2_history(
     recompute is partition-pruned; history replace becomes MERGE INTO
     keyed on user_id under an ACID format."""
     from otus_cpp_11_spark.queries.cdc import _scd2_history
+
+    # Cross-run guard for the RAW STORE, mirroring the scaffold's target
+    # guard: a fresh history build (no checkpoint, no hist table) over a
+    # PRE-EXISTING raw store would silently fold a previous run's stale
+    # records into every touched key's recomputed chain.
+    spark = events_stream.sparkSession
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(raw_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if (
+        checkpoint is None
+        and not fs.exists(jpath(hist_path))
+        and fs.exists(jpath(raw_path))
+    ):
+        raise ValueError(
+            f"raw store {raw_path!r} already exists but the history "
+            f"target {hist_path!r} does not and no persistent checkpoint "
+            "was given: a fresh build would fold the previous run's raw "
+            "records into the recomputed history. Pass the checkpoint "
+            "the store was built with, or use a fresh raw_path."
+        )
 
     def merge_fn(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         batch_df.write.mode("append").parquet(raw_path)
