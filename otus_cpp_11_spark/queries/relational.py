@@ -103,9 +103,14 @@ LIMIT 10
     bench=True,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape. customer is a dim → broadcast (no shuffle of orders);
-    orders⋈lineitem is the one real shuffle, on orderkey. Top-k has a total
-    tie-break (o_orderkey) so the LIMIT set is deterministic."""
+    """TPC-H Q3 shape. customer SCALES with SF (unlike nation/region), so
+    no forced broadcast — the repo's unbounded-key policy (queries/cdc.py):
+    a hint that is right at sf0.1 is an executor OOM at the 100 TB design
+    point, while AQE sees the filtered scan's exact runtime size and still
+    converts to broadcast whenever it actually fits
+    (tests/test_plans.py::test_q3_customer_join_aqe_policy). orders⋈lineitem
+    is the one real shuffle, on orderkey. Top-k has a total tie-break
+    (o_orderkey) so the LIMIT set is deterministic."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
@@ -115,7 +120,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, 6).alias("revenue"))
@@ -149,12 +154,17 @@ ORDER BY revenue DESC, n_name
     bench=True,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: every non-fact table is a broadcast dim, so the only
-    shuffle is lineitem⋈orders on orderkey; the s_nationkey = c_nationkey
-    local-supplier predicate rides on the broadcast supplier join."""
+    """TPC-H Q5 shape. Only nation (25 rows) and region (5 rows) keep
+    forced broadcast hints — they are bounded BY CONSTRUCTION at any SF.
+    customer and supplier scale linearly, so their join strategy is
+    AQE-delegated (unbounded-key policy, queries/cdc.py): at eval SFs AQE
+    still broadcasts them from exact runtime sizes, at 100 TB it degrades
+    to shuffle join instead of OOMing every executor. The
+    s_nationkey = c_nationkey local-supplier predicate rides on the
+    supplier join whatever strategy AQE picks."""
     r = F.broadcast(load_table(spark, sf_dir, "region"))
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
@@ -164,7 +174,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .join(
@@ -713,9 +723,10 @@ LIMIT 20
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: lost-revenue ranking over returned items. The
-    returnflag filter pushes to the lineitem scan; nation broadcasts;
-    ANY_VALUE is safe because nation is functionally dependent on the
-    grouping key."""
+    returnflag filter pushes to the lineitem scan; nation (bounded)
+    broadcasts by hint, customer (scaling) is AQE-delegated per the
+    unbounded-key policy; ANY_VALUE is safe because nation is
+    functionally dependent on the grouping key."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
@@ -723,7 +734,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
@@ -783,9 +794,11 @@ WHERE l_shipdate >= TIMESTAMP '1997-06-01'
 """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share for one month. part is a dim →
-    broadcast, so the filtered lineitem never shuffles; the conditional
-    numerator and the total are one pass of the same aggregate."""
+    """TPC-H Q14: promo revenue share for one month. part scales with SF,
+    so its join strategy is AQE-delegated (unbounded-key policy): AQE
+    broadcasts it at eval sizes — the one-month lineitem filter side is
+    the smaller relation at big SF anyway — and the conditional numerator
+    and the total are one pass of the same aggregate."""
     l = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-06-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
@@ -794,7 +807,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.0) * dsum(promo, 6) / dsum(revenue, 6)).alias(
                 "promo_revenue_pct"
@@ -827,9 +840,12 @@ LIMIT 100
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds 300. The HAVING
-    subquery becomes an aggregate + semi join on orderkey (tiny result →
-    broadcast); only qualifying orders flow into the 3-way join. Top-k is
-    tie-broken on o_orderkey."""
+    subquery becomes an aggregate + semi join on orderkey; only
+    qualifying orders flow into the 3-way join. Both the qualifying-order
+    set and customer GROW with SF, so neither carries a forced broadcast
+    (unbounded-key policy) — AQE sees the aggregate's actual output size
+    (tiny at every realistic selectivity) and converts the semi join at
+    runtime. Top-k is tie-broken on o_orderkey."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -840,8 +856,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "semi")
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(big, F.col("o_orderkey") == big["l_orderkey"], "semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity"), 2).alias("sum_qty"))
@@ -871,12 +887,13 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (adapted: the synthetic part table has no container/
     shipmode columns, reference driver corpus — brand/size/quantity carry
     the disjunction). The OR-of-ANDs splits per-side: p_brand/p_size
-    conjuncts push into the broadcast part scan, l_quantity bounds (1..40
-    overall) push into the lineitem scan, and the residual disjunction
-    filters the join output."""
+    conjuncts push into the part scan, l_quantity bounds (1..40 overall)
+    push into the lineitem scan, and the residual disjunction filters the
+    join output. part scales with SF → strategy AQE-delegated
+    (unbounded-key policy)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    j = l.join(p, F.col("p_partkey") == F.col("l_partkey"))
     b = F.col("p_brand")
     s = F.col("p_size")
     q = F.col("l_quantity")
@@ -1002,9 +1019,11 @@ ORDER BY supp_nation, cust_nation, l_year
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the same nation dim plays two roles (supplier side
-    and customer side) — both broadcast, so the only shuffle is
-    lineitem⋈orders on orderkey; the disjunctive nation pair filter prunes
-    at the dim scans before any fact row moves."""
+    and customer side) — both hinted broadcast (nation is 25 rows at any
+    SF); supplier and customer scale, so their strategy is AQE-delegated
+    (unbounded-key policy). The only guaranteed shuffle is
+    lineitem⋈orders on orderkey; the disjunctive nation pair filter
+    prunes before the aggregate."""
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -1014,8 +1033,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     j = (
         l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(
@@ -1067,11 +1086,13 @@ ORDER BY o_year
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3's share of ECONOMY-part revenue sold into
-    ASIA per order year. Every dimension (part, supplier, customer, both
-    nation roles, region) broadcasts; lineitem⋈orders is the single
-    repartition — the fact table is touched once and never re-shuffled for
-    the nested share computation (numerator and denominator come out of
-    one aggregate pass)."""
+    ASIA per order year. Bounded dims (both nation roles, region) keep
+    broadcast hints; part/supplier/customer scale with SF, so their
+    strategy is AQE-delegated (unbounded-key policy — at eval SFs AQE
+    still broadcasts them). lineitem⋈orders is the single guaranteed
+    repartition — the fact table is touched once and never re-shuffled
+    for the nested share computation (numerator and denominator come out
+    of one aggregate pass)."""
     p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -1082,10 +1103,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
     j = (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))

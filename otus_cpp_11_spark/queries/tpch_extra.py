@@ -199,7 +199,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"])
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -233,19 +233,22 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue from small-quantity lineitems of one brand, where "small" is
     relative to that part's own average quantity. The correlated AVG
     decorrelates to a per-partkey aggregate joined back on partkey; the
-    brand filter (broadcast semi through part) prunes BEFORE the average
-    is computed, so only the brand's lineitems are scanned twice — and the
-    avg side reuses the first join's output, not a second fact scan."""
+    brand filter through part prunes BEFORE the average is computed, so
+    only the brand's lineitems are scanned twice — and the avg side
+    reuses the first join's output, not a second fact scan. The one-brand
+    part slice and the per-part aggregate both SCALE with SF, so their
+    join strategy is AQE-delegated (unbounded-key policy): AQE converts
+    them to broadcast from exact runtime sizes whenever they fit."""
     p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
     l = load_table(spark, sf_dir, "lineitem")
-    li = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+    li = l.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     pa = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (dsum(F.col("l_quantity"), 2) / F.count("l_quantity")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("a_partkey"))
+        li.join(pa, F.col("l_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum(F.col("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -331,7 +334,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -472,7 +475,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window, instead of re-running the inner aggregate per outer row.
     Supplier/nation/region attrs ride through the groupBy as grouping
     keys (functionally dependent on suppkey), so the dimensions are
-    joined exactly once, broadcast."""
+    joined exactly once. nation⋈region keep hints (bounded); the
+    region-filtered supplier slice and the size-filtered part slice
+    scale with SF → AQE-delegated (unbounded-key policy)."""
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -494,7 +499,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     offers = (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey", "s_acctbal", "s_name", "n_name")
         .agg(F.min("l_extendedprice").alias("min_price"))
     )
@@ -505,7 +510,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").between(10, 15)
     )
     return (
-        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -538,9 +543,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier, nation, and orders; profit measure derived per row; grouped
     by (nation, order year). p_retailprice * qty * 1% stands in for
     ps_supplycost * qty (no partsupp table). The part filter (name LIKE)
-    cuts the fact rows before the orders join; part/supplier/nation
-    broadcast, so the only shuffles are the fact-to-orders join and the
-    final aggregate."""
+    cuts the fact rows before the orders join; nation keeps its hint
+    (bounded), part/supplier scale with SF → AQE-delegated
+    (unbounded-key policy; AQE still broadcasts at eval sizes), so the
+    only guaranteed shuffles are the fact-to-orders join and the final
+    aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_name").like("%red%")
@@ -552,8 +559,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * F.lit(0.01)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -619,7 +626,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v = (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
         .agg(cents.alias("cents"))
     )
@@ -662,8 +669,9 @@ def q16_part_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (parts/supplier relationship): how many distinct
     suppliers ship each (brand, type, size) bucket, excluding blacklisted
     suppliers via NOT IN. The subquery's key is non-null, so NOT IN is a
-    plain LEFT ANTI join (broadcast — the blacklist is tiny); the
-    lineitem⋈part join broadcasts the filtered part dim. COUNT(DISTINCT)
+    plain LEFT ANTI join; the blacklist and the filtered part dim both
+    scale with SF, so their strategies are AQE-delegated (unbounded-key
+    policy — AQE broadcasts both at eval sizes). COUNT(DISTINCT)
     expands to a two-phase aggregate; Spark plans the partial dedup
     map-side before the shuffle on the grouping key."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -676,8 +684,8 @@ def q16_part_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0.0
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -711,15 +719,16 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     who shipped more than a threshold quantity of some red part — an IN
     subquery whose inner query is itself gated by an IN subquery and an
     aggregate HAVING. Both INs decorrelate to LEFT SEMI joins: part names
-    filter lineitem via a broadcast semi join, the qualified supplier set
-    semi-joins into the supplier dim. Quantity is summed in exact integer
+    filter lineitem via a semi join (red-part set scales with SF →
+    AQE-delegated), the qualified supplier set semi-joins into the
+    supplier dim. Quantity is summed in exact integer
     cents so the HAVING threshold can't flip on float addition order."""
     li = load_table(spark, sf_dir, "lineitem")
     red = load_table(spark, sf_dir, "part").where(
         F.col("p_name").like("red%")
     ).select("p_partkey")
     qualified = (
-        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "semi")
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"), "semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(

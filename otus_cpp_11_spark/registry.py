@@ -209,28 +209,12 @@ DRIVER_VERIFIED: dict[str, str] = {
     "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
     "python_datasource_stream_checksum": "609b3f6c9262",
-    "q10_returned_revenue": "a4d4957ae078",
-    "q11_important_stock": "b454a09f76f4",
     "q12_priority_shipping": "d4cca0b4c80f",
     "q13_customer_distribution": "18c33d02b9f8",
-    "q14_promo_revenue": "d1f7ed07548b",
-    "q15_top_supplier": "267d02ce303f",
-    "q16_part_supplier_relation": "325feca847e9",
-    "q17_small_quantity_revenue": "d8f1b63dc433",
-    "q18_large_orders": "2d8c864c3af3",
-    "q19_discounted_revenue": "f2e73c0311bf",
     "q1_pricing_summary": "3560e363e9ed",
-    "q20_potential_promotion": "7b4ee3233b46",
-    "q21_waiting_supplier": "73abdeeeea2e",
     "q22_global_sales_opportunity": "b6a092e119de",
-    "q2_min_cost_supplier": "048685ea0a11",
-    "q3_shipping_priority": "918d9d1a9938",
     "q4_order_priority": "df07a6d2b909",
-    "q5_local_supplier_volume": "f16005f54f02",
     "q6_forecast_revenue": "91e2e7229798",
-    "q7_nation_volume": "16361c09da0f",
-    "q8_market_share": "3f69435e2395",
-    "q9_product_profit": "306004d14e1d",
     "region_nation_full_outer": "f11eea99322c",
     "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",

@@ -317,6 +317,63 @@ def test_zscore_join_strategy_left_to_aqe(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_q3_customer_join_aqe_policy(spark):
+    """r5 verdict item 1: the TPC-H scaling dims (customer/part/supplier)
+    carry NO forced broadcast — strategy is left to Catalyst/AQE. Two
+    halves: (a) with default confs the engine still picks a broadcast
+    join for customer at eval SF from its actual size (no perf loss from
+    dropping the hint); (b) with broadcasts disabled the same query
+    degrades to a shuffle join WITH IDENTICAL RESULTS — the 100 TB
+    behavior, where a forced hint would instead OOM every executor."""
+    qs = all_queries()
+    q = qs["q3_shipping_priority"]
+    default_df = q.fn(spark, SF)
+    rows_default = default_df.collect()
+    final_default = default_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final_default
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        degraded = q.fn(spark, SF)
+        got = degraded.collect()
+        final = degraded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in final
+        assert "SortMergeJoin" in final or "ShuffledHashJoin" in final
+        assert got == rows_default
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_tpch_family_has_no_scaling_dim_broadcast_hints():
+    """Source-level gate for the unbounded-key policy: no TPC-H query
+    may hint F.broadcast on the SF-scaling tables (customer, part,
+    supplier) or slices/aggregates derived from them. Enforced by
+    name: the only allowed broadcast arguments in the two TPC-H
+    modules are the bounded dims and 1-row/bounded scalar relations."""
+    import re
+    from pathlib import Path
+
+    allowed = {
+        # bounded by construction at any SF
+        "r", "n", "n1", "n2", "nat",
+        # 1-row scalar aggregates
+        "avg_bal", "mx", "total",
+        # per-brand aggregate: brand domain is a fixed 25-value set
+        "b",
+        # nested nation⋈region dim builds (load_table("nation"/"region"))
+        "load_table",
+        # bounded shard-offset relation (docs/SHARD rows)
+        "shard_off",
+    }
+    root = Path(__file__).resolve().parent.parent / "otus_cpp_11_spark" / "queries"
+    for mod in ("relational.py", "tpch_extra.py"):
+        src = (root / mod).read_text()
+        for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z_0-9]*)", src):
+            assert m.group(1) in allowed, (mod, m.group(1))
+
+
 def test_gopher_rules_single_scan_no_shuffle(spark, plan):
     # all five rules are HOF array math in one narrow projection: no
     # joins, no aggregates, no Python; the only exchange is the output
