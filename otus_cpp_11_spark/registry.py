@@ -94,7 +94,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
     "bpe_pair_counts": "d96cbbee11ec",
-    "bpe_token_frequencies": "eb69fe0ecb4e",
     "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
@@ -114,7 +113,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "decontam_bloom_prune": "004a9cd16c69",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
-    "doc_bpe_token_stats": "bb37dd0bc15d",
     "doc_dedup_clusters": "5150a5c0e008",
     "doc_dsir_weights": "391a5a705947",
     "doc_fingerprint": "ac4f9cbb8f09",
@@ -123,7 +121,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
     "doc_pack_bins": "640fc7df9845",
-    "doc_pack_bins_bpe": "8838e9c0f7af",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_quality_classifier": "496dd16e1f78",
@@ -224,7 +221,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
-    "source_token_fertility": "f05c9e5c824c",
     "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",

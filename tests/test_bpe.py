@@ -1,22 +1,31 @@
-"""BPE tokenizer APPLY: property-check the rank-ordered replace scheme
-(queries/bpe.py) against a literal Python implementation of greedy BPE
-(repeatedly merge the lowest-rank applicable pair, leftmost first), and
-check the merge-table well-formedness property the scheme's correctness
-argument rests on."""
+"""BPE tokenizer APPLY: property-check the three formulations against
+each other on the frozen PRODUCTION table (1024 rules) — the literal
+greedy-BPE definition, the rank-ordered replace-chain semantics, and the
+engine's Arrow-batched encoder — plus the merge-table well-formedness
+property the chain/greedy equivalence argument rests on, and the
+chain-expression face at its sub-crossover scale."""
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import functions as F
 
-from otus_cpp_11_spark.queries.bpe import BPE_MERGES, bpe_tokens_expr
+from otus_cpp_11_spark.queries.bpe import (
+    BPE_MERGES,
+    BPE_MERGES_SMALL,
+    bpe_encode_vocab,
+    bpe_tokens_expr,
+    bpe_word_tokens,
+)
 
 SF = "/root/testdata/sf0.01"
 
 
-def ref_bpe(word: str) -> list[str]:
+def ref_bpe(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Greedy BPE apply, the definition: lowest-rank applicable merge
     anywhere in the word wins; leftmost occurrence of that merge first."""
-    ranks = {p: i for i, p in enumerate(BPE_MERGES)}
+    ranks = {p: i for i, p in enumerate(merges)}
     toks = list(word)
     while True:
         best, bi = None, None
@@ -29,24 +38,65 @@ def ref_bpe(word: str) -> list[str]:
         toks[bi : bi + 2] = [toks[bi] + toks[bi + 1]]
 
 
+def chain_bpe(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """The replace-chain semantics, literally: char wrap then one global
+    leftmost-non-overlapping replace per rule in rank order — Python
+    ``str.replace`` has exactly the semantics of JVM/DuckDB REPLACE, so
+    this is the reference for BOTH engine oracles."""
+    s = "".join(f" {c} " for c in word)
+    for x, y in merges:
+        s = s.replace(f" {x}  {y} ", f" {x}{y} ")
+    return [t for t in s.split(" ") if t]
+
+
+def _sample_words() -> list[str]:
+    """Corpus-shaped + adversarial + pseudo-random words (seeded)."""
+    fixed = [
+        "q", "erer", "ererer", "sparkwindow", "windowwindow", "vectorvector",
+        "upstream", "streamer", "instinct", "partition", "torch",
+        "erinorstow", "stst", "ststst", "parpark", "wwindow", "rezubu",
+        "rezuburezubu", "tizu", "buti", "aaaa",
+    ]
+    rng = random.Random(7)
+    syllables = [c + v for c in "bcdfghjklmnpqrstvwz" for v in "aeiou"]
+    rand = [
+        "".join(rng.choice(syllables) for _ in range(rng.randint(1, 6)))
+        for _ in range(200)
+    ] + ["".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 12))) for _ in range(100)]
+    return sorted(set(fixed + rand))
+
+
 def test_merge_table_is_well_formed():
     # every rule's sides must be single chars or outputs of EARLIER rules:
     # this is the property that makes one rank-ordered pass per rule equal
-    # to greedy BPE (rule k can never create work for rule j < k)
-    produced: set[str] = set()
-    for x, y in BPE_MERGES:
-        for side in (x, y):
-            assert len(side) == 1 or side in produced, (x, y, side)
-        produced.add(x + y)
-    # and the table has no duplicate rules (a duplicate would merge nothing
-    # on its second application but signals a broken training run)
-    assert len(set(BPE_MERGES)) == len(BPE_MERGES)
+    # to greedy BPE (rule k can never create work for rule j < k) — checked
+    # on BOTH tables, so a regenerated bpe_merges.py is re-proven valid
+    for merges in (BPE_MERGES, BPE_MERGES_SMALL):
+        produced: set[str] = set()
+        for x, y in merges:
+            for side in (x, y):
+                assert len(side) == 1 or side in produced, (x, y, side)
+            produced.add(x + y)
+        # and the table has no duplicate rules (a duplicate would merge
+        # nothing on its second application but signals a broken training)
+        assert len(set(merges)) == len(merges)
+    assert len(BPE_MERGES) >= 1024  # the production-scale bar (r5 item 2)
 
 
-def test_spark_tokenization_matches_greedy_bpe(spark):
-    # every distinct corpus word + adversarial shapes: overlapping chains
-    # ("aaa" under a hypothetical (a,a)), rule-output adjacency, words with
-    # no applicable merges, single chars
+def test_greedy_equals_chain_on_production_table():
+    # the two formulations agree word-for-word on the 1024-rule table —
+    # the equivalence the Spark-UDF-vs-DuckDB-chain oracle match rests on
+    for w in _sample_words():
+        assert bpe_word_tokens(w) == ref_bpe(w, BPE_MERGES), w
+        assert bpe_word_tokens(w) == chain_bpe(w, BPE_MERGES), w
+        # token concatenation is lossless
+        assert "".join(bpe_word_tokens(w)) == w
+
+
+def test_engine_encoder_matches_greedy_bpe(spark):
+    # the Arrow-batched mapInPandas encoder, driven through Spark, equals
+    # the literal greedy definition on every distinct corpus word + the
+    # adversarial/random sample
     corpus_words = [
         r["word"]
         for r in spark.read.parquet(f"{SF}/documents.parquet")
@@ -58,19 +108,30 @@ def test_spark_tokenization_matches_greedy_bpe(spark):
         .distinct()
         .collect()
     ]
-    extra = [
-        "q", "erer", "ererer", "sparkwindow", "windowwindow", "vectorvector",
-        "upstream", "streamer", "instinct", "partition", "torch",
-        "erinorstow", "stst", "ststst", "parpark", "wwindow",
-    ]
-    words = sorted(set(corpus_words + extra))
+    words = sorted(set(corpus_words + _sample_words()))
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["toks"]) for r in bpe_encode_vocab(df).collect()
+    }
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w] == ref_bpe(w, BPE_MERGES), (w, got[w])
+
+
+def test_chain_expression_matches_greedy_at_small_scale(spark):
+    # the Column-expression replace chain (the sub-crossover face, kept
+    # for <100-rule tables where whole-stage codegen beats the UDF)
+    # equals greedy BPE under ITS table
+    words = _sample_words()
     df = spark.createDataFrame([(w,) for w in words], "word string")
     got = {
         r["word"]: list(r["toks"])
-        for r in df.select("word", bpe_tokens_expr(F.col("word")).alias("toks")).collect()
+        for r in df.select(
+            "word", bpe_tokens_expr(F.col("word")).alias("toks")
+        ).collect()
     }
     for w in words:
-        assert got[w] == ref_bpe(w), (w, got[w], ref_bpe(w))
+        assert got[w] == ref_bpe(w, BPE_MERGES_SMALL), (w, got[w])
 
 
 def test_token_count_conservation(spark):
