@@ -374,6 +374,61 @@ def test_tpch_family_has_no_scaling_dim_broadcast_hints():
             assert m.group(1) in allowed, (mod, m.group(1))
 
 
+def test_planted_skew_triggers_aqe_skew_split(spark):
+    """r5 verdict item 6: the skew story must not rest on conf alone —
+    plant a hot key at real volume and assert AQE's skew-join handling
+    actually FIRES (the final adaptive plan reads the skewed partition
+    as multiple splits). Thresholds are lowered so the planted skew is
+    over the trigger at test scale; at production defaults the same
+    mechanism fires at 256 MB partitions."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # One hot key carrying 80% of the left side, uniform remainder.
+        # The payload must survive column pruning AND not compress away
+        # (an all-equal pruned key column lz4-compresses below any
+        # threshold — the skew detector sees COMPRESSED shuffle bytes),
+        # hence md5(id) carried into the aggregate. The post-join
+        # aggregate is GLOBAL: a groupBy on the join key would forbid
+        # the split (it requires hash distribution on k, and skew splits
+        # break it), which is itself part of what this test documents.
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") < 400_000, F.lit(0))
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 5_000).select(
+            (F.col("id") % 64).alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.max("payload").alias("mp")
+        )
+        rows = j.collect()
+        assert rows[0]["n"] > 0
+        final = j._jdf.queryExecution().executedPlan().toString()
+        # OptimizeSkewedJoin fired: the join is marked and the hot
+        # partition is read as multiple splits
+        assert "SortMergeJoin(skew=true)" in final, final[:2000]
+        assert "skewed" in final, final[:2000]
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_gopher_rules_single_scan_no_shuffle(spark, plan):
     # all five rules are HOF array math in one narrow projection: no
     # joins, no aggregates, no Python; the only exchange is the output

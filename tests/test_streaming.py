@@ -189,6 +189,74 @@ def test_incremental_rollup_equals_batch(spark, batch_events, tmp_path):
     ) == _rows(want, "bucket_start")
 
 
+def test_maintainer_restart_resumes_offsets_and_crash_retry_is_exactly_once(
+    spark, batch_events, tmp_path
+):
+    """r5 verdict item 4: exactly-once of the foreachBatch merge across a
+    REAL restart, on the additive rollup maintainer (where a double-apply
+    is arithmetically visible). Three legs, all on one on-disk
+    checkpoint:
+
+    1. run#1 consumes the initial files; tier == batch answer.
+    2. new files arrive; run#2 with the SAME checkpoint processes ONLY
+       them (batch ids continue past run#1's marker — offset resume, not
+       a replay) and the tier equals the full batch answer.
+    3. crash-window replay: restore the checkpoint to its pre-run#2
+       snapshot, which is byte-for-byte the state of a process killed
+       AFTER the tier write but BEFORE the checkpoint commit. run#3
+       re-delivers run#2's batches; the in-table marker detects them as
+       applied and skips — counts are NOT doubled."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from otus_cpp_11_spark.streaming import (
+        incremental_minute_rollup,
+        minute_rollup_delta,
+    )
+
+    src = str(tmp_path / "src")
+    e1 = batch_events.where(F.col("user_id") % 2 == 0)
+    e2 = batch_events.where(F.col("user_id") % 2 == 1)
+    e1.repartition(2).write.parquet(src)
+    tier = str(tmp_path / "tier")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        incremental_minute_rollup(stream, tier, ckpt).awaitTermination()
+
+    run()  # leg 1
+    assert _rows(
+        spark.read.parquet(tier).drop("_last_batch_id"), "bucket_start"
+    ) == _rows(minute_rollup_delta(e1), "bucket_start")
+    marker1 = spark.read.parquet(tier).agg({"_last_batch_id": "max"}).first()[0]
+
+    shutil.copytree(ckpt, str(tmp_path / "ckpt_snap"))  # pre-run#2 snapshot
+    e2.repartition(2).write.mode("append").parquet(src)
+
+    run()  # leg 2: restart, same checkpoint — only the new files
+    want_all = _rows(minute_rollup_delta(batch_events), "bucket_start")
+    assert _rows(
+        spark.read.parquet(tier).drop("_last_batch_id"), "bucket_start"
+    ) == want_all
+    marker2 = spark.read.parquet(tier).agg({"_last_batch_id": "max"}).first()[0]
+    assert marker2 > marker1  # ids continued: resumed offsets, no replay
+
+    # leg 3: the kill window — tier holds run#2's merge, checkpoint does
+    # not know about it yet
+    shutil.rmtree(ckpt)
+    shutil.copytree(str(tmp_path / "ckpt_snap"), ckpt)
+    run()
+    final = spark.read.parquet(tier)
+    assert _rows(final.drop("_last_batch_id"), "bucket_start") == want_all
+    assert final.agg({"_last_batch_id": "max"}).first()[0] == marker2
+
+
 def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
     """Append-mode watermark contract (the part Spark guarantees): a
     window is emitted only once the watermark passes its end, open windows
