@@ -90,7 +90,6 @@ def register(
 # pinned to the source hash current at promotion time. Round-6 edits
 # remove their entries below (see the r6 note near WINDOW_DEFER).
 DRIVER_VERIFIED: dict[str, str] = {
-    "ann_cosine_top10": "216042f41a73",
     "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
     "bpe_pair_counts": "d96cbbee11ec",
@@ -101,15 +100,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "corpus_dedup_stats": "3fa9e48f7a71",
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
-    "customer_monthly_retention": "5005e34e6d54",
     "customer_order_gap_stats": "6d3cb75325f9",
-    "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
-    "customer_running_spend": "471b2c9922e8",
-    "customers_above_avg_balance": "2c2142b03318",
     "customers_without_orders": "9a01c8532a3d",
     "daily_active_users_7d": "9355cc7481e4",
-    "daily_open_shipments": "e3385cf3d8ee",
     "decontam_bloom_prune": "004a9cd16c69",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
@@ -120,7 +114,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_lang_id": "9244112be464",
     "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
-    "doc_pack_bins": "640fc7df9845",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_quality_classifier": "496dd16e1f78",
@@ -137,7 +130,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
     "embedding_power_iteration": "ace381c5764a",
-    "embedding_quantization": "f5bb24cd0b57",
     "embedding_random_projection": "149313e23aa4",
     "event_type_transitions": "5d5953723362",
     "event_value_mad": "a8aa5b034a6c",
@@ -145,14 +137,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
-    "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
-    "events_session_windows": "ee61ffbf866a",
     "events_session_windows_streamed": "08f0e60d5c18",
-    "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
-    "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
     "exact_dup_groups": "8902aa321cb1",
@@ -164,7 +152,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "knn_join_lsh_top3": "635fe257dd5a",
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
-    "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
     "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
@@ -178,21 +165,15 @@ DRIVER_VERIFIED: dict[str, str] = {
     "multimodal_frame_sample": "6c3ae1db4d13",
     "nation_richest_customer": "c569db84fd24",
     "nation_set_ops": "ee0a45799605",
-    "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
     "ngram_jaccard_pairs": "1ce24908ed83",
-    "order_distinct_aggs": "798ac52398ee",
-    "orders_by_month": "3b5d56427f88",
-    "orders_cube": "977856a76063",
     "orders_grouping_sets": "7c2a2fcda67b",
     "orders_price_percentiles": "00142ef3899e",
-    "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
     "part_price_band_join": "feedac3b7d7c",
-    "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_ahash16": "86dc850ac759",
     "ppm_ahash_near_dup_counts": "2df65b831d36",
@@ -208,15 +189,11 @@ DRIVER_VERIFIED: dict[str, str] = {
     "python_datasource_stream_checksum": "609b3f6c9262",
     "q12_priority_shipping": "d4cca0b4c80f",
     "q13_customer_distribution": "18c33d02b9f8",
-    "q1_pricing_summary": "3560e363e9ed",
     "q22_global_sales_opportunity": "b6a092e119de",
     "q4_order_priority": "df07a6d2b909",
     "q6_forecast_revenue": "91e2e7229798",
-    "region_nation_full_outer": "f11eea99322c",
-    "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
     "running_user_counts_streamed": "fbca008c058d",
-    "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "98c7aff24981",
     "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
@@ -224,9 +201,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
-    "suppliers_with_returns": "7a66c41651f6",
     "term_cms_heavy_hitters": "c42035a2f51d",
-    "top3_orders_per_customer": "e381e519d72e",
     "unique_by_abs": "aec470f57ab8",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
@@ -261,7 +236,33 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
-REVERIFY: frozenset[str] = frozenset()
+REVERIFY: frozenset[str] = frozenset({
+    "ann_cosine_top10",
+    "customer_monthly_retention",
+    "customer_order_window_family",
+    "customer_running_spend",
+    "customers_above_avg_balance",
+    "daily_open_shipments",
+    "doc_pack_bins",
+    "embedding_quantization",
+    "events_multires_rollup",
+    "events_session_windows",
+    "events_sliding_10min_5min",
+    "events_tumbling_5min",
+    "latest_event_per_user",
+    "nation_supplier_left_join",
+    "order_distinct_aggs",
+    "orders_by_month",
+    "orders_cube",
+    "orders_rollup",
+    "parts_larger_than_brand_avg",
+    "q1_pricing_summary",
+    "region_nation_full_outer",
+    "region_nation_list",
+    "scalar_string_math",
+    "suppliers_with_returns",
+    "top3_orders_per_customer",
+})
 
 
 def all_queries() -> dict[str, Query]:

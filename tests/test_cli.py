@@ -5,7 +5,21 @@ our argparse surface, including the per-iteration output layout
 
 from __future__ import annotations
 
+import pytest
+
 from otus_cpp_11_spark.cli import build_parser, main
+
+
+@pytest.fixture(autouse=True)
+def _restore_shuffle_partitions(spark):
+    """cli.main builds its session with shuffle_partitions = R (the
+    reference's reducer count); under getOrCreate that retunes the SHARED
+    test session, and R=2 would leak into every later test (it broke the
+    skew-split plan test: with 2 partitions the skew detector's median IS
+    the hot partition). Snapshot and restore."""
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 
 def test_parser_defaults_mirror_reference():

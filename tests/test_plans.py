@@ -389,6 +389,12 @@ def test_planted_skew_triggers_aqe_skew_split(spark):
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # pin: the skew detector compares against the MEDIAN partition,
+        # so the test needs enough shuffle partitions for a meaningful
+        # median (with 2, the median IS the hot partition and nothing is
+        # ever "skewed") — and a prior test may have left the session at
+        # another value
+        "spark.sql.shuffle.partitions": "8",
     }
     prior = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
