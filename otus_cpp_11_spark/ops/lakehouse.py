@@ -61,6 +61,36 @@ def swap_directory(spark: SparkSession, staging: str, target: str) -> None:
     fs.rename(spark._jvm.org.apache.hadoop.fs.Path(staging), jtarget)
 
 
+def vacuum(spark: SparkSession, path: str) -> list[str]:
+    """Remove the crash debris the staging+swap protocol can leave
+    behind: ``<table>.staging-<id>`` / ``<table>.compacting`` sibling
+    directories (a process that died between writing staging and the
+    swap — see swap_directory) and in-flight ``_temporary`` task dirs.
+    Returns the removed paths. Live data is never touched: only names
+    derived from the protocol's own suffixes qualify, so a concurrent
+    reader of ``path`` is unaffected.
+
+    At 100 TB this is the VACUUM half of table maintenance (compaction
+    being the other): under an ACID format it generalizes to deleting
+    files no snapshot references, driven by the manifest instead of
+    name conventions — the name-convention version here is exactly what
+    the parquet-directory protocol can guarantee."""
+    fs, jpath = _hadoop_fs(spark, path)
+    base = jpath.getName()
+    parent = jpath.getParent()
+    removed: list[str] = []
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if name.startswith((base + ".staging-", base + ".compacting")):
+            fs.delete(st.getPath(), True)
+            removed.append(st.getPath().toString())
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path, "_temporary")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+        removed.append(tmp.toString())
+    return removed
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -87,6 +87,69 @@ def test_compaction_accounting(spark, compacted):
     )
 
 
+def test_vacuum_removes_only_protocol_debris(spark, tmp_path):
+    from otus_cpp_11_spark.ops.lakehouse import vacuum
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(0, 100).withColumnRenamed("id", "v")
+    df.write.parquet(target)
+    # simulated crash debris from both writers' protocols
+    df.write.parquet(target + ".staging-7")
+    df.write.parquet(target + ".compacting")
+    # an unrelated sibling table must survive
+    df.write.parquet(str(tmp_path / "tbl_other"))
+    removed = vacuum(spark, target)
+    assert len(removed) == 2
+    assert spark.read.parquet(target).count() == 100
+    assert spark.read.parquet(str(tmp_path / "tbl_other")).count() == 100
+    import os
+
+    assert not os.path.exists(target + ".staging-7")
+    assert not os.path.exists(target + ".compacting")
+    # idempotent
+    assert vacuum(spark, target) == []
+
+
+def test_scd2_raw_store_compaction_preserves_history(spark, tmp_path):
+    """Integration of the maintenance triple with the CDC family: the
+    SCD2 maintainer's raw store is append-fragmented (one file per
+    micro-batch); compacting it clustered on user_id (the touched-key
+    recompute's pruning key) must leave every key's recomputed SCD2
+    chain byte-identical."""
+    from otus_cpp_11_spark.catalog import load_table
+    from otus_cpp_11_spark.ops.lakehouse import compact_parquet
+    from otus_cpp_11_spark.queries.cdc import _scd2_history
+    from otus_cpp_11_spark.streaming import incremental_scd2_history
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hist, raw = str(tmp_path / "hist"), str(tmp_path / "raw")
+    incremental_scd2_history(
+        stream, hist, raw, checkpoint=str(tmp_path / "ckpt")
+    ).awaitTermination()
+    before = _rows_sorted(spark.read.parquet(hist).drop("_last_batch_id"))
+    n_files_before = len(list_data_files(spark, raw))
+    assert n_files_before >= 4  # one append per micro-batch
+
+    acct = compact_parquet(
+        spark, raw, rows_per_file=10_000, order_by=[F.col("user_id"), F.col("event_id")]
+    )
+    assert acct["files_after"] < n_files_before
+    # full recompute from the compacted raw store: identical history
+    recomputed = _rows_sorted(_scd2_history(spark.read.parquet(raw)))
+    assert recomputed == before
+
+
+def _rows_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
 def test_clustered_rewrite_prunes_2d_predicate(spark, compacted):
     """THE property OPTIMIZE ZORDER buys: after the clustered rewrite, a
     conjunctive 2-D predicate rectangle intersects the footer extents of
