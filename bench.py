@@ -38,6 +38,13 @@ from otus_cpp_11_spark.registry import all_queries  # noqa: E402
 from otus_cpp_11_spark.session import get_spark  # noqa: E402
 
 TIMED_RUNS = 2  # min over repeated timed runs (see module docstring)
+# Per-query override (r5 verdict item 7): benchmark_decontamination has
+# twice measured 2-4x its own flat floor on PIN-UNCHANGED code (r3 and r5
+# driver rounds; in r6 the same 2.5x showed up locally and an A/B against
+# the round-5 tree reproduced it on the OLD code too — machine-state
+# noise, not plan drift). More timed runs tighten the min-estimate for
+# exactly this noise-prone query without paying the cost fleet-wide.
+TIMED_RUNS_OVERRIDE = {"benchmark_decontamination": 4}
 
 
 def main():
@@ -102,7 +109,7 @@ def main():
         except Exception:
             pass  # a warmup failure must never sink the bench
         best = None
-        for _ in range(TIMED_RUNS):
+        for _ in range(TIMED_RUNS_OVERRIDE.get(name, TIMED_RUNS)):
             cleanup()  # timed run starts from the same clean state every time
             # the ContextCleaner processes the unpersist/broadcast/shuffle
             # deletions asynchronously; without this pause the disk/CPU work
