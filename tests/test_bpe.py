@@ -134,6 +134,46 @@ def test_chain_expression_matches_greedy_at_small_scale(spark):
         assert got[w] == ref_bpe(w, BPE_MERGES_SMALL), (w, got[w])
 
 
+def test_in_engine_trainer_reproduces_frozen_tables(spark):
+    """The full tokenizer lifecycle closes: the in-engine trainer
+    (distributed word-count -> bounded-vocab merge loop,
+    ops/bpe_train.py) reproduces BPE_MERGES_SMALL byte-for-byte from the
+    exact corpus it was trained on (sf0.1 documents), and the production
+    table's freeze script runs the SAME loop (single-sourced import) —
+    so both frozen literals are proven regenerable, not copy-pasted
+    artifacts."""
+    from otus_cpp_11_spark.ops.bpe_train import train_bpe_from_corpus
+    from otus_cpp_11_spark.queries.bpe import _doc_words
+
+    words = _doc_words(spark, "/root/testdata/sf0.1").select("word")
+    got = train_bpe_from_corpus(words, len(BPE_MERGES_SMALL))
+    assert got == BPE_MERGES_SMALL
+    # freshly trained tables satisfy the closure property generically
+    produced: set[str] = set()
+    for x, y in got:
+        for side in (x, y):
+            assert len(side) == 1 or side in produced
+        produced.add(x + y)
+
+
+def test_trainer_min_frequency_tail_cut_is_sound(spark):
+    """The production tail-cut knob: cutting singleton words from THIS
+    corpus leaves the trained table unchanged (their counts never win an
+    argmax round), while the collect guard trips when the cap is below
+    the vocab size."""
+    import pytest
+
+    from otus_cpp_11_spark.ops.bpe_train import train_bpe_from_corpus
+    from otus_cpp_11_spark.queries.bpe import _doc_words
+
+    words = _doc_words(spark, SF).select("word")
+    full = train_bpe_from_corpus(words, 16)
+    cut = train_bpe_from_corpus(words, 16, min_frequency=2)
+    assert cut == full
+    with pytest.raises(ValueError, match="collect guard"):
+        train_bpe_from_corpus(words, 4, max_vocab=3)
+
+
 def test_token_count_conservation(spark):
     # sum over docs of n_bpe_tokens == total tokens of every word occurrence
     from otus_cpp_11_spark.registry import all_queries
