@@ -13,13 +13,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from otus_cpp_11_spark.catalog import load_table, spread
-from otus_cpp_11_spark.queries.dedup import _NEAR_PAIRS_CTES, _NORM_SQL, _normalized
+from otus_cpp_11_spark.queries.dedup import (
+    _NEAR_PAIRS_CTES,
+    _NORM_SQL,
+    _normalized,
+    doc_dedup_clusters,
+)
 from otus_cpp_11_spark.queries.text import (
     _QC_CTES,
     _STOP_SQL,
     QC_BIAS,
+    QUALITY_MIN_STOP_RATIO,
+    QUALITY_MIN_TOKENS,
     STOPWORDS,
     classifier_scores,
+    doc_quality_score,
 )
 from otus_cpp_11_spark.registry import register
 
@@ -209,6 +217,102 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.ts").alias("latest_ts"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "dedup_canonical_by_quality",
+    oracle=f"""
+WITH RECURSIVE {_NEAR_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM near_pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM near_pairs
+),
+cc_nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM cc_nodes
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+         LEN(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         LEN(list_filter(string_split(text, ' '), x -> x IN ({_STOP_SQL}))) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT c.doc_id, c.cluster_id, q.n_tokens,
+         CASE WHEN q.n_tokens >= {QUALITY_MIN_TOKENS}
+               AND CAST(q.n_stop AS DOUBLE) / q.n_tokens >= {QUALITY_MIN_STOP_RATIO}
+              THEN 1 ELSE 0 END AS quality_ok
+  FROM clusters c JOIN q USING (doc_id)
+),
+canon AS (
+  SELECT cluster_id,
+         FIRST(doc_id ORDER BY quality_ok DESC, n_tokens DESC, doc_id ASC)
+           AS canonical_doc
+  FROM scored GROUP BY cluster_id
+)
+SELECT s.doc_id, s.cluster_id, s.quality_ok, s.n_tokens, c.canonical_doc,
+       CASE WHEN s.doc_id = c.canonical_doc THEN 1 ELSE 0 END AS keep
+FROM scored s JOIN canon c USING (cluster_id)
+ORDER BY doc_id
+""",
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority dedup canonicalization: WHICH duplicate survives
+    is a curation decision, not an accident of doc_id order — within each
+    transitive near-dup cluster the survivor is the best document by
+    (quality gate, length, lowest id) in that priority. Production
+    pipelines (e.g. keep-longest / keep-highest-score dedup policies)
+    need exactly this operator; min-id canonicalization keeps whatever
+    crawled first, which is often the truncated or boilerplate copy.
+
+    Plan: clusters (the oracle-gated CC fixpoint) joined to the
+    oracle-gated quality relation, then survivor selection as ONE
+    partial-aggregated struct-max argmax per cluster — one row per
+    cluster crosses the shuffle regardless of cluster size, so a
+    boilerplate mega-cluster (the classic dedup skew case) costs its
+    members only map-side; the window formulation was rejected because
+    it must shuffle AND sort every member of exactly those hot clusters.
+    The canonical relation joins back unhinted (cluster count is
+    corpus-sized at 100 TB; AQE decides — the unbounded-key policy).
+    The struct's integer triple (quality_ok, n_tokens, -doc_id) makes
+    lexicographic max equal the SQL ordered-FIRST, tie-broken totally."""
+    clusters = doc_dedup_clusters(spark, sf_dir)
+    quality = doc_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_ok"
+    )
+    scored = clusters.join(quality, "doc_id")
+    canon = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "quality_ok", "n_tokens", (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("m")
+        )
+        .select(
+            "cluster_id",
+            (-F.col("m.neg_id")).cast("bigint").alias("canonical_doc"),
+        )
+    )
+    return (
+        scored.join(canon, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_ok",
+            "n_tokens",
+            "canonical_doc",
+            F.when(F.col("doc_id") == F.col("canonical_doc"), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -141,6 +141,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_props_variant": "31a6172af1b4",
     "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
+    "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
     "exact_dup_groups": "8902aa321cb1",
@@ -248,7 +249,6 @@ REVERIFY: frozenset[str] = frozenset({
     "events_multires_rollup",
     "events_session_windows",
     "events_sliding_10min_5min",
-    "events_tumbling_5min",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",
