@@ -174,6 +174,34 @@ def test_trainer_min_frequency_tail_cut_is_sound(spark):
         train_bpe_from_corpus(words, 4, max_vocab=3)
 
 
+def test_token_id_sequences_conserve_counts_and_ids(spark):
+    """The materialized token-id sequences agree with the count and
+    histogram queries: per-doc sequence length == n_bpe_tokens, and the
+    id multiset across all docs == the frequency histogram's totals."""
+    from collections import Counter
+
+    from otus_cpp_11_spark.registry import all_queries
+
+    qs = all_queries()
+    ids = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in qs["doc_bpe_token_ids"].fn(spark, SF).collect()
+    }
+    stats = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in qs["doc_bpe_token_stats"].fn(spark, SF).collect()
+    }
+    assert set(ids) == set(stats)
+    for doc, seq in ids.items():
+        assert len(seq) == stats[doc]
+    id_counts = Counter(t for seq in ids.values() for t in seq)
+    hist = {
+        r["rank"]: r["total"]
+        for r in qs["bpe_token_frequencies"].fn(spark, SF).collect()
+    }
+    assert dict(id_counts) == hist
+
+
 def test_token_count_conservation(spark):
     # sum over docs of n_bpe_tokens == total tokens of every word occurrence
     from otus_cpp_11_spark.registry import all_queries
