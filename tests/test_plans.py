@@ -435,6 +435,29 @@ def test_planted_skew_triggers_aqe_skew_split(spark):
                 spark.conf.set(k, v)
 
 
+def test_canonical_dedup_survivor_is_aggregate_not_window(spark, plan):
+    # survivor selection must be the partial-aggregated struct-max form:
+    # one row per cluster crosses the shuffle. A Window over cluster_id
+    # would sort every member of exactly the hot boilerplate clusters.
+    p = plan("dedup_canonical_by_quality", spark)
+    assert "partial_max" in p
+    # the only Window allowed is none at all in the survivor path; the
+    # clusters subtree is window-free too
+    assert "Window" not in p
+
+
+def test_token_ids_two_corpus_scans_and_cached_vocab(spark):
+    # scan budget: the documents parquet feeds exactly two live branches
+    # (word-count build + final assembly); the vocab-sized artifacts are
+    # served from cache, visible as InMemoryTableScan in the final plan
+    qs = all_queries()
+    df = qs["doc_bpe_token_ids"].fn(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in final
+    spark.catalog.clearCache()  # don't leak the vocab cache to later tests
+
+
 def test_gopher_rules_single_scan_no_shuffle(spark, plan):
     # all five rules are HOF array math in one narrow projection: no
     # joins, no aggregates, no Python; the only exchange is the output
