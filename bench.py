@@ -53,6 +53,7 @@ def main():
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from otus_cpp_11_spark.queries.bpe import release_bpe_caches
     from otus_cpp_11_spark.queries.dedup import release_dedup_caches
 
     def cleanup():
@@ -63,6 +64,7 @@ def main():
         # measure GC pressure instead of their plans (observed: identical
         # queries 3-5x slower late in the run than standalone).
         release_dedup_caches()
+        release_bpe_caches()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             try:
                 rdd.unpersist()

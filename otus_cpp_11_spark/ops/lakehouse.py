@@ -55,10 +55,60 @@ def swap_directory(spark: SparkSession, staging: str, target: str) -> None:
     old, rename staging in). Same durability contract as the streaming
     maintainers' scaffold (streaming.py): the full new table exists
     before the old is touched; single-op atomicity needs an ACID
-    format."""
+    format. Both ops are result-checked — Hadoop FileSystem returns
+    ``false`` instead of throwing, and an unreported failed rename would
+    silently commit the caller with the target missing."""
     fs, jtarget = _hadoop_fs(spark, target)
-    fs.delete(jtarget, True)
-    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(staging), jtarget)
+    if fs.exists(jtarget) and not fs.delete(jtarget, True):
+        raise RuntimeError(f"swap: could not delete old target {target!r}")
+    if not fs.rename(spark._jvm.org.apache.hadoop.fs.Path(staging), jtarget):
+        raise RuntimeError(
+            f"swap: rename {staging!r} -> {target!r} failed; the complete "
+            "new table is intact at the staging path"
+        )
+
+
+def _swap_debris(spark: SparkSession, path: str) -> list[str]:
+    """Staging/compacting sibling directories of ``path`` (the swap
+    protocol's crash leftovers), sorted."""
+    fs, jpath = _hadoop_fs(spark, path)
+    base = jpath.getName()
+    parent = jpath.getParent()
+    if parent is None or not fs.exists(parent):
+        return []  # nothing written anywhere near this path yet
+    out = []
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if name.startswith((base + ".staging-", base + ".compacting")):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def recover_swap(spark: SparkSession, path: str) -> str | None:
+    """Complete a swap that crashed between its two metadata ops: if the
+    target is MISSING but a staging/compacting sibling survives, rename
+    the newest sibling in (stagings carry the batch id in the name and
+    are ordered NUMERICALLY; at most one can exist in practice — every
+    completed swap consumes its own). Returns the recovered source path,
+    or None if there was nothing to recover. This is the read-side half
+    of the protocol: writers call it before concluding 'no table yet',
+    so the crash window can never be misread as an empty table (which
+    would silently rebuild state from one batch)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        return None
+    debris = _swap_debris(spark, path)
+    if not debris:
+        return None
+
+    def batch_id(p: str) -> int:
+        tail = p.rsplit(".staging-", 1)
+        return int(tail[1]) if len(tail) == 2 and tail[1].isdigit() else -1
+
+    src = max(debris, key=batch_id)
+    if not fs.rename(spark._jvm.org.apache.hadoop.fs.Path(src), jpath):
+        raise RuntimeError(f"recover_swap: rename {src!r} -> {path!r} failed")
+    return src
 
 
 def vacuum(spark: SparkSession, path: str) -> list[str]:
@@ -70,20 +120,32 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
     derived from the protocol's own suffixes qualify, so a concurrent
     reader of ``path`` is unaffected.
 
+    Safety gates: if the TARGET itself is missing while debris exists,
+    this is the swap crash window — the debris is the only complete copy
+    of the table — so vacuum REFUSES and points at recover_swap instead
+    of destroying it. And like every name-convention vacuum (Delta's
+    included), it must not run concurrently with a live writer on the
+    same table: a retention window / quiesce is the production guard,
+    documented rather than detectable from names alone.
+
     At 100 TB this is the VACUUM half of table maintenance (compaction
     being the other): under an ACID format it generalizes to deleting
     files no snapshot references, driven by the manifest instead of
     name conventions — the name-convention version here is exactly what
     the parquet-directory protocol can guarantee."""
     fs, jpath = _hadoop_fs(spark, path)
-    base = jpath.getName()
-    parent = jpath.getParent()
+    debris = _swap_debris(spark, path)
+    if debris and not fs.exists(jpath):
+        raise ValueError(
+            f"target {path!r} is missing but swap debris exists "
+            f"({debris}): this is the crash window and the debris is the "
+            "only complete copy — run recover_swap first, not vacuum"
+        )
     removed: list[str] = []
-    for st in fs.listStatus(parent):
-        name = st.getPath().getName()
-        if name.startswith((base + ".staging-", base + ".compacting")):
-            fs.delete(st.getPath(), True)
-            removed.append(st.getPath().toString())
+    for d in debris:
+        if not fs.delete(spark._jvm.org.apache.hadoop.fs.Path(d), True):
+            raise RuntimeError(f"vacuum: could not delete {d!r}")
+        removed.append(d)
     tmp = spark._jvm.org.apache.hadoop.fs.Path(path, "_temporary")
     if fs.exists(tmp):
         fs.delete(tmp, True)

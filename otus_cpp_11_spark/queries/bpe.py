@@ -96,6 +96,23 @@ BPE_PACK_BUDGET = 2048  # BPE tokens per packed training sequence
 BPE_PACK_SHARD = 100  # docs per prefix-sum shard
 _SQL_STAGE = 32  # oracle replace-chain rules per CTE stage
 
+# doc_bpe_token_ids' cached vocab-sized artifacts, keyed by sf_dir so a
+# repeat invocation reuses the SAME DataFrame objects (one CacheManager
+# entry per corpus, not one per call) and release_bpe_caches() can drop
+# them — the release_dedup_caches pattern; bench.py calls it in cleanup.
+_VOCAB_CACHES: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def release_bpe_caches() -> None:
+    """Unpersist every cached vocab artifact (see _VOCAB_CACHES)."""
+    for wc, enc in _VOCAB_CACHES.values():
+        for df in (wc, enc):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+    _VOCAB_CACHES.clear()
+
 
 def bpe_tokens_expr(
     word: Column, merges: list[tuple[str, str]] | None = None
@@ -274,7 +291,11 @@ def bpe_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the token id space is the rank order."""
     words = _doc_words(spark, sf_dir)
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
-    enc = bpe_encode_vocab(words).join(wc, "word")
+    # encode from the already-aggregated wc relation: its key set IS the
+    # distinct vocab, so the encoder's internal distinct runs over
+    # vocab-sized input — one corpus scan total, not two (the
+    # doc_bpe_token_ids scan-budget rule)
+    enc = bpe_encode_vocab(wc).join(wc, "word")
     tok = enc.select("n_occ", F.explode("toks").alias("token"))
     w = Window.orderBy(F.desc("total"), F.asc("token"))
     return (
@@ -448,10 +469,14 @@ def doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
         ).alias("pos", "word"),
     )
-    wc = (
-        words_pos.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ")).cache()
-    )
-    enc = bpe_encode_vocab(wc).cache()
+    if sf_dir not in _VOCAB_CACHES:
+        wc = (
+            words_pos.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .cache()
+        )
+        _VOCAB_CACHES[sf_dir] = (wc, bpe_encode_vocab(wc).cache())
+    wc, enc = _VOCAB_CACHES[sf_dir]
     tok = enc.join(wc, "word").select(
         "n_occ", F.explode("toks").alias("token")
     )

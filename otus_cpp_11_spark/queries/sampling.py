@@ -830,10 +830,11 @@ ORDER BY zval
 )
 def lakehouse_compaction_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE end-to-end, accounting-gated: (1) write a deliberately
-    fragmented copy of lineitem ({COMPACT_FRAG_FILES} orderkey-ranged
-    files — the deterministic stand-in for the per-batch fragmentation
-    the CDC/streamed maintainers produce, chosen over a real streamed
-    write so the BEFORE file count is oracle-derivable); (2) run
+    fragmented copy of lineitem ({COMPACT_FRAG_FILES} round-robin files,
+    each spanning the full key domain — the deterministic stand-in for
+    the per-batch fragmentation the CDC/streamed maintainers produce,
+    chosen over a real streamed write so the BEFORE file count is
+    oracle-derivable); (2) run
     ops.lakehouse.compact_parquet, bin-packing to
     ceil(rows/{COMPACT_ROWS_PER_FILE}) files ordered by
     (zval, orderkey, linenumber) — the z-cells of lineitem_zorder_cells
@@ -858,7 +859,12 @@ def lakehouse_compaction_accounting(spark: SparkSession, sf_dir: str) -> DataFra
 
     li = load_table(spark, sf_dir, "lineitem")
     frag = scratch_dir("sg-compact-") + "/lineitem"
-    li.repartitionByRange(COMPACT_FRAG_FILES, "l_orderkey").write.parquet(frag)
+    # round-robin repartition: every output partition is non-empty for
+    # rows >= {COMPACT_FRAG_FILES} (each gets floor/ceil(rows/n)), so
+    # files_before == {COMPACT_FRAG_FILES} EXACTLY at any eval SF — a
+    # range partitioner's sampled boundaries can leave empty ranges,
+    # which would silently break the oracle's literal file count
+    li.repartition(COMPACT_FRAG_FILES).write.parquet(frag)
 
     mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
     px = f"((l_partkey * {2 ** Z_BITS}) div {int(mx[0]) + 1})"

@@ -341,14 +341,21 @@ def _run_incremental_maintainer(
     sibling while the current target stays intact (the sibling write is
     also what lets the lazy ``existing`` scan keep feeding the merge —
     no materialize-before-overwrite step needed), then the swap is two
-    FS metadata ops (delete old target, rename staging in). A crash
-    during the data write loses nothing; a crash between the two swap
-    ops leaves no reader-visible target but the complete new table
-    survives under the staging path for recovery. Single-op atomicity
-    is an ACID-table-format property (MERGE INTO under Delta/Iceberg is
-    the production shape; for the CDC state table, whose target is the
-    only copy of the maintained state, that upgrade — or a rebuildable
-    raw store — is required for unattended crash safety).
+    RESULT-CHECKED FS metadata ops (delete old target, rename staging
+    in — Hadoop FS returns false instead of throwing, and an unreported
+    failed rename would commit the batch with the target missing). A
+    crash during the data write loses nothing; a crash between the two
+    swap ops leaves no reader-visible target but the complete new table
+    survives under the staging path, and the retry RECOVERS it
+    (ops.lakehouse.recover_swap runs before any 'no table yet'
+    conclusion — without that, the retry would misread the window as a
+    fresh table, rebuild state from the one retried batch, and
+    mode('overwrite') the staging holding the only complete copy).
+    Single-op atomicity is an ACID-table-format property (MERGE INTO
+    under Delta/Iceberg is the production shape; for the CDC state
+    table, whose target is the only copy of the maintained state, that
+    upgrade — or a rebuildable raw store — remains the unattended
+    production answer).
 
     Cross-run guard: foreachBatch batch ids are scoped to a CHECKPOINT,
     so the in-table marker can only distinguish a same-run retry from a
@@ -359,22 +366,35 @@ def _run_incremental_maintainer(
     the target was built with, or start a fresh target."""
     from pyspark.errors import AnalysisException
 
+    from otus_cpp_11_spark.ops.lakehouse import _swap_debris
+
     spark = events_stream.sparkSession
     if checkpoint is None:
         jpath = spark._jvm.org.apache.hadoop.fs.Path(target_path)
-        if jpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jpath):
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        # swap debris counts as an existing target: recovery would
+        # restore a table whose marker swallows the fresh run's batch 0
+        if fs.exists(jpath) or _swap_debris(spark, target_path):
             raise ValueError(
-                f"target {target_path!r} already exists but no persistent "
-                "checkpoint was given: a fresh checkpoint restarts batch ids "
-                "at 0, so the retry marker cannot tell a foreachBatch retry "
-                "from a re-run (data would be dropped or double-applied). "
-                "Pass the checkpoint the target was built with, or use a "
-                "fresh target."
+                f"target {target_path!r} already exists (or its swap "
+                "debris does) but no persistent checkpoint was given: a "
+                "fresh checkpoint restarts batch ids at 0, so the retry "
+                "marker cannot tell a foreachBatch retry from a re-run "
+                "(data would be dropped or double-applied). Pass the "
+                "checkpoint the target was built with, or use a fresh "
+                "target."
             )
         checkpoint = scratch_dir("sg-ckpt-")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from otus_cpp_11_spark.ops.lakehouse import recover_swap
+
         bspark = batch_df.sparkSession
+        # crash-window recovery BEFORE reading: a missing target with a
+        # surviving staging sibling means the previous attempt died
+        # between its two swap ops — complete it, then let the marker
+        # logic classify this delivery (see Durability in the docstring)
+        recover_swap(bspark, target_path)
         try:
             existing = bspark.read.parquet(target_path)
         except AnalysisException:
@@ -387,14 +407,23 @@ def _run_incremental_maintainer(
         merged = merge_fn(existing, batch_df).withColumn(
             "_last_batch_id", F.lit(batch_id)
         )
-        # staging-sibling write + swap (see the scaffold docstring);
-        # mode('overwrite') on staging also clears a dead retry's debris
+        # staging-sibling write + checked swap (see the scaffold
+        # docstring); mode('overwrite') on staging also clears a dead
+        # SAME-batch retry's partial write (a completed batch's staging
+        # was either renamed away or recovered above, never clobbered)
         staging = target_path.rstrip("/") + f".staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
         jpath = bspark._jvm.org.apache.hadoop.fs.Path
         fs = jpath(target_path).getFileSystem(bspark._jsc.hadoopConfiguration())
-        fs.delete(jpath(target_path), True)
-        fs.rename(jpath(staging), jpath(target_path))
+        if fs.exists(jpath(target_path)) and not fs.delete(
+            jpath(target_path), True
+        ):
+            raise RuntimeError(f"maintainer swap: delete {target_path!r} failed")
+        if not fs.rename(jpath(staging), jpath(target_path)):
+            raise RuntimeError(
+                f"maintainer swap: rename {staging!r} -> {target_path!r} "
+                "failed; the merged batch is intact at the staging path"
+            )
 
     return (
         events_stream.writeStream.foreachBatch(merge)

@@ -110,6 +110,30 @@ def test_vacuum_removes_only_protocol_debris(spark, tmp_path):
     assert vacuum(spark, target) == []
 
 
+def test_vacuum_refuses_crash_window_and_recover_completes(spark, tmp_path):
+    """In the swap crash window the debris IS the table: vacuum must
+    refuse (deleting it would destroy the sole copy) and recover_swap
+    must complete the interrupted rename; only then is vacuum safe."""
+    import os
+
+    from otus_cpp_11_spark.ops.lakehouse import recover_swap, vacuum
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(0, 50).withColumnRenamed("id", "v")
+    df.write.parquet(target)
+    os.rename(target, target + ".staging-3")  # the crash state
+
+    with pytest.raises(ValueError, match="recover_swap"):
+        vacuum(spark, target)
+    assert os.path.exists(target + ".staging-3")  # nothing was destroyed
+
+    recovered = recover_swap(spark, target)
+    assert recovered and recovered.endswith(".staging-3")
+    assert spark.read.parquet(target).count() == 50
+    assert recover_swap(spark, target) is None  # idempotent no-op now
+    assert vacuum(spark, target) == []
+
+
 def test_scd2_raw_store_compaction_preserves_history(spark, tmp_path):
     """Integration of the maintenance triple with the CDC family: the
     SCD2 maintainer's raw store is append-fragmented (one file per

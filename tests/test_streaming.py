@@ -257,6 +257,59 @@ def test_maintainer_restart_resumes_offsets_and_crash_retry_is_exactly_once(
     assert final.agg({"_last_batch_id": "max"}).first()[0] == marker2
 
 
+def test_crash_window_recovery_restores_sole_copy(spark, batch_events, tmp_path):
+    """The swap's crash window (process died AFTER fs.delete(target),
+    BEFORE fs.rename(staging)): on retry the target is missing and the
+    staging sibling holds the ONLY complete copy. The maintainer must
+    recover it — the failure mode this pins down is the retry misreading
+    the window as 'no table yet' and rebuilding all maintained state
+    from the single retried batch."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from otus_cpp_11_spark.streaming import (
+        incremental_minute_rollup,
+        minute_rollup_delta,
+    )
+
+    src = str(tmp_path / "src")
+    e1 = batch_events.where(F.col("user_id") % 2 == 0)
+    e2 = batch_events.where(F.col("user_id") % 2 == 1)
+    e1.repartition(2).write.parquet(src)
+    tier = str(tmp_path / "tier")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        incremental_minute_rollup(stream, tier, ckpt).awaitTermination()
+
+    run()
+    shutil.copytree(ckpt, str(tmp_path / "ckpt_snap"))
+    e2.repartition(2).write.mode("append").parquet(src)
+    run()
+    want_all = _rows(minute_rollup_delta(batch_events), "bucket_start")
+    marker = spark.read.parquet(tier).agg({"_last_batch_id": "max"}).first()[0]
+
+    # forge the exact crash state: the completed tier sits at the last
+    # batch's staging path, the target is gone, the checkpoint does not
+    # know the batch committed
+    os.rename(tier, tier + f".staging-{marker}")
+    shutil.rmtree(ckpt)
+    shutil.copytree(str(tmp_path / "ckpt_snap"), ckpt)
+
+    run()  # retry: must recover, then skip the re-delivered batch
+    final = spark.read.parquet(tier)
+    assert _rows(final.drop("_last_batch_id"), "bucket_start") == want_all
+    assert final.agg({"_last_batch_id": "max"}).first()[0] == marker
+    assert not os.path.exists(tier + f".staging-{marker}")
+
+
 def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
     """Append-mode watermark contract (the part Spark guarantees): a
     window is emitted only once the watermark passes its end, open windows
