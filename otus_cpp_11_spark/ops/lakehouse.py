@@ -84,28 +84,47 @@ def _swap_debris(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
+def _is_complete_write(spark: SparkSession, path: str) -> bool:
+    """A staging directory is a COMPLETE table iff its job committed:
+    ``_SUCCESS`` present (FileOutputCommitter writes it at job commit;
+    marksuccessfuljobs is on by default and this protocol requires it)
+    and no in-flight ``_temporary`` task dir remains. A crash DURING the
+    write leaves neither guarantee — such debris is a partial table and
+    must never be promoted."""
+    fs, jpath = _hadoop_fs(spark, path)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    return bool(
+        fs.exists(jp(path, "_SUCCESS")) and not fs.exists(jp(path, "_temporary"))
+    )
+
+
 def recover_swap(spark: SparkSession, path: str) -> str | None:
     """Complete a swap that crashed between its two metadata ops: if the
-    target is MISSING but a staging/compacting sibling survives, rename
-    the newest sibling in (stagings carry the batch id in the name and
-    are ordered NUMERICALLY; at most one can exist in practice — every
+    target is MISSING but a COMPLETE staging/compacting sibling survives
+    (job-committed — see _is_complete_write; a crash mid-write leaves
+    partial debris that must NOT be promoted: its rows would carry the
+    batch marker and silently swallow the retry), rename the newest
+    complete sibling in (stagings carry the batch id in the name and are
+    ordered NUMERICALLY; at most one can exist in practice — every
     completed swap consumes its own). Returns the recovered source path,
-    or None if there was nothing to recover. This is the read-side half
+    or None if there was nothing recoverable. This is the read-side half
     of the protocol: writers call it before concluding 'no table yet',
     so the crash window can never be misread as an empty table (which
     would silently rebuild state from one batch)."""
     fs, jpath = _hadoop_fs(spark, path)
     if fs.exists(jpath):
         return None
-    debris = _swap_debris(spark, path)
-    if not debris:
-        return None
+    complete = [
+        d for d in _swap_debris(spark, path) if _is_complete_write(spark, d)
+    ]
+    if not complete:
+        return None  # partial debris only: the writer rebuilds over it
 
     def batch_id(p: str) -> int:
         tail = p.rsplit(".staging-", 1)
         return int(tail[1]) if len(tail) == 2 and tail[1].isdigit() else -1
 
-    src = max(debris, key=batch_id)
+    src = max(complete, key=batch_id)
     if not fs.rename(spark._jvm.org.apache.hadoop.fs.Path(src), jpath):
         raise RuntimeError(f"recover_swap: rename {src!r} -> {path!r} failed")
     return src
@@ -135,12 +154,15 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
     the parquet-directory protocol can guarantee."""
     fs, jpath = _hadoop_fs(spark, path)
     debris = _swap_debris(spark, path)
-    if debris and not fs.exists(jpath):
-        raise ValueError(
-            f"target {path!r} is missing but swap debris exists "
-            f"({debris}): this is the crash window and the debris is the "
-            "only complete copy — run recover_swap first, not vacuum"
-        )
+    if not fs.exists(jpath):
+        complete = [d for d in debris if _is_complete_write(spark, d)]
+        if complete:
+            raise ValueError(
+                f"target {path!r} is missing but a COMPLETE staging copy "
+                f"exists ({complete}): this is the swap crash window and "
+                "the debris is the only copy — run recover_swap first, "
+                "not vacuum"
+            )
     removed: list[str] = []
     for d in debris:
         if not fs.delete(spark._jvm.org.apache.hadoop.fs.Path(d), True):

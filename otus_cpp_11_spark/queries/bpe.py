@@ -96,19 +96,40 @@ BPE_PACK_BUDGET = 2048  # BPE tokens per packed training sequence
 BPE_PACK_SHARD = 100  # docs per prefix-sum shard
 _SQL_STAGE = 32  # oracle replace-chain rules per CTE stage
 
-# doc_bpe_token_ids' cached vocab-sized artifacts, keyed by sf_dir so a
-# repeat invocation reuses the SAME DataFrame objects (one CacheManager
-# entry per corpus, not one per call) and release_bpe_caches() can drop
-# them — the release_dedup_caches pattern; bench.py calls it in cleanup.
+# Cached vocab-sized artifacts (word counts + encoded vocab), keyed by
+# sf_dir so every BPE query that needs them in one session reuses the
+# SAME DataFrame objects (one CacheManager entry per corpus, not one per
+# call) and release_bpe_caches() can drop them — the
+# release_dedup_caches pattern; bench.py calls it in cleanup.
 _VOCAB_CACHES: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
+def _corpus_vocab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(wc, enc): the corpus word-count relation and the encoded vocab,
+    cached per sf_dir. Session-checked: an entry built by a STOPPED
+    SparkSession is silently discarded and rebuilt (its DataFrames are
+    bound to a dead JVM context; unpersisting them would throw), so a
+    session restart can never hand back stale handles."""
+    cached = _VOCAB_CACHES.get(sf_dir)
+    if cached is not None and cached[0].sparkSession is spark:
+        return cached
+    words = _doc_words(spark, sf_dir)
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ")).cache()
+    enc = bpe_encode_vocab(wc).cache()
+    _VOCAB_CACHES[sf_dir] = (wc, enc)
+    return wc, enc
+
+
 def release_bpe_caches() -> None:
-    """Unpersist every cached vocab artifact (see _VOCAB_CACHES)."""
+    """Unpersist every cached vocab artifact (see _VOCAB_CACHES).
+    blocking=True: bench cleanup sweeps persistent RDDs and nudges GC
+    immediately after this call — an async unpersist would race that
+    sweep and leak exactly the cross-measurement state the cleanup
+    exists to eliminate."""
     for wc, enc in _VOCAB_CACHES.values():
         for df in (wc, enc):
             try:
-                df.unpersist()
+                df.unpersist(blocking=True)
             except Exception:
                 pass  # session already stopped
     _VOCAB_CACHES.clear()
@@ -289,13 +310,12 @@ def bpe_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token explosion happens on the vocab relation WEIGHTED by word count
     — |vocab| x tokens-per-word rows, never |corpus| rows — then one
     aggregate; the token id space is the rank order."""
-    words = _doc_words(spark, sf_dir)
-    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occ"))
-    # encode from the already-aggregated wc relation: its key set IS the
-    # distinct vocab, so the encoder's internal distinct runs over
-    # vocab-sized input — one corpus scan total, not two (the
-    # doc_bpe_token_ids scan-budget rule)
-    enc = bpe_encode_vocab(wc).join(wc, "word")
+    # shared cached artifacts (_corpus_vocab): the word-count aggregate
+    # IS the distinct vocab, so the encode never sees corpus-sized input,
+    # and a session that already ran another BPE query reuses the
+    # materialized (wc, enc) pair instead of re-scanning the corpus
+    wc, enc0 = _corpus_vocab(spark, sf_dir)
+    enc = enc0.join(wc, "word")
     tok = enc.select("n_occ", F.explode("toks").alias("token"))
     w = Window.orderBy(F.desc("total"), F.asc("token"))
     return (
@@ -469,14 +489,7 @@ def doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
         ).alias("pos", "word"),
     )
-    if sf_dir not in _VOCAB_CACHES:
-        wc = (
-            words_pos.groupBy("word")
-            .agg(F.count(F.lit(1)).alias("n_occ"))
-            .cache()
-        )
-        _VOCAB_CACHES[sf_dir] = (wc, bpe_encode_vocab(wc).cache())
-    wc, enc = _VOCAB_CACHES[sf_dir]
+    wc, enc = _corpus_vocab(spark, sf_dir)
     tok = enc.join(wc, "word").select(
         "n_occ", F.explode("toks").alias("token")
     )

@@ -859,12 +859,16 @@ def lakehouse_compaction_accounting(spark: SparkSession, sf_dir: str) -> DataFra
 
     li = load_table(spark, sf_dir, "lineitem")
     frag = scratch_dir("sg-compact-") + "/lineitem"
-    # round-robin repartition: every output partition is non-empty for
-    # rows >= {COMPACT_FRAG_FILES} (each gets floor/ceil(rows/n)), so
-    # files_before == {COMPACT_FRAG_FILES} EXACTLY at any eval SF — a
-    # range partitioner's sampled boundaries can leave empty ranges,
-    # which would silently break the oracle's literal file count
-    li.repartition(COMPACT_FRAG_FILES).write.parquet(frag)
+    # single-source round-robin: coalesce(1) first so ONE task deals the
+    # rows consecutively across all outputs — every output partition
+    # gets floor/ceil(rows/n) rows and files_before ==
+    # {COMPACT_FRAG_FILES} EXACTLY for rows >= n, a real guarantee.
+    # (Multi-input round-robin starts each input at its own offset and
+    # can leave overlaps/empties at small inputs; a range partitioner's
+    # sampled boundaries likewise. The 1-task funnel is fine HERE — this
+    # writer is the deterministic fragmentation stand-in, not a scale
+    # path; real fragmentation arrives from the incremental writers.)
+    li.coalesce(1).repartition(COMPACT_FRAG_FILES).write.parquet(frag)
 
     mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
     px = f"((l_partkey * {2 ** Z_BITS}) div {int(mx[0]) + 1})"

@@ -387,7 +387,7 @@ def _run_incremental_maintainer(
         checkpoint = scratch_dir("sg-ckpt-")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        from otus_cpp_11_spark.ops.lakehouse import recover_swap
+        from otus_cpp_11_spark.ops.lakehouse import recover_swap, swap_directory
 
         bspark = batch_df.sparkSession
         # crash-window recovery BEFORE reading: a missing target with a
@@ -407,23 +407,14 @@ def _run_incremental_maintainer(
         merged = merge_fn(existing, batch_df).withColumn(
             "_last_batch_id", F.lit(batch_id)
         )
-        # staging-sibling write + checked swap (see the scaffold
-        # docstring); mode('overwrite') on staging also clears a dead
-        # SAME-batch retry's partial write (a completed batch's staging
-        # was either renamed away or recovered above, never clobbered)
+        # staging-sibling write + checked swap (ops.lakehouse.swap_directory
+        # — ONE implementation of the protocol, per the scaffold rationale);
+        # mode('overwrite') on staging also clears a dead SAME-batch
+        # retry's partial write (a completed batch's staging was either
+        # renamed away or recovered above, never clobbered)
         staging = target_path.rstrip("/") + f".staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        jpath = bspark._jvm.org.apache.hadoop.fs.Path
-        fs = jpath(target_path).getFileSystem(bspark._jsc.hadoopConfiguration())
-        if fs.exists(jpath(target_path)) and not fs.delete(
-            jpath(target_path), True
-        ):
-            raise RuntimeError(f"maintainer swap: delete {target_path!r} failed")
-        if not fs.rename(jpath(staging), jpath(target_path)):
-            raise RuntimeError(
-                f"maintainer swap: rename {staging!r} -> {target_path!r} "
-                "failed; the merged batch is intact at the staging path"
-            )
+        swap_directory(bspark, staging, target_path)
 
     return (
         events_stream.writeStream.foreachBatch(merge)

@@ -134,6 +134,27 @@ def test_vacuum_refuses_crash_window_and_recover_completes(spark, tmp_path):
     assert vacuum(spark, target) == []
 
 
+def test_partial_staging_is_never_promoted(spark, tmp_path):
+    """A crash DURING the staging write (no _SUCCESS) leaves a PARTIAL
+    table: recover_swap must refuse to promote it — promoting would
+    commit truncated rows whose batch marker then swallows the retry —
+    and vacuum may remove it (it is not the sole copy of anything)."""
+    import os
+
+    from otus_cpp_11_spark.ops.lakehouse import recover_swap, vacuum
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(0, 50).withColumnRenamed("id", "v")
+    df.write.parquet(target + ".staging-5")
+    os.remove(target + ".staging-5/_SUCCESS")  # forge the mid-write crash
+
+    assert recover_swap(spark, target) is None
+    assert not os.path.exists(target)  # nothing was promoted
+    removed = vacuum(spark, target)  # partial debris is safe to clear
+    assert removed and removed[0].endswith(".staging-5")
+    assert not os.path.exists(target + ".staging-5")
+
+
 def test_scd2_raw_store_compaction_preserves_history(spark, tmp_path):
     """Integration of the maintenance triple with the CDC family: the
     SCD2 maintainer's raw store is append-fragmented (one file per
