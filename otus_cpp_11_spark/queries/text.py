@@ -439,3 +439,62 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_datacard_streamed",
+    oracle="""
+WITH t AS (
+  SELECT source, lang,
+         CAST(LEN(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       COUNT(*) FILTER (WHERE lang = 'en') AS n_en,
+       MIN(nt) AS min_tokens,
+       MAX(nt) AS max_tokens,
+       CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE) / COUNT(*) AS pct_en,
+       CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS mean_tokens
+FROM t
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_datacard_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, driver-visible — the training-data INGEST
+    face: replay the documents table as a file stream through the
+    foreachBatch datacard maintainer (streaming.incremental_datacard)
+    under Trigger.AvailableNow, then read the maintained card back. The
+    oracle is the from-scratch batch aggregate — the maintained card
+    must be bit-identical however ingestion was micro-batched, because
+    every maintained column is additive (counts/sums) or a semilattice
+    (min/max). Ratios are computed AT READ TIME from the merged integers
+    (int/int doubles), never maintained: merging a ratio is the classic
+    incremental-accounting bug. The batch datacard's exact-distinct
+    column is deliberately absent from the streamed face — not mergeable
+    from per-batch partials (see incremental_datacard). Every other
+    streamed face consumes the events changelog; this one proves the
+    maintainer scaffold (idempotent retries, staging+swap recovery)
+    carries the corpus-ingest shape identically."""
+    from otus_cpp_11_spark.session import scratch_dir
+    from otus_cpp_11_spark.streaming import (
+        incremental_datacard,
+        read_documents_stream,
+    )
+
+    card = scratch_dir("sg-card-") + "/datacard"
+    q = incremental_datacard(read_documents_stream(spark, sf_dir), card)
+    q.awaitTermination()
+    c = spark.read.parquet(card).drop("_last_batch_id")
+    return c.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_en",
+        "min_tokens",
+        "max_tokens",
+        (F.col("n_en").cast("double") / F.col("n_docs")).alias("pct_en"),
+        (F.col("n_tokens").cast("double") / F.col("n_docs")).alias("mean_tokens"),
+    ).orderBy("source")

@@ -139,6 +139,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_json_props": "fd96cba6cc74",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
+    "events_session_windows": "ee61ffbf866a",
     "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
@@ -248,7 +249,6 @@ REVERIFY: frozenset[str] = frozenset({
     "doc_pack_bins",
     "embedding_quantization",
     "events_multires_rollup",
-    "events_session_windows",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",

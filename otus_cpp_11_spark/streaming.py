@@ -51,6 +51,9 @@ __all__ = [
     "write_stream_parquet",
     "minute_rollup_delta",
     "incremental_minute_rollup",
+    "read_documents_stream",
+    "datacard_delta",
+    "incremental_datacard",
     "cdc_upsert_user_state",
     "incremental_scd2_history",
 ]
@@ -461,6 +464,80 @@ def incremental_minute_rollup(
         )
 
     return _run_incremental_maintainer(events_stream, tier_path, merge_fn, checkpoint)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream over the documents parquet — the training-data INGEST
+    face. Every other streamed face consumes the events changelog; a
+    corpus arrives differently: document files landing in a directory
+    (crawler dumps, partner drops). Same glob trick as
+    read_events_stream; documents carry no event-time column, so the
+    consumers are additive maintainers, not watermarked windows."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    glob_path = f"{path[:-1]}[{path[-1]}]"
+    return spark.readStream.schema(schema).parquet(glob_path)
+
+
+def datacard_delta(docs: DataFrame) -> DataFrame:
+    """Per-micro-batch datacard delta: additive counters + min/max
+    lattice per source. Batch/stream polymorphic."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    nt = F.size(toks).cast("bigint")
+    return (
+        docs.select("source", "lang", nt.alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
+
+
+def incremental_datacard(
+    docs_stream: DataFrame, card_path: str, checkpoint: str | None = None
+):
+    """Maintain the per-source corpus datacard AS THE CORPUS LANDS: each
+    document micro-batch is reduced to a per-source delta and merged into
+    the stored card. Every maintained column is either additive
+    (counts/sums) or a semilattice (min/max), so the merge is
+    order-insensitive and micro-batch-invariant — the maintained card is
+    bit-identical to the from-scratch batch aggregate however ingestion
+    was chunked, the same streaming=backfill contract as the rollup tier.
+
+    The batch datacard's exact-distinct column (n_distinct_exact) is
+    deliberately ABSENT here: COUNT(DISTINCT) is not mergeable from
+    per-batch partials — maintaining it needs dedup state
+    (dropDuplicatesWithinWatermark) or a mergeable sketch (HLL), and the
+    release-time batch card carries the exact number. Publishing a
+    non-mergeable stat from an incremental maintainer is how accounting
+    silently drifts; omitting it is the correct contract.
+
+    Scale notes: the card is one row per source — the maintainer's
+    rewrite cost is independent of corpus size; the per-batch work is
+    one partial-aggregated pass over the batch's documents. Idempotent
+    retries and crash recovery come from the shared scaffold."""
+
+    def merge_fn(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        delta = datacard_delta(batch_df)
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("n_en").alias("n_en"),
+                F.min("min_tokens").alias("min_tokens"),
+                F.max("max_tokens").alias("max_tokens"),
+            )
+        )
+
+    return _run_incremental_maintainer(docs_stream, card_path, merge_fn, checkpoint)
 
 
 def cdc_upsert_user_state(

@@ -257,6 +257,28 @@ def test_maintainer_restart_resumes_offsets_and_crash_retry_is_exactly_once(
     assert final.agg({"_last_batch_id": "max"}).first()[0] == marker2
 
 
+def test_incremental_datacard_equals_batch_across_micro_batches(spark, tmp_path):
+    """Documents-ingest face: the maintained datacard equals the batch
+    aggregate however the corpus is chunked into micro-batches (additive
+    + semilattice columns only — the merge path actually runs)."""
+    from otus_cpp_11_spark.catalog import load_table
+    from otus_cpp_11_spark.streaming import datacard_delta, incremental_datacard
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(5).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    card = str(tmp_path / "card")
+    incremental_datacard(stream, card, str(tmp_path / "ckpt")).awaitTermination()
+    got = spark.read.parquet(card).drop("_last_batch_id")
+    want = datacard_delta(docs)
+    assert _rows(got, "source") == _rows(want, "source")
+
+
 def test_crash_window_recovery_restores_sole_copy(spark, batch_events, tmp_path):
     """The swap's crash window (process died AFTER fs.delete(target),
     BEFORE fs.rename(staging)): on retry the target is missing and the
