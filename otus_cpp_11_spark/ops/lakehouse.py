@@ -84,6 +84,27 @@ def _swap_debris(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
+def require_success_markers(spark: SparkSession) -> None:
+    """The swap protocol's completeness test keys on the ``_SUCCESS``
+    job-commit marker (see _is_complete_write). With
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false — a common
+    production setting — every staging write would look partial,
+    recovery would refuse the sole surviving copy of a crashed swap, and
+    the retry would silently rebuild state from one batch. Writers that
+    rely on recovery call this at setup so that misconfiguration fails
+    LOUDLY up front instead."""
+    v = spark._jsc.hadoopConfiguration().get(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+    )
+    if str(v).lower() != "true":
+        raise RuntimeError(
+            "the staging+swap protocol requires _SUCCESS job-commit "
+            "markers: set mapreduce.fileoutputcommitter.marksuccessfuljobs"
+            "=true (crash recovery cannot distinguish complete from "
+            "partial stagings without them)"
+        )
+
+
 def _is_complete_write(spark: SparkSession, path: str) -> bool:
     """A staging directory is a COMPLETE table iff its job committed:
     ``_SUCCESS`` present (FileOutputCommitter writes it at job commit;
@@ -192,6 +213,7 @@ def compact_parquet(
     bin target (the oracle can recompute it from COUNT(*)); a production
     OPTIMIZE bins by BYTES from file metadata — same algorithm, a
     manifest lookup instead of a count."""
+    require_success_markers(spark)
     before = list_data_files(spark, path)
     df = spark.read.parquet(path)
     n_rows = df.count()

@@ -859,16 +859,27 @@ def lakehouse_compaction_accounting(spark: SparkSession, sf_dir: str) -> DataFra
 
     li = load_table(spark, sf_dir, "lineitem")
     frag = scratch_dir("sg-compact-") + "/lineitem"
-    # single-source round-robin: coalesce(1) first so ONE task deals the
-    # rows consecutively across all outputs — every output partition
-    # gets floor/ceil(rows/n) rows and files_before ==
-    # {COMPACT_FRAG_FILES} EXACTLY for rows >= n, a real guarantee.
-    # (Multi-input round-robin starts each input at its own offset and
-    # can leave overlaps/empties at small inputs; a range partitioner's
-    # sampled boundaries likewise. The 1-task funnel is fine HERE — this
-    # writer is the deterministic fragmentation stand-in, not a scale
-    # path; real fragmentation arrives from the incremental writers.)
-    li.coalesce(1).repartition(COMPACT_FRAG_FILES).write.parquet(frag)
+    # GUARANTEED {COMPACT_FRAG_FILES}-file fragmentation: an explicit
+    # modulo file id over a total row order, written partitionBy(frag) —
+    # one file per frag value (each value lives in exactly one shuffle
+    # partition; rows >= n makes every value non-empty). Every
+    # partitioner-based attempt is NOT a guarantee: round-robin
+    # repartition(n) starts each input partition at its own offset
+    # (overlaps leave empties at small inputs), coalesce(1) before it is
+    # deleted by Catalyst's CollapseRepartition rule (verified), and a
+    # range partitioner's sampled boundaries can merge values. The
+    # single-partition row_number window is fine HERE — this writer is
+    # the deterministic fragmentation stand-in, not a scale path; real
+    # fragmentation arrives from the incremental writers.
+    w_rn = Window.orderBy("l_orderkey", "l_linenumber")
+    (
+        li.withColumn(
+            "frag", F.pmod(F.row_number().over(w_rn) - 1, F.lit(COMPACT_FRAG_FILES))
+        )
+        .repartition(COMPACT_FRAG_FILES, "frag")
+        .write.partitionBy("frag")
+        .parquet(frag)
+    )
 
     mx = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
     px = f"((l_partkey * {2 ** Z_BITS}) div {int(mx[0]) + 1})"

@@ -59,27 +59,27 @@ __all__ = [
 ]
 
 
+def _file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-peeked file stream over one parquet path (streaming sources
+    don't infer schemas). FileStreamSource force-sets basePath to the
+    literal path (must be a directory) unless the path is a glob;
+    wrapping the last char keeps the glob semantics identical while
+    basePath resolves to the parent dir — ONE home for this trick, used
+    by every table-stream reader."""
+    schema = spark.read.parquet(path).schema
+    glob_path = f"{path[:-1]}[{path[-1]}]"
+    return spark.readStream.schema(schema).parquet(glob_path)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based stream over the events parquet (one file = one micro-batch
-    under AvailableNow; a live directory would stream per new file).
-
-    The schema must be supplied explicitly (streaming sources don't infer);
-    we take it from a batch peek at the same path, then apply the same
-    nanos->micros timestamp normalization as ``catalog.load_table``.
-    """
+    under AvailableNow; a live directory would stream per new file), with
+    the same nanos->micros timestamp normalization as ``catalog.load_table``
+    (raw-nanos bigint or TIMESTAMP_NTZ -> session-TZ TIMESTAMP; watermarks
+    require a true TIMESTAMP event-time column)."""
     from otus_cpp_11_spark.catalog import normalize_ts
 
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    # FileStreamSource force-sets basePath to the literal path (must be a
-    # directory) unless the path is a glob; wrapping the last char keeps the
-    # glob semantics identical while basePath resolves to the parent dir.
-    glob_path = f"{path[:-1]}[{path[-1]}]"
-    df = spark.readStream.schema(raw_schema).parquet(glob_path)
-    # Same physical-type normalization as the batch catalog (raw-nanos
-    # bigint or TIMESTAMP_NTZ -> session-TZ TIMESTAMP); watermarks require
-    # a true TIMESTAMP event-time column.
-    return normalize_ts(df)
+    return normalize_ts(_file_stream(spark, os.path.join(sf_dir, "events.parquet")))
 
 
 # --------------------------------------------------------------------------
@@ -324,6 +324,29 @@ def minute_rollup_delta(events: DataFrame) -> DataFrame:
     )
 
 
+def _additive_lattice_merge(delta_fn, key: str, sums=(), mins=(), maxs=()):
+    """merge_fn factory for maintainers whose columns are additive
+    (counts/sums) or semilattice (min/max) — the only merge shapes that
+    are micro-batch-invariant BY ALGEBRA, which is what makes a
+    maintained table provably equal to its from-scratch batch aggregate.
+    One implementation of the merge, mirroring the scaffold's
+    one-implementation rule for the swap: a fix to the union/re-aggregate
+    shape lands once, not once per maintainer."""
+    aggs = (
+        [F.sum(c).alias(c) for c in sums]
+        + [F.min(c).alias(c) for c in mins]
+        + [F.max(c).alias(c) for c in maxs]
+    )
+
+    def merge_fn(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        delta = delta_fn(batch_df)
+        if existing is None:
+            return delta
+        return existing.unionByName(delta).groupBy(key).agg(*aggs)
+
+    return merge_fn
+
+
 def _run_incremental_maintainer(
     events_stream: DataFrame,
     target_path: str,
@@ -369,15 +392,28 @@ def _run_incremental_maintainer(
     the target was built with, or start a fresh target."""
     from pyspark.errors import AnalysisException
 
-    from otus_cpp_11_spark.ops.lakehouse import _swap_debris
+    from otus_cpp_11_spark.ops.lakehouse import (
+        _is_complete_write,
+        _swap_debris,
+        require_success_markers,
+    )
 
     spark = events_stream.sparkSession
+    require_success_markers(spark)  # recovery keys on _SUCCESS (lakehouse)
     if checkpoint is None:
         jpath = spark._jvm.org.apache.hadoop.fs.Path(target_path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        # swap debris counts as an existing target: recovery would
-        # restore a table whose marker swallows the fresh run's batch 0
-        if fs.exists(jpath) or _swap_debris(spark, target_path):
+        # COMPLETE swap debris counts as an existing target: recovery
+        # would restore a table whose marker swallows the fresh run's
+        # batch 0. Partial debris (crash mid-write, no _SUCCESS) is NOT
+        # recoverable and a fresh run is safe — the staging overwrite
+        # clears it.
+        complete_debris = [
+            d
+            for d in _swap_debris(spark, target_path)
+            if _is_complete_write(spark, d)
+        ]
+        if fs.exists(jpath) or complete_debris:
             raise ValueError(
                 f"target {target_path!r} already exists (or its swap "
                 "debris does) but no persistent checkpoint was given: a "
@@ -450,19 +486,9 @@ def incremental_minute_rollup(
     write (a sidecar file could desync from the tier on a crash between
     the two writes)."""
 
-    def merge_fn(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
-        delta = minute_rollup_delta(batch_df)
-        if existing is None:
-            return delta
-        return (
-            existing.unionByName(delta)
-            .groupBy("bucket_start")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("units").alias("units"),
-            )
-        )
-
+    merge_fn = _additive_lattice_merge(
+        minute_rollup_delta, "bucket_start", sums=("n_events", "units")
+    )
     return _run_incremental_maintainer(events_stream, tier_path, merge_fn, checkpoint)
 
 
@@ -473,17 +499,19 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (crawler dumps, partner drops). Same glob trick as
     read_events_stream; documents carry no event-time column, so the
     consumers are additive maintainers, not watermarked windows."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
-    glob_path = f"{path[:-1]}[{path[-1]}]"
-    return spark.readStream.schema(schema).parquet(glob_path)
+    return _file_stream(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def datacard_delta(docs: DataFrame) -> DataFrame:
     """Per-micro-batch datacard delta: additive counters + min/max
-    lattice per source. Batch/stream polymorphic."""
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    nt = F.size(toks).cast("bigint")
+    lattice per source. Batch/stream polymorphic. The token count is the
+    SAME expression the batch datacard family uses (queries.text._tokens,
+    imported lazily — query modules import streaming helpers, not the
+    reverse), so the streamed face can never silently diverge from the
+    batch tokenization the oracle checks against."""
+    from otus_cpp_11_spark.queries.text import _tokens
+
+    nt = F.size(_tokens()).cast("bigint")
     return (
         docs.select("source", "lang", nt.alias("nt"))
         .groupBy("source")
@@ -521,22 +549,13 @@ def incremental_datacard(
     one partial-aggregated pass over the batch's documents. Idempotent
     retries and crash recovery come from the shared scaffold."""
 
-    def merge_fn(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
-        delta = datacard_delta(batch_df)
-        if existing is None:
-            return delta
-        return (
-            existing.unionByName(delta)
-            .groupBy("source")
-            .agg(
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("n_tokens").alias("n_tokens"),
-                F.sum("n_en").alias("n_en"),
-                F.min("min_tokens").alias("min_tokens"),
-                F.max("max_tokens").alias("max_tokens"),
-            )
-        )
-
+    merge_fn = _additive_lattice_merge(
+        datacard_delta,
+        "source",
+        sums=("n_docs", "n_tokens", "n_en"),
+        mins=("min_tokens",),
+        maxs=("max_tokens",),
+    )
     return _run_incremental_maintainer(docs_stream, card_path, merge_fn, checkpoint)
 
 
