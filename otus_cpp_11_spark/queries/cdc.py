@@ -472,3 +472,116 @@ def forget_sweep_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(acct(hi, "user_state_history", "user_id"))
         .orderBy("table_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Change data feed between committed snapshots (versioned tables).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_change_data_feed",
+    oracle=f"""
+WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+v1 AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, mx WHERE event_id <= m // 2
+  ) t WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+),
+v2 AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) t WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+)
+SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+       CASE WHEN v1.user_id IS NULL THEN 'insert'
+            WHEN v2.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       v1.event_id AS old_event_id,
+       v2.event_id AS new_event_id,
+       v1.event_type AS old_state,
+       v2.event_type AS new_state
+FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+   OR v1.event_id <> v2.event_id
+ORDER BY user_id
+""",
+)
+def cdc_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two COMMITTED snapshots of the maintained
+    keyed state — Delta CDF's contract over ops/versioned.py's pointer
+    tables: commit the live state as of the changelog's first half
+    (event_id <= max/2, an engine-independent cutoff), commit the full
+    state, then diff the two IMMUTABLE snapshots via time-travel reads.
+    insert = key live only in v2, delete = key live only in v1 (a later
+    tombstone killed it), update = both live with different latest
+    records — detected on last_event_id alone, exact because (ts,
+    event_id) is a total recency order, so equal event ids imply equal
+    records (no float comparisons in the gate).
+
+    Plan: each snapshot is ONE struct-max compaction (partial-aggregated
+    argmax, one row per key over the shuffle); the diff is a full-outer
+    join of two key-sized relations, strategy AQE-decided (unbounded
+    key, no hint). The versioned commits give the diff snapshot
+    isolation by construction: a concurrent maintainer run cannot
+    disturb either side mid-query — exactly why production CDF reads
+    version pairs, not live tables. The 1-scalar cutoff collect is a
+    bounded model artifact (zorder-bounds precedent)."""
+    from otus_cpp_11_spark.ops.versioned import commit_version, read_version
+    from otus_cpp_11_spark.session import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max("event_id")).first()[0] // 2
+    rec = F.struct("ts", "event_id", "event_type")
+
+    def live_state(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(rec).alias("m"))
+            .where(F.col("m.event_type") != CDC_DELETE_TYPE)
+            .select(
+                "user_id",
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.event_type").alias("state"),
+            )
+        )
+
+    tbl = scratch_dir("sg-cdf-") + "/user_state"
+    n1 = commit_version(spark, live_state(ev.where(F.col("event_id") <= cutoff)), tbl)
+    n2 = commit_version(spark, live_state(ev), tbl)
+    s1 = read_version(spark, tbl, n1).select(
+        F.col("user_id").alias("u1"),
+        F.col("event_id").alias("old_event_id"),
+        F.col("state").alias("old_state"),
+    )
+    s2 = read_version(spark, tbl, n2).select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("new_event_id"),
+        F.col("state").alias("new_state"),
+    )
+    return (
+        s1.join(s2, s1.u1 == s2.u2, "full_outer")
+        .where(
+            F.col("u1").isNull()
+            | F.col("u2").isNull()
+            | (F.col("old_event_id") != F.col("new_event_id"))
+        )
+        .select(
+            F.coalesce("u1", "u2").alias("user_id"),
+            F.when(F.col("u1").isNull(), "insert")
+            .when(F.col("u2").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            "old_event_id",
+            "new_event_id",
+            "old_state",
+            "new_state",
+        )
+        .orderBy("user_id")
+    )

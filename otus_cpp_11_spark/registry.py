@@ -137,6 +137,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
+    "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
     "events_session_windows": "ee61ffbf866a",
@@ -248,7 +249,6 @@ REVERIFY: frozenset[str] = frozenset({
     "daily_open_shipments",
     "doc_pack_bins",
     "embedding_quantization",
-    "events_multires_rollup",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",
