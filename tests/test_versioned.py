@@ -1,6 +1,6 @@
-"""Versioned pointer-file tables (ops/versioned.py): atomic commit,
-snapshot isolation, crash safety without recovery, time travel, and
-retention vacuum."""
+"""Versioned marker-committed tables (ops/versioned.py): atomic commit,
+snapshot isolation, crash safety without recovery, conflict detection,
+time travel, and retention vacuum."""
 
 from __future__ import annotations
 
@@ -54,33 +54,56 @@ def test_snapshot_isolation_across_commit_and_vacuum(spark, table):
     assert pinned.count() == 10
 
 
-def test_crash_before_flip_leaves_previous_version_current(spark, table):
-    """A writer that dies after the snapshot write but before the pointer
-    flip (the analogue of the directory swap's crash window) leaves NO
+def test_crash_before_marker_leaves_previous_version_current(spark, table):
+    """A writer that dies after the snapshot write but before the marker
+    claim (the analogue of the directory swap's crash window) leaves NO
     observable damage: the previous version stays current, no recovery
-    step is needed, and the orphan is vacuumable garbage."""
+    step is needed, and the orphan is quiesced-vacuum garbage. There is
+    no pointer file to lose — markers are create-once, so no crash can
+    make committed history unreadable."""
     commit_version(spark, _df(spark, 10, "a"), table)
-    # forge the crash: a complete v2 snapshot exists, pointer never moved
+    # forge the crash: a complete v2 snapshot exists, marker never created
     _df(spark, 50, "b").write.parquet(table + "/v00000002")
     assert current_version(spark, table) == 1
     assert read_version(spark, table).count() == 10  # readers unaffected
-    # a retrying writer simply commits over the orphan (mode overwrite)
+    # a retrying writer simply commits over its own orphan
     v = commit_version(spark, _df(spark, 60, "c"), table)
     assert v == 2
     assert read_version(spark, table).count() == 60
 
 
-def test_vacuum_retention_and_orphans(spark, table):
+def test_concurrent_commit_conflict_is_detected(spark, table):
+    from otus_cpp_11_spark.ops.versioned import _claim_marker
+
+    commit_version(spark, _df(spark, 10, "a"), table)
+    # the race distilled: two writers claim the same next version — the
+    # second exclusive create must fail loudly (this is the atomic
+    # primitive commit_version stakes the protocol on)
+    _claim_marker(spark, table, 2)
+    with pytest.raises(RuntimeError, match="concurrent committer"):
+        _claim_marker(spark, table, 2)
+    # and a writer arriving AFTER the claim simply builds on top of it:
+    # current advanced to the claimed number, the next commit takes 3
+    assert current_version(spark, table) == 2
+    assert commit_version(spark, _df(spark, 30, "c"), table) == 3
+
+
+def test_vacuum_retention_and_quiesced_orphan_cleanup(spark, table):
     for i, tag in enumerate(["a", "b", "c", "d"], start=1):
         commit_version(spark, _df(spark, 10 * i, tag), table)
-    # orphan newer than current (crashed writer)
+    # orphan newer than current (crashed or IN-FLIGHT writer)
     _df(spark, 5, "x").write.parquet(table + "/v00000009")
-    removed = vacuum_versions(spark, table, keep_last=2)
-    assert removed == [1, 2, 9]
+    # default vacuum never touches the orphan: it cannot distinguish a
+    # crashed writer's leftover from a live commit's not-yet-marked
+    # snapshot (the lakehouse.vacuum quiesce rule)
+    assert vacuum_versions(spark, table, keep_last=2) == [1, 2]
+    assert 9 in list_versions(spark, table)
+    # quiesced cleanup removes it
+    assert vacuum_versions(spark, table, keep_last=2, drop_uncommitted=True) == [9]
     assert list_versions(spark, table) == [3, 4]
     assert current_version(spark, table) == 4
     assert read_version(spark, table, version=3).count() == 30
     # current can never be vacuumed
     assert 4 not in vacuum_versions(spark, table, keep_last=1)
     assert read_version(spark, table).count() == 40
-    assert os.path.exists(table + "/_CURRENT")
+    assert os.path.exists(table + "/_commits/00000004")
