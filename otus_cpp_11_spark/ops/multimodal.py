@@ -301,6 +301,60 @@ def sample_frames(payloads: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Resize — box-downsampling of the decoded raster, the RESIZE kernel the
+# multimodal mandate names explicitly (aHash below uses the same binning
+# implicitly for its grid; this emits the thumbnail itself).
+# --------------------------------------------------------------------------
+
+
+def resize_ppm_cells(payloads: DataFrame, gw: int, gh: int) -> DataFrame:
+    """Box-downsample each decoded PPM raster to a ``gw x gh`` thumbnail,
+    emitted LONG (one row per output cell: doc_id, cx, cy, n_px and
+    per-channel integer sums) so the result is columnar, exactly
+    aggregable, and engine-comparable without float resampling
+    semantics. Binning is the proportional integer rule
+    ``cx = x * gw // w`` (identical to aHash's grid step), every cell
+    non-empty for w >= gw, h >= gh. Arrow-batched ``mapInPandas`` over
+    the binary column; O(pixels) per image, embarrassingly parallel —
+    the production shape for thumbnail/feature-pyramid generation over a
+    binary-payload corpus (with real codecs the byte walk is swapped,
+    the plumbing is unchanged)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "cx", "cy", "n_px", "r_sum", "g_sum", "b_sum")
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = ppm_raster(bytes(b))
+                acc: dict[tuple[int, int], list[int]] = {}
+                for i in range(w * h):
+                    x, y = i % w, i // w
+                    cell = (x * gw // w, y * gh // h)
+                    a = acc.setdefault(cell, [0, 0, 0, 0])
+                    a[0] += 1
+                    a[1] += raster[3 * i]
+                    a[2] += raster[3 * i + 1]
+                    a[3] += raster[3 * i + 2]
+                for (cx, cy), (n, rs, gs, bs) in sorted(acc.items()):
+                    out["doc_id"].append(doc_id)
+                    out["cx"].append(cx)
+                    out["cy"].append(cy)
+                    out["n_px"].append(n)
+                    out["r_sum"].append(rs)
+                    out["g_sum"].append(gs)
+                    out["b_sum"].append(bs)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(
+        batches,
+        "doc_id bigint, cx int, cy int, n_px bigint, "
+        "r_sum bigint, g_sum bigint, b_sum bigint",
+    )
+
+
+# --------------------------------------------------------------------------
 # Perceptual hashing (aHash) — image-level near-dup, bridging the
 # multimodal decode path into the dedup family.
 # --------------------------------------------------------------------------

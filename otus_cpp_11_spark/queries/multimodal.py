@@ -378,3 +378,69 @@ def wav_fp_near_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fps = decode_wav_fingerprint(synthesize_wav_payloads(d))
     return _banded_near_dup_counts(fps, "afp", AUDIO_FP_HAMMING_MAX)
+
+
+# --------------------------------------------------------------------------
+# Resize: box-downsampled thumbnails from the real decoded raster.
+# --------------------------------------------------------------------------
+
+RESIZE_GRID = 2  # 2x2 thumbnail — every synthetic image is >= 2x2
+
+
+@register(
+    "ppm_resize_2x2",
+    oracle=f"""
+WITH px AS (
+  SELECT d.doc_id,
+         ((i % (d.doc_id % 8 + 2)) * {RESIZE_GRID}) // (d.doc_id % 8 + 2) AS cx,
+         ((i // (d.doc_id % 8 + 2)) * {RESIZE_GRID}) // (d.doc_id % 5 + 2) AS cy,
+         (d.doc_id + 3 * (i % (d.doc_id % 8 + 2)) + 5 * (i // (d.doc_id % 8 + 2))) % 256 AS r,
+         (d.doc_id + 7 * (i % (d.doc_id % 8 + 2)) + 11 * (i // (d.doc_id % 8 + 2))) % 256 AS g,
+         (d.doc_id + 13 * (i % (d.doc_id % 8 + 2)) + 17 * (i // (d.doc_id % 8 + 2))) % 256 AS b
+  FROM documents d,
+       UNNEST(RANGE(0, (d.doc_id % 8 + 2) * (d.doc_id % 5 + 2))) AS t(i)
+)
+SELECT doc_id,
+       CAST(cx AS INT) AS cx,
+       CAST(cy AS INT) AS cy,
+       COUNT(*) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS r_sum,
+       CAST(SUM(g) AS BIGINT) AS g_sum,
+       CAST(SUM(b) AS BIGINT) AS b_sum,
+       CAST(SUM(r) AS DOUBLE) / COUNT(*) AS r_mean,
+       CAST(SUM(g) AS DOUBLE) / COUNT(*) AS g_mean,
+       CAST(SUM(b) AS DOUBLE) / COUNT(*) AS b_mean
+FROM px
+GROUP BY doc_id, cx, cy
+ORDER BY doc_id, cy, cx
+""",
+)
+def ppm_resize_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE operator the multimodal mandate names explicitly: box-
+    downsample every document's REAL byte-parsed raster to a
+    {RESIZE_GRID}x{RESIZE_GRID} thumbnail (ops.multimodal.resize_ppm_cells
+    — the same proportional integer binning aHash uses for its grid,
+    here emitting the thumbnail itself as long-format per-cell channel
+    sums + exact int/int means). The oracle recomputes every cell from
+    the closed-form pixel functions via a lateral pixel unnest, so the
+    cross-engine match certifies the whole chain: synthesis bytes ->
+    P6 parse -> binning -> accumulation. Plan: one narrow mapInPandas
+    over the payload column, O(pixels) per image, no shuffle until the
+    output sort — the production thumbnail-generation shape (real codecs
+    swap the byte walk; the plumbing is identical)."""
+    from otus_cpp_11_spark.ops.multimodal import resize_ppm_cells
+
+    d = load_table(spark, sf_dir, "documents")
+    cells = resize_ppm_cells(synthesize_ppm_payloads(d), RESIZE_GRID, RESIZE_GRID)
+    return cells.select(
+        "doc_id",
+        "cx",
+        "cy",
+        "n_px",
+        "r_sum",
+        "g_sum",
+        "b_sum",
+        (F.col("r_sum").cast("double") / F.col("n_px")).alias("r_mean"),
+        (F.col("g_sum").cast("double") / F.col("n_px")).alias("g_mean"),
+        (F.col("b_sum").cast("double") / F.col("n_px")).alias("b_mean"),
+    ).orderBy("doc_id", "cy", "cx")

@@ -114,6 +114,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_lang_id": "9244112be464",
     "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
+    "doc_pack_bins": "640fc7df9845",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_quality_classifier": "496dd16e1f78",
@@ -247,7 +248,6 @@ REVERIFY: frozenset[str] = frozenset({
     "customer_running_spend",
     "customers_above_avg_balance",
     "daily_open_shipments",
-    "doc_pack_bins",
     "embedding_quantization",
     "latest_event_per_user",
     "nation_supplier_left_join",

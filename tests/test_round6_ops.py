@@ -43,6 +43,33 @@ def test_survivor_is_undominated(canonical):
         )
 
 
+def test_resize_conserves_channel_mass_and_covers_grid(spark):
+    """Box-downsampling is a partition of the pixels: summing the resized
+    cells' channel sums must reproduce the full-image channel sums from
+    the independent decode query, and every image must fill the full
+    2x2 grid (binning leaves no empty cell for w,h >= grid)."""
+    from otus_cpp_11_spark.registry import all_queries
+
+    qs = all_queries()
+    cells = qs["ppm_resize_2x2"].fn(spark, SF).collect()
+    feats = {
+        r["doc_id"]: (r["r_sum"], r["g_sum"], r["b_sum"])
+        for r in qs["ppm_decode_features"].fn(spark, SF).collect()
+    }
+    sums: dict[int, list[int]] = {}
+    grid: dict[int, set] = {}
+    for r in cells:
+        a = sums.setdefault(r["doc_id"], [0, 0, 0])
+        a[0] += r["r_sum"]
+        a[1] += r["g_sum"]
+        a[2] += r["b_sum"]
+        grid.setdefault(r["doc_id"], set()).add((r["cx"], r["cy"]))
+    assert set(sums) == set(feats)
+    for doc, (rs, gs, bs) in feats.items():
+        assert sums[doc] == [rs, gs, bs]
+        assert grid[doc] == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
 def test_membership_matches_cluster_relation(spark, canonical):
     from otus_cpp_11_spark.queries.dedup import doc_dedup_clusters
 
