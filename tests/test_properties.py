@@ -309,3 +309,77 @@ def test_repeated_spans_periodic_text_coverage(spark):
     assert covered(4, 1, 30)
     doc4 = [s for s in got if s[0] == 4]
     assert doc4 == [(4, 1, 30, 26, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Round-6 pure kernels: BPE apply formulations, trainer closure, resize
+# binning. Pure Python (no Spark per example), so example counts are high.
+
+
+@given(
+    word=st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=0, max_size=24)
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_greedy_equals_chain_equals_engine_kernel(word):
+    """The three APPLY formulations agree on ANY lowercase word under the
+    frozen production table (hypothesis shrinks failures to minimal
+    words; the seeded sample in test_bpe.py covers corpus shapes)."""
+    from otus_cpp_11_spark.queries.bpe import BPE_MERGES, bpe_word_tokens
+    from tests.test_bpe import chain_bpe, ref_bpe
+
+    got = bpe_word_tokens(word)
+    assert got == ref_bpe(word, BPE_MERGES)
+    assert got == chain_bpe(word, BPE_MERGES)
+    assert "".join(got) == word
+
+
+@given(
+    freqs=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(min_value=0, max_value=30),
+)
+@settings(max_examples=150, deadline=None)
+def test_trainer_output_is_always_well_formed(freqs, n):
+    """Any corpus, any budget: train_merges yields a table whose every
+    rule's constituents are single chars or earlier outputs (the closure
+    property the chain/greedy equivalence proof needs), with no
+    duplicate rules, and applying it reconstructs every training word."""
+    from otus_cpp_11_spark.ops.bpe_train import train_merges
+    from tests.test_bpe import ref_bpe
+
+    merges = train_merges(freqs, n)
+    assert len(merges) <= n
+    produced: set[str] = set()
+    for x, y in merges:
+        for side in (x, y):
+            assert len(side) == 1 or side in produced
+        produced.add(x + y)
+    assert len(set(merges)) == len(merges)
+    for w in freqs:
+        assert "".join(ref_bpe(w, merges)) == w
+
+
+@given(
+    w=st.integers(min_value=2, max_value=40),
+    h=st.integers(min_value=2, max_value=40),
+    gw=st.integers(min_value=1, max_value=8),
+    gh=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_resize_binning_partitions_pixels(w, h, gw, gh):
+    """The proportional integer binning (shared by resize and the aHash
+    grid) is a PARTITION of the raster: every pixel maps to exactly one
+    in-range cell, and every cell is non-empty whenever w>=gw, h>=gh."""
+    cells = {}
+    for y in range(h):
+        for x in range(w):
+            cx, cy = x * gw // w, y * gh // h
+            assert 0 <= cx < gw and 0 <= cy < gh
+            cells[(cx, cy)] = cells.get((cx, cy), 0) + 1
+    assert sum(cells.values()) == w * h
+    if w >= gw and h >= gh:
+        assert len(cells) == gw * gh
