@@ -450,7 +450,7 @@ word_ids AS (
   GROUP BY ep.word
 )
 SELECT w.doc_id,
-       FLATTEN(LIST(wi.ids ORDER BY w.pos)) AS token_ids,
+       ARRAY_TO_STRING(FLATTEN(LIST(wi.ids ORDER BY w.pos)), ' ') AS token_ids_str,
        CAST(LEN(FLATTEN(LIST(wi.ids ORDER BY w.pos))) AS BIGINT) AS n_ids
 FROM words w JOIN word_ids wi USING (word)
 GROUP BY w.doc_id
@@ -481,7 +481,14 @@ def doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     every branch would drag its own corpus scan + Python encode pass
     behind it (measured 15 s -> ~5 s at sf0.01). Caching a vocab-sized
     relation is the in-engine analogue of materializing the tokenizer's
-    vocabulary map once per job — bounded memory at any corpus size."""
+    vocabulary map once per job — bounded memory at any corpus size.
+
+    Driver-facing surface: the sequence is serialized as a space-joined
+    string (``token_ids_str``) rather than ``array<bigint>`` because the
+    correctness harness canonicalizes by pandas sort/hash, which cannot
+    factorize list cells (r6 driver row errored on the nested column).
+    The serialization is lossless (ids are decimal ints, single-space
+    joined) and the oracle mirrors it with ARRAY_TO_STRING."""
     d = load_table(spark, sf_dir, "documents")
     words_pos = spread(d).select(
         "doc_id",
@@ -525,7 +532,7 @@ def doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            "token_ids",
+            F.concat_ws(" ", F.col("token_ids")).alias("token_ids_str"),
             F.size("token_ids").cast("bigint").alias("n_ids"),
         )
         .orderBy("doc_id")

@@ -85,28 +85,41 @@ def register(
 # shared-helper caveat). Regenerate entries with
 # scripts/gen_verified_hashes.py after promoting a round's greens.
 #
-# Round-6 membership: every green row from rounds 1-5 (the r5 driver
-# report was 50/50 green, bringing cumulative coverage to 176/176), each
-# pinned to the source hash current at promotion time. Round-6 edits
-# remove their entries below (see the r6 note near WINDOW_DEFER).
+# Round-7 membership: every green row from rounds 1-6 (the r6 driver
+# report was 49/50 green — doc_bpe_token_ids alone errored on its nested
+# array column and re-queues this round with a canon-friendly schema —
+# bringing cumulative coverage to 181/182), each pinned to the source
+# hash current at promotion time. Round-7 edits remove their entries
+# below (see the note near WINDOW_DEFER).
 DRIVER_VERIFIED: dict[str, str] = {
+    "ann_cosine_top10": "216042f41a73",
     "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
     "bpe_pair_counts": "d96cbbee11ec",
+    "bpe_token_frequencies": "b5ff23ca929c",
+    "cdc_change_data_feed": "c877eea61ea1",
     "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
+    "corpus_datacard_streamed": "be0f3e747b1b",
     "corpus_dedup_stats": "3fa9e48f7a71",
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
+    "customer_monthly_retention": "5005e34e6d54",
     "customer_order_gap_stats": "6d3cb75325f9",
+    "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
+    "customer_running_spend": "471b2c9922e8",
+    "customers_above_avg_balance": "2c2142b03318",
     "customers_without_orders": "9a01c8532a3d",
     "daily_active_users_7d": "9355cc7481e4",
+    "daily_open_shipments": "e3385cf3d8ee",
     "decontam_bloom_prune": "004a9cd16c69",
+    "dedup_canonical_by_quality": "48bc5b1ec055",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
+    "doc_bpe_token_stats": "a44dac60fb4a",
     "doc_dedup_clusters": "5150a5c0e008",
     "doc_dsir_weights": "391a5a705947",
     "doc_fingerprint": "ac4f9cbb8f09",
@@ -115,6 +128,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
     "doc_pack_bins": "640fc7df9845",
+    "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_quality_classifier": "496dd16e1f78",
@@ -131,6 +145,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
     "embedding_power_iteration": "ace381c5764a",
+    "embedding_quantization": "f5bb24cd0b57",
     "embedding_random_projection": "149313e23aa4",
     "event_type_transitions": "5d5953723362",
     "event_value_mad": "a8aa5b034a6c",
@@ -138,6 +153,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
+    "events_minute_rollup_streamed": "564c5d8e9e5f",
     "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
@@ -155,8 +171,11 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ivf_pq_top5": "984566e4c151",
     "kmeans_assign_update": "1957709e4ad9",
     "knn_join_lsh_top3": "635fe257dd5a",
+    "knn_recall_at_3": "c88e0a7440fb",
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
+    "lakehouse_compaction_accounting": "52959dcfdac9",
+    "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
     "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
@@ -170,19 +189,26 @@ DRIVER_VERIFIED: dict[str, str] = {
     "multimodal_frame_sample": "6c3ae1db4d13",
     "nation_richest_customer": "c569db84fd24",
     "nation_set_ops": "ee0a45799605",
+    "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
     "ngram_jaccard_pairs": "1ce24908ed83",
+    "order_distinct_aggs": "798ac52398ee",
+    "orders_by_month": "3b5d56427f88",
+    "orders_cube": "977856a76063",
     "orders_grouping_sets": "7c2a2fcda67b",
     "orders_price_percentiles": "00142ef3899e",
+    "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
     "part_price_band_join": "feedac3b7d7c",
+    "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_ahash16": "86dc850ac759",
     "ppm_ahash_near_dup_counts": "2df65b831d36",
     "ppm_decode_features": "9da4f48f676c",
+    "ppm_resize_2x2": "6b8205d6c06a",
     "pq_adc_rerank_top5": "1d721961f9ed",
     "pq_adc_top10": "464767265696",
     "pq_code_assignment": "c33530f39f3e",
@@ -192,25 +218,50 @@ DRIVER_VERIFIED: dict[str, str] = {
     "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
     "python_datasource_stream_checksum": "609b3f6c9262",
+    "q10_returned_revenue": "a6bbc6cce502",
+    "q11_important_stock": "64595b7c314a",
     "q12_priority_shipping": "d4cca0b4c80f",
     "q13_customer_distribution": "18c33d02b9f8",
+    "q14_promo_revenue": "a04be26f867a",
+    "q15_top_supplier": "524038b306d8",
+    "q16_part_supplier_relation": "7946efac9fb7",
+    "q17_small_quantity_revenue": "a002d7d89770",
+    "q18_large_orders": "29249878f196",
+    "q19_discounted_revenue": "f468835c3b3d",
+    "q1_pricing_summary": "3560e363e9ed",
+    "q20_potential_promotion": "26aa152b0b15",
+    "q21_waiting_supplier": "8eb51526a69e",
     "q22_global_sales_opportunity": "b6a092e119de",
+    "q2_min_cost_supplier": "9b562eef7ff0",
+    "q3_shipping_priority": "fd99cfaeace7",
     "q4_order_priority": "df07a6d2b909",
+    "q5_local_supplier_volume": "a6c0b0f534c0",
     "q6_forecast_revenue": "91e2e7229798",
+    "q7_nation_volume": "71bb2f5a3869",
+    "q8_market_share": "defa2dff53c1",
+    "q9_product_profit": "f67a4359d652",
+    "region_nation_full_outer": "f11eea99322c",
+    "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
     "running_user_counts_streamed": "fbca008c058d",
+    "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "98c7aff24981",
     "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
+    "source_token_fertility": "d1452d0ad04b",
     "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
+    "suppliers_with_returns": "7a66c41651f6",
     "term_cms_heavy_hitters": "c42035a2f51d",
+    "top3_orders_per_customer": "e381e519d72e",
     "unique_by_abs": "aec470f57ab8",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
+    "user_state_cdc_streamed": "3cd1e0d093a6",
     "user_state_scd2": "a7229906f4e7",
+    "user_state_scd2_streamed": "f1055a14a5d8",
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
@@ -228,7 +279,7 @@ DRIVER_VERIFIED: dict[str, str] = {
 # after the rest of the unverified set (they stay gated by the local
 # oracle harness and take a slot next round). Queries added mid-round go
 # here so they don't displace the 50 already queued for driver rows.
-# Round 6: empty — new/changed queries + oldest-green re-queues fill the
+# Round 7: empty — new/changed queries + oldest-green re-queues fill the
 # window exactly (see the REVERIFY note).
 WINDOW_DEFER: frozenset[str] = frozenset()
 
@@ -242,26 +293,7 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
 REVERIFY: frozenset[str] = frozenset({
-    "ann_cosine_top10",
-    "customer_monthly_retention",
-    "customer_order_window_family",
-    "customer_running_spend",
-    "customers_above_avg_balance",
-    "daily_open_shipments",
-    "embedding_quantization",
-    "latest_event_per_user",
-    "nation_supplier_left_join",
-    "order_distinct_aggs",
-    "orders_by_month",
-    "orders_cube",
-    "orders_rollup",
-    "parts_larger_than_brand_avg",
-    "q1_pricing_summary",
-    "region_nation_full_outer",
-    "region_nation_list",
-    "scalar_string_math",
-    "suppliers_with_returns",
-    "top3_orders_per_customer",
+    # refilled at round end (round-workflow step 3)
 })
 
 

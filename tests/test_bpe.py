@@ -184,7 +184,7 @@ def test_token_id_sequences_conserve_counts_and_ids(spark):
 
     qs = all_queries()
     ids = {
-        r["doc_id"]: list(r["token_ids"])
+        r["doc_id"]: [int(t) for t in r["token_ids_str"].split()]
         for r in qs["doc_bpe_token_ids"].fn(spark, SF).collect()
     }
     stats = {
