@@ -1,62 +1,75 @@
-"""Versioned tables: snapshot isolation for a plain-parquet lakehouse via
-create-once commit markers — the protocol upgrade the maintainer
-scaffold's docstring points at (streaming.py: "single-op atomicity is an
-ACID-table-format property"). This module provides exactly that property
-with zero format dependencies.
+"""Versioned tables: snapshot isolation + O(delta) commits for a
+plain-parquet lakehouse via manifest commit files — the protocol upgrade
+the maintainer scaffold's docstring points at (streaming.py: "single-op
+atomicity is an ACID-table-format property"). This module provides that
+property with zero format dependencies, in the shape Delta/Iceberg use:
+a version is a MANIFEST (list of data files), not a directory, so an
+append or keyed upsert commits O(changed files) bytes while unchanged
+files are carried by reference.
 
 Layout::
 
     table/
-      _commits/00000001   <- empty marker, created EXCLUSIVELY after the
-      _commits/00000002      snapshot dir is complete; never modified
-      v00000001/          <- immutable parquet snapshot
-      v00000002/
+      _commits/00000001    <- commit file: header JSON line (schema, op,
+      _commits/00000002       parent, caller metadata) + one data-file
+                              path per line, relative to the table root
+      _commits/.tmp-*      <- staged commit files (renamed into place)
+      _data/c00000001-ab12cd34/part-*.parquet  <- immutable data dirs,
+      _data/c00000002-9f00e1c2/...                one per commit ATTEMPT
 
-Commit = write the new snapshot dir fully, then create its marker with
-``create(overwrite=False)`` — an atomic claim on POSIX/HDFS (and
-if-none-match on object stores). The committed version is the MAX
-marker. Because markers are create-once and nothing is ever renamed or
-deleted on the read path, there is NO window in which a reader can see a
-missing or torn pointer (the first design used a ``_CURRENT`` file
-flipped by delete+rename; review showed that crash-between-the-two-ops
-loses the pointer and a retry then overwrites v1 over committed history
-— markers have no such state by construction). A crash before the
-marker leaves the previous version current and the orphan snapshot is
-mere garbage.
+Commit = write the new data files into a WRITER-UNIQUE ``_data`` dir,
+stage the complete commit file under ``_commits/.tmp-<uuid>``, then
+``fs.rename`` it to the next version number. Rename-without-overwrite is
+the atomic claim: HDFS rename is atomic and refuses an existing
+destination, Hadoop's local FS returns false without touching the
+destination (verified in tests), and object stores map this to
+put-if-absent — exactly the put-if-absent LogStore contract Delta's HDFS
+commit protocol documents. The committed version is the MAX marker; a
+reader resolves data files through the marker's CONTENT, never through a
+deterministic directory name.
 
-What this buys over the in-place swap (ops/lakehouse.py):
+Why content-addressed data dirs matter (r6 advice): the first design
+wrote snapshots to a deterministic ``v{n}`` dir before claiming the
+marker, so two committers racing to the same number could clobber each
+other's already-committed bytes — detection fired only after the damage.
+Here each attempt's files live under a uuid-suffixed dir no other writer
+can name: the rename loser's files are unreferenced garbage (vacuumable)
+and the winner's committed snapshot is untouchable by construction.
 
-* readers pinned to a version see an immutable snapshot for their whole
-  query (snapshot isolation) — the in-place swap can delete files under
-  a running scan;
-* time travel: any retained version is readable by number;
-* writer crash-safety needs no _SUCCESS heuristics — the marker exists
-  only after a complete write, by construction;
-* concurrent committers are conflict-DETECTED (the second exclusive
-  create of the same marker fails loudly) rather than silently
-  interleaved; retry-with-next-number on conflict is a catalog/lock
-  service's job, which is exactly what table formats add.
+Crash windows, exhaustively:
+
+* before/throughout the data write — unreferenced ``_data`` dir, garbage;
+* after staging, before rename — stale ``.tmp-*`` file, garbage;
+* rename itself — atomic: the marker either exists complete or not at
+  all (the staged file was fully written and closed first, so there is
+  no torn-content state a reader can observe);
+* after rename — committed; a foreachBatch retry sees its batch id in
+  the committed header and no-ops (marker + data + batch id move in ONE
+  atomic claim, the property the in-place maintainers approximate with
+  an in-table ``_last_batch_id`` column).
 
 What it costs: storage for retained versions (bounded by
-``vacuum_versions``) and one ``_commits`` listing per table open. This
-is the poor-man's core of Delta/Iceberg (their manifests add file-level
-stats and multi-writer commit arbitration on top); the in-place
-maintainers keep the directory swap because their TARGET PATH is read
-directly by plain ``spark.read.parquet`` consumers — migrating them is
-a reader-side contract change, staged for when consumers resolve
-through a catalog.
+``vacuum_versions``, which deletes only files no retained manifest
+references) and one ``_commits`` listing per table open. The remaining
+gap to Delta/Iceberg is per-file column stats in the manifest (file
+pruning beyond parquet footers) and multi-writer commit arbitration —
+retry-with-next-number on conflict is a catalog/lock service's job.
 """
 
 from __future__ import annotations
 
+import json
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
-from otus_cpp_11_spark.ops.lakehouse import _hadoop_fs
+from otus_cpp_11_spark.ops.lakehouse import _hadoop_fs, list_data_files
 
 _COMMITS = "_commits"
-_VDIR = re.compile(r"^v(\d{8})$")
+_DATA = "_data"
 _MARKER = re.compile(r"^(\d{8})$")
 
 
@@ -64,9 +77,21 @@ def _jp(spark: SparkSession, *parts: str):
     return spark._jvm.org.apache.hadoop.fs.Path("/".join(p.rstrip("/") for p in parts))
 
 
+def _relativize(path: str) -> str:
+    """Table-root-relative form of a data-file path. Every data file
+    lives under ``<table>/_data/``, so the suffix from that anchor is
+    scheme- and mount-independent — the manifest stays valid if the
+    table is relocated or read through a different FS URI."""
+    anchor = f"/{_DATA}/"
+    i = path.rfind(anchor)
+    if i < 0:
+        raise ValueError(f"not a versioned-table data file: {path!r}")
+    return path[i + 1 :]
+
+
 def current_version(spark: SparkSession, table: str) -> int | None:
-    """The committed version number (max create-once marker), or None
-    for a table with no commits."""
+    """The committed version number (max commit marker), or None for a
+    table with no commits. Staged ``.tmp-*`` files are not commits."""
     fs, _ = _hadoop_fs(spark, table)
     cdir = _jp(spark, table, _COMMITS)
     if not fs.exists(cdir):
@@ -81,65 +106,270 @@ def current_version(spark: SparkSession, table: str) -> int | None:
 
 
 def list_versions(spark: SparkSession, table: str) -> list[int]:
-    """All snapshot dirs present on disk (committed + any uncommitted
-    orphan from a crashed writer)."""
-    fs, jroot = _hadoop_fs(spark, table)
-    if not fs.exists(jroot):
+    """All COMMITTED versions (the time-travel horizon). Uncommitted
+    leftovers are data dirs no manifest references — see
+    ``vacuum_versions(drop_uncommitted=True)``."""
+    fs, _ = _hadoop_fs(spark, table)
+    cdir = _jp(spark, table, _COMMITS)
+    if not fs.exists(cdir):
         return []
     out = []
-    for st in fs.listStatus(jroot):
-        m = _VDIR.match(st.getPath().getName())
-        if m and st.isDirectory():
+    for st in fs.listStatus(cdir):
+        m = _MARKER.match(st.getPath().getName())
+        if m:
             out.append(int(m.group(1)))
     return sorted(out)
 
 
-def commit_version(spark: SparkSession, df: DataFrame, table: str) -> int:
-    """Write ``df`` as the next snapshot, then atomically claim its
-    commit marker. The snapshot is complete on disk BEFORE the marker
-    exists; a crash anywhere before the claim leaves the previous
-    version current and readable — there is no partial state a reader or
-    retry can observe (a same-writer retry recomputes the same number
-    and overwrites its own orphan). A CONCURRENT committer racing to the
-    same number fails the exclusive create loudly instead of silently
-    clobbering — single-writer is the contract, conflict detection the
-    safety net."""
-    cur = current_version(spark, table)
-    nxt = (cur or 0) + 1
-    vdir = f"{table.rstrip('/')}/v{nxt:08d}"
-    df.write.mode("overwrite").parquet(vdir)  # overwrite clears a dead retry
-    _claim_marker(spark, table, nxt)
-    return nxt
-
-
-def _claim_marker(spark: SparkSession, table: str, version: int) -> None:
-    """Exclusive create of a commit marker — the atomic claim the whole
-    protocol rests on (``create(overwrite=False)`` throws if the file
-    exists, on POSIX/HDFS; if-none-match on object stores)."""
+def read_manifest(
+    spark: SparkSession, table: str, version: int
+) -> tuple[dict, list[str]]:
+    """(header, relative data-file paths) of a committed version. The
+    header carries the schema (reads never re-infer), the commit op,
+    the parent version, and any caller metadata (e.g. a maintainer's
+    batch id)."""
     fs, _ = _hadoop_fs(spark, table)
     marker = _jp(spark, table, _COMMITS, f"{version:08d}")
+    if not fs.exists(marker):
+        raise FileNotFoundError(f"version {version} of {table!r} is not committed")
+    stream = fs.open(marker)
     try:
-        stream = fs.create(marker, False)
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
         stream.close()
-    except Exception as exc:  # py4j wraps FileAlreadyExistsException
-        raise RuntimeError(
-            f"commit_version: version {version} of {table!r} was claimed "
-            "by a concurrent committer — versioned tables are "
-            "single-writer; serialize writers through a catalog/lock "
-            "service"
-        ) from exc
+    lines = [ln for ln in text.splitlines() if ln]
+    header = json.loads(lines[0])
+    return header, lines[1:]
+
+
+def version_header(spark: SparkSession, table: str, version: int | None = None) -> dict:
+    """Header of the given (default: current) version — the cheap probe
+    a retrying writer uses to ask 'is my batch already committed?'."""
+    v = version if version is not None else current_version(spark, table)
+    if v is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    return read_manifest(spark, table, v)[0]
 
 
 def read_version(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
-    """Read the current (or an explicitly pinned — time travel) snapshot.
-    The returned DataFrame is bound to an IMMUTABLE directory: later
-    commits cannot disturb a running query on it."""
+    """Read the current (or an explicitly pinned — time travel) snapshot
+    through its manifest. The returned DataFrame is bound to an
+    IMMUTABLE file list: later commits add new files and new manifests,
+    never touching these, so a running query cannot be disturbed. The
+    schema comes from the manifest header — no inference, and an
+    empty-manifest version reads as an empty DataFrame of the committed
+    schema."""
     v = version if version is not None else current_version(spark, table)
     if v is None:
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
-    return spark.read.parquet(f"{table.rstrip('/')}/v{v:08d}")
+    header, files = read_manifest(spark, table, v)
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    root = table.rstrip("/")
+    return spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in files])
+
+
+def _write_data_dir(
+    spark: SparkSession, df: DataFrame, table: str, version: int
+) -> list[str]:
+    """Write ``df``'s files into a fresh writer-unique data dir; return
+    their table-relative paths. The uuid suffix is what makes concurrent
+    attempts at the same version number physically disjoint."""
+    token = uuid.uuid4().hex[:8]
+    ddir = f"{table.rstrip('/')}/{_DATA}/c{version:08d}-{token}"
+    df.write.parquet(ddir)
+    return [_relativize(p) for p, _ in list_data_files(spark, ddir)]
+
+
+def _claim_commit(
+    spark: SparkSession, table: str, version: int, content: str
+) -> None:
+    """Atomically publish a fully-staged commit file as version
+    ``version``: write+close the complete content under a unique
+    ``.tmp`` name, then rename to the marker. Rename refuses an
+    existing destination (atomic put-if-absent), so the loser of a race
+    fails loudly with the winner's marker and data intact. A rename
+    failure with NO marker present is an infrastructure fault, not a
+    conflict, and is raised as such (r6 advice: a blanket 'concurrent
+    committer' diagnosis misreports real IO errors)."""
+    fs, _ = _hadoop_fs(spark, table)
+    tmp = _jp(spark, table, _COMMITS, f".tmp-{uuid.uuid4().hex}")
+    marker = _jp(spark, table, _COMMITS, f"{version:08d}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, marker):
+        fs.delete(tmp, False)
+        if fs.exists(marker):
+            raise RuntimeError(
+                f"commit: version {version} of {table!r} was claimed by a "
+                "concurrent committer — versioned tables are single-writer; "
+                "serialize writers through a catalog/lock service (this "
+                "attempt's data files are unreferenced garbage; the "
+                "winner's snapshot is untouched)"
+            )
+        raise IOError(
+            f"commit: rename to marker failed for version {version} of "
+            f"{table!r} but no concurrent marker exists — filesystem fault, "
+            "not a commit conflict"
+        )
+
+
+def _commit(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    op: str,
+    schema: StructType,
+    files: list[str],
+    meta: dict | None,
+) -> int:
+    header = {
+        "op": op,
+        "parent": version - 1 if version > 1 else None,
+        "schema": schema.json(),
+    }
+    if meta:
+        header.update(meta)
+    content = "\n".join([json.dumps(header), *files]) + "\n"
+    _claim_commit(spark, table, version, content)
+    return version
+
+
+def commit_version(
+    spark: SparkSession, df: DataFrame, table: str, meta: dict | None = None
+) -> int:
+    """Full-snapshot commit: write ``df`` completely as the next
+    version. The baseline op (first load, wholesale recompute); use
+    ``commit_append``/``commit_upsert`` when most of the table is
+    unchanged — they reference the unchanged files instead of
+    rewriting them."""
+    nxt = (current_version(spark, table) or 0) + 1
+    files = _write_data_dir(spark, df, table, nxt)
+    return _commit(spark, table, nxt, "full", df.schema, files, meta)
+
+
+def _require_same_schema(df: DataFrame, header: dict, table: str, op: str) -> None:
+    committed = StructType.fromJson(json.loads(header["schema"]))
+    # nullability-insensitive compare: spark.range yields non-null ids,
+    # createDataFrame yields nullable ones, and parquet round-trips
+    # everything nullable — names + types are the real contract
+    if df.schema.simpleString() != committed.simpleString():
+        raise ValueError(
+            f"{op}: schema mismatch against {table!r} "
+            f"(got {df.schema.simpleString()}; schema evolution is a "
+            "catalog feature this protocol does not arbitrate)"
+        )
+
+
+def commit_append(
+    spark: SparkSession, df: DataFrame, table: str, meta: dict | None = None
+) -> int:
+    """Append commit: the new version = previous manifest's files BY
+    REFERENCE + ``df``'s freshly written files. Bytes written scale with
+    the delta, not the table — the O(delta) property that makes
+    versioning affordable for incremental ingest. Falls back to a full
+    commit on an empty table."""
+    cur = current_version(spark, table)
+    if cur is None:
+        return _commit(
+            spark,
+            table,
+            1,
+            "append",
+            df.schema,
+            _write_data_dir(spark, df, table, 1),
+            meta,
+        )
+    header, prev_files = read_manifest(spark, table, cur)
+    _require_same_schema(df, header, table, "commit_append")
+    new_files = _write_data_dir(spark, df, table, cur + 1)
+    return _commit(
+        spark, table, cur + 1, "append", df.schema, prev_files + new_files, meta
+    )
+
+
+def commit_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    delete_col: str | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Keyed MERGE commit with file-level pruning — the Delta ``MERGE
+    INTO`` shape: rows of ``df`` replace the stored rows with matching
+    ``keys``; unmatched stored rows are untouched; unmatched ``df`` keys
+    are inserts. If ``delete_col`` names a boolean column, rows where it
+    is true are tombstones: the key's stored rows are removed and the
+    tombstone row is NOT inserted.
+
+    Only data files that physically CONTAIN a matched key are rewritten:
+    the hidden ``_metadata.file_path`` column maps stored rows to their
+    files, a semi-join against the (deduplicated) delta keys yields the
+    touched-file set — driver-side bounded by the FILE count, the same
+    manifest-sized planning state Delta's driver holds — and every other
+    file is carried into the new manifest by reference. Cost is
+    O(touched files + delta), independent of table size; at 100 TB with
+    key-clustered layout (ops.lakehouse.compact_parquet z-order) the
+    touched set is the files whose key extents overlap the batch, which
+    is exactly why OPTIMIZE clusters on the merge key."""
+    cur = current_version(spark, table)
+    if cur is None:
+        inserts = (
+            df.where(~F.col(delete_col)).drop(delete_col) if delete_col else df
+        )
+        return _commit(
+            spark,
+            table,
+            1,
+            "upsert",
+            inserts.schema,
+            _write_data_dir(spark, inserts, table, 1),
+            meta,
+        )
+    header, prev_files = read_manifest(spark, table, cur)
+    inserts = df.where(~F.col(delete_col)).drop(delete_col) if delete_col else df
+    _require_same_schema(inserts, header, table, "commit_upsert")
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    root = table.rstrip("/")
+    delta_keys = df.select(*keys).distinct()
+    if prev_files:
+        prev = spark.read.schema(schema).parquet(
+            *[f"{root}/{f}" for f in prev_files]
+        )
+        touched_abs = [
+            r["__f"]
+            for r in prev.select(
+                F.col("_metadata.file_path").alias("__f"), *keys
+            )
+            .join(delta_keys, keys, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()  # bounded by file count: manifest-sized driver state
+        ]
+        touched = {_relativize(p) for p in touched_abs}
+    else:
+        touched = set()
+    untouched = [f for f in prev_files if f not in touched]
+    if touched:
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(*[f"{root}/{f}" for f in sorted(touched)])
+            .join(delta_keys, keys, "left_anti")
+        )
+        new_rows = survivors.unionByName(inserts)
+    else:
+        new_rows = inserts
+    new_files = _write_data_dir(spark, new_rows, table, cur + 1)
+    return _commit(
+        spark, table, cur + 1, "upsert", schema, untouched + new_files, meta
+    )
 
 
 def vacuum_versions(
@@ -148,32 +378,57 @@ def vacuum_versions(
     keep_last: int = 2,
     drop_uncommitted: bool = False,
 ) -> list[int]:
-    """Drop committed snapshots (and their markers) older than the
-    ``keep_last`` most recent; the current version is always kept.
+    """Drop commit markers older than the ``keep_last`` most recent
+    (the current version is always kept), then delete the data files
+    that NO retained manifest references — a file shared with a kept
+    version survives, which is the whole point of manifest reuse.
     Retention is the time-travel horizon — exactly Delta VACUUM's
     contract. Returns the removed version numbers.
 
-    ``drop_uncommitted`` additionally removes orphan snapshots NEWER
-    than current (a crashed writer's leftovers). It is OFF by default
-    because an orphan is indistinguishable from a LIVE commit's
-    snapshot written but not yet marked — running it concurrently with
-    a writer would delete the snapshot about to be committed (the same
-    quiesce requirement lakehouse.vacuum documents); enable it only
-    with writers stopped."""
+    ``drop_uncommitted`` additionally removes data dirs referenced by
+    no manifest at all and stale ``.tmp`` commit stagings — a crashed
+    or conflicting writer's leftovers. It is OFF by default because such
+    a dir is indistinguishable from a LIVE commit's files written but
+    not yet claimed; enable it only with writers quiesced (the same
+    rule lakehouse.vacuum documents)."""
     cur = current_version(spark, table)
     if cur is None:
         return []
     fs, _ = _hadoop_fs(spark, table)
     versions = list_versions(spark, table)
-    committed = [v for v in versions if v <= cur]
-    keep = max(keep_last, 1)
-    drop = set(committed[:-keep])
-    if drop_uncommitted:
-        drop |= {v for v in versions if v > cur}
-    drop.discard(cur)
+    keep = versions[-max(keep_last, 1) :]
+    if cur not in keep:  # defensive: cur is max(versions) by construction
+        keep.append(cur)
+    drop = [v for v in versions if v not in keep]
+    kept_refs: set[str] = set()
+    for v in keep:
+        kept_refs |= set(read_manifest(spark, table, v)[1])
+    dropped_refs: set[str] = set()
+    for v in drop:
+        dropped_refs |= set(read_manifest(spark, table, v)[1])
     removed = []
-    for v in sorted(drop):
-        if fs.delete(_jp(spark, table, f"v{v:08d}"), True):
-            fs.delete(_jp(spark, table, _COMMITS, f"{v:08d}"), False)
+    for v in drop:
+        if fs.delete(_jp(spark, table, _COMMITS, f"{v:08d}"), False):
             removed.append(v)
+    doomed = dropped_refs - kept_refs
+    if drop_uncommitted:
+        on_disk = {
+            _relativize(p)
+            for p, _ in list_data_files(spark, f"{table.rstrip('/')}/{_DATA}")
+        }
+        doomed |= on_disk - kept_refs - dropped_refs
+        cdir = _jp(spark, table, _COMMITS)
+        if fs.exists(cdir):
+            for st in fs.listStatus(cdir):
+                if st.getPath().getName().startswith(".tmp-"):
+                    fs.delete(st.getPath(), False)
+    root = table.rstrip("/")
+    parents = set()
+    for f in sorted(doomed):
+        fs.delete(_jp(spark, root, f), False)
+        parents.add(f.rsplit("/", 1)[0])
+    for d in sorted(parents):  # remove now-empty commit data dirs
+        jdir = _jp(spark, root, d)
+        if fs.exists(jdir) and not list_data_files(spark, f"{root}/{d}"):
+            fs.delete(jdir, True)
     return removed

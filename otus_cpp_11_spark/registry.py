@@ -97,7 +97,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "benchmark_decontamination": "7a996f13be83",
     "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
-    "cdc_change_data_feed": "c877eea61ea1",
     "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",

@@ -1,20 +1,28 @@
-"""Versioned marker-committed tables (ops/versioned.py): atomic commit,
+"""Versioned manifest-committed tables (ops/versioned.py): atomic commit,
 snapshot isolation, crash safety without recovery, conflict detection,
-time travel, and retention vacuum."""
+time travel, retention vacuum — and the r7 manifest upgrade: append and
+keyed-upsert commits that write O(delta) bytes and carry unchanged files
+by reference."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
 from pyspark.sql import functions as F
 
+from otus_cpp_11_spark.ops.lakehouse import list_data_files
 from otus_cpp_11_spark.ops.versioned import (
+    commit_append,
+    commit_upsert,
     commit_version,
     current_version,
     list_versions,
+    read_manifest,
     read_version,
     vacuum_versions,
+    version_header,
 )
 
 
@@ -29,6 +37,10 @@ def _df(spark, n, tag):
     )
 
 
+def _table_bytes(spark, table):
+    return sum(b for _, b in list_data_files(spark, table + "/_data"))
+
+
 def test_commit_read_roundtrip_and_versions(spark, table):
     assert current_version(spark, table) is None
     v1 = commit_version(spark, _df(spark, 10, "a"), table)
@@ -41,65 +53,211 @@ def test_commit_read_roundtrip_and_versions(spark, table):
     assert old.count() == 10
     assert old.select("tag").distinct().first()[0] == "a"
     assert list_versions(spark, table) == [1, 2]
+    assert version_header(spark, table)["op"] == "full"
 
 
 def test_snapshot_isolation_across_commit_and_vacuum(spark, table):
     commit_version(spark, _df(spark, 10, "a"), table)
-    pinned = read_version(spark, table)  # bound to v1's immutable dir
+    pinned = read_version(spark, table)  # bound to v1's immutable files
     commit_version(spark, _df(spark, 99, "b"), table)
     # the pinned reader still sees v1 in full AFTER a newer commit
     assert pinned.count() == 10
-    # and keep_last=2 retention keeps v1 alive for it
+    # and keep_last=2 retention keeps v1's files alive for it
     assert vacuum_versions(spark, table, keep_last=2) == []
     assert pinned.count() == 10
 
 
-def test_crash_before_marker_leaves_previous_version_current(spark, table):
-    """A writer that dies after the snapshot write but before the marker
-    claim (the analogue of the directory swap's crash window) leaves NO
-    observable damage: the previous version stays current, no recovery
-    step is needed, and the orphan is quiesced-vacuum garbage. There is
-    no pointer file to lose — markers are create-once, so no crash can
-    make committed history unreadable."""
+def test_append_commit_is_o_delta_and_reuses_files(spark, table):
+    """The verdict item-4 'Done' gate: an append commit writes bytes
+    proportional to the DELTA and its manifest carries every previous
+    file by reference (same relative paths)."""
+    commit_version(spark, _df(spark, 100_000, "base"), table)
+    _, files1 = read_manifest(spark, table, 1)
+    bytes_before = _table_bytes(spark, table)
+    commit_append(spark, _df(spark, 10, "delta"), table)
+    _, files2 = read_manifest(spark, table, 2)
+    # every v1 file is referenced verbatim by v2
+    assert set(files1) < set(files2)
+    new_files = set(files2) - set(files1)
+    assert new_files  # the delta landed as fresh files
+    delta_bytes = _table_bytes(spark, table) - bytes_before
+    assert 0 < delta_bytes < bytes_before / 10  # O(delta), not O(table)
+    assert read_version(spark, table).count() == 100_010
+    assert read_version(spark, table, 1).count() == 100_000  # time travel
+    assert version_header(spark, table)["op"] == "append"
+
+
+def test_append_schema_mismatch_refused(spark, table):
+    commit_version(spark, _df(spark, 5, "a"), table)
+    bad = spark.range(3).select(F.col("id").alias("other"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_append(spark, bad, table)
+
+
+def test_upsert_rewrites_only_touched_files(spark, table):
+    """Keyed MERGE with file pruning: keys land in disjoint files (one
+    per range partition); an upsert touching one key's range must carry
+    the other files by reference and rewrite only the touched one."""
+    base = _df(spark, 1000, "base").repartitionByRange(4, "k")
+    commit_version(spark, base, table)
+    _, files1 = read_manifest(spark, table, 1)
+    assert len(files1) == 4
+    delta = spark.createDataFrame([(7, "upd")], "k long, tag string")
+    commit_upsert(spark, delta, table, ["k"])
+    _, files2 = read_manifest(spark, table, 2)
+    carried = set(files1) & set(files2)
+    assert len(carried) == 3  # three range files untouched, by reference
+    cur = read_version(spark, table)
+    assert cur.count() == 1000
+    assert cur.where("k = 7").first()["tag"] == "upd"
+    assert cur.where("tag = 'upd'").count() == 1
+    # unmatched delta keys are inserts
+    ins = spark.createDataFrame([(5000, "new")], "k long, tag string")
+    commit_upsert(spark, ins, table, ["k"])
+    assert read_version(spark, table).count() == 1001
+    assert version_header(spark, table)["op"] == "upsert"
+
+
+def test_upsert_tombstone_deletes_key(spark, table):
     commit_version(spark, _df(spark, 10, "a"), table)
-    # forge the crash: a complete v2 snapshot exists, marker never created
-    _df(spark, 50, "b").write.parquet(table + "/v00000002")
+    delta = spark.createDataFrame(
+        [(3, "x", True), (11, "new", False)],
+        "k long, tag string, _deleted boolean",
+    )
+    commit_upsert(spark, delta, table, ["k"], delete_col="_deleted")
+    cur = read_version(spark, table)
+    assert cur.count() == 10  # 10 - deleted 3 + inserted 11
+    assert cur.where("k = 3").count() == 0
+    assert cur.where("k = 11").first()["tag"] == "new"
+    # time travel still sees the pre-delete state
+    assert read_version(spark, table, 1).where("k = 3").count() == 1
+
+
+def test_upsert_on_empty_table_is_first_commit(spark, table):
+    delta = spark.createDataFrame(
+        [(1, "a", False), (2, "x", True)], "k long, tag string, _deleted boolean"
+    )
+    assert commit_upsert(spark, delta, table, ["k"], delete_col="_deleted") == 1
+    cur = read_version(spark, table)
+    assert cur.count() == 1  # the tombstone row was not inserted
+    assert "_deleted" not in cur.columns
+
+
+def test_commit_meta_rides_in_header(spark, table):
+    commit_version(spark, _df(spark, 5, "a"), table, meta={"batch_id": 7})
+    assert version_header(spark, table)["batch_id"] == 7
+    commit_append(spark, _df(spark, 1, "b"), table, meta={"batch_id": 8})
+    assert version_header(spark, table)["batch_id"] == 8
+    assert version_header(spark, table, 1)["batch_id"] == 7
+
+
+def test_empty_commit_reads_back_empty_with_schema(spark, table):
+    df = _df(spark, 0, "none")
+    commit_version(spark, df, table)
+    got = read_version(spark, table)
+    assert got.count() == 0
+    # nullability-insensitive: file reads force nullable columns
+    assert got.schema.simpleString() == df.schema.simpleString()
+
+
+def test_crash_before_claim_leaves_previous_version_current(spark, table):
+    """A writer that dies after its data write (and even after staging
+    the commit file) but before the rename leaves NO observable damage:
+    the previous version stays current, readers resolve files through
+    committed manifests only, and the leftovers are quiesced-vacuum
+    garbage. There is no pointer to lose and no deterministic dir a
+    retry could clobber."""
+    commit_version(spark, _df(spark, 10, "a"), table)
+    # forge the crash: complete data dir + staged commit file, no marker
+    _df(spark, 50, "b").write.parquet(table + "/_data/c00000002-deadbeef")
+    with open(table + "/_commits/.tmp-deadbeef", "w") as fh:
+        fh.write(json.dumps({"op": "full"}) + "\n")
     assert current_version(spark, table) == 1
     assert read_version(spark, table).count() == 10  # readers unaffected
-    # a retrying writer simply commits over its own orphan
+    # a retrying writer simply commits next to the orphan
     v = commit_version(spark, _df(spark, 60, "c"), table)
     assert v == 2
     assert read_version(spark, table).count() == 60
+    # quiesced vacuum removes the orphan data dir and stale staging
+    vacuum_versions(spark, table, keep_last=2, drop_uncommitted=True)
+    assert not os.path.exists(table + "/_data/c00000002-deadbeef")
+    assert not os.path.exists(table + "/_commits/.tmp-deadbeef")
+    assert read_version(spark, table).count() == 60
 
 
-def test_concurrent_commit_conflict_is_detected(spark, table):
-    from otus_cpp_11_spark.ops.versioned import _claim_marker
+def test_concurrent_commit_conflict_detected_and_winner_intact(spark, table):
+    """The r6-advice race, distilled: two writers race version 2. The
+    loser must fail loudly AND the winner's committed snapshot must be
+    byte-intact — writer-unique data dirs make clobbering impossible,
+    unlike the old deterministic-v{n}-dir design."""
+    from otus_cpp_11_spark.ops.versioned import _claim_commit, _commit
 
     commit_version(spark, _df(spark, 10, "a"), table)
-    # the race distilled: two writers claim the same next version — the
-    # second exclusive create must fail loudly (this is the atomic
-    # primitive commit_version stakes the protocol on)
-    _claim_marker(spark, table, 2)
+    # winner commits version 2 normally
+    commit_version(spark, _df(spark, 20, "w"), table)
+    _, winner_files = read_manifest(spark, table, 2)
+    # loser raced to the same number: its data is already written to its
+    # OWN dir; the claim must fail as a conflict
+    loser_df = _df(spark, 30, "l")
+    from otus_cpp_11_spark.ops.versioned import _write_data_dir
+
+    loser_files = _write_data_dir(spark, loser_df, table, 2)
     with pytest.raises(RuntimeError, match="concurrent committer"):
-        _claim_marker(spark, table, 2)
-    # and a writer arriving AFTER the claim simply builds on top of it:
-    # current advanced to the claimed number, the next commit takes 3
-    assert current_version(spark, table) == 2
-    assert commit_version(spark, _df(spark, 30, "c"), table) == 3
+        _commit(spark, table, 2, "full", loser_df.schema, loser_files, None)
+    # winner's version 2 is untouched: same manifest, same rows
+    _, after = read_manifest(spark, table, 2)
+    assert after == winner_files
+    assert read_version(spark, table, 2).count() == 20
+    assert read_version(spark, table, 2).select("tag").distinct().first()[0] == "w"
+    # and a writer arriving AFTER the conflict builds on top
+    assert commit_version(spark, _df(spark, 40, "c"), table) == 3
 
 
-def test_vacuum_retention_and_quiesced_orphan_cleanup(spark, table):
+def test_infra_failure_not_reported_as_conflict(spark, table):
+    """Rename failing with NO marker present (e.g. commits dir vanished)
+    is an IO fault and must surface as one (r6 advice item 2)."""
+    from otus_cpp_11_spark.ops.versioned import _claim_commit
+
+    commit_version(spark, _df(spark, 5, "a"), table)
+    # sabotage: replace the _commits dir with a plain FILE so the rename
+    # destination's parent is invalid -> rename fails, marker absent
+    import shutil
+
+    shutil.rmtree(table + "/_commits")
+    with open(table + "/_commits", "w") as fh:
+        fh.write("not a directory")
+    with pytest.raises((IOError, Exception)) as ei:
+        _claim_commit(spark, table, 9, "{}\n")
+    assert "concurrent committer" not in str(ei.value)
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, table):
+    """Manifest-aware retention: a file shared between a dropped and a
+    kept version must survive the vacuum — the whole point of carrying
+    files by reference."""
+    commit_version(spark, _df(spark, 1000, "base"), table)  # v1
+    commit_append(spark, _df(spark, 10, "d1"), table)  # v2 = v1 files + d1
+    commit_append(spark, _df(spark, 10, "d2"), table)  # v3 = v2 files + d2
+    _, files3 = read_manifest(spark, table, 3)
+    assert vacuum_versions(spark, table, keep_last=2) == [1]
+    # v1's marker is gone, but its FILES live on inside v2/v3 manifests
+    assert list_versions(spark, table) == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, table, 1)
+    assert read_version(spark, table, 2).count() == 1010
+    assert read_version(spark, table, 3).count() == 1020
+    on_disk = {p.split("/_data/")[1] for p, _ in list_data_files(spark, table + "/_data")}
+    assert on_disk == {f.split("_data/")[1] for f in files3}
+
+
+def test_vacuum_drops_files_exclusive_to_dropped_versions(spark, table):
+    """Full-snapshot commits share nothing: vacuuming old versions must
+    actually reclaim their bytes."""
     for i, tag in enumerate(["a", "b", "c", "d"], start=1):
         commit_version(spark, _df(spark, 10 * i, tag), table)
-    # orphan newer than current (crashed or IN-FLIGHT writer)
-    _df(spark, 5, "x").write.parquet(table + "/v00000009")
-    # default vacuum never touches the orphan: it cannot distinguish a
-    # crashed writer's leftover from a live commit's not-yet-marked
-    # snapshot (the lakehouse.vacuum quiesce rule)
+    before = _table_bytes(spark, table)
     assert vacuum_versions(spark, table, keep_last=2) == [1, 2]
-    assert 9 in list_versions(spark, table)
-    # quiesced cleanup removes it
-    assert vacuum_versions(spark, table, keep_last=2, drop_uncommitted=True) == [9]
+    assert _table_bytes(spark, table) < before
     assert list_versions(spark, table) == [3, 4]
     assert current_version(spark, table) == 4
     assert read_version(spark, table, version=3).count() == 30
@@ -107,3 +265,14 @@ def test_vacuum_retention_and_quiesced_orphan_cleanup(spark, table):
     assert 4 not in vacuum_versions(spark, table, keep_last=1)
     assert read_version(spark, table).count() == 40
     assert os.path.exists(table + "/_commits/00000004")
+
+
+def test_default_vacuum_never_touches_unclaimed_data(spark, table):
+    """An unreferenced data dir may belong to a LIVE commit between its
+    data write and its claim: default vacuum must leave it alone (the
+    lakehouse quiesce rule)."""
+    commit_version(spark, _df(spark, 10, "a"), table)
+    commit_version(spark, _df(spark, 20, "b"), table)
+    _df(spark, 5, "x").write.parquet(table + "/_data/c00000003-inflight")
+    vacuum_versions(spark, table, keep_last=1)
+    assert os.path.exists(table + "/_data/c00000003-inflight")
