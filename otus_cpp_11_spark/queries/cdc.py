@@ -253,7 +253,12 @@ def user_state_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     record can resurrect a deleted key (see cdc_upsert_user_state).
 
     This is the streaming face of customer_cdc_merge's batch MERGE:
-    same compaction, same recency order, applied incrementally."""
+    same compaction, same recency order, applied incrementally. Since r7
+    the maintainer commits each batch as a VERSION of a manifest table
+    (ops.versioned — file-pruned MERGE, batch id in the commit header),
+    so the read-back goes through ``read_version``: the snapshot a
+    reader binds to is immutable under any concurrent batch."""
+    from otus_cpp_11_spark.ops.versioned import read_version
     from otus_cpp_11_spark.session import scratch_dir
     from otus_cpp_11_spark.streaming import cdc_upsert_user_state, read_events_stream
 
@@ -261,7 +266,7 @@ def user_state_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = cdc_upsert_user_state(read_events_stream(spark, sf_dir), target)
     q.awaitTermination()
     return (
-        spark.read.parquet(target)
+        read_version(spark, target)
         .where(F.col("m.event_type") != CDC_DELETE_TYPE)
         .select(
             "user_id",

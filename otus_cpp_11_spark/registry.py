@@ -258,7 +258,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "unique_by_abs": "aec470f57ab8",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
-    "user_state_cdc_streamed": "3cd1e0d093a6",
     "user_state_scd2": "a7229906f4e7",
     "user_state_scd2_streamed": "f1055a14a5d8",
     "user_value_moving_avg": "7afcd06d0608",

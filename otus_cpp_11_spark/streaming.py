@@ -560,14 +560,34 @@ def incremental_datacard(
 
 
 def cdc_upsert_user_state(
-    events_stream: DataFrame, target_path: str, checkpoint: str | None = None
+    events_stream: DataFrame,
+    target_path: str,
+    checkpoint: str | None = None,
+    keep_versions: int = 3,
 ):
     """Maintain a keyed latest-state table (one row per user_id) from a
     change stream — the CDC-apply / MERGE INTO primitive every lakehouse
     ingest runs: each micro-batch is compacted to its newest record per
     key (struct-max argmax, the same partial-aggregated shape as
     queries.pipeline.latest_event_per_user), merged latest-wins against
-    the stored target, and the target is atomically rewritten.
+    the stored keys it touches, and COMMITTED AS A VERSION of an
+    ops.versioned manifest table (r6 verdict item 5). This maintainer's
+    target is the only copy of its state — the one non-rebuildable
+    in-place table — so it is the one that graduates off the
+    staging+swap scaffold onto real snapshot isolation: ``commit_upsert``
+    rewrites only the data files that physically contain a touched key
+    (file-pruned MERGE), readers pinned to a version are immune to
+    concurrent batches, a crashed batch leaves the previous version
+    current with no recovery step, and a bad deploy rolls back by
+    reading an earlier version.
+
+    Exactly-once: the batch id rides in the commit HEADER, so marker,
+    data, and batch id move in ONE atomic rename — a foreachBatch retry
+    of a committed batch (crash after commit, before checkpoint write)
+    reads the current header and no-ops. That is strictly stronger than
+    the in-table ``_last_batch_id`` column the swap maintainers use: no
+    read-the-whole-table probe, and no window where data and marker
+    could diverge.
 
     Tombstones stay IN the stored table: a record whose event_type is
     'error' marks the key deleted, but dropping the row at merge time
@@ -578,28 +598,67 @@ def cdc_upsert_user_state(
     Debezium/Delta CDC semantics: deletes are versioned records, and
     compaction — not arrival order — decides survival.
 
-    Scale notes: with an ACID table the rewrite becomes MERGE INTO keyed
-    on user_id touching only matched files; the target is one row per
-    live key (orders of magnitude smaller than the stream), and the
-    per-batch work is one partial-aggregated compaction plus a join
-    against that compact table. Retries are idempotent via the same
-    in-table ``_last_batch_id`` marker as incremental_minute_rollup —
-    marker and data move in one atomic write."""
+    Scale notes: per batch, one partial-aggregated compaction of the
+    batch, one key semi-join against the compact state, and an O(touched
+    files + delta) commit — table size never enters the per-batch cost.
+    ``keep_versions`` bounds storage: after each commit the maintainer
+    vacuums markers beyond the horizon (safe mode — files referenced by
+    retained manifests, and any not-yet-claimed writer data, survive)."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_upsert,
+        commit_version,
+        current_version,
+        read_version,
+        vacuum_versions,
+        version_header,
+    )
+
+    spark = events_stream.sparkSession
+    if checkpoint is None:
+        if current_version(spark, target_path) is not None:
+            raise ValueError(
+                f"target {target_path!r} already has commits but no "
+                "persistent checkpoint was given: a fresh checkpoint "
+                "restarts batch ids at 0, so the header marker cannot "
+                "tell a foreachBatch retry from a re-run (data would be "
+                "dropped or double-applied). Pass the checkpoint the "
+                "table was built with, or use a fresh target."
+            )
+        checkpoint = scratch_dir("sg-ckpt-")
+
     rec = F.struct("ts", "event_id", "event_type", "value")
 
-    def merge_fn(existing: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        cur = current_version(bspark, target_path)
+        if cur is not None:
+            applied = version_header(bspark, target_path, cur).get("batch_id")
+            if applied is not None and applied >= batch_id:
+                return  # retry of an already-committed batch: no-op
         delta = batch_df.groupBy("user_id").agg(F.max(rec).alias("m"))
-        if existing is None:
-            return delta
-        return (
-            existing.select("user_id", "m")
-            .unionByName(delta)
-            .groupBy("user_id")
-            .agg(F.max("m").alias("m"))
-        )
+        if cur is None:
+            commit_version(bspark, delta, target_path, meta={"batch_id": batch_id})
+        else:
+            touched = (
+                read_version(bspark, target_path, cur)
+                .join(delta.select("user_id"), "user_id", "left_semi")
+                .unionByName(delta)
+                .groupBy("user_id")
+                .agg(F.max("m").alias("m"))
+            )
+            commit_upsert(
+                bspark, touched, target_path, ["user_id"], meta={"batch_id": batch_id}
+            )
+        # retention: single-writer by contract, so the writer itself is
+        # the safe place to age out old versions (default mode never
+        # touches unclaimed data dirs)
+        vacuum_versions(bspark, target_path, keep_last=keep_versions)
 
-    return _run_incremental_maintainer(
-        events_stream, target_path, merge_fn, checkpoint
+    return (
+        events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

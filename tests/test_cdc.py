@@ -129,17 +129,22 @@ class TestCdcUpsertStream:
         target = str(tmp_path / "state")
         ckpt = str(tmp_path / "ckpt")
         cdc_upsert_user_state(stream, target, ckpt).awaitTermination()
-        got = spark.read.parquet(target).select("user_id", "m")
+        from otus_cpp_11_spark.ops.versioned import (
+            current_version,
+            read_version,
+            version_header,
+        )
+
+        got = read_version(spark, target).select("user_id", "m")
         want = events.groupBy("user_id").agg(
             F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
         )
         assert _rows(got, "user_id") == _rows(want, "user_id")
 
         # resume idempotence: same checkpoint, no new files -> no batches,
-        # target unchanged
-        applied = (
-            spark.read.parquet(target).agg({"_last_batch_id": "max"}).first()[0]
-        )
+        # no new commits (batch id lives in the commit HEADER now)
+        applied = version_header(spark, target)["batch_id"]
+        v_after = current_version(spark, target)
         cdc_upsert_user_state(
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -147,11 +152,11 @@ class TestCdcUpsertStream:
             target,
             ckpt,
         ).awaitTermination()
-        again = spark.read.parquet(target)
-        assert again.agg({"_last_batch_id": "max"}).first()[0] == applied
-        assert _rows(again.select("user_id", "m"), "user_id") == _rows(
-            want, "user_id"
-        )
+        assert current_version(spark, target) == v_after
+        assert version_header(spark, target)["batch_id"] == applied
+        assert _rows(
+            read_version(spark, target).select("user_id", "m"), "user_id"
+        ) == _rows(want, "user_id")
 
         # cross-run guard: existing target + throwaway checkpoint refused
         import pytest
@@ -190,7 +195,9 @@ class TestCdcUpsertStream:
             .parquet(src),
             target,
         ).awaitTermination()
-        state = spark.read.parquet(target)
+        from otus_cpp_11_spark.ops.versioned import read_version
+
+        state = read_version(spark, target)
         # tombstone rows are STORED (resurrection-proofing) ...
         assert state.count() == 2
         # ... and filtered at read time: user 1 dead, user 2 alive
@@ -202,6 +209,73 @@ class TestCdcUpsertStream:
         }
         assert set(live) == {2}
         assert live[2].m.event_id == 21 and live[2].m.value == 2.0
+
+    def test_restart_resumes_and_crash_retry_is_exactly_once_versioned(
+        self, spark, tmp_path
+    ):
+        """r6 verdict item 5's 'Done' gate: the three-leg restart proof
+        (run, restart-with-new-files, crash-window replay) on the
+        VERSIONED commit path. The batch-id marker now rides in the
+        commit header, so the retry detection is a header probe and the
+        no-double-apply assert is 'current version did not advance'."""
+        import shutil
+
+        from otus_cpp_11_spark.ops.versioned import (
+            current_version,
+            read_version,
+            version_header,
+        )
+        from otus_cpp_11_spark.streaming import cdc_upsert_user_state
+
+        events = load_table(spark, SF, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        e1 = events.where(F.col("user_id") % 2 == 0)
+        e2 = events.where(F.col("user_id") % 2 == 1)
+        src = str(tmp_path / "src")
+        e1.repartition(2).write.parquet(src)
+        target = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            cdc_upsert_user_state(stream, target, ckpt).awaitTermination()
+
+        def compacted(ev):
+            return ev.groupBy("user_id").agg(
+                F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+            )
+
+        run()  # leg 1
+        assert _rows(read_version(spark, target), "user_id") == _rows(
+            compacted(e1), "user_id"
+        )
+        batch1 = version_header(spark, target)["batch_id"]
+
+        shutil.copytree(ckpt, str(tmp_path / "ckpt_snap"))  # pre-run#2
+        e2.repartition(2).write.mode("append").parquet(src)
+
+        run()  # leg 2: restart, same checkpoint — only the new files
+        assert _rows(read_version(spark, target), "user_id") == _rows(
+            compacted(events), "user_id"
+        )
+        batch2 = version_header(spark, target)["batch_id"]
+        v2 = current_version(spark, target)
+        assert batch2 > batch1  # ids continued: resumed offsets, no replay
+
+        # leg 3: kill window — state committed, checkpoint pre-run#2
+        shutil.rmtree(ckpt)
+        shutil.copytree(str(tmp_path / "ckpt_snap"), ckpt)
+        run()
+        assert current_version(spark, target) == v2  # no re-commit at all
+        assert version_header(spark, target)["batch_id"] == batch2
+        assert _rows(read_version(spark, target), "user_id") == _rows(
+            compacted(events), "user_id"
+        )
 
 
 class TestBloomPrune:
