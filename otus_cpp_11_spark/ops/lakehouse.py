@@ -225,8 +225,31 @@ def compact_parquet(
         .write.mode("overwrite")
         .parquet(staging)
     )
+    # Bin-count guarantee (r6 advice): repartitionByRange boundaries are
+    # SAMPLED, so an unlucky sample (or a degenerate order key) can merge
+    # ranges — an empty range writes no file and the reported accounting
+    # would undershoot ceil(rows/rows_per_file) nondeterministically.
+    # Verify on staging BEFORE the swap; repair with an exact rewrite:
+    # global sort, one writer task, maxRecordsPerFile splitting — emits
+    # exactly n_out contiguous-in-order files. Single-threaded, but it
+    # is a repair path for a sampling miss, not the normal plan (a
+    # production OPTIMIZE tolerates +-1 file; the exact count is this
+    # engine's oracle-determinism contract).
+    if len(list_data_files(spark, staging)) != n_out:
+        (
+            df.orderBy(*order_by)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .parquet(staging)
+        )
     swap_directory(spark, staging, path)
     after = list_data_files(spark, path)
+    if len(after) != n_out:
+        raise RuntimeError(
+            f"compact_parquet: rewrite produced {len(after)} files, "
+            f"expected {n_out} — bin accounting would be wrong"
+        )
     return {
         "rows": n_rows,
         "files_before": len(before),

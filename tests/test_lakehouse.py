@@ -224,3 +224,25 @@ def test_clustered_rewrite_prunes_2d_predicate(spark, compacted):
     # clustered layout: the rectangle is one z-cell -> a handful of files
     assert comp_touched <= max(3, len(comp_extents) // 4)
     assert comp_touched < frag_touched
+
+
+def test_compact_bin_count_guaranteed_under_degenerate_order(spark, tmp_path):
+    """r6 advice: a sampled range partitioner can merge output ranges and
+    silently undershoot the bin count. Force the worst case — a CONSTANT
+    order key collapses every range into one — and assert the repair
+    path still delivers exactly ceil(rows/rows_per_file) files with the
+    row multiset intact."""
+    from pyspark.sql import functions as F
+
+    from otus_cpp_11_spark.ops.lakehouse import compact_parquet, list_data_files
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(3).write.parquet(path)
+    stats = compact_parquet(spark, path, rows_per_file=10, order_by=[F.lit(1)])
+    assert stats["files_after"] == 10  # ceil(100/10), not 1
+    assert len(list_data_files(spark, path)) == 10
+    got = spark.read.parquet(path)
+    assert got.count() == 100
+    assert got.agg(F.sum("k")).first()[0] == sum(range(100))
