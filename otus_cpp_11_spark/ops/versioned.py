@@ -184,6 +184,70 @@ def _write_data_dir(
     return [_relativize(p) for p, _ in list_data_files(spark, ddir)]
 
 
+def _stats_safe(v):
+    """JSON-serializable, order-preserving form of a column extreme.
+    Numbers and strings compare the same way in Python as in Spark;
+    date/timestamp isoformat strings are lexicographically ordered. A
+    type we cannot faithfully order maps to None = 'no stats', which
+    pruning treats as always-a-candidate (never wrong, just unpruned)."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    iso = getattr(v, "isoformat", None)
+    if iso is not None:
+        return iso()
+    return None
+
+
+def _collect_file_stats(
+    spark: SparkSession, table: str, files: list[str], cols: list[str]
+) -> dict:
+    """Per-file min/max of ``cols`` for freshly written ``files`` — ONE
+    column-pruned scan of the NEW files only (O(delta)), keyed by
+    table-relative path. This is the manifest-stats half of Delta/Iceberg
+    data skipping: collected once at write time, consulted forever after
+    from the manifest header without touching the data."""
+    if not cols or not files:
+        return {}
+    root = table.rstrip("/")
+    df = spark.read.parquet(*[f"{root}/{f}" for f in files])
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(c).alias(f"__mn{i}"))
+        aggs.append(F.max(c).alias(f"__mx{i}"))
+    rows = (
+        df.select(F.col("_metadata.file_path").alias("__f"), *cols)
+        .groupBy("__f")
+        .agg(*aggs)
+        .collect()  # bounded by the DELTA's file count
+    )
+    out = {}
+    for r in rows:
+        out[_relativize(r["__f"])] = {
+            c: [_stats_safe(r[f"__mn{i}"]), _stats_safe(r[f"__mx{i}"])]
+            for i, c in enumerate(cols)
+        }
+    return out
+
+
+def _extent_overlaps(file_stats: dict | None, col: str, lo, hi) -> bool:
+    """May the file contain a key component in [lo, hi]? Missing or
+    unordered stats answer 'maybe' — pruning is only ever an exclusion
+    of provably-disjoint files."""
+    if not file_stats:
+        return True
+    ext = file_stats.get(col)
+    if (
+        not ext
+        or ext[0] is None
+        or ext[1] is None
+        or lo is None
+        or hi is None
+        or type(ext[0]) is not type(lo)
+    ):
+        return True
+    return not (ext[1] < lo or ext[0] > hi)
+
+
 def _claim_commit(
     spark: SparkSession, table: str, version: int, content: str
 ) -> None:
@@ -228,12 +292,19 @@ def _commit(
     schema: StructType,
     files: list[str],
     meta: dict | None,
+    stats: dict | None = None,
 ) -> int:
     header = {
         "op": op,
         "parent": version - 1 if version > 1 else None,
         "schema": schema.json(),
     }
+    if stats:
+        # only entries for files this manifest actually references —
+        # stats for files aged out of the manifest would be dead weight
+        live = {f: s for f, s in stats.items() if f in set(files)}
+        if live:
+            header["stats"] = live
     if meta:
         header.update(meta)
     content = "\n".join([json.dumps(header), *files]) + "\n"
@@ -241,17 +312,31 @@ def _commit(
     return version
 
 
+def manifest_stats(header: dict) -> dict:
+    """Per-file column extents recorded in a commit header:
+    ``{relative_path: {col: [min, max]}}``. Empty for commits made
+    without ``stats_cols`` — pruning then degrades to scanning."""
+    return header.get("stats") or {}
+
+
 def commit_version(
-    spark: SparkSession, df: DataFrame, table: str, meta: dict | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Full-snapshot commit: write ``df`` completely as the next
     version. The baseline op (first load, wholesale recompute); use
     ``commit_append``/``commit_upsert`` when most of the table is
     unchanged — they reference the unchanged files instead of
-    rewriting them."""
+    rewriting them. ``stats_cols`` records per-file min/max extents of
+    those columns in the manifest, enabling later upserts to prune
+    untouched files without scanning them."""
     nxt = (current_version(spark, table) or 0) + 1
     files = _write_data_dir(spark, df, table, nxt)
-    return _commit(spark, table, nxt, "full", df.schema, files, meta)
+    stats = _collect_file_stats(spark, table, files, stats_cols or [])
+    return _commit(spark, table, nxt, "full", df.schema, files, meta, stats)
 
 
 def _require_same_schema(df: DataFrame, header: dict, table: str, op: str) -> None:
@@ -268,29 +353,37 @@ def _require_same_schema(df: DataFrame, header: dict, table: str, op: str) -> No
 
 
 def commit_append(
-    spark: SparkSession, df: DataFrame, table: str, meta: dict | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append commit: the new version = previous manifest's files BY
     REFERENCE + ``df``'s freshly written files. Bytes written scale with
     the delta, not the table — the O(delta) property that makes
     versioning affordable for incremental ingest. Falls back to a full
-    commit on an empty table."""
+    commit on an empty table. Carried files keep their recorded stats;
+    ``stats_cols`` extents are collected for the NEW files only."""
     cur = current_version(spark, table)
     if cur is None:
-        return _commit(
-            spark,
-            table,
-            1,
-            "append",
-            df.schema,
-            _write_data_dir(spark, df, table, 1),
-            meta,
-        )
+        files = _write_data_dir(spark, df, table, 1)
+        stats = _collect_file_stats(spark, table, files, stats_cols or [])
+        return _commit(spark, table, 1, "append", df.schema, files, meta, stats)
     header, prev_files = read_manifest(spark, table, cur)
     _require_same_schema(df, header, table, "commit_append")
     new_files = _write_data_dir(spark, df, table, cur + 1)
+    stats = dict(manifest_stats(header))
+    stats.update(_collect_file_stats(spark, table, new_files, stats_cols or []))
     return _commit(
-        spark, table, cur + 1, "append", df.schema, prev_files + new_files, meta
+        spark,
+        table,
+        cur + 1,
+        "append",
+        df.schema,
+        prev_files + new_files,
+        meta,
+        stats,
     )
 
 
@@ -301,47 +394,91 @@ def commit_upsert(
     keys: list[str],
     delete_col: str | None = None,
     meta: dict | None = None,
+    merge_fn=None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Keyed MERGE commit with file-level pruning — the Delta ``MERGE
     INTO`` shape: rows of ``df`` replace the stored rows with matching
     ``keys``; unmatched stored rows are untouched; unmatched ``df`` keys
     are inserts. If ``delete_col`` names a boolean column, rows where it
-    is true are tombstones: the key's stored rows are removed and the
-    tombstone row is NOT inserted.
+    is LITERALLY TRUE are tombstones: the key's stored rows are removed
+    and the tombstone row is NOT inserted (NULL, like false, means
+    upsert — Delta MERGE treats a non-true delete condition as an
+    update, never a delete).
 
-    Only data files that physically CONTAIN a matched key are rewritten:
-    the hidden ``_metadata.file_path`` column maps stored rows to their
-    files, a semi-join against the (deduplicated) delta keys yields the
-    touched-file set — driver-side bounded by the FILE count, the same
-    manifest-sized planning state Delta's driver holds — and every other
-    file is carried into the new manifest by reference. Cost is
-    O(touched files + delta), independent of table size; at 100 TB with
-    key-clustered layout (ops.lakehouse.compact_parquet z-order) the
-    touched set is the files whose key extents overlap the batch, which
-    is exactly why OPTIMIZE clusters on the merge key."""
+    ``merge_fn(matched, inserts) -> DataFrame`` turns replace-by-key
+    into read-modify-write: it receives the STORED rows whose keys match
+    the delta and the delta's insert rows, and returns the replacement
+    rows for exactly those keys (e.g. a latest-wins ``groupBy.max``).
+    This keeps the whole merge inside the commit's own touched-file
+    read — the caller never re-scans the table to precompute merged
+    state (the double-scan the r7 review flagged in the CDC maintainer).
+
+    File pruning is two-tier, the Delta/Iceberg data-skipping shape:
+
+    1. MANIFEST STATS — per-file min/max key extents recorded at write
+       time (``stats_cols``, default the merge keys) are compared
+       against the delta's key range; provably-disjoint files are
+       dismissed from the manifest alone, zero data bytes read.
+    2. EXACT MATCH — the surviving candidates' key columns are scanned
+       with ``_metadata.file_path`` and semi-joined against the
+       (deduplicated) delta keys for the files that physically CONTAIN
+       a matched key; the collect is bounded by the FILE count, the
+       same manifest-sized planning state Delta's driver holds.
+
+    Only touched files are rewritten; every other file is carried into
+    the new manifest by reference with its stats. Cost is O(candidate
+    files + delta); at 100 TB with key-clustered layout
+    (ops.lakehouse.compact_parquet z-order) extents are tight and the
+    candidate set collapses to the files the batch actually overlaps,
+    which is exactly why OPTIMIZE clusters on the merge key. The commit
+    header records ``upsert_io`` = {prev_files, candidates, touched} so
+    the pruning claim is auditable per commit."""
     cur = current_version(spark, table)
+    not_tombstone = (
+        ~F.coalesce(F.col(delete_col), F.lit(False)) if delete_col else None
+    )
+    scols = stats_cols if stats_cols is not None else keys
     if cur is None:
         inserts = (
-            df.where(~F.col(delete_col)).drop(delete_col) if delete_col else df
+            df.where(not_tombstone).drop(delete_col) if delete_col else df
         )
+        if merge_fn is not None:
+            inserts = merge_fn(
+                spark.createDataFrame([], inserts.schema), inserts
+            )
+        files = _write_data_dir(spark, inserts, table, 1)
+        stats = _collect_file_stats(spark, table, files, scols)
         return _commit(
-            spark,
-            table,
-            1,
-            "upsert",
-            inserts.schema,
-            _write_data_dir(spark, inserts, table, 1),
-            meta,
+            spark, table, 1, "upsert", inserts.schema, files, meta, stats
         )
     header, prev_files = read_manifest(spark, table, cur)
-    inserts = df.where(~F.col(delete_col)).drop(delete_col) if delete_col else df
+    inserts = df.where(not_tombstone).drop(delete_col) if delete_col else df
     _require_same_schema(inserts, header, table, "commit_upsert")
     schema = StructType.fromJson(json.loads(header["schema"]))
     root = table.rstrip("/")
     delta_keys = df.select(*keys).distinct()
-    if prev_files:
+    prev_stats = manifest_stats(header)
+    candidates = prev_files
+    if prev_files and prev_stats:
+        aggs = []
+        for i, k in enumerate(keys):
+            aggs.append(F.min(k).alias(f"__lo{i}"))
+            aggs.append(F.max(k).alias(f"__hi{i}"))
+        b = delta_keys.agg(*aggs).collect()[0]  # 1 row: delta key range
+        lo = {k: _stats_safe(b[f"__lo{i}"]) for i, k in enumerate(keys)}
+        hi = {k: _stats_safe(b[f"__hi{i}"]) for i, k in enumerate(keys)}
+        candidates = [
+            f
+            for f in prev_files
+            if all(
+                _extent_overlaps(prev_stats.get(f), k, lo[k], hi[k])
+                for k in keys
+            )
+        ]
+    if candidates:
         prev = spark.read.schema(schema).parquet(
-            *[f"{root}/{f}" for f in prev_files]
+            *[f"{root}/{f}" for f in candidates]
         )
         touched_abs = [
             r["__f"]
@@ -358,17 +495,38 @@ def commit_upsert(
         touched = set()
     untouched = [f for f in prev_files if f not in touched]
     if touched:
-        survivors = (
-            spark.read.schema(schema)
-            .parquet(*[f"{root}/{f}" for f in sorted(touched)])
-            .join(delta_keys, keys, "left_anti")
+        stored_touched = spark.read.schema(schema).parquet(
+            *[f"{root}/{f}" for f in sorted(touched)]
         )
-        new_rows = survivors.unionByName(inserts)
+        survivors = stored_touched.join(delta_keys, keys, "left_anti")
+        matched = stored_touched.join(delta_keys, keys, "left_semi")
     else:
-        new_rows = inserts
+        survivors = None
+        matched = spark.createDataFrame([], schema)
+    replacement = inserts if merge_fn is None else merge_fn(matched, inserts)
+    if merge_fn is not None:
+        _require_same_schema(replacement, header, table, "commit_upsert merge_fn")
+    new_rows = (
+        replacement if survivors is None else survivors.unionByName(replacement)
+    )
     new_files = _write_data_dir(spark, new_rows, table, cur + 1)
+    stats = {f: s for f, s in prev_stats.items() if f not in touched}
+    stats.update(_collect_file_stats(spark, table, new_files, scols))
+    hdr_meta = dict(meta or {})
+    hdr_meta["upsert_io"] = {
+        "prev_files": len(prev_files),
+        "candidates": len(candidates),
+        "touched": len(touched),
+    }
     return _commit(
-        spark, table, cur + 1, "upsert", schema, untouched + new_files, meta
+        spark,
+        table,
+        cur + 1,
+        "upsert",
+        schema,
+        untouched + new_files,
+        hdr_meta,
+        stats,
     )
 
 
@@ -403,13 +561,21 @@ def vacuum_versions(
     kept_refs: set[str] = set()
     for v in keep:
         kept_refs |= set(read_manifest(spark, table, v)[1])
-    dropped_refs: set[str] = set()
-    for v in drop:
-        dropped_refs |= set(read_manifest(spark, table, v)[1])
+    drop_refs_by_v = {
+        v: set(read_manifest(spark, table, v)[1]) for v in drop
+    }  # read BEFORE marker deletion — the manifest lives in the marker
     removed = []
+    dropped_refs: set[str] = set()
     for v in drop:
         if fs.delete(_jp(spark, table, _COMMITS, f"{v:08d}"), False):
             removed.append(v)
+            dropped_refs |= drop_refs_by_v[v]
+        else:
+            # Marker survived (transient IO fault / permissions): v is
+            # STILL committed, so its files must be protected exactly like
+            # a kept version's — deleting them would tear a snapshot that
+            # list_versions still reports.
+            kept_refs |= drop_refs_by_v[v]
     doomed = dropped_refs - kept_refs
     if drop_uncommitted:
         on_disk = {

@@ -97,7 +97,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "benchmark_decontamination": "7a996f13be83",
     "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
-    "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
@@ -106,13 +105,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
     "customer_monthly_retention": "5005e34e6d54",
-    "customer_order_gap_stats": "6d3cb75325f9",
     "customer_order_window_family": "e056a8223d4c",
-    "customer_rfm_quartiles": "6b43762ac3f2",
     "customer_running_spend": "471b2c9922e8",
     "customers_above_avg_balance": "2c2142b03318",
     "customers_without_orders": "9a01c8532a3d",
-    "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
     "decontam_bloom_prune": "004a9cd16c69",
     "dedup_canonical_by_quality": "48bc5b1ec055",
@@ -124,9 +120,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_fingerprint": "ac4f9cbb8f09",
     "doc_gopher_rules": "9eb3349e7818",
     "doc_lang_id": "9244112be464",
-    "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
-    "doc_pack_bins": "640fc7df9845",
     "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
@@ -134,59 +128,32 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_quality_score": "c49088db0448",
     "doc_repeated_spans": "021ae1e34c5c",
     "doc_repetition_stats": "d70389bb5105",
-    "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_shard_assignment": "b7508cca5e2e",
     "doc_simhash32": "9a4d28b0fe15",
-    "doc_stratified_sample": "5cbbfac47518",
     "doc_token_stats": "f1fc9c5f44ba",
     "doc_top_terms": "36f7b8dcb415",
-    "embedding_gram_upper": "f0e2d768f439",
-    "embedding_near_dup_pairs": "fe5ace666bf3",
-    "embedding_norms_by_label": "b079260add86",
-    "embedding_power_iteration": "ace381c5764a",
     "embedding_quantization": "f5bb24cd0b57",
-    "embedding_random_projection": "149313e23aa4",
-    "event_type_transitions": "5d5953723362",
-    "event_value_mad": "a8aa5b034a6c",
     "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
-    "events_hourly_profile": "08fe54a7b8b8",
-    "events_json_props": "fd96cba6cc74",
     "events_minute_rollup_streamed": "564c5d8e9e5f",
-    "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
-    "events_session_windows": "ee61ffbf866a",
     "events_session_windows_streamed": "08f0e60d5c18",
-    "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
-    "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
-    "events_user_sketches": "70afbca65e63",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
     "incremental_near_dup": "106378cb3ab8",
-    "ivf_cosine_top5": "4587a141ad18",
     "ivf_pq_top5": "984566e4c151",
-    "kmeans_assign_update": "1957709e4ad9",
     "knn_join_lsh_top3": "635fe257dd5a",
     "knn_recall_at_3": "c88e0a7440fb",
-    "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
-    "lakehouse_compaction_accounting": "52959dcfdac9",
     "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
-    "lineitem_measures_unpivot": "858016643174",
-    "lineitem_price_qty_corr": "46672c6c7ad5",
-    "lineitem_profile": "be479a6b9360",
-    "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
-    "lsh_cosine_top5": "bcbb1c08dc09",
-    "lsh_cosine_top5_multiprobe": "8a46b082e0db",
     "minhash_estimate_accuracy": "d049fca2dea7",
     "multimodal_decode_features": "ba3641b52a2e",
     "multimodal_frame_sample": "6c3ae1db4d13",
-    "nation_richest_customer": "c569db84fd24",
     "nation_set_ops": "ee0a45799605",
     "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
@@ -197,11 +164,8 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_by_month": "3b5d56427f88",
     "orders_cube": "977856a76063",
     "orders_grouping_sets": "7c2a2fcda67b",
-    "orders_price_percentiles": "00142ef3899e",
     "orders_rollup": "cc0326964a00",
-    "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
-    "part_price_band_join": "feedac3b7d7c",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_ahash16": "86dc850ac759",
@@ -214,13 +178,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "pq_encode_arrow": "d468a2b1f089",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
-    "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
     "python_datasource_stream_checksum": "609b3f6c9262",
     "q10_returned_revenue": "a6bbc6cce502",
     "q11_important_stock": "64595b7c314a",
-    "q12_priority_shipping": "d4cca0b4c80f",
-    "q13_customer_distribution": "18c33d02b9f8",
     "q14_promo_revenue": "a04be26f867a",
     "q15_top_supplier": "524038b306d8",
     "q16_part_supplier_relation": "7946efac9fb7",
@@ -230,12 +191,9 @@ DRIVER_VERIFIED: dict[str, str] = {
     "q1_pricing_summary": "3560e363e9ed",
     "q20_potential_promotion": "26aa152b0b15",
     "q21_waiting_supplier": "8eb51526a69e",
-    "q22_global_sales_opportunity": "b6a092e119de",
     "q2_min_cost_supplier": "9b562eef7ff0",
     "q3_shipping_priority": "fd99cfaeace7",
-    "q4_order_priority": "df07a6d2b909",
     "q5_local_supplier_volume": "a6c0b0f534c0",
-    "q6_forecast_revenue": "91e2e7229798",
     "q7_nation_volume": "71bb2f5a3869",
     "q8_market_share": "defa2dff53c1",
     "q9_product_profit": "f67a4359d652",
@@ -244,12 +202,9 @@ DRIVER_VERIFIED: dict[str, str] = {
     "repeated_span_strip_stats": "b639a37b01e7",
     "running_user_counts_streamed": "fbca008c058d",
     "scalar_string_math": "ace55f30e0cd",
-    "semantic_dedup_pairs": "98c7aff24981",
-    "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
     "source_token_fertility": "d1452d0ad04b",
-    "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
     "suppliers_with_returns": "7a66c41651f6",
@@ -260,7 +215,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_funnel_conversion": "fe16d90615f6",
     "user_state_scd2": "a7229906f4e7",
     "user_state_scd2_streamed": "f1055a14a5d8",
-    "user_value_moving_avg": "7afcd06d0608",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
     "user_value_zscore_outliers": "2c6fb32b13af",
@@ -291,7 +245,56 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
 REVERIFY: frozenset[str] = frozenset({
-    # refilled at round end (round-workflow step 3)
+    # Round 7 refill (r7 review finding: the queue was emptied but never
+    # refilled, leaving ~45 of the driver's 50 correctness slots idle):
+    # every remaining pin whose LAST green row is round 2 (all 19) plus
+    # the alphabetically-first 26 of the round-3 cohort — oldest last
+    # green first, computed from CORRECTNESS_r0*.json.
+    "copurchase_part_pairs",
+    "customer_order_gap_stats",
+    "customer_rfm_quartiles",
+    "daily_active_users_7d",
+    "doc_leading_tokens",
+    "doc_pack_bins",
+    "doc_reservoir_sample",
+    "doc_stratified_sample",
+    "embedding_gram_upper",
+    "embedding_near_dup_pairs",
+    "embedding_norms_by_label",
+    "embedding_power_iteration",
+    "embedding_random_projection",
+    "event_type_transitions",
+    "event_value_mad",
+    "events_hourly_profile",
+    "events_json_props",
+    "events_multires_rollup",
+    "events_session_windows",
+    "events_sliding_10min_5min",
+    "events_tumbling_5min",
+    "events_user_sketches",
+    "ivf_cosine_top5",
+    "kmeans_assign_update",
+    "label_centroids",
+    "lineitem_measures_unpivot",
+    "lineitem_price_qty_corr",
+    "lineitem_profile",
+    "lineitem_qty_histogram",
+    "lsh_cosine_top5",
+    "lsh_cosine_top5_multiprobe",
+    "nation_richest_customer",
+    "orders_price_percentiles",
+    "orders_yoy_growth",
+    "part_price_band_join",
+    "purchase_prior_click_asof",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "semantic_dedup_pairs",
+    "session_top_paths",
+    "sql_api_region_revenue",
+    "user_value_moving_avg",
 })
 
 

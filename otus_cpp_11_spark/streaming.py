@@ -599,16 +599,20 @@ def cdc_upsert_user_state(
     compaction — not arrival order — decides survival.
 
     Scale notes: per batch, one partial-aggregated compaction of the
-    batch, one key semi-join against the compact state, and an O(touched
-    files + delta) commit — table size never enters the per-batch cost.
+    batch, then ONE ``commit_upsert`` whose ``merge_fn`` performs the
+    latest-wins fold INSIDE the commit's own touched-file read — the
+    maintainer never scans the stored table itself (the r7 review
+    caught an earlier shape that semi-joined the full table per batch
+    on top of the commit's own pruning scan). With ``stats_cols``
+    recording per-file user_id extents in the manifest, untouched files
+    are dismissed from the manifest header alone, so per-batch data IO
+    is O(candidate files + delta), not table size.
     ``keep_versions`` bounds storage: after each commit the maintainer
     vacuums markers beyond the horizon (safe mode — files referenced by
     retained manifests, and any not-yet-claimed writer data, survive)."""
     from otus_cpp_11_spark.ops.versioned import (
         commit_upsert,
-        commit_version,
         current_version,
-        read_version,
         vacuum_versions,
         version_header,
     )
@@ -636,19 +640,23 @@ def cdc_upsert_user_state(
             if applied is not None and applied >= batch_id:
                 return  # retry of an already-committed batch: no-op
         delta = batch_df.groupBy("user_id").agg(F.max(rec).alias("m"))
-        if cur is None:
-            commit_version(bspark, delta, target_path, meta={"batch_id": batch_id})
-        else:
-            touched = (
-                read_version(bspark, target_path, cur)
-                .join(delta.select("user_id"), "user_id", "left_semi")
-                .unionByName(delta)
-                .groupBy("user_id")
-                .agg(F.max("m").alias("m"))
-            )
-            commit_upsert(
-                bspark, touched, target_path, ["user_id"], meta={"batch_id": batch_id}
-            )
+        # latest-wins fold over (stored rows matching the batch's keys)
+        # ∪ (batch delta), evaluated inside the commit's touched-file
+        # read — no maintainer-side table scan
+        latest_wins = lambda matched, inserts: (
+            matched.unionByName(inserts)
+            .groupBy("user_id")
+            .agg(F.max("m").alias("m"))
+        )
+        commit_upsert(
+            bspark,
+            delta,
+            target_path,
+            ["user_id"],
+            meta={"batch_id": batch_id},
+            merge_fn=latest_wins,
+            stats_cols=["user_id"],
+        )
         # retention: single-writer by contract, so the writer itself is
         # the safe place to age out old versions (default mode never
         # touches unclaimed data dirs)

@@ -276,3 +276,101 @@ def test_default_vacuum_never_touches_unclaimed_data(spark, table):
     _df(spark, 5, "x").write.parquet(table + "/_data/c00000003-inflight")
     vacuum_versions(spark, table, keep_last=1)
     assert os.path.exists(table + "/_data/c00000003-inflight")
+
+
+def test_upsert_null_delete_flag_means_upsert_not_delete(spark, table):
+    """Delta MERGE semantics (r7 review): a NULL delete flag is an
+    UPSERT. The broken form (`~col` over NULL = NULL) dropped the row
+    from inserts while its key still anti-joined the stored rows away —
+    silently vanishing the key."""
+    commit_version(spark, _df(spark, 10, "a"), table)
+    delta = spark.createDataFrame(
+        [(4, "upd", None), (5, "gone", True)],
+        "k long, tag string, _deleted boolean",
+    )
+    commit_upsert(spark, delta, table, ["k"], delete_col="_deleted")
+    cur = read_version(spark, table)
+    assert cur.where("k = 4").first()["tag"] == "upd"  # updated, not lost
+    assert cur.where("k = 5").count() == 0  # true flag still deletes
+    assert cur.count() == 9
+
+
+def test_upsert_manifest_stats_prune_disjoint_files(spark, table):
+    """Two-tier pruning (r7): with per-file key extents in the manifest,
+    an upsert whose delta key range is provably disjoint from a file's
+    extent dismisses that file WITHOUT scanning it — `upsert_io` in the
+    commit header records prev/candidate/touched counts."""
+    base = _df(spark, 1000, "base").repartitionByRange(4, "k")
+    commit_version(spark, base, table, stats_cols=["k"])
+    hdr, files1 = read_manifest(spark, table, 1)
+    assert set(hdr["stats"].keys()) == set(files1)
+    for ext in hdr["stats"].values():
+        assert ext["k"][0] <= ext["k"][1]
+    delta = spark.createDataFrame([(7, "upd")], "k long, tag string")
+    commit_upsert(spark, delta, table, ["k"])
+    hdr2, files2 = read_manifest(spark, table, 2)
+    io = hdr2["upsert_io"]
+    assert io["prev_files"] == 4
+    assert io["candidates"] == 1  # three files dismissed from stats alone
+    assert io["touched"] == 1
+    # carried files keep their stats; the rewritten file got fresh ones
+    assert set(hdr2["stats"].keys()) == set(files2)
+    cur = read_version(spark, table)
+    assert cur.count() == 1000
+    assert cur.where("k = 7").first()["tag"] == "upd"
+
+
+def test_upsert_without_stats_still_correct_full_candidates(spark, table):
+    """A table committed WITHOUT stats degrades to scanning every prev
+    file for the exact-match tier — correctness is stats-independent."""
+    base = _df(spark, 100, "base").repartitionByRange(4, "k")
+    commit_version(spark, base, table)  # no stats_cols
+    delta = spark.createDataFrame([(7, "upd")], "k long, tag string")
+    commit_upsert(spark, delta, table, ["k"])
+    hdr, _ = read_manifest(spark, table, 2)
+    assert hdr["upsert_io"]["candidates"] == hdr["upsert_io"]["prev_files"]
+    assert read_version(spark, table).where("k = 7").first()["tag"] == "upd"
+
+
+def test_upsert_merge_fn_latest_wins_inside_commit(spark, table):
+    """merge_fn turns replace-by-key into read-modify-write evaluated
+    inside the commit's touched-file read: stored (k, n) rows merge with
+    the delta by MAX(n), while untouched keys are carried untouched."""
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, n long"
+    ).repartitionByRange(3, "k")
+    commit_version(spark, base, table, stats_cols=["k"])
+    delta = spark.createDataFrame([(2, 5), (4, 40)], "k long, n long")
+    mx = lambda matched, ins: (
+        matched.unionByName(ins).groupBy("k").agg(F.max("n").alias("n"))
+    )
+    commit_upsert(spark, delta, table, ["k"], merge_fn=mx)
+    got = {r["k"]: r["n"] for r in read_version(spark, table).collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: 40}  # stored 20 beats delta 5
+    # first-commit path applies merge_fn too (matched = empty)
+    t2 = table + "_fresh"
+    commit_upsert(
+        spark,
+        spark.createDataFrame([(1, 3), (1, 9)], "k long, n long"),
+        t2,
+        ["k"],
+        merge_fn=mx,
+    )
+    assert {r["k"]: r["n"] for r in read_version(spark, t2).collect()} == {1: 9}
+
+
+def test_append_carries_stats_forward(spark, table):
+    """Stats survive append commits: carried files keep their recorded
+    extents, new files get fresh ones — so a later upsert can prune
+    against the whole table's extents."""
+    commit_version(spark, _df(spark, 10, "a"), table, stats_cols=["k"])
+    commit_append(
+        spark,
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), F.lit("b").alias("tag")
+        ),
+        table,
+        stats_cols=["k"],
+    )
+    hdr, files = read_manifest(spark, table, 2)
+    assert set(hdr["stats"].keys()) == set(files)
