@@ -358,20 +358,48 @@ def commit_append(
     table: str,
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append commit: the new version = previous manifest's files BY
     REFERENCE + ``df``'s freshly written files. Bytes written scale with
     the delta, not the table — the O(delta) property that makes
     versioning affordable for incremental ingest. Falls back to a full
     commit on an empty table. Carried files keep their recorded stats;
-    ``stats_cols`` extents are collected for the NEW files only."""
+    ``stats_cols`` extents are collected for the NEW files only.
+
+    ``merge_schema=True`` enables ADDITIVE schema evolution, Delta's
+    ``mergeSchema`` contract: ``df`` must contain every committed column
+    with its committed type, and may add new columns, which are appended
+    to the manifest schema. Old data files are never rewritten — the
+    reader's explicit manifest schema fills the missing columns with
+    NULL straight from the parquet reader, so evolution is a metadata
+    commit, O(delta) like any append. Renames/drops/type changes stay
+    refused: they would reinterpret bytes already committed."""
     cur = current_version(spark, table)
     if cur is None:
         files = _write_data_dir(spark, df, table, 1)
         stats = _collect_file_stats(spark, table, files, stats_cols or [])
         return _commit(spark, table, 1, "append", df.schema, files, meta, stats)
     header, prev_files = read_manifest(spark, table, cur)
-    _require_same_schema(df, header, table, "commit_append")
+    committed = StructType.fromJson(json.loads(header["schema"]))
+    if merge_schema:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        for f in committed.fields:
+            if f.name not in have or have[f.name].simpleString() != f.dataType.simpleString():
+                raise ValueError(
+                    f"commit_append(merge_schema): evolution is ADDITIVE "
+                    f"only — committed column {f.name!r} "
+                    f"({f.dataType.simpleString()}) must appear unchanged "
+                    f"in the appended data"
+                )
+        new_names = [
+            f.name for f in df.schema.fields if f.name not in committed.names
+        ]
+        df = df.select(*committed.names, *new_names)  # stable column order
+        schema = df.schema
+    else:
+        _require_same_schema(df, header, table, "commit_append")
+        schema = committed
     new_files = _write_data_dir(spark, df, table, cur + 1)
     stats = dict(manifest_stats(header))
     stats.update(_collect_file_stats(spark, table, new_files, stats_cols or []))
@@ -380,7 +408,7 @@ def commit_append(
         table,
         cur + 1,
         "append",
-        df.schema,
+        schema,
         prev_files + new_files,
         meta,
         stats,
@@ -598,3 +626,157 @@ def vacuum_versions(
         if fs.exists(jdir) and not list_data_files(spark, f"{root}/{d}"):
             fs.delete(jdir, True)
     return removed
+
+
+def scan_version(
+    spark: SparkSession,
+    table: str,
+    bounds: dict,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Stats-pruned snapshot scan — the READ half of manifest data
+    skipping: ``bounds`` maps columns to inclusive ``(lo, hi)`` ranges;
+    files whose recorded extents are provably disjoint from every bound
+    are dismissed from the manifest header alone, and the predicate is
+    re-applied to the surviving files (pruning is a superset, never a
+    filter substitute). Returns ``(df, accounting)`` where accounting =
+    ``{"files_total", "files_scanned"}`` — the auditable skip ratio.
+
+    This is Delta/Iceberg min-max data skipping: at 100 TB with layout
+    clustered on the bound columns (commit_compaction / OPTIMIZE
+    z-order), a narrow range dismisses almost every file before any IO
+    is planned — strictly better than parquet footer pruning, which
+    still has to OPEN each file. Files committed without stats (or with
+    unordered types) are always scanned, so a partially-statted table
+    degrades gracefully to correct-but-unpruned."""
+    v = version if version is not None else current_version(spark, table)
+    if v is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, files = read_manifest(spark, table, v)
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    stats = manifest_stats(header)
+    sel = [
+        f
+        for f in files
+        if all(
+            _extent_overlaps(
+                stats.get(f), c, _stats_safe(lo), _stats_safe(hi)
+            )
+            for c, (lo, hi) in bounds.items()
+        )
+    ]
+    acct = {"files_total": len(files), "files_scanned": len(sel)}
+    root = table.rstrip("/")
+    if not sel:
+        return spark.createDataFrame([], schema), acct
+    df = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in sel])
+    for c, (lo, hi) in bounds.items():
+        df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+    return df, acct
+
+
+def commit_compaction(
+    spark: SparkSession,
+    table: str,
+    max_rows_per_file: int,
+    cluster_cols: list[str],
+    meta: dict | None = None,
+) -> int:
+    """OPTIMIZE as a COMMIT: rewrite the current snapshot's data into
+    ceil(rows / max_rows_per_file) files range-clustered on
+    ``cluster_cols``, and publish the compacted layout as the next
+    version. Rows are untouched — the manifest points at better files.
+    Because it is a version like any other: readers pinned to the
+    pre-compaction snapshot are undisturbed, a crash mid-rewrite leaves
+    unreferenced garbage (vacuumable) and the old version current, and
+    retention eventually reclaims the superseded small files. This is
+    exactly Delta OPTIMIZE's transactionality, which the staging+swap
+    `ops.lakehouse.compact_parquet` approximates for unversioned dirs.
+
+    Clustering + the stats recorded for ``cluster_cols`` are what make
+    ``scan_version``/``commit_upsert`` pruning effective: tight
+    per-file extents on the columns queries and merges key on. The
+    header records {files_before, files_after, rows} so the bin-packing
+    claim is auditable per commit."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, prev_files = read_manifest(spark, table, cur)
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    df = read_version(spark, table, cur)
+    n = df.count()
+    n_out = max(1, -(-n // max_rows_per_file))
+    packed = (
+        df.repartitionByRange(n_out, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        if n
+        else df.coalesce(1)
+    )
+    new_files = _write_data_dir(spark, packed, table, cur + 1)
+    stats = _collect_file_stats(spark, table, new_files, cluster_cols)
+    hdr_meta = dict(meta or {})
+    hdr_meta["optimize_io"] = {
+        "files_before": len(prev_files),
+        "files_after": len(new_files),
+        "rows": n,
+    }
+    return _commit(
+        spark, table, cur + 1, "optimize", schema, new_files, hdr_meta, stats
+    )
+
+
+def diff_versions(
+    spark: SparkSession,
+    table: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change data feed between two committed versions of a KEYED state
+    table (at most one row per key per version — the maintainer shape):
+    per key, emit ``change_type`` insert (key only in v_new) / delete
+    (key only in v_old) / update (present in both with ANY differing
+    non-key column), plus ``old`` / ``new`` structs of the non-key
+    columns. Unchanged keys are absent — the feed is the delta, which
+    is what makes it NETTABLE: applying diff(v1,v2) then diff(v2,v3) to
+    the v1 state lands exactly on v3 (see the oracle-gated netting
+    query). Plan: two snapshot reads, one full-outer join on the key —
+    strategy AQE-decided; null-safe struct comparison (`eqNullSafe`) so
+    NULL-valued columns never mask or fake a change."""
+    old_df = read_version(spark, table, v_old)
+    new_df = read_version(spark, table, v_new)
+    vals = [c for c in old_df.columns if c not in keys]
+    o = old_df.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.struct(*vals).alias("old"),
+    )
+    nw = new_df.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        F.struct(*vals).alias("new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(nw, cond, "full_outer")
+    old_present = F.col(f"__ok_{keys[0]}").isNotNull()
+    new_present = F.col(f"__nk_{keys[0]}").isNotNull()
+    return (
+        j.where(
+            ~old_present
+            | ~new_present
+            | ~F.col("old").eqNullSafe(F.col("new"))
+        )
+        .select(
+            *[
+                F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+                for k in keys
+            ],
+            F.when(~old_present, "insert")
+            .when(~new_present, "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            "old",
+            "new",
+        )
+    )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.queries import dsum, dsum_sql
 from otus_cpp_11_spark.registry import register
 
 # event_type read as a CDC delete tombstone (all other types upsert).
@@ -590,3 +591,309 @@ def cdc_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Versioned-lakehouse read/maintenance family (r7): stats-pruned scans,
+# OPTIMIZE as a commit, netted change feeds, additive schema evolution.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "versioned_scan_skipping",
+    oracle=f"""
+WITH b AS (SELECT MAX(o_orderkey) // 4 AS lo, MAX(o_orderkey) // 2 AS hi
+           FROM orders)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 2)} AS total_price
+FROM orders, b
+WHERE o_orderkey BETWEEN b.lo AND b.hi
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def versioned_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping on READ (ops.versioned.scan_version):
+    commit orders as a versioned table range-clustered on o_orderkey with
+    per-file key extents recorded in the manifest, then answer a
+    key-range aggregate through the pruned scan. The oracle computes the
+    same aggregate from the raw table, so the hash match proves pruning
+    is a pure IO optimization — a superset selection with the predicate
+    re-applied, never a filter substitute. The companion plan test
+    asserts files_scanned < files_total (real skipping happened).
+
+    At 100 TB this is the read path that makes versioned tables
+    queryable: a narrow key range dismisses nearly every file from the
+    manifest header alone — no footer opens, no scan planning over
+    irrelevant files — exactly Delta/Iceberg min-max skipping. The
+    1-scalar max collect mirrors the zorder-bounds precedent."""
+    from otus_cpp_11_spark.ops.versioned import commit_version, scan_version
+    from otus_cpp_11_spark.session import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = mx // 4, mx // 2
+    tbl = scratch_dir("sg-vscan-") + "/orders"
+    commit_version(
+        spark,
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey"),
+        tbl,
+        stats_cols=["o_orderkey"],
+    )
+    df, _acct = scan_version(spark, tbl, {"o_orderkey": (lo, hi)})
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "versioned_optimize_roundtrip",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 2)} AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def versioned_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as a COMMIT (ops.versioned.commit_compaction): ingest
+    orders as three append commits of 4 shuffled files each (the
+    small-file problem incremental ingest creates), then compact the 12
+    files into 4 range-clustered on o_orderkey — published as a new
+    VERSION, so readers pinned to the fragmented snapshot are
+    undisturbed and a crash mid-rewrite costs nothing. The oracle
+    aggregates the raw table; the hash match is the row-conservation
+    proof across ingest + compaction. Companion tests assert the header
+    accounting (files 12 -> 4), time travel to the pre-compaction
+    layout, and that vacuum afterwards reclaims the superseded files.
+
+    At 100 TB: compaction bytes scale with the files being packed (here
+    the whole table; in production you'd pass only fragmented
+    partitions), the commit itself is O(1) metadata, and the clustered
+    layout is what gives scan_version/commit_upsert their tight
+    extents."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_compaction,
+        commit_version,
+        read_version,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl = scratch_dir("sg-vopt-") + "/orders"
+    for i in range(3):
+        part = orders.where(F.col("o_orderkey") % 3 == i).repartition(4)
+        if i == 0:
+            commit_version(spark, part, tbl, stats_cols=["o_orderkey"])
+        else:
+            commit_append(spark, part, tbl, stats_cols=["o_orderkey"])
+    n = read_version(spark, tbl).count()
+    commit_compaction(spark, tbl, -(-n // 4), ["o_orderkey"])
+    return (
+        read_version(spark, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "cdf_netting_across_versions",
+    oracle=f"""
+WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+v1 AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, mx WHERE event_id <= m // 3
+  ) t WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+),
+v3 AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) t WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+)
+SELECT COALESCE(v1.user_id, v3.user_id) AS user_id,
+       CASE WHEN v1.user_id IS NULL THEN 'insert'
+            WHEN v3.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       v1.event_id AS old_event_id,
+       v3.event_id AS new_event_id,
+       v1.event_type AS old_state,
+       v3.event_type AS new_state
+FROM v1 FULL OUTER JOIN v3 ON v1.user_id = v3.user_id
+WHERE v1.user_id IS NULL OR v3.user_id IS NULL
+   OR v1.event_id <> v3.event_id
+ORDER BY user_id
+""",
+)
+def cdf_netting_across_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed NETTING — the consumer-side contract that makes an
+    incremental CDF usable: commit the keyed live state at three
+    changelog cutoffs (thirds of event_id), compute the per-step feeds
+    diff(v1,v2) and diff(v2,v3) with ops.versioned.diff_versions, and
+    net them into one v1->v3 feed. The ORACLE diffs the two ENDPOINT
+    states directly, so the hash match is the exact identity
+    'composition of incremental diffs == direct diff' — including the
+    cases netting must cancel (insert-then-delete nets to nothing;
+    update-back-to-original nets to nothing) and the cases it must
+    rewrite (insert-then-update nets to insert of the final value;
+    delete-then-insert nets to update).
+
+    Presence is derived from the feeds' change_type flags, never from
+    struct nullness — robust whether an absent side surfaces as a NULL
+    struct (struct built before the outer join, as diff_versions does)
+    or a struct OF nulls (struct built after). Plan: two key-sized
+    feeds, one full-outer join on the key,
+    AQE-decided strategy — a consumer nets a day of increments without
+    ever touching the snapshots themselves, which is the whole point at
+    100 TB."""
+    from otus_cpp_11_spark.ops.versioned import commit_version, diff_versions
+    from otus_cpp_11_spark.session import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0]
+    rec = F.struct("ts", "event_id", "event_type")
+
+    def live_state(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(rec).alias("m"))
+            .where(F.col("m.event_type") != CDC_DELETE_TYPE)
+            .select(
+                "user_id",
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.event_type").alias("state"),
+            )
+        )
+
+    tbl = scratch_dir("sg-cdfnet-") + "/state"
+    commit_version(spark, live_state(ev.where(F.col("event_id") <= mx // 3)), tbl)
+    commit_version(
+        spark, live_state(ev.where(F.col("event_id") <= 2 * mx // 3)), tbl
+    )
+    commit_version(spark, live_state(ev), tbl)
+    d12 = diff_versions(spark, tbl, 1, 2, ["user_id"])
+    d23 = diff_versions(spark, tbl, 2, 3, ["user_id"])
+    a = d12.select(
+        "user_id",
+        F.col("change_type").alias("ct1"),
+        F.col("old").alias("o1"),
+        F.col("new").alias("n1"),
+    )
+    b = d23.select(
+        "user_id",
+        F.col("change_type").alias("ct2"),
+        F.col("old").alias("o2"),
+        F.col("new").alias("n2"),
+    )
+    j = a.join(b, "user_id", "full_outer")
+    old_present = F.when(
+        F.col("ct1").isNotNull(), F.col("ct1") != "insert"
+    ).otherwise(F.col("ct2") != "insert")
+    new_present = F.when(
+        F.col("ct2").isNotNull(), F.col("ct2") != "delete"
+    ).otherwise(F.col("ct1") != "delete")
+    old_s = F.when(F.col("ct1").isNotNull(), F.col("o1")).otherwise(F.col("o2"))
+    new_s = F.when(F.col("ct2").isNotNull(), F.col("n2")).otherwise(F.col("n1"))
+    return (
+        j.select(
+            "user_id",
+            old_present.alias("op"),
+            new_present.alias("np"),
+            old_s.alias("old"),
+            new_s.alias("new"),
+        )
+        .where(
+            (F.col("op") | F.col("np"))
+            & ~(
+                F.col("op")
+                & F.col("np")
+                & F.col("old").eqNullSafe(F.col("new"))
+            )
+        )
+        .select(
+            "user_id",
+            F.when(~F.col("op"), "insert")
+            .when(~F.col("np"), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("old.event_id").alias("old_event_id"),
+            F.col("new.event_id").alias("new_event_id"),
+            F.col("old.state").alias("old_state"),
+            F.col("new.state").alias("new_state"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "versioned_schema_evolution",
+    oracle="""
+WITH k AS (SELECT MAX(c_custkey) // 2 AS cut FROM customer)
+SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS acctbal
+FROM customer, k WHERE c_custkey <= k.cut
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal AS acctbal
+FROM customer, k WHERE c_custkey > k.cut
+ORDER BY c_custkey
+""",
+)
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution (commit_append(merge_schema=True)) —
+    Delta's mergeSchema contract: the table starts as (c_custkey,
+    c_name), a later append arrives with a new ``acctbal`` column, and
+    the manifest schema evolves to the union WITHOUT rewriting a single
+    committed file — the reader's explicit manifest schema fills the
+    old files' missing column with NULL straight from the parquet
+    reader. The oracle builds the same union with CAST(NULL AS DOUBLE),
+    so the hash match pins the exact NULL-fill semantics. Companion
+    tests cover the refusals (type change, dropped column) — evolution
+    that would REINTERPRET committed bytes is not evolution.
+
+    At 100 TB this is the difference between adding a feature column to
+    a training table as an O(delta) metadata commit versus a
+    rewrite-the-world migration."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_version,
+        read_version,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    cust = load_table(spark, sf_dir, "customer")
+    cut = cust.agg(F.max("c_custkey")).first()[0] // 2
+    tbl = scratch_dir("sg-vevo-") + "/cust"
+    commit_version(
+        spark,
+        cust.where(F.col("c_custkey") <= cut).select("c_custkey", "c_name"),
+        tbl,
+    )
+    commit_append(
+        spark,
+        cust.where(F.col("c_custkey") > cut).select(
+            "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal")
+        ),
+        tbl,
+        merge_schema=True,
+    )
+    return read_version(spark, tbl).orderBy("c_custkey")

@@ -178,6 +178,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "pq_encode_arrow": "d468a2b1f089",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
+    "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
     "python_datasource_stream_checksum": "609b3f6c9262",
     "q10_returned_revenue": "a6bbc6cce502",
@@ -202,9 +203,12 @@ DRIVER_VERIFIED: dict[str, str] = {
     "repeated_span_strip_stats": "b639a37b01e7",
     "running_user_counts_streamed": "fbca008c058d",
     "scalar_string_math": "ace55f30e0cd",
+    "semantic_dedup_pairs": "98c7aff24981",
+    "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
     "source_token_fertility": "d1452d0ad04b",
+    "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
     "suppliers_with_returns": "7a66c41651f6",
@@ -248,8 +252,10 @@ REVERIFY: frozenset[str] = frozenset({
     # Round 7 refill (r7 review finding: the queue was emptied but never
     # refilled, leaving ~45 of the driver's 50 correctness slots idle):
     # every remaining pin whose LAST green row is round 2 (all 19) plus
-    # the alphabetically-first 26 of the round-3 cohort — oldest last
-    # green first, computed from CORRECTNESS_r0*.json.
+    # 22 of the round-3 cohort — oldest last green first, computed from
+    # CORRECTNESS_r0*.json. Four r3 members yielded their slots (pins
+    # restored) to the four mid-round versioned-lakehouse queries,
+    # keeping the unverified window at exactly 50.
     "copurchase_part_pairs",
     "customer_order_gap_stats",
     "customer_rfm_quartiles",
@@ -285,15 +291,11 @@ REVERIFY: frozenset[str] = frozenset({
     "orders_price_percentiles",
     "orders_yoy_growth",
     "part_price_band_join",
-    "purchase_prior_click_asof",
     "q12_priority_shipping",
     "q13_customer_distribution",
     "q22_global_sales_opportunity",
     "q4_order_priority",
     "q6_forecast_revenue",
-    "semantic_dedup_pairs",
-    "session_top_paths",
-    "sql_api_region_revenue",
     "user_value_moving_avg",
 })
 

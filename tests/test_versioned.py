@@ -374,3 +374,123 @@ def test_append_carries_stats_forward(spark, table):
     )
     hdr, files = read_manifest(spark, table, 2)
     assert set(hdr["stats"].keys()) == set(files)
+
+
+def test_commit_compaction_accounting_and_time_travel(spark, table):
+    """OPTIMIZE as a commit: 3 appends of 4 files -> 12 small files;
+    compaction packs them into ceil(n/max) range-clustered files as a
+    NEW version, rows conserved; the fragmented snapshot remains
+    time-travelable; retention vacuum reclaims the superseded files."""
+    from otus_cpp_11_spark.ops.versioned import commit_compaction
+
+    for i in range(3):
+        part = (
+            spark.range(i * 100, (i + 1) * 100)
+            .select(F.col("id").alias("k"), F.lit(f"b{i}").alias("tag"))
+            .repartition(4)
+        )
+        if i == 0:
+            commit_version(spark, part, table, stats_cols=["k"])
+        else:
+            commit_append(spark, part, table, stats_cols=["k"])
+    _, files3 = read_manifest(spark, table, 3)
+    assert len(files3) == 12
+    v4 = commit_compaction(spark, table, 75, ["k"])
+    hdr, files4 = read_manifest(spark, table, v4)
+    assert hdr["optimize_io"] == {"files_before": 12, "files_after": 4, "rows": 300}
+    assert hdr["op"] == "optimize"
+    assert len(files4) == 4 and not (set(files4) & set(files3))
+    assert set(hdr["stats"].keys()) == set(files4)  # clustered extents recorded
+    assert read_version(spark, table).count() == 300
+    assert len(read_manifest(spark, table, 3)[1]) == 12  # pre-compaction intact
+    before = _table_bytes(spark, table)
+    vacuum_versions(spark, table, keep_last=1)
+    assert _table_bytes(spark, table) < before  # superseded files reclaimed
+    assert read_version(spark, table).count() == 300
+
+
+def test_scan_version_prunes_and_reapplies_predicate(spark, table):
+    """scan_version is a superset selection + predicate, never a filter
+    substitute: the pruned result equals the brute filter; accounting
+    proves files were dismissed; a stats-less table degrades to
+    scanning everything, still correct."""
+    from otus_cpp_11_spark.ops.versioned import scan_version
+
+    base = _df(spark, 1000, "a").repartitionByRange(5, "k")
+    commit_version(spark, base, table, stats_cols=["k"])
+    df, acct = scan_version(spark, table, {"k": (100, 150)})
+    assert acct["files_total"] == 5 and acct["files_scanned"] < 5
+    assert df.count() == 51
+    assert [r["k"] for r in df.orderBy("k").collect()] == list(range(100, 151))
+    # no stats -> every file is a candidate, result identical
+    t2 = table + "_nostats"
+    commit_version(spark, base, t2)
+    df2, acct2 = scan_version(spark, t2, {"k": (100, 150)})
+    assert acct2["files_scanned"] == acct2["files_total"] == 5
+    assert df2.count() == 51
+
+
+def test_diff_versions_feed_semantics(spark, table):
+    """Keyed change feed between versions: insert/delete/update
+    classification, unchanged keys absent, NULL values neither mask nor
+    fake a change (null-safe struct compare)."""
+    from otus_cpp_11_spark.ops.versioned import diff_versions
+
+    commit_version(
+        spark,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, s string"
+        ),
+        table,
+    )
+    commit_version(
+        spark,
+        spark.createDataFrame(
+            [(2, "b"), (3, None), (4, "x"), (5, None)], "k long, s string"
+        ),
+        table,
+    )
+    rows = {
+        r["k"]: (
+            r["change_type"],
+            r["old"]["s"] if r["old"] is not None else None,
+            r["new"]["s"] if r["new"] is not None else None,
+        )
+        for r in diff_versions(spark, table, 1, 2, ["k"]).collect()
+    }
+    # k=2 unchanged, k=3 unchanged (NULL == NULL null-safely): absent
+    assert rows == {
+        1: ("delete", "a", None),
+        4: ("update", "d", "x"),
+        5: ("insert", None, None),
+    }
+
+
+def test_schema_evolution_refusals_and_time_travel(spark, table):
+    """merge_schema is ADDITIVE only: dropping a committed column or
+    changing its type is refused; a plain append with an extra column is
+    refused without the flag; pre-evolution versions keep the old
+    schema."""
+    commit_version(spark, _df(spark, 5, "a"), table)
+    extra = spark.createDataFrame([(100, "b", 1.5)], "k long, tag string, w double")
+    with pytest.raises(ValueError):
+        commit_append(spark, extra, table)  # no flag: schema mismatch
+    commit_append(spark, extra, table, merge_schema=True)
+    cur = read_version(spark, table)
+    assert cur.columns == ["k", "tag", "w"]
+    assert cur.where("k < 100").select("w").distinct().collect()[0][0] is None
+    assert read_version(spark, table, 1).columns == ["k", "tag"]  # time travel
+    with pytest.raises(ValueError):  # type change refused
+        commit_append(
+            spark,
+            spark.createDataFrame([(7, 1.0, 2.0)], "k long, tag double, w double"),
+            table,
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError):  # dropped committed column refused
+        commit_append(
+            spark,
+            spark.createDataFrame([(7,)], "k long"),
+            table,
+            merge_schema=True,
+        )
