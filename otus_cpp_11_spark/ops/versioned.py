@@ -293,6 +293,7 @@ def _commit(
     files: list[str],
     meta: dict | None,
     stats: dict | None = None,
+    rows: dict | None = None,
 ) -> int:
     header = {
         "op": op,
@@ -305,6 +306,20 @@ def _commit(
         live = {f: s for f, s in stats.items() if f in set(files)}
         if live:
             header["stats"] = live
+    # per-file ROW COUNTS: entries carried from the parent manifest cost
+    # nothing; files without one (the commit's new files — O(delta)) get
+    # a parquet FOOTER read, metadata-only, no data bytes. This is what
+    # makes COUNT(*) a manifest sum (metadata_count) instead of a scan.
+    carried = rows or {}
+    complete = {}
+    for f in files:
+        n = carried.get(f)
+        if n is None:
+            n = _footer_rows(table, f)
+        if n is not None:
+            complete[f] = n
+    if complete:
+        header["rows"] = complete
     if meta:
         header.update(meta)
     content = "\n".join([json.dumps(header), *files]) + "\n"
@@ -312,11 +327,58 @@ def _commit(
     return version
 
 
+def _footer_rows(table: str, relpath: str) -> int | None:
+    """Row count from the parquet footer — pure metadata IO. Plain-FS
+    path like the connector's manifest reads; None (= 'unknown', never
+    wrong) if the footer is unreachable on this filesystem."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f"{table.rstrip('/')}/{relpath}").metadata.num_rows
+    except Exception:
+        return None
+
+
 def manifest_stats(header: dict) -> dict:
     """Per-file column extents recorded in a commit header:
     ``{relative_path: {col: [min, max]}}``. Empty for commits made
     without ``stats_cols`` — pruning then degrades to scanning."""
     return header.get("stats") or {}
+
+
+def manifest_rows(header: dict) -> dict:
+    """Per-file row counts recorded in a commit header."""
+    return header.get("rows") or {}
+
+
+def metadata_count(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    strict: bool = False,
+) -> int:
+    """COUNT(*) of a snapshot as a MANIFEST SUM — zero data IO, the
+    Delta/Iceberg trick of answering bare counts from per-file row
+    counts the commits already recorded. Exact across the whole
+    lifecycle (append, file-pruned upsert, delete, compaction) because
+    every manifest's counts describe exactly its referenced files.
+    Falls back to scanning if any referenced file lacks a recorded
+    count (``strict=True`` raises instead — the mode tests use to prove
+    no scan happened)."""
+    v = version if version is not None else current_version(spark, table)
+    if v is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, files = read_manifest(spark, table, v)
+    rows = manifest_rows(header)
+    missing = [f for f in files if f not in rows]
+    if missing:
+        if strict:
+            raise ValueError(
+                f"metadata_count: {len(missing)} of {len(files)} files have "
+                f"no recorded row count (e.g. {missing[0]!r})"
+            )
+        return read_version(spark, table, v).count()
+    return sum(rows[f] for f in files)
 
 
 def commit_version(
@@ -412,6 +474,7 @@ def commit_append(
         prev_files + new_files,
         meta,
         stats,
+        rows=manifest_rows(header),
     )
 
 
@@ -555,6 +618,7 @@ def commit_upsert(
         untouched + new_files,
         hdr_meta,
         stats,
+        rows=manifest_rows(header),
     )
 
 

@@ -897,3 +897,125 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_schema=True,
     )
     return read_version(spark, tbl).orderBy("c_custkey")
+
+
+@register(
+    "versioned_metadata_count",
+    oracle="""
+SELECT COUNT(*) AS n_rows
+FROM orders
+WHERE o_orderkey % 30 <> 0
+""",
+)
+def versioned_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) answered from the MANIFEST, zero data IO
+    (ops.versioned.metadata_count): every commit records per-file row
+    counts (carried forward for referenced files, one parquet FOOTER
+    read for new ones — O(delta) metadata), so a bare count is a sum
+    over the current manifest's entries. The lifecycle here exercises
+    every arm that must keep the counts exact: a base commit, an
+    append, and a file-pruned MERGE that both inserts and tombstones;
+    strict=True proves no scan fallback fired. The oracle recomputes
+    the surviving-row count from the raw table, so the hash match is
+    'manifest arithmetic == actual data'.
+
+    At 100 TB this is the difference between a dashboard count that
+    returns in milliseconds from one cached manifest and a
+    full-table scan — the exact trick Delta/Iceberg pull with
+    numRecords in the transaction log."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_upsert,
+        commit_version,
+        metadata_count,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = scratch_dir("sg-vcount-") + "/orders"
+    key = F.col("o_orderkey")
+    commit_version(
+        spark,
+        orders.where(key % 3 == 0).repartitionByRange(4, "o_orderkey"),
+        tbl,
+        stats_cols=["o_orderkey"],
+    )
+    commit_append(spark, orders.where(key % 3 == 1), tbl, stats_cols=["o_orderkey"])
+    delta = orders.where(key % 3 == 2).withColumn(
+        "_deleted", F.lit(False)
+    ).unionByName(
+        orders.where(key % 30 == 0).withColumn("_deleted", F.lit(True))
+    )
+    commit_upsert(spark, delta, tbl, ["o_orderkey"], delete_col="_deleted")
+    n = metadata_count(spark, tbl, strict=True)
+    return spark.createDataFrame([(n,)], "n_rows long")
+
+
+@register(
+    "versioned_stream_rollup",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {dsum_sql('value', 2)} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def versioned_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table as a STREAMING SOURCE (sources.py
+    ``versioned_table`` connector) — Delta's `readStream` on a table:
+    the events changelog lands as three append commits, then a
+    Structured Streaming query tails the table by COMMIT VERSION
+    offsets, reading exactly the files each commit added (one executor
+    InputPartition per file, Arrow batches — the driver touches only
+    manifests). The drained stream's per-type rollup must equal the
+    oracle's batch aggregate over the raw table: ingest-through-
+    versions loses and duplicates nothing. Non-append commits fail the
+    stream loudly (or are skipped with skipChangeCommits=true) —
+    covered by connector tests.
+
+    At 100 TB this is the ingest fan-out shape: writers commit
+    append-only versions, any number of downstream training pipelines
+    tail the manifest log independently, each with its own checkpointed
+    version offset, replaying any committed range from the immutable
+    manifests."""
+    from otus_cpp_11_spark.ops.versioned import commit_append, commit_version
+    from otus_cpp_11_spark.session import scratch_dir
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    tbl = scratch_dir("sg-vstream-") + "/events"
+    eid = F.col("event_id")
+    commit_version(spark, ev.where(eid <= mx // 3), tbl)
+    commit_append(spark, ev.where((eid > mx // 3) & (eid <= 2 * mx // 3)), tbl)
+    commit_append(spark, ev.where(eid > 2 * mx // 3), tbl)
+    register_versioned_table_source(spark)
+    name = "versioned_stream_rollup_sink"
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum(F.col("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -165,7 +165,9 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_cube": "977856a76063",
     "orders_grouping_sets": "7c2a2fcda67b",
     "orders_rollup": "cc0326964a00",
+    "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
+    "part_price_band_join": "feedac3b7d7c",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_ahash16": "86dc850ac759",
@@ -252,9 +254,9 @@ REVERIFY: frozenset[str] = frozenset({
     # Round 7 refill (r7 review finding: the queue was emptied but never
     # refilled, leaving ~45 of the driver's 50 correctness slots idle):
     # every remaining pin whose LAST green row is round 2 (all 19) plus
-    # 22 of the round-3 cohort — oldest last green first, computed from
-    # CORRECTNESS_r0*.json. Four r3 members yielded their slots (pins
-    # restored) to the four mid-round versioned-lakehouse queries,
+    # 20 of the round-3 cohort — oldest last green first, computed from
+    # CORRECTNESS_r0*.json. Six r3 members yielded their slots (pins
+    # restored) to the six mid-round versioned-lakehouse queries,
     # keeping the unverified window at exactly 50.
     "copurchase_part_pairs",
     "customer_order_gap_stats",
@@ -289,8 +291,6 @@ REVERIFY: frozenset[str] = frozenset({
     "lsh_cosine_top5_multiprobe",
     "nation_richest_customer",
     "orders_price_percentiles",
-    "orders_yoy_growth",
-    "part_price_band_join",
     "q12_priority_shipping",
     "q13_customer_distribution",
     "q22_global_sales_opportunity",

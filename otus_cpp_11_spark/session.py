@@ -47,6 +47,18 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # Python workers deserialize custom DataSource classes BY REFERENCE
+    # (cloudpickle pickles module-level classes as imports), so the
+    # package dir must be importable in the worker regardless of the
+    # driver's cwd. Exporting it before the JVM starts makes worker
+    # spawns inherit it; on a real cluster the same job is done by
+    # --py-files / spark.submit.pyFiles shipping the package.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{pp}" if pp else pkg_parent
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

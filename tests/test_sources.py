@@ -206,3 +206,109 @@ def test_stream_reader_offset_contract():
     assert [t[0] for t in seen] == list(range(25))
     replay = list(r.readBetweenOffsets({"i": 10}, {"i": 20}))
     assert replay == [t for t in seen if 10 <= t[0] < 20]
+
+
+def _vt_mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+
+
+def test_versioned_table_batch_face_manifest_planned(spark, tmp_path):
+    """Batch face of the versioned_table connector: reads exactly the
+    CURRENT manifest's files (one InputPartition per file), schema from
+    the manifest header, never a directory listing — files of older
+    versions and uncommitted attempts are invisible."""
+    from otus_cpp_11_spark.ops.versioned import commit_upsert, commit_version
+    from otus_cpp_11_spark.sources import (
+        _VTBatchReader,
+        register_versioned_table_source,
+    )
+
+    tbl = str(tmp_path / "t")
+    commit_version(spark, _vt_mk(spark, 0, 100).repartition(3), tbl)
+    commit_upsert(
+        spark,
+        spark.createDataFrame([(5, "x", 9.9)], "k long, g string, v double"),
+        tbl,
+        ["k"],
+    )
+    register_versioned_table_source(spark)
+    df = spark.read.format("versioned_table").option("path", tbl).load()
+    assert df.count() == 100
+    assert df.where("k = 5").first()["g"] == "x"  # current snapshot, not v1
+    # split plan == manifest file list
+    from otus_cpp_11_spark.ops.versioned import current_version, read_manifest
+
+    _, files = read_manifest(spark, tbl, current_version(spark, tbl))
+    assert len(_VTBatchReader({"path": tbl}).partitions()) == len(files)
+
+
+def test_versioned_table_stream_tails_appends_incrementally(spark, tmp_path):
+    """Streaming face: version-number offsets; a checkpointed drain
+    consumes v1..v2, a later append commits v3, and the SECOND drain on
+    the same checkpoint reads ONLY v3's files — incremental tailing with
+    no loss and no re-delivery across restarts."""
+    from otus_cpp_11_spark.ops.versioned import commit_append, commit_version
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    tbl = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    commit_version(spark, _vt_mk(spark, 0, 100).repartition(2), tbl)
+    commit_append(spark, _vt_mk(spark, 100, 150), tbl)
+    register_versioned_table_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", tbl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    assert drain() == 150  # initial snapshot + first append
+    commit_append(spark, _vt_mk(spark, 150, 175), tbl)
+    assert drain() == 175  # only the 25 new rows were delivered
+    got = spark.read.parquet(out)
+    assert got.select("k").distinct().count() == 175  # no re-delivery
+    assert drain() == 175  # no new commits -> empty batch, no-op
+
+
+def test_versioned_table_stream_change_commit_policy(spark, tmp_path):
+    """A non-append commit rewrites already-streamed rows: the stream
+    refuses it loudly by default; skipChangeCommits=true ignores its
+    file delta and continues with later appends (Delta's contract)."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_upsert,
+        commit_version,
+    )
+    from otus_cpp_11_spark.sources import _VTStreamReader
+
+    tbl = str(tmp_path / "t")
+    commit_version(spark, _vt_mk(spark, 0, 50).repartition(2), tbl)
+    commit_upsert(
+        spark,
+        spark.createDataFrame([(1, "x", 0.0)], "k long, g string, v double"),
+        tbl,
+        ["k"],
+    )
+    commit_append(spark, _vt_mk(spark, 50, 60).coalesce(1), tbl)
+    r = _VTStreamReader({"path": tbl})
+    assert len(r.partitions({"version": 0}, {"version": 1})) == 2
+    with pytest.raises(ValueError, match="upsert"):
+        r.partitions({"version": 1}, {"version": 3})
+    skip = _VTStreamReader({"path": tbl, "skipChangeCommits": "true"})
+    parts = skip.partitions({"version": 1}, {"version": 3})
+    # the upsert's rewrite is skipped; only v3's appended file remains
+    assert len(parts) == 1 and "/c00000003-" in parts[0].path

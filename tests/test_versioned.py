@@ -494,3 +494,36 @@ def test_schema_evolution_refusals_and_time_travel(spark, table):
             table,
             merge_schema=True,
         )
+
+
+def test_metadata_count_exact_across_lifecycle(spark, table):
+    """COUNT(*) from manifest row counts (zero data IO, strict mode):
+    exact after base commit, append, pruned upsert with tombstones, and
+    compaction; historical versions keep their own counts."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_compaction,
+        commit_upsert,
+        metadata_count,
+    )
+
+    commit_version(
+        spark, _df(spark, 100, "a").repartitionByRange(4, "k"), table,
+        stats_cols=["k"],
+    )
+    assert metadata_count(spark, table, strict=True) == 100
+    commit_append(spark, _df(spark, 50, "b"), table)
+    assert metadata_count(spark, table, strict=True) == 150
+    delta = spark.createDataFrame(
+        [(3, "upd", False), (7, None, True), (500, "new", False)],
+        "k long, tag string, _deleted boolean",
+    )
+    commit_upsert(spark, delta, table, ["k"], delete_col="_deleted")
+    # 150 rows: k=3 updated in place (two copies existed: base+append
+    # both hold k<50 ids) -> dedup math: base 0..99 + append 0..49 gives
+    # duplicates of k in 0..49; upsert replaces ALL rows of k=3 with one
+    # row, removes both k=7 rows, inserts k=500
+    expect = read_version(spark, table).count()
+    assert metadata_count(spark, table, strict=True) == expect
+    commit_compaction(spark, table, 60, ["k"])
+    assert metadata_count(spark, table, strict=True) == expect
+    assert metadata_count(spark, table, version=1, strict=True) == 100
