@@ -50,10 +50,16 @@ Crash windows, exhaustively:
 
 What it costs: storage for retained versions (bounded by
 ``vacuum_versions``, which deletes only files no retained manifest
-references) and one ``_commits`` listing per table open. The remaining
-gap to Delta/Iceberg is per-file column stats in the manifest (file
-pruning beyond parquet footers) and multi-writer commit arbitration —
-retry-with-next-number on conflict is a catalog/lock service's job.
+references) and one ``_commits`` listing per table open. Per-file
+column stats and row counts ride in the manifest header (upsert/scan
+pruning, metadata-only COUNT), and APPENDS get optimistic-concurrency
+retry (``commit_append(max_retries=...)`` — two appends never conflict
+logically, only on the version number, so the loser re-stages its
+manifest against the new parent without rewriting data). The remaining
+gap to Delta/Iceberg is conflict RESOLUTION for non-append commits —
+an upsert losing a race must redo its pruning against the new parent,
+which is a semantic decision this module surfaces as ``CommitConflict``
+rather than guessing.
 """
 
 from __future__ import annotations
@@ -71,6 +77,14 @@ from otus_cpp_11_spark.ops.lakehouse import _hadoop_fs, list_data_files
 _COMMITS = "_commits"
 _DATA = "_data"
 _MARKER = re.compile(r"^(\d{8})$")
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent committer claimed the version number this commit
+    attempted. The winner's snapshot is intact; the loser's data files
+    are unreferenced garbage (vacuumable). Appends may retry blindly
+    (``commit_append(max_retries=...)``); other commit kinds must
+    re-read the new current version and redo their work against it."""
 
 
 def _jp(spark: SparkSession, *parts: str):
@@ -270,7 +284,7 @@ def _claim_commit(
     if not fs.rename(tmp, marker):
         fs.delete(tmp, False)
         if fs.exists(marker):
-            raise RuntimeError(
+            raise CommitConflict(
                 f"commit: version {version} of {table!r} was claimed by a "
                 "concurrent committer — versioned tables are single-writer; "
                 "serialize writers through a catalog/lock service (this "
@@ -421,6 +435,7 @@ def commit_append(
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
+    max_retries: int = 0,
 ) -> int:
     """Append commit: the new version = previous manifest's files BY
     REFERENCE + ``df``'s freshly written files. Bytes written scale with
@@ -436,46 +451,102 @@ def commit_append(
     reader's explicit manifest schema fills the missing columns with
     NULL straight from the parquet reader, so evolution is a metadata
     commit, O(delta) like any append. Renames/drops/type changes stay
-    refused: they would reinterpret bytes already committed."""
-    cur = current_version(spark, table)
-    if cur is None:
-        files = _write_data_dir(spark, df, table, 1)
-        stats = _collect_file_stats(spark, table, files, stats_cols or [])
-        return _commit(spark, table, 1, "append", df.schema, files, meta, stats)
-    header, prev_files = read_manifest(spark, table, cur)
-    committed = StructType.fromJson(json.loads(header["schema"]))
-    if merge_schema:
-        have = {f.name: f.dataType for f in df.schema.fields}
-        for f in committed.fields:
-            if f.name not in have or have[f.name].simpleString() != f.dataType.simpleString():
-                raise ValueError(
-                    f"commit_append(merge_schema): evolution is ADDITIVE "
-                    f"only — committed column {f.name!r} "
-                    f"({f.dataType.simpleString()}) must appear unchanged "
-                    f"in the appended data"
+    refused: they would reinterpret bytes already committed.
+
+    ``max_retries`` enables OPTIMISTIC CONCURRENCY for the one commit
+    kind whose semantic merge is trivial (Delta's conflict-resolution
+    insight: two appends never conflict logically, only on the version
+    number). The data is written ONCE; on a marker-claim conflict the
+    loser re-reads the new parent manifest and re-stages a manifest
+    referencing it plus the already-written files — O(1) metadata per
+    retry, no data rewrite. A retry aborts if the interleaved commit
+    changed the table schema (then composition is no longer blind)."""
+    written: list[str] | None = None
+    new_stats: dict = {}
+    validated: str | None = None  # parent schema the write was checked against
+    attempt = 0
+    while True:
+        cur = current_version(spark, table)
+        if cur is None:
+            if written is None:
+                written = _write_data_dir(spark, df, table, 1)
+                new_stats = _collect_file_stats(
+                    spark, table, written, stats_cols or []
                 )
-        new_names = [
-            f.name for f in df.schema.fields if f.name not in committed.names
-        ]
-        df = df.select(*committed.names, *new_names)  # stable column order
-        schema = df.schema
-    else:
-        _require_same_schema(df, header, table, "commit_append")
-        schema = committed
-    new_files = _write_data_dir(spark, df, table, cur + 1)
-    stats = dict(manifest_stats(header))
-    stats.update(_collect_file_stats(spark, table, new_files, stats_cols or []))
-    return _commit(
-        spark,
-        table,
-        cur + 1,
-        "append",
-        schema,
-        prev_files + new_files,
-        meta,
-        stats,
-        rows=manifest_rows(header),
-    )
+                schema = df.schema
+                validated = schema.simpleString()
+            try:
+                return _commit(
+                    spark, table, 1, "append", schema, written, meta, new_stats
+                )
+            except CommitConflict:
+                if attempt >= max_retries:
+                    raise
+                attempt += 1
+                continue
+        header, prev_files = read_manifest(spark, table, cur)
+        committed = StructType.fromJson(json.loads(header["schema"]))
+        if written is not None:
+            # retry after a conflict: appends compose blindly only while
+            # the new parent's schema is one the written files are valid
+            # against — either the schema this write was originally
+            # validated against (merge_schema: the PRE-evolution parent;
+            # the evolved commit schema stays ours), or our own output
+            # schema (the racer made the identical evolution)
+            if committed.simpleString() not in (
+                validated,
+                schema.simpleString(),
+            ):
+                raise CommitConflict(
+                    f"commit_append retry on {table!r}: a concurrent commit "
+                    "changed the table schema; re-validate and re-append"
+                )
+        elif merge_schema:
+            have = {f.name: f.dataType for f in df.schema.fields}
+            for f in committed.fields:
+                if (
+                    f.name not in have
+                    or have[f.name].simpleString() != f.dataType.simpleString()
+                ):
+                    raise ValueError(
+                        f"commit_append(merge_schema): evolution is ADDITIVE "
+                        f"only — committed column {f.name!r} "
+                        f"({f.dataType.simpleString()}) must appear unchanged "
+                        f"in the appended data"
+                    )
+            new_names = [
+                f.name for f in df.schema.fields if f.name not in committed.names
+            ]
+            df = df.select(*committed.names, *new_names)  # stable column order
+            schema = df.schema
+            validated = committed.simpleString()
+        else:
+            _require_same_schema(df, header, table, "commit_append")
+            schema = committed
+            validated = committed.simpleString()
+        if written is None:
+            written = _write_data_dir(spark, df, table, cur + 1)
+            new_stats = _collect_file_stats(
+                spark, table, written, stats_cols or []
+            )
+        stats = dict(manifest_stats(header))
+        stats.update(new_stats)
+        try:
+            return _commit(
+                spark,
+                table,
+                cur + 1,
+                "append",
+                schema,
+                prev_files + written,
+                meta,
+                stats,
+                rows=manifest_rows(header),
+            )
+        except CommitConflict:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
 
 
 def commit_upsert(
@@ -745,8 +816,9 @@ def commit_compaction(
     max_rows_per_file: int,
     cluster_cols: list[str],
     meta: dict | None = None,
+    small_file_rows: int | None = None,
 ) -> int:
-    """OPTIMIZE as a COMMIT: rewrite the current snapshot's data into
+    """OPTIMIZE as a COMMIT: rewrite the selected files' data into
     ceil(rows / max_rows_per_file) files range-clustered on
     ``cluster_cols``, and publish the compacted layout as the next
     version. Rows are untouched — the manifest points at better files.
@@ -757,17 +829,50 @@ def commit_compaction(
     exactly Delta OPTIMIZE's transactionality, which the staging+swap
     `ops.lakehouse.compact_parquet` approximates for unversioned dirs.
 
+    ``small_file_rows`` makes the rewrite SELECTIVE — Delta OPTIMIZE's
+    actual behavior (it packs only files below minFileSize): only files
+    whose recorded row count is under the threshold (or unrecorded —
+    unknown size must be read anyway) are repacked; adequately-sized
+    files are carried by reference, so steady-state compaction cost
+    tracks the small-file debris the ingest created, not the table.
+    With no small files it is an O(1) no-op returning the current
+    version unchanged — safe to run on a schedule.
+
     Clustering + the stats recorded for ``cluster_cols`` are what make
     ``scan_version``/``commit_upsert`` pruning effective: tight
     per-file extents on the columns queries and merges key on. The
-    header records {files_before, files_after, rows} so the bin-packing
-    claim is auditable per commit."""
+    header records {files_before, files_selected, files_after, rows} so
+    the bin-packing claim is auditable per commit."""
     cur = current_version(spark, table)
     if cur is None:
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
     header, prev_files = read_manifest(spark, table, cur)
     schema = StructType.fromJson(json.loads(header["schema"]))
-    df = read_version(spark, table, cur)
+    if small_file_rows is None:
+        selected = list(prev_files)
+    else:
+        rows_map = manifest_rows(header)
+        selected = [
+            f
+            for f in prev_files
+            if f not in rows_map or rows_map[f] < small_file_rows
+        ]
+        if len(selected) < 2 and all(f in rows_map for f in selected):
+            # nothing fragmented — or ONE small file, which bin-packing
+            # cannot merge with anything (rewriting it alone would churn
+            # a version forever on a schedule): scheduled OPTIMIZE no-ops.
+            # Exception: a lone file with NO recorded row count is still
+            # rewritten once — the rewrite records its count, restoring
+            # metadata_count(strict=True) for the table.
+            return cur
+    sel = set(selected)
+    carried = [f for f in prev_files if f not in sel]
+    root = table.rstrip("/")
+    df = (
+        spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in selected])
+        if selected
+        else spark.createDataFrame([], schema)
+    )
     n = df.count()
     n_out = max(1, -(-n // max_rows_per_file))
     packed = (
@@ -777,15 +882,26 @@ def commit_compaction(
         else df.coalesce(1)
     )
     new_files = _write_data_dir(spark, packed, table, cur + 1)
-    stats = _collect_file_stats(spark, table, new_files, cluster_cols)
+    car = set(carried)
+    stats = {f: s for f, s in manifest_stats(header).items() if f in car}
+    stats.update(_collect_file_stats(spark, table, new_files, cluster_cols))
     hdr_meta = dict(meta or {})
     hdr_meta["optimize_io"] = {
         "files_before": len(prev_files),
-        "files_after": len(new_files),
+        "files_selected": len(selected),
+        "files_after": len(carried) + len(new_files),
         "rows": n,
     }
     return _commit(
-        spark, table, cur + 1, "optimize", schema, new_files, hdr_meta, stats
+        spark,
+        table,
+        cur + 1,
+        "optimize",
+        schema,
+        carried + new_files,
+        hdr_meta,
+        stats,
+        rows=manifest_rows(header),
     )
 
 

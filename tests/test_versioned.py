@@ -397,7 +397,12 @@ def test_commit_compaction_accounting_and_time_travel(spark, table):
     assert len(files3) == 12
     v4 = commit_compaction(spark, table, 75, ["k"])
     hdr, files4 = read_manifest(spark, table, v4)
-    assert hdr["optimize_io"] == {"files_before": 12, "files_after": 4, "rows": 300}
+    assert hdr["optimize_io"] == {
+        "files_before": 12,
+        "files_selected": 12,
+        "files_after": 4,
+        "rows": 300,
+    }
     assert hdr["op"] == "optimize"
     assert len(files4) == 4 and not (set(files4) & set(files3))
     assert set(hdr["stats"].keys()) == set(files4)  # clustered extents recorded
@@ -527,3 +532,118 @@ def test_metadata_count_exact_across_lifecycle(spark, table):
     commit_compaction(spark, table, 60, ["k"])
     assert metadata_count(spark, table, strict=True) == expect
     assert metadata_count(spark, table, version=1, strict=True) == 100
+
+
+def test_selective_compaction_packs_only_small_files(spark, table):
+    """small_file_rows makes OPTIMIZE selective (Delta's minFileSize
+    behavior): adequately-sized files are carried by reference, only the
+    ingest debris is repacked, and a second run with no remaining small
+    files is an O(1) no-op returning the current version."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_compaction,
+        metadata_count,
+    )
+
+    commit_version(
+        spark, _df(spark, 1000, "big").coalesce(1), table, stats_cols=["k"]
+    )
+    for i in range(3):
+        commit_append(
+            spark,
+            spark.range(1000 + i * 10, 1010 + i * 10)
+            .select(F.col("id").alias("k"), F.lit("s").alias("tag"))
+            .coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    _, files4 = read_manifest(spark, table, 4)
+    assert len(files4) == 4  # 1 big + 3 small
+    v5 = commit_compaction(spark, table, 500, ["k"], small_file_rows=500)
+    hdr, files5 = read_manifest(spark, table, v5)
+    assert hdr["optimize_io"] == {
+        "files_before": 4,
+        "files_selected": 3,
+        "files_after": 2,
+        "rows": 30,
+    }
+    big = [f for f in files4 if f in set(files5)]
+    assert len(big) == 1  # the 1000-row file carried by reference
+    assert read_version(spark, table).count() == 1030
+    assert metadata_count(spark, table, strict=True) == 1030
+    # steady state: nothing small remains -> no-op, no new version
+    assert commit_compaction(spark, table, 500, ["k"], small_file_rows=500) == v5
+    assert current_version(spark, table) == v5
+
+
+def test_append_optimistic_retry_composes_without_data_rewrite(spark, table):
+    """Optimistic concurrency for appends: a loser of the marker race
+    re-stages its manifest against the NEW parent, reusing its
+    already-written data files (no rewrite); the final table holds both
+    writers' rows exactly once. Forged by letting the appender read a
+    STALE current_version while the winner's commit already exists."""
+    from unittest import mock
+
+    import otus_cpp_11_spark.ops.versioned as V
+
+    commit_version(spark, _df(spark, 10, "base"), table)
+    commit_append(spark, _df(spark, 5, "winner"), table)  # v2: the winner
+    real_cv = V.current_version
+    calls = {"n": 0}
+
+    def stale_once(s, t):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real_cv(s, t)
+
+    loser_rows = spark.range(100, 107).select(
+        F.col("id").alias("k"), F.lit("loser").alias("tag")
+    )
+    with mock.patch.object(V, "current_version", side_effect=stale_once):
+        v = V.commit_append(spark, loser_rows, table, max_retries=2)
+    assert v == 3
+    cur = read_version(spark, table)
+    assert cur.count() == 22  # 10 + 5 + 7, nothing lost or doubled
+    assert cur.where("tag = 'loser'").count() == 7
+    _, files2 = read_manifest(spark, table, 2)
+    _, files3 = read_manifest(spark, table, 3)
+    assert set(files2) < set(files3)  # winner's files carried by reference
+    # loser's files appear ONCE (no duplicate write from the retry)
+    assert len(files3) == len(set(files3))
+    # and with max_retries=0 the same race raises CommitConflict
+    calls["n"] = 0
+    with mock.patch.object(V, "current_version", side_effect=stale_once):
+        with pytest.raises(V.CommitConflict):
+            V.commit_append(spark, loser_rows, table, max_retries=0)
+
+def test_append_retry_with_merge_schema_composes_against_old_parent(spark, table):
+    """merge_schema + max_retries: the loser validated its ADDITIVE
+    evolution against a pre-race parent; a same-schema append winning the
+    race does NOT invalidate that evolution, so the retry must compose
+    (commit the evolved schema against the new parent) rather than
+    misreport a phantom concurrent schema change."""
+    from unittest import mock
+
+    import otus_cpp_11_spark.ops.versioned as V
+
+    commit_version(spark, _df(spark, 10, "base"), table)
+    commit_append(spark, _df(spark, 5, "winner"), table)  # v2, same schema
+    real_cv = V.current_version
+    calls = {"n": 0}
+
+    def stale_once(s, t):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real_cv(s, t)
+
+    evolved = spark.range(200, 204).select(
+        F.col("id").alias("k"),
+        F.lit("evolved").alias("tag"),
+        F.lit(1.5).alias("score"),
+    )
+    with mock.patch.object(V, "current_version", side_effect=stale_once):
+        v = V.commit_append(spark, evolved, table, merge_schema=True, max_retries=2)
+    assert v == 3
+    cur = read_version(spark, table)
+    assert cur.count() == 19  # 10 + 5 + 4
+    assert cur.columns == ["k", "tag", "score"]
+    # pre-evolution rows read NULL for the added column; evolved rows keep it
+    assert cur.where("score IS NULL").count() == 15
+    assert cur.where("tag = 'evolved' AND score = 1.5").count() == 4
