@@ -55,11 +55,14 @@ column stats and row counts ride in the manifest header (upsert/scan
 pruning, metadata-only COUNT), and APPENDS get optimistic-concurrency
 retry (``commit_append(max_retries=...)`` — two appends never conflict
 logically, only on the version number, so the loser re-stages its
-manifest against the new parent without rewriting data). The remaining
-gap to Delta/Iceberg is conflict RESOLUTION for non-append commits —
-an upsert losing a race must redo its pruning against the new parent,
-which is a semantic decision this module surfaces as ``CommitConflict``
-rather than guessing.
+manifest against the new parent without rewriting data). MERGEs get
+Delta's read-set/write-set conflict RESOLUTION
+(``commit_upsert(max_retries=...)``): a losing merge recommits without
+redoing work iff every file it rewrote is still referenced and the
+interleaved commits added nothing whose key extents may contain its
+merge keys; anything unprovable raises ``CommitConflict`` and the
+merge must be redone against the new parent — correctness is never
+inferred from absence of stats.
 """
 
 from __future__ import annotations
@@ -191,11 +194,23 @@ def _write_data_dir(
 ) -> list[str]:
     """Write ``df``'s files into a fresh writer-unique data dir; return
     their table-relative paths. The uuid suffix is what makes concurrent
-    attempts at the same version number physically disjoint."""
+    attempts at the same version number physically disjoint.
+
+    ZERO-ROW files are left out of the returned list (Delta does the
+    same): Spark's writer emits a schema-only file for an empty task,
+    and referencing it would bloat every manifest, scan plan, and —
+    critically — the upsert retry's added-file overlap check, where a
+    stats-less empty file reads as 'may contain anything'. A write
+    whose files are ALL empty keeps one, so empty commits stay
+    readable. Footer row counts are metadata-only IO over the new
+    files; an unreadable footer (None) counts as non-empty — never
+    drop what we cannot prove empty."""
     token = uuid.uuid4().hex[:8]
     ddir = f"{table.rstrip('/')}/{_DATA}/c{version:08d}-{token}"
     df.write.parquet(ddir)
-    return [_relativize(p) for p, _ in list_data_files(spark, ddir)]
+    files = [_relativize(p) for p, _ in list_data_files(spark, ddir)]
+    nonempty = [f for f in files if _footer_rows(table, f) != 0]
+    return nonempty or files[:1]
 
 
 def _stats_safe(v):
@@ -558,6 +573,7 @@ def commit_upsert(
     meta: dict | None = None,
     merge_fn=None,
     stats_cols: list[str] | None = None,
+    max_retries: int = 0,
 ) -> int:
     """Keyed MERGE commit with file-level pruning — the Delta ``MERGE
     INTO`` shape: rows of ``df`` replace the stored rows with matching
@@ -595,7 +611,22 @@ def commit_upsert(
     candidate set collapses to the files the batch actually overlaps,
     which is exactly why OPTIMIZE clusters on the merge key. The commit
     header records ``upsert_io`` = {prev_files, candidates, touched} so
-    the pruning claim is auditable per commit."""
+    the pruning claim is auditable per commit.
+
+    ``max_retries`` enables Delta's MERGE conflict RESOLUTION: a loser
+    of the version-number race may recommit WITHOUT redoing its merge
+    iff the interleaved commit(s) provably did not invalidate what it
+    read — the same read-set/write-set check Delta's commit service
+    runs. Concretely, the retry composes when (a) the schema is
+    unchanged, (b) every file this merge REWROTE is still referenced
+    by the new parent (nobody else rewrote our read set), and (c)
+    every file the interleaved commits ADDED carries manifest extents
+    on the merge keys provably disjoint from this delta's key range
+    (no matched key could hide in data we never read). Any doubt —
+    missing stats, overlapping extents, a touched file gone — raises
+    ``CommitConflict``: correctness over convenience, the merge must
+    be redone against the new parent. On success the restage is O(1)
+    metadata; the rewritten files are reused, never rewritten."""
     cur = current_version(spark, table)
     not_tombstone = (
         ~F.coalesce(F.col(delete_col), F.lit(False)) if delete_col else None
@@ -611,8 +642,22 @@ def commit_upsert(
             )
         files = _write_data_dir(spark, inserts, table, 1)
         stats = _collect_file_stats(spark, table, files, scols)
-        return _commit(
-            spark, table, 1, "upsert", inserts.schema, files, meta, stats
+        return _commit_upsert_retrying(
+            spark,
+            table,
+            df,
+            keys,
+            inserts.schema,
+            touched=set(),
+            based_files=[],
+            new_files=files,
+            new_file_stats=stats,
+            hdr_meta=dict(meta or {}),
+            files_out=files,
+            stats_out=stats,
+            rows_out={},
+            target=1,
+            max_retries=max_retries,
         )
     header, prev_files = read_manifest(spark, table, cur)
     inserts = df.where(not_tombstone).drop(delete_col) if delete_col else df
@@ -672,25 +717,137 @@ def commit_upsert(
         replacement if survivors is None else survivors.unionByName(replacement)
     )
     new_files = _write_data_dir(spark, new_rows, table, cur + 1)
+    new_file_stats = _collect_file_stats(spark, table, new_files, scols)
     stats = {f: s for f, s in prev_stats.items() if f not in touched}
-    stats.update(_collect_file_stats(spark, table, new_files, scols))
+    stats.update(new_file_stats)
     hdr_meta = dict(meta or {})
     hdr_meta["upsert_io"] = {
         "prev_files": len(prev_files),
         "candidates": len(candidates),
         "touched": len(touched),
     }
-    return _commit(
+    return _commit_upsert_retrying(
         spark,
         table,
-        cur + 1,
-        "upsert",
+        df,
+        keys,
         schema,
-        untouched + new_files,
-        hdr_meta,
-        stats,
-        rows=manifest_rows(header),
+        touched=touched,
+        based_files=prev_files,
+        new_files=new_files,
+        new_file_stats=new_file_stats,
+        hdr_meta=hdr_meta,
+        files_out=untouched + new_files,
+        stats_out=stats,
+        rows_out=manifest_rows(header),
+        target=cur + 1,
+        max_retries=max_retries,
     )
+
+
+def _commit_upsert_retrying(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    keys: list[str],
+    schema: StructType,
+    *,
+    touched: set,
+    based_files: list[str],
+    new_files: list[str],
+    new_file_stats: dict,
+    hdr_meta: dict,
+    files_out: list[str],
+    stats_out: dict,
+    rows_out: dict,
+    target: int,
+    max_retries: int,
+) -> int:
+    """Commit an already-performed merge, resolving version-number
+    conflicts by Delta's read-set/write-set rule (see ``commit_upsert``
+    docstring): the restage reuses the merge's written files and is
+    valid only when the interleaved commits left every touched file in
+    place and added nothing that may contain a merge key. ``df`` is the
+    ORIGINAL delta (tombstones included — a delete composes with an
+    interleaved insert of the same key no better than an update does);
+    its key range is aggregated lazily, only when a conflict actually
+    produces added files to test."""
+    attempt = 0
+    rng: dict | None = None  # lazy {key: (lo, hi)} over the delta
+    while True:
+        try:
+            return _commit(
+                spark,
+                table,
+                target,
+                "upsert",
+                schema,
+                files_out,
+                hdr_meta,
+                stats_out,
+                rows=rows_out,
+            )
+        except CommitConflict:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
+        newcur = current_version(spark, table)
+        nheader, nfiles = read_manifest(spark, table, newcur)
+        ncommitted = StructType.fromJson(json.loads(nheader["schema"]))
+        if ncommitted.simpleString() != schema.simpleString():
+            raise CommitConflict(
+                f"commit_upsert retry on {table!r}: a concurrent commit "
+                "changed the table schema; redo the merge against version "
+                f"{newcur}"
+            )
+        nset = set(nfiles)
+        if not touched <= nset:
+            raise CommitConflict(
+                f"commit_upsert retry on {table!r}: a concurrent commit "
+                "rewrote or removed files this merge had rewritten (write-"
+                f"write conflict); redo the merge against version {newcur}"
+            )
+        added = [f for f in nfiles if f not in set(based_files)]
+        if added:
+            if rng is None:
+                aggs = []
+                for i, k in enumerate(keys):
+                    aggs.append(F.min(k).alias(f"__lo{i}"))
+                    aggs.append(F.max(k).alias(f"__hi{i}"))
+                b = df.select(*keys).agg(*aggs).collect()[0]
+                rng = {
+                    k: (
+                        _stats_safe(b[f"__lo{i}"]),
+                        _stats_safe(b[f"__hi{i}"]),
+                    )
+                    for i, k in enumerate(keys)
+                }
+            nstats = manifest_stats(nheader)
+            nrows = manifest_rows(nheader)
+            for f in added:
+                if nrows.get(f) == 0:
+                    continue  # physically empty: cannot contain any key
+                if all(
+                    _extent_overlaps(nstats.get(f), k, rng[k][0], rng[k][1])
+                    for k in keys
+                ):
+                    raise CommitConflict(
+                        f"commit_upsert retry on {table!r}: a concurrent "
+                        f"commit added file {f!r} whose key extents may "
+                        "contain this merge's keys (or carries no extents "
+                        "to prove otherwise); redo the merge against "
+                        f"version {newcur}"
+                    )
+        # compose: the new parent minus this merge's rewrites, plus the
+        # replacement files already written — O(1) metadata, no data IO
+        based_files = nfiles
+        files_out = [f for f in nfiles if f not in touched] + new_files
+        stats_out = {
+            f: s for f, s in manifest_stats(nheader).items() if f not in touched
+        }
+        stats_out.update(new_file_stats)
+        rows_out = manifest_rows(nheader)
+        target = newcur + 1
 
 
 def vacuum_versions(

@@ -1019,3 +1019,71 @@ def versioned_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_versioned_ingest_streamed",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MAX(event_id) AS max_event_id,
+       {dsum_sql('value', 2)} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_versioned_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table as a STREAMING SINK
+    (streaming.append_stream_to_versioned) — the other half of the pipe
+    ``versioned_stream_rollup`` proves: a Structured Streaming job lands
+    each micro-batch as an APPEND COMMIT (batch id in the commit header
+    = exactly-once across foreachBatch retries), producing the manifest
+    log the ``versioned_table`` streaming SOURCE tails. The changelog is
+    re-sharded to 4 files and streamed with maxFilesPerTrigger=1, so the
+    ingest genuinely exercises multiple commits (asserted: final version
+    >= 2 and metadata-only COUNT == table count). The rollup of the
+    CURRENT VERSION must equal the oracle's batch aggregate over the raw
+    table — micro-batched versioned ingest loses and duplicates
+    nothing.
+
+    At 100 TB this is the write half of the ingest fan-out: one
+    streaming writer commits O(batch) bytes + one manifest rename per
+    trigger (sink cost flat in table size), per-file event_id extents
+    land in the manifest for downstream scan pruning, and every
+    downstream pipeline — batch time travel, metadata COUNT, streaming
+    tail — reads the same committed log."""
+    from otus_cpp_11_spark.ops.versioned import (
+        current_version,
+        metadata_count,
+        read_version,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+    from otus_cpp_11_spark.streaming import append_stream_to_versioned
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = scratch_dir("sg-vsink-") + "/changelog"
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src[:-1]}[{src[-1]}]")
+    )
+    tbl = scratch_dir("sg-vsink-") + "/events_versioned"
+    q = append_stream_to_versioned(stream, tbl, stats_cols=["event_id"])
+    q.awaitTermination()
+    cur = current_version(spark, tbl)
+    assert cur is not None and cur >= 2, f"expected multi-commit ingest, got {cur}"
+    out = read_version(spark, tbl)
+    assert metadata_count(spark, tbl, strict=True) == out.count()
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").alias("max_event_id"),
+            dsum(F.col("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -55,6 +55,7 @@ __all__ = [
     "datacard_delta",
     "incremental_datacard",
     "cdc_upsert_user_state",
+    "append_stream_to_versioned",
     "incremental_scd2_history",
 ]
 
@@ -664,6 +665,90 @@ def cdc_upsert_user_state(
 
     return (
         events_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def append_stream_to_versioned(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint: str | None = None,
+    stats_cols: list[str] | None = None,
+    keep_versions: int | None = None,
+):
+    """Versioned-table SINK: commit every micro-batch as an APPEND
+    version of an ops.versioned manifest table — the Delta
+    ``writeStream.format("delta")`` shape, closing the loop with the
+    ``versioned_table`` streaming SOURCE (sources.py), which tails
+    exactly these append commits by version number. Together they form
+    a versioned pipe: one job appends micro-batches as versions, a
+    downstream job streams them with exactly-once offsets, and batch
+    readers time-travel the same table.
+
+    Exactly-once is the commit-header trick the CDC maintainer proved:
+    the batch id rides in the commit header, so data + marker + batch id
+    publish in ONE atomic rename. A foreachBatch retry of a committed
+    batch (crash after commit, before checkpoint write) reads the
+    current header and no-ops. Appends compose, so the sink also passes
+    ``max_retries`` — if some OTHER writer (a scheduled OPTIMIZE, a
+    backfill append) interleaves a commit, the batch re-stages its
+    manifest without rewriting data instead of dying.
+
+    Empty micro-batches are skipped — no version churn from idle
+    triggers (Delta does the same for empty transactions).
+
+    ``keep_versions=None`` keeps every version: an append-only ingest's
+    history is usually the point (time travel to any watermark). Pass a
+    number to vacuum markers beyond that horizon after each commit.
+
+    Scale: per batch, one O(delta) parquet write + one manifest rename;
+    per-file extents for ``stats_cols`` recorded at write time feed
+    downstream ``scan_version`` pruning and metadata-only COUNT. The
+    table never rewrites old data, so sink cost is flat in table size."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        current_version,
+        vacuum_versions,
+        version_header,
+    )
+
+    spark = stream_df.sparkSession
+    if checkpoint is None:
+        if current_version(spark, target_path) is not None:
+            raise ValueError(
+                f"target {target_path!r} already has commits but no "
+                "persistent checkpoint was given: a fresh checkpoint "
+                "restarts batch ids at 0, so the header marker cannot "
+                "tell a foreachBatch retry from a re-run (data would be "
+                "dropped or double-appended). Pass the checkpoint the "
+                "table was built with, or use a fresh target."
+            )
+        checkpoint = scratch_dir("sg-ckpt-")
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        cur = current_version(bspark, target_path)
+        if cur is not None:
+            applied = version_header(bspark, target_path, cur).get("batch_id")
+            if applied is not None and applied >= batch_id:
+                return  # retry of an already-committed batch: no-op
+        if batch_df.isEmpty():
+            return
+        commit_append(
+            bspark,
+            batch_df,
+            target_path,
+            meta={"batch_id": batch_id},
+            stats_cols=stats_cols,
+            max_retries=2,
+        )
+        if keep_versions is not None:
+            vacuum_versions(bspark, target_path, keep_last=keep_versions)
+
+    return (
+        stream_df.writeStream.foreachBatch(append)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

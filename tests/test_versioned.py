@@ -647,3 +647,143 @@ def test_append_retry_with_merge_schema_composes_against_old_parent(spark, table
     # pre-evolution rows read NULL for the added column; evolved rows keep it
     assert cur.where("score IS NULL").count() == 15
     assert cur.where("tag = 'evolved' AND score = 1.5").count() == 4
+
+def _stale_cv(V, stale_value, n_stale=1):
+    """Side-effect fn: current_version returns ``stale_value`` for the
+    first ``n_stale`` calls, then delegates to the real implementation —
+    forging the read-stale-then-race shape of a commit conflict."""
+    real_cv = V.current_version
+    calls = {"n": 0}
+
+    def f(s, t):
+        calls["n"] += 1
+        return stale_value if calls["n"] <= n_stale else real_cv(s, t)
+
+    return f
+
+
+def test_upsert_retry_composes_when_interleaved_commit_is_disjoint(spark, table):
+    """Delta's MERGE conflict resolution: a losing upsert recommits
+    WITHOUT redoing its merge when the interleaved commit only added
+    files whose key extents are provably disjoint from the merge keys.
+    The rewritten files are reused — no data rewrite on restage."""
+    from unittest import mock
+
+    import otus_cpp_11_spark.ops.versioned as V
+
+    commit_version(spark, _df(spark, 100, "base"), table, stats_cols=["k"])
+    # winner: append keys 200-209, disjoint from the loser's 10-19
+    commit_append(
+        spark,
+        spark.range(200, 210).select(F.col("id").alias("k"), F.lit("win").alias("tag")),
+        table,
+        stats_cols=["k"],
+    )
+    delta = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("upd").alias("tag")
+    )
+    with mock.patch.object(V, "current_version", side_effect=_stale_cv(V, 1)):
+        v = V.commit_upsert(spark, delta, table, ["k"], max_retries=2)
+    assert v == 3
+    cur = read_version(spark, table)
+    assert cur.count() == 110  # 100 base (10 updated in place) + 10 appended
+    assert cur.where("tag = 'upd'").count() == 10
+    assert cur.where("tag = 'win'").count() == 10
+    # the winner's appended file is carried by reference in v3
+    _, files2 = read_manifest(spark, table, 2)
+    _, files3 = read_manifest(spark, table, 3)
+    winner_files = [f for f in files2 if f in set(files3)]
+    assert winner_files  # not rewritten
+    # and with max_retries=0 the same race raises
+    with mock.patch.object(V, "current_version", side_effect=_stale_cv(V, 1)):
+        with pytest.raises(V.CommitConflict):
+            V.commit_upsert(spark, delta, table, ["k"], max_retries=0)
+
+
+def test_upsert_retry_aborts_on_key_overlap_or_missing_stats(spark, table):
+    """The retry refuses to compose when the interleaved commit's added
+    files MAY contain a merge key: overlapping extents, or no recorded
+    extents at all (absence of stats is never treated as proof)."""
+    from unittest import mock
+
+    import otus_cpp_11_spark.ops.versioned as V
+
+    commit_version(spark, _df(spark, 100, "base"), table, stats_cols=["k"])
+    # interleaved append whose keys OVERLAP the merge's 10-19 range
+    commit_append(
+        spark,
+        spark.range(15, 25).select(F.col("id").alias("k"), F.lit("win").alias("tag")),
+        table,
+        stats_cols=["k"],
+    )
+    delta = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("upd").alias("tag")
+    )
+    with mock.patch.object(V, "current_version", side_effect=_stale_cv(V, 1)):
+        with pytest.raises(V.CommitConflict, match="may contain"):
+            V.commit_upsert(spark, delta, table, ["k"], max_retries=2)
+    # fresh table: disjoint-keyed append but committed WITHOUT stats —
+    # nothing proves disjointness, so the retry must abort too
+    tbl2 = table + "_nostats"
+    commit_version(spark, _df(spark, 100, "base"), tbl2, stats_cols=["k"])
+    commit_append(
+        spark,
+        spark.range(200, 210).select(F.col("id").alias("k"), F.lit("win").alias("tag")),
+        tbl2,
+    )  # no stats_cols: added file carries no extents
+    with mock.patch.object(V, "current_version", side_effect=_stale_cv(V, 1)):
+        with pytest.raises(V.CommitConflict, match="may contain"):
+            V.commit_upsert(spark, delta, tbl2, ["k"], max_retries=2)
+
+
+def test_upsert_retry_aborts_on_write_write_conflict(spark, table):
+    """If the interleaved commit rewrote a file this merge also rewrote
+    (both merges touched the same keys' files), the loser's read is
+    stale — the retry must raise, never silently drop the winner's
+    update."""
+    from unittest import mock
+
+    import otus_cpp_11_spark.ops.versioned as V
+
+    commit_version(spark, _df(spark, 100, "base").coalesce(1), table, stats_cols=["k"])
+    # winner: upsert key 12 — rewrites the (single) file holding 10-19
+    commit_upsert(
+        spark,
+        spark.createDataFrame([(12, "win")], "k long, tag string"),
+        table,
+        ["k"],
+        stats_cols=["k"],
+    )
+    delta = spark.range(10, 20).select(
+        F.col("id").alias("k"), F.lit("upd").alias("tag")
+    )
+    with mock.patch.object(V, "current_version", side_effect=_stale_cv(V, 1)):
+        with pytest.raises(V.CommitConflict, match="write-write"):
+            V.commit_upsert(spark, delta, table, ["k"], max_retries=2)
+
+
+def test_upsert_retry_into_created_table_composes_when_disjoint(spark, table):
+    """Empty-table race: the loser believed the table had no commits
+    while a winner created v1. With disjoint, stats-proven keys the
+    loser's initial write composes as v2 (its files become plain
+    inserts); with overlapping keys it must raise."""
+    from unittest import mock
+
+    import otus_cpp_11_spark.ops.versioned as V
+
+    commit_version(spark, _df(spark, 50, "win"), table, stats_cols=["k"])  # v1: keys 0-49
+    delta = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit("new").alias("tag")
+    )
+    with mock.patch.object(V, "current_version", side_effect=_stale_cv(V, None)):
+        v = V.commit_upsert(spark, delta, table, ["k"], stats_cols=["k"], max_retries=2)
+    assert v == 2
+    cur = read_version(spark, table)
+    assert cur.count() == 60
+    assert cur.where("tag = 'new'").count() == 10
+    overlap = spark.range(40, 45).select(
+        F.col("id").alias("k"), F.lit("new").alias("tag")
+    )
+    with mock.patch.object(V, "current_version", side_effect=_stale_cv(V, None)):
+        with pytest.raises(V.CommitConflict, match="may contain"):
+            V.commit_upsert(spark, overlap, table, ["k"], max_retries=2)
