@@ -124,6 +124,139 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_SCALE = 10**12  # PageRank fixed-point unit (1.0 == 1e12 units)
+PR_TELE_NUM = 15 * PR_SCALE // 100  # damping 0.85: teleport numerator
+
+# Single-generation cache for the PageRank edge relation (referenced by
+# all three iterations of the returned LAZY plan, so it can't be
+# unpersisted inside the call) — the dedup-cache pattern: each call
+# evicts the previous call's cache, bounding retention at one generation.
+_pr_cache: list[DataFrame] = []
+
+
+def _pr_cached(df: DataFrame) -> DataFrame:
+    while _pr_cache:
+        try:
+            _pr_cache.pop().unpersist(blocking=True)
+        except Exception:
+            pass  # previous session stopped; nothing retained
+    c = df.cache()
+    _pr_cache.append(c)
+    return c
+
+
+@register(
+    "part_pagerank_fixedpoint",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb
+  HAVING COUNT(*) >= {COPURCHASE_MIN}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+tele AS (SELECT {PR_TELE_NUM} // n AS t FROM nn WHERE n > 0),
+r0 AS (SELECT src AS node, {PR_SCALE} // n AS rank FROM deg, nn),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST(MIN(tele.t) + SUM((r.rank * 85) // (d.deg * 100)) AS BIGINT) AS rank
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src CROSS JOIN tele
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST(MIN(tele.t) + SUM((r.rank * 85) // (d.deg * 100)) AS BIGINT) AS rank
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src CROSS JOIN tele
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         CAST(MIN(tele.t) + SUM((r.rank * 85) // (d.deg * 100)) AS BIGINT) AS rank
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src CROSS JOIN tele
+  GROUP BY e.dst
+)
+SELECT node AS part_id, rank AS rank_units FROM r3 ORDER BY part_id
+""",
+)
+def part_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the co-purchase part
+    graph — the canonical iterative graph algorithm, joining the CC
+    fixpoint / k-means step / power iteration in the iterative family.
+    Nodes are parts; undirected edges are pairs sharing >= 3 orders (the
+    ``copurchase_part_pairs`` relation, both directions), so every node
+    has in-degree >= 1 and no dangling-mass term is needed.
+
+    EXACT cross-engine determinism is the design constraint: float
+    PageRank sums contributions in shuffle order and drifts in the last
+    ulp, so ranks ride as BIGINT fixed-point units (1.0 == 1e12) and
+    every step is integer arithmetic — contribution = div(rank * 85,
+    deg * 100), teleport = div(15e10-scaled constant, N) — with BIGINT
+    SUM exact and order-independent. Spark's ``div`` and DuckDB's ``//``
+    both truncate non-negative integers identically, so the oracle's
+    three unrolled CTE iterations reproduce the Spark loop bit-for-bit
+    (the same fixed-point discipline every dsum-style oracle here uses).
+
+    Plan: the edge list is built once (per-key quadratic self-join on
+    l_orderkey, bounded by ~7 lines/order), degree is joined into it
+    once, and each iteration is ONE shuffle: join ranks to edges on src
+    (edge-sized, partial-aggregated) then hash-aggregate on dst. At
+    100 TB the edges would be bucketed on src so the per-iteration join
+    is co-located and only the dst aggregation shuffles; rank state is
+    node-sized, never edge-sized, across iterations. The N scalar is
+    the 1-scalar collect the zorder-bounds precedent allows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= COPURCHASE_MIN)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edge list + sender degree, built once and reused every iteration
+    edges_deg = _pr_cached(edges.join(deg, "src"))
+    n = deg.count()  # 1-scalar collect: node count
+    if n == 0:  # degenerate corpus: no qualifying pairs -> empty ranking
+        return spark.createDataFrame([], "part_id bigint, rank_units bigint")
+    tele = PR_TELE_NUM // n
+    rank = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE // n).alias("rank")
+    )
+    for _ in range(3):
+        rank = (
+            edges_deg.join(rank, edges_deg.src == rank.node)
+            .select(
+                F.col("dst"),
+                F.expr("div(rank * 85, deg * 100)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg((F.lit(tele) + F.sum("c")).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return rank.select(
+        F.col("node").alias("part_id"), F.col("rank").alias("rank_units")
+    ).orderBy("part_id")
+
+
 @register(
     "event_type_transitions",
     oracle="""

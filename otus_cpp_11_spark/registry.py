@@ -150,6 +150,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "label_whitening_residuals": "156309353abe",
     "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
+    "lineitem_profile": "be479a6b9360",
     "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
     "minhash_estimate_accuracy": "d049fca2dea7",
@@ -286,9 +287,9 @@ REVERIFY: frozenset[str] = frozenset({
     "label_centroids",
     "lineitem_measures_unpivot",
     "lineitem_price_qty_corr",
-    "lineitem_profile",
-    # lineitem_qty_histogram yielded its slot (pin restored) to the
-    # mid-round events_versioned_ingest_streamed, keeping the window at 50
+    # lineitem_profile and lineitem_qty_histogram yielded their slots
+    # (pins restored) to the mid-round events_versioned_ingest_streamed
+    # and part_pagerank_fixedpoint, keeping the window at exactly 50
     "lsh_cosine_top5",
     "lsh_cosine_top5_multiprobe",
     "nation_richest_customer",
