@@ -582,3 +582,95 @@ def source_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_bpe_roundtrip",
+    oracle="""
+SELECT doc_id,
+       ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+'), ' ') AS detok_text,
+       CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS BIGINT) AS n_words
+FROM documents
+WHERE LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) > 0
+ORDER BY doc_id
+""",
+)
+def doc_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ROUNDTRIP: encode every document to token IDs under the
+    frozen 1024-rule table, then DECODE the IDs back to text — through
+    the id->token map only, never peeking at the encoder's token
+    strings — and return the detokenized corpus. The oracle never runs
+    the tokenizer: it is the bare normalization identity (lowercased
+    [a-z]+ words, space-joined), so the cross-engine hash match is the
+    end-to-end proof that encode -> id-assign -> decode is LOSSLESS on
+    the normalized corpus (BPE tokens partition each word's characters;
+    ids are a bijection over the token vocabulary). This is the
+    inspection/eval path a training pipeline needs from its materialized
+    token-ID shards (``doc_bpe_token_ids``) — if you cannot decode the
+    shard, you cannot audit it.
+
+    Plan: corpus-sized work is the one positional word explode + one
+    vocab join (the ``doc_bpe_token_ids`` budget); encode, rank/id
+    assignment, id inversion, and per-word decode all run on VOCAB-sized
+    relations. Decode order rides explicit position columns (token pos
+    within word, word pos within doc) — shuffle- and retry-
+    deterministic, never row order. At 100 TB the id->token map is the
+    bounded vocabulary relation every tokenizer job already holds."""
+    d = load_table(spark, sf_dir, "documents")
+    words_pos = spread(d).select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("pos", "word"),
+    )
+    wc, enc = _corpus_vocab(spark, sf_dir)
+    tok = enc.join(wc, "word").select("n_occ", F.explode("toks").alias("token"))
+    w_rank = Window.orderBy(F.desc("total"), F.asc("token"))
+    ranks = (
+        tok.groupBy("token")
+        .agg(F.sum("n_occ").alias("total"))
+        .select("token", F.row_number().over(w_rank).alias("id"))
+    )
+    enc_pos = enc.select("word", F.posexplode("toks").alias("tpos", "token"))
+    word_ids = (
+        enc_pos.join(ranks, "token")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "id"))),
+                lambda s: s["id"],
+            ).alias("ids")
+        )
+    )
+    # DECODE: ids -> tokens through the inverted rank map, reassembled in
+    # position order; the encoder's token strings are deliberately out of
+    # reach from here on
+    decoded = (
+        word_ids.select("word", F.posexplode("ids").alias("dpos", "id"))
+        .join(ranks.select("id", "token"), "id")
+        .groupBy("word")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dpos", "token"))),
+                    lambda s: s["token"],
+                ),
+            ).alias("detok_word")
+        )
+    )
+    return (
+        words_pos.join(decoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "detok_word"))),
+                    lambda s: s["detok_word"],
+                ),
+            ).alias("detok_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )

@@ -146,6 +146,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "incremental_near_dup": "106378cb3ab8",
     "ivf_pq_top5": "984566e4c151",
     "knn_join_lsh_top3": "635fe257dd5a",
+    "kmeans_assign_update": "1957709e4ad9",
     "knn_recall_at_3": "c88e0a7440fb",
     "label_whitening_residuals": "156309353abe",
     "latest_event_per_user": "256c7a2b2007",
@@ -283,7 +284,8 @@ REVERIFY: frozenset[str] = frozenset({
     "events_tumbling_5min",
     "events_user_sketches",
     "ivf_cosine_top5",
-    "kmeans_assign_update",
+    # kmeans_assign_update yielded its slot (pin restored) to the
+    # mid-round doc_bpe_roundtrip
     "label_centroids",
     "lineitem_measures_unpivot",
     "lineitem_price_qty_corr",
