@@ -73,7 +73,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from otus_cpp_11_spark.ops.lakehouse import _hadoop_fs, list_data_files
 
@@ -533,7 +533,20 @@ def commit_append(
                 f.name for f in df.schema.fields if f.name not in committed.names
             ]
             df = df.select(*committed.names, *new_names)  # stable column order
-            schema = df.schema
+            # evolved columns are NULLABLE in the committed schema no
+            # matter what the writer's frame claimed: every pre-evolution
+            # row reads NULL for them (Delta marks added columns the same)
+            schema = StructType(
+                [
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        True if f.name in set(new_names) else f.nullable,
+                        f.metadata,
+                    )
+                    for f in df.schema.fields
+                ]
+            )
             validated = committed.simpleString()
         else:
             _require_same_schema(df, header, table, "commit_append")

@@ -140,36 +140,139 @@ def _vt_read_manifest(table: str, version: int):
     return json.loads(lines[0]), lines[1:]
 
 
+def _vt_version_at_timestamp(table: str, ts: float):
+    """Latest version whose commit marker mtime <= ts — Delta's
+    TIMESTAMP AS OF resolution (the marker's creation instant IS the
+    commit instant: data + manifest publish in its one atomic rename).
+    None if no commit is that old."""
+    import os
+    import re as _re
+
+    d = _vt_commits_dir(table)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for n in os.listdir(d):
+        if _re.fullmatch(r"\d{8}", n) and os.path.getmtime(f"{d}/{n}") <= ts:
+            v = int(n)
+            best = v if best is None or v > best else best
+    return best
+
+
+def _vt_parse_ts(raw: str) -> float:
+    """Epoch seconds from an option value: numeric epoch or ISO-8601."""
+    try:
+        return float(raw)
+    except ValueError:
+        import datetime as _dt
+
+        return _dt.datetime.fromisoformat(raw).timestamp()
+
+
+def _vt_opts(options: dict) -> dict:
+    """Lower-cased option keys: Spark hands DataSources a
+    CaseInsensitiveDict, unit tests hand plain dicts — normalize once
+    so both spell options however they like."""
+    return {str(k).lower(): v for k, v in options.items()}
+
+
+def _vt_pinned_version(options: dict):
+    """Resolve versionAsOf / timestampAsOf (mutually exclusive) to a
+    version number, or None for the current snapshot."""
+    options = _vt_opts(options)
+    table = options["path"].rstrip("/")
+    v_opt, t_opt = options.get("versionasof"), options.get("timestampasof")
+    if v_opt is not None and t_opt is not None:
+        raise ValueError(
+            "versioned_table: versionAsOf and timestampAsOf are mutually "
+            "exclusive"
+        )
+    if v_opt is not None:
+        return int(v_opt)
+    if t_opt is not None:
+        ts = _vt_parse_ts(t_opt)
+        v = _vt_version_at_timestamp(table, ts)
+        if v is None:
+            raise ValueError(
+                f"versioned_table: no commit of {table!r} at or before "
+                f"timestampAsOf={t_opt!r} (earliest commit is newer)"
+            )
+        return v
+    return None
+
+
 class _VTFile(InputPartition):
     def __init__(self, path: str):
         self.path = path
 
 
-def _vt_read_file(partition: _VTFile):
+def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
+    """Executor-side file read, ALIGNED to the snapshot's declared
+    schema: additive evolution means older files legitimately lack the
+    newer columns (padded with NULL — the same fill ops.versioned.
+    read_version gets from Spark's parquet reader) and, on a long-lived
+    stream, newer files may carry columns the stream's fixed schema
+    predates (projected away). Column order follows the declaration."""
     import pyarrow.parquet as pq
 
-    yield from pq.read_table(partition.path).to_batches()
+    tbl = pq.read_table(partition.path)
+    if schema_json is not None:
+        import json
+
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import StructType
+
+        want = StructType.fromJson(json.loads(schema_json))
+        names = [f.name for f in want.fields]
+        if tbl.column_names != names:
+            have = set(tbl.column_names)
+            cols = [
+                tbl.column(f.name)
+                if f.name in have
+                else pa.nulls(tbl.num_rows, to_arrow_type(f.dataType))
+                for f in want.fields
+            ]
+            tbl = pa.Table.from_arrays(cols, names=names)
+    yield from tbl.to_batches()
 
 
 class _VTBatchReader(DataSourceReader):
-    """Batch face: the CURRENT snapshot's files, one InputPartition per
-    data file (the manifest is the split plan — no directory listing,
-    no footer probing on the driver)."""
+    """Batch face: one snapshot's files, one InputPartition per data
+    file (the manifest is the split plan — no directory listing, no
+    footer probing on the driver). Defaults to the CURRENT snapshot;
+    ``versionAsOf``/``timestampAsOf`` pin time travel exactly like
+    Delta's options of the same names (timestamp resolves through the
+    commit marker's mtime — the atomic-rename instant IS the commit
+    time)."""
 
     def __init__(self, options: dict):
-        self.table = options["path"].rstrip("/")
+        self.table = _vt_opts(options)["path"].rstrip("/")
+        self.pinned = _vt_pinned_version(options)
+        v = self.pinned if self.pinned is not None else _vt_current_version(
+            self.table
+        )
+        # the snapshot's declared schema rides to executors with the
+        # (pickled) reader so every file read aligns to it
+        self._schema_json = (
+            _vt_read_manifest(self.table, v)[0]["schema"]
+            if v is not None
+            else None
+        )
 
     def partitions(self) -> Sequence[InputPartition]:
-        cur = _vt_current_version(self.table)
-        if cur is None:
+        v = self.pinned if self.pinned is not None else _vt_current_version(
+            self.table
+        )
+        if v is None:
             raise FileNotFoundError(
                 f"versioned table {self.table!r} has no commits"
             )
-        _, files = _vt_read_manifest(self.table, cur)
+        _, files = _vt_read_manifest(self.table, v)
         return [_VTFile(f"{self.table}/{f}") for f in files]
 
     def read(self, partition: _VTFile):
-        return _vt_read_file(partition)
+        return _vt_read_file(partition, self._schema_json)
 
 
 class _VTStreamReader(DataSourceStreamReader):
@@ -186,13 +289,37 @@ class _VTStreamReader(DataSourceStreamReader):
     read executor-side as Arrow batches."""
 
     def __init__(self, options: dict):
+        options = _vt_opts(options)
         self.table = options["path"].rstrip("/")
         self.skip_change = (
-            str(options.get("skipChangeCommits", "false")).lower() == "true"
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        self.starting = options.get("startingversion")
+        cur = _vt_current_version(self.table)
+        # the stream's schema is FIXED at start (Spark resolves it once);
+        # align every commit's files to it — older files pad evolved
+        # columns with NULL, files evolved mid-stream project down
+        self._schema_json = (
+            _vt_read_manifest(self.table, cur)[0]["schema"]
+            if cur is not None
+            else None
         )
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        # Delta's startingVersion: stream changes FROM version N
+        # (inclusive) instead of replaying the initial snapshot;
+        # "latest" starts past everything committed at stream start.
+        if self.starting is None:
+            return {"version": 0}
+        if str(self.starting).lower() == "latest":
+            return {"version": _vt_current_version(self.table) or 0}
+        n = int(self.starting)
+        if n < 1:
+            raise ValueError(
+                f"versioned_table: startingVersion must be >= 1 or "
+                f"'latest', got {self.starting!r}"
+            )
+        return {"version": n - 1}
 
     def latestOffset(self) -> dict:
         return {"version": _vt_current_version(self.table) or 0}
@@ -219,7 +346,7 @@ class _VTStreamReader(DataSourceStreamReader):
         return [_VTFile(f"{self.table}/{f}") for f in added]
 
     def read(self, partition: _VTFile):
-        return _vt_read_file(partition)
+        return _vt_read_file(partition, self._schema_json)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the checkpoint; manifests immutable
@@ -229,10 +356,15 @@ class VersionedTableDataSource(DataSource):
     """``spark.read.format("versioned_table").option("path", tbl)`` —
     current snapshot, manifest-planned splits; ``spark.readStream`` on
     the same format tails append commits by version number. The schema
-    comes from the current manifest header (never inferred). Paths are
-    plain-filesystem here (the connector runs driver-side manifest reads
-    through ``open``); an object-store deployment swaps these few lines
-    for its client, the protocol is unchanged."""
+    comes from the resolved snapshot's manifest header (never inferred).
+    Delta-parity options: batch ``versionAsOf`` / ``timestampAsOf``
+    (time travel; timestamp resolves through commit-marker mtimes),
+    stream ``startingVersion`` (``N`` streams changes from version N
+    inclusive, ``latest`` skips everything already committed) and
+    ``skipChangeCommits``. Paths are plain-filesystem here (the
+    connector runs driver-side manifest reads through ``open``); an
+    object-store deployment swaps these few lines for its client, the
+    protocol is unchanged."""
 
     @classmethod
     def name(cls) -> str:
@@ -243,12 +375,24 @@ class VersionedTableDataSource(DataSource):
 
         from pyspark.sql.types import StructType
 
-        table = self.options["path"].rstrip("/")
-        cur = _vt_current_version(table)
-        if cur is None:
+        table = _vt_opts(self.options)["path"].rstrip("/")
+        # a pinned snapshot carries ITS OWN schema (additive evolution
+        # means older versions legitimately have fewer columns)
+        v = _vt_pinned_version(self.options)
+        if v is None:
+            v = _vt_current_version(table)
+        if v is None:
             raise FileNotFoundError(f"versioned table {table!r} has no commits")
-        header, _ = _vt_read_manifest(table, cur)
-        return StructType.fromJson(json.loads(header["schema"]))
+        header, _ = _vt_read_manifest(table, v)
+        declared = StructType.fromJson(json.loads(header["schema"]))
+        # file sources read everything nullable (Spark's own parquet
+        # source does the same): pre-evolution files NULL-pad evolved
+        # columns regardless of what the writer's schema claimed
+        from pyspark.sql.types import StructField
+
+        return StructType(
+            [StructField(f.name, f.dataType, True, f.metadata) for f in declared.fields]
+        )
 
     def reader(self, schema) -> _VTBatchReader:
         return _VTBatchReader(self.options)

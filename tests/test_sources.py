@@ -312,3 +312,95 @@ def test_versioned_table_stream_change_commit_policy(spark, tmp_path):
     parts = skip.partitions({"version": 1}, {"version": 3})
     # the upsert's rewrite is skipped; only v3's appended file remains
     assert len(parts) == 1 and "/c00000003-" in parts[0].path
+
+
+def test_versioned_table_time_travel_options(spark, tmp_path):
+    """Delta's batch time-travel options on the connector: versionAsOf
+    pins a snapshot (including its OWN pre-evolution schema), and
+    timestampAsOf resolves through commit-marker mtimes to the latest
+    commit at or before the instant; both are refused together, and a
+    timestamp older than the first commit errors."""
+    import time
+
+    from otus_cpp_11_spark.ops.versioned import commit_append, commit_version
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    tbl = str(tmp_path / "t")
+    commit_version(spark, _vt_mk(spark, 0, 100), tbl)  # v1
+    time.sleep(1.1)  # marker mtimes must be distinguishable
+    t_between = time.time()
+    time.sleep(1.1)
+    commit_append(
+        spark,
+        _vt_mk(spark, 100, 130).withColumn("extra", F.lit(1)),
+        tbl,
+        merge_schema=True,
+    )  # v2: evolved schema
+    register_versioned_table_source(spark)
+
+    cur = spark.read.format("versioned_table").option("path", tbl).load()
+    assert cur.count() == 130 and "extra" in cur.columns
+    v1 = (
+        spark.read.format("versioned_table")
+        .option("path", tbl)
+        .option("versionAsOf", "1")
+        .load()
+    )
+    assert v1.count() == 100
+    assert "extra" not in v1.columns  # the pinned snapshot's own schema
+    at = (
+        spark.read.format("versioned_table")
+        .option("path", tbl)
+        .option("timestampAsOf", str(t_between))
+        .load()
+    )
+    assert at.count() == 100  # resolves to v1, the commit before t
+    with pytest.raises(Exception, match="at or before"):
+        (
+            spark.read.format("versioned_table")
+            .option("path", tbl)
+            .option("timestampAsOf", "100.0")  # 1970: older than any commit
+            .load()
+            .count()
+        )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.read.format("versioned_table")
+            .option("path", tbl)
+            .option("versionAsOf", "1")
+            .option("timestampAsOf", str(t_between))
+            .load()
+            .count()
+        )
+
+
+def test_versioned_table_stream_starting_version(spark, tmp_path):
+    """Delta's startingVersion on the streaming face: N streams changes
+    from version N inclusive (no initial-snapshot replay); 'latest'
+    starts past everything already committed, so a fresh drain delivers
+    only commits made after the stream's first offset read."""
+    from otus_cpp_11_spark.ops.versioned import commit_append, commit_version
+    from otus_cpp_11_spark.sources import _VTStreamReader
+
+    tbl = str(tmp_path / "t")
+    commit_version(spark, _vt_mk(spark, 0, 100).coalesce(1), tbl)  # v1
+    commit_append(spark, _vt_mk(spark, 100, 120).coalesce(1), tbl)  # v2
+    commit_append(spark, _vt_mk(spark, 120, 130).coalesce(1), tbl)  # v3
+
+    r = _VTStreamReader({"path": tbl, "startingVersion": "2"})
+    off0 = r.initialOffset()
+    assert off0 == {"version": 1}  # stream begins WITH v2's delta
+    parts = r.partitions(off0, r.latestOffset())
+    assert len(parts) == 2  # v2 + v3 files only, no v1 snapshot replay
+    assert all("/c00000001-" not in p.path for p in parts)
+
+    latest = _VTStreamReader({"path": tbl, "startingVersion": "latest"})
+    off = latest.initialOffset()
+    assert off == {"version": 3}
+    assert latest.partitions(off, latest.latestOffset()) == []
+    commit_append(spark, _vt_mk(spark, 130, 135).coalesce(1), tbl)  # v4
+    parts4 = latest.partitions(off, latest.latestOffset())
+    assert len(parts4) == 1 and "/c00000004-" in parts4[0].path
+
+    with pytest.raises(ValueError, match="startingVersion"):
+        _VTStreamReader({"path": tbl, "startingVersion": "0"}).initialOffset()
