@@ -332,7 +332,8 @@ def _commit(
     if stats:
         # only entries for files this manifest actually references —
         # stats for files aged out of the manifest would be dead weight
-        live = {f: s for f, s in stats.items() if f in set(files)}
+        referenced = set(files)
+        live = {f: s for f, s in stats.items() if f in referenced}
         if live:
             header["stats"] = live
     # per-file ROW COUNTS: entries carried from the parent manifest cost
@@ -533,6 +534,7 @@ def commit_append(
                 f.name for f in df.schema.fields if f.name not in committed.names
             ]
             df = df.select(*committed.names, *new_names)  # stable column order
+            new_names = set(new_names)
             # evolved columns are NULLABLE in the committed schema no
             # matter what the writer's frame claimed: every pre-evolution
             # row reads NULL for them (Delta marks added columns the same)
@@ -541,7 +543,7 @@ def commit_append(
                     StructField(
                         f.name,
                         f.dataType,
-                        True if f.name in set(new_names) else f.nullable,
+                        True if f.name in new_names else f.nullable,
                         f.metadata,
                     )
                     for f in df.schema.fields
@@ -820,7 +822,8 @@ def _commit_upsert_retrying(
                 "rewrote or removed files this merge had rewritten (write-"
                 f"write conflict); redo the merge against version {newcur}"
             )
-        added = [f for f in nfiles if f not in set(based_files)]
+        based = set(based_files)
+        added = [f for f in nfiles if f not in based]
         if added:
             if rng is None:
                 aggs = []

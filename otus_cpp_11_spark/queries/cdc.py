@@ -1069,7 +1069,7 @@ def events_versioned_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFr
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src[:-1]}[{src[-1]}]")
+        .parquet(src)
     )
     tbl = scratch_dir("sg-vsink-") + "/events_versioned"
     q = append_stream_to_versioned(stream, tbl, stats_cols=["event_id"])

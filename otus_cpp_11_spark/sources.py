@@ -248,27 +248,28 @@ class _VTBatchReader(DataSourceReader):
 
     def __init__(self, options: dict):
         self.table = _vt_opts(options)["path"].rstrip("/")
-        self.pinned = _vt_pinned_version(options)
-        v = self.pinned if self.pinned is not None else _vt_current_version(
-            self.table
+        pinned = _vt_pinned_version(options)
+        # resolve the version ONCE: re-resolving at plan time would let a
+        # concurrent commit tear the read (one version's files aligned to
+        # another version's schema) — snapshot isolation means the whole
+        # read is pinned to the version chosen here
+        self.version = (
+            pinned if pinned is not None else _vt_current_version(self.table)
         )
         # the snapshot's declared schema rides to executors with the
         # (pickled) reader so every file read aligns to it
         self._schema_json = (
-            _vt_read_manifest(self.table, v)[0]["schema"]
-            if v is not None
+            _vt_read_manifest(self.table, self.version)[0]["schema"]
+            if self.version is not None
             else None
         )
 
     def partitions(self) -> Sequence[InputPartition]:
-        v = self.pinned if self.pinned is not None else _vt_current_version(
-            self.table
-        )
-        if v is None:
+        if self.version is None:
             raise FileNotFoundError(
                 f"versioned table {self.table!r} has no commits"
             )
-        _, files = _vt_read_manifest(self.table, v)
+        _, files = _vt_read_manifest(self.table, self.version)
         return [_VTFile(f"{self.table}/{f}") for f in files]
 
     def read(self, partition: _VTFile):

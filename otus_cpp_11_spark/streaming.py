@@ -727,13 +727,22 @@ def append_stream_to_versioned(
             )
         checkpoint = scratch_dir("sg-ckpt-")
 
+    from otus_cpp_11_spark.ops.versioned import list_versions
+
     def append(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
-        cur = current_version(bspark, target_path)
-        if cur is not None:
-            applied = version_header(bspark, target_path, cur).get("batch_id")
-            if applied is not None and applied >= batch_id:
-                return  # retry of an already-committed batch: no-op
+        # Delta's txn-scan, not a head peek: an interleaved NON-sink
+        # commit (scheduled OPTIMIZE, manual backfill — tolerated by
+        # design) would mask the head header's batch id in the crash-
+        # replay window, so walk back to the latest commit that carries
+        # one. In steady state that is the head — one header read.
+        applied = None
+        for v in reversed(list_versions(bspark, target_path)):
+            applied = version_header(bspark, target_path, v).get("batch_id")
+            if applied is not None:
+                break
+        if applied is not None and applied >= batch_id:
+            return  # retry of an already-committed batch: no-op
         if batch_df.isEmpty():
             return
         commit_append(

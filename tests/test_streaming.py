@@ -516,3 +516,47 @@ def test_versioned_append_sink_exactly_once_across_restart_and_replay(
         append_stream_to_versioned(
             spark.readStream.schema(batch_events.schema).parquet(src), tbl
         )
+
+
+def test_versioned_append_sink_replay_with_interleaved_foreign_commit(
+    spark, batch_events, tmp_path
+):
+    """The exactly-once guard must survive a NON-sink commit landing
+    between the sink's last commit and a crash-window replay: a head-only
+    batch-id peek would be masked by the foreign commit (OPTIMIZE here)
+    and double-append; the txn walk-back (latest commit CARRYING a batch
+    id, Delta's appId scan) must skip the replayed batches."""
+    import shutil
+
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_compaction,
+        current_version,
+        read_version,
+    )
+    from otus_cpp_11_spark.streaming import append_stream_to_versioned
+
+    src = str(tmp_path / "src")
+    batch_events.repartition(2).write.parquet(src)
+    tbl, ckpt = str(tmp_path / "vtbl"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        append_stream_to_versioned(
+            stream, tbl, checkpoint=ckpt, stats_cols=["event_id"]
+        ).awaitTermination()
+
+    run()
+    n = batch_events.count()
+    assert read_version(spark, tbl).count() == n
+    shutil.copytree(ckpt, str(tmp_path / "snap"))
+    commit_compaction(spark, tbl, 10**6, ["event_id"])  # foreign commit
+    shutil.rmtree(ckpt)
+    shutil.copytree(str(tmp_path / "snap"), ckpt)  # crash-window replay
+    v = current_version(spark, tbl)
+    run()
+    assert read_version(spark, tbl).count() == n  # nothing double-applied
+    assert current_version(spark, tbl) == v
