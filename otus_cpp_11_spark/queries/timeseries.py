@@ -843,3 +843,91 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy(F.col("mktsegment").asc_nulls_first(), "event_type")
     )
+
+
+@register(
+    "user_value_resample_1h_ffill",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+hourly AS (SELECT user_id, hour, value AS v FROM ranked WHERE rn = 1),
+bounds AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT g.user_id, g.hour,
+       LAST_VALUE(h.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+ORDER BY user_id, hour
+""",
+)
+def user_value_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESAMPLE + GAP-FILL: regularize each user's irregular event series
+    onto an hourly grid (bounded by the user's own first/last event hour)
+    and forward-fill hours with no events from the last observed value —
+    the time-series regularization every feature-store / monitoring
+    pipeline runs before windowed models, and the one classic
+    time-series operator this family lacked (windows, sessionization,
+    as-of joins, rolling stats all exist; resampling did not).
+
+    Per-hour observation = the LATEST record in the hour by the total
+    (ts, event_id) recency order (struct-max argmax, partial-aggregated);
+    the fill copies that double verbatim — no arithmetic — so both
+    engines agree exactly. The grid never has a leading NULL by
+    construction (the first grid hour contains the user's first event).
+
+    Plan: one partial-aggregated compaction to hour grain, one bounds
+    aggregate, a per-user ``sequence()`` explode for the grid (output-
+    sized, not events-sized), one left join back on (user, hour), and a
+    per-user ordered window for the fill. Everything shuffles on
+    user_id once and stays partitioned; at 100 TB the grid explode is
+    the output's own size and the fill window's state is one scalar per
+    user — the standard distributed gap-fill shape (same as Flink's
+    interval fill or Timescale's locf over a bucketed hypertable)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = (
+        e.groupBy("user_id", hour.alias("hour"))
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+        .select("user_id", "hour", F.col("m.value").alias("v"))
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("v", ignorenulls=True).over(w).alias("value_ff"),
+        )
+        .orderBy("user_id", "hour")
+    )

@@ -98,6 +98,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
     "corpus_after_span_strip": "521eaebb4885",
+    "copurchase_part_pairs": "86f91ab99906",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
     "corpus_datacard_streamed": "be0f3e747b1b",
@@ -261,7 +262,8 @@ REVERIFY: frozenset[str] = frozenset({
     # CORRECTNESS_r0*.json. Six r3 members yielded their slots (pins
     # restored) to the six mid-round versioned-lakehouse queries,
     # keeping the unverified window at exactly 50.
-    "copurchase_part_pairs",
+    # copurchase_part_pairs yielded its slot (pin restored) to the
+    # mid-round user_value_resample_1h_ffill
     "customer_order_gap_stats",
     "customer_rfm_quartiles",
     "daily_active_users_7d",
