@@ -931,3 +931,76 @@ def user_value_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@register(
+    "user_cohort_weekly_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+),
+cohort_sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_week
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+         AS week_offset,
+       COUNT(*) AS n_active,
+       MIN(cs.n_cohort) AS n_cohort
+FROM activity a
+JOIN firsts f USING (user_id)
+JOIN cohort_sizes cs USING (cohort_week)
+GROUP BY f.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def user_cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple the
+    sequence family lacked: users are cohorted by the week of their
+    FIRST event, and each (cohort_week, week_offset) cell counts how
+    many of them were active that many weeks later, alongside the cohort
+    size (ratios are the consumer's one division away; the stored cells
+    stay exact integers so both engines agree bit-for-bit).
+
+    Both engines truncate weeks to Monday (Spark date_trunc('week') and
+    DuckDB alike) and the offset is day-difference // 7 — exact because
+    week-truncated stamps differ by whole weeks; never engine-specific
+    'week diff' counters, whose boundary conventions differ.
+
+    Plan: one per-user min aggregate (cohort), one distinct on
+    (user, week) — both partial-aggregated on user_id — then a
+    cohort-sized join and a cell-level aggregate. Cells are
+    |weeks| x |weeks| bounded regardless of corpus size; at 100 TB
+    everything before the final cell aggregate shuffles once on
+    user_id."""
+    e = load_table(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    firsts = e.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    activity = e.select(
+        "user_id", week(F.col("ts")).alias("active_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        activity.join(firsts, "user_id")
+        .join(sizes, "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.min("n_cohort").alias("n_cohort"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -106,7 +106,9 @@ DRIVER_VERIFIED: dict[str, str] = {
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
     "customer_monthly_retention": "5005e34e6d54",
+    "customer_order_gap_stats": "6d3cb75325f9",
     "customer_order_window_family": "e056a8223d4c",
+    "customer_rfm_quartiles": "6b43762ac3f2",
     "customer_running_spend": "471b2c9922e8",
     "customers_above_avg_balance": "2c2142b03318",
     "customers_without_orders": "9a01c8532a3d",
@@ -264,8 +266,9 @@ REVERIFY: frozenset[str] = frozenset({
     # keeping the unverified window at exactly 50.
     # copurchase_part_pairs yielded its slot (pin restored) to the
     # mid-round user_value_resample_1h_ffill
-    "customer_order_gap_stats",
-    "customer_rfm_quartiles",
+    # customer_order_gap_stats and customer_rfm_quartiles yielded their
+    # slots (pins restored) to the mid-round user_cohort_weekly_retention
+    # and part_triangle_counts
     "daily_active_users_7d",
     "doc_leading_tokens",
     "doc_pack_bins",
