@@ -824,3 +824,96 @@ def test_concurrent_appends_with_real_threads_lose_nothing(spark, table):
         for r in cur.groupBy("tag").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_writer == {"base": 10, "w0": 100, "w1": 100, "w2": 100, "w3": 100}
+
+
+def test_versioned_protocol_model_based_random_walk(spark, table):
+    """Model-based check of the WHOLE commit protocol: a seeded random
+    walk of appends / keyed upserts / deletes / selective compactions /
+    vacuums is mirrored into a plain Python dict model; after every
+    commit the live snapshot, the metadata-only COUNT, and a sample of
+    retained TIME-TRAVEL snapshots must all equal the model's recorded
+    states. One test, ~30 operations — the cheap cousin of a hypothesis
+    state machine (a full SparkSession per example is too slow; the
+    seeded walk covers op interleavings the hand-written tests do not)."""
+    import random
+
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_compaction,
+        commit_upsert,
+        metadata_count,
+    )
+
+    rng = random.Random(71)
+    model: dict[int, str] = {}
+    snapshots: dict[int, dict[int, str]] = {}
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, t) for k, t in rows], "k long, tag string"
+        ).coalesce(1)
+
+    def mk_del(keys, rows):
+        data = [(k, "x", True) for k in keys] + [(k, t, False) for k, t in rows]
+        return spark.createDataFrame(
+            data, "k long, tag string, dead boolean"
+        ).coalesce(1)
+
+    def check():
+        got = {
+            r["k"]: r["tag"] for r in read_version(spark, table).collect()
+        }
+        assert got == model, f"live snapshot diverged: {got} != {model}"
+        assert metadata_count(spark, table, strict=True) == len(model)
+
+    # op 0: create
+    rows = [(k, f"v0-{k}") for k in range(8)]
+    v = commit_version(spark, mk(rows), table, stats_cols=["k"])
+    model = dict(rows)
+    snapshots[v] = dict(model)
+    check()
+
+    for step in range(1, 30):
+        op = rng.choice(["append", "upsert", "delete", "compact", "vacuum"])
+        if op == "append":
+            lo = rng.randrange(100, 10_000)
+            rows = [(lo + i, f"a{step}-{lo + i}") for i in range(rng.randrange(1, 5))]
+            v = commit_append(spark, mk(rows), table, stats_cols=["k"])
+            model.update(rows)
+            snapshots[v] = dict(model)
+        elif op == "upsert":
+            keys = rng.sample(sorted(model), min(len(model), rng.randrange(1, 4)))
+            keys += [rng.randrange(100, 10_000)]  # one insert
+            rows = [(k, f"u{step}-{k}") for k in keys]
+            v = commit_upsert(spark, mk(rows), table, ["k"], stats_cols=["k"])
+            model.update(rows)
+            snapshots[v] = dict(model)
+        elif op == "delete":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(len(model), rng.randrange(1, 3)))
+            v = commit_upsert(
+                spark, mk_del(keys, []), table, ["k"],
+                delete_col="dead", stats_cols=["k"],
+            )
+            for k in keys:
+                model.pop(k)
+            snapshots[v] = dict(model)
+        elif op == "compact":
+            v = commit_compaction(
+                spark, table, 50, ["k"], small_file_rows=25
+            )
+            snapshots[v] = dict(model)  # rows untouched by contract
+        else:
+            removed = vacuum_versions(spark, table, keep_last=4)
+            for gone in removed:
+                snapshots.pop(gone, None)
+        check()
+        # time travel: every retained recorded snapshot still reads back
+        # exactly as it was committed
+        live = [v for v in snapshots if v in set(list_versions(spark, table))]
+        for v in rng.sample(live, min(2, len(live))):
+            got = {
+                r["k"]: r["tag"]
+                for r in read_version(spark, table, v).collect()
+            }
+            assert got == snapshots[v], f"time travel to v{v} diverged"
