@@ -605,3 +605,36 @@ def test_forget_sweep_probes_are_semi_joins(spark, plan):
     assert "LeftSemi" in p
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in p, bad
+
+
+def test_pagerank_iterations_have_no_cartesian_and_partial_aggs(spark, plan):
+    """Each PageRank iteration must be an edge equi-join + hash aggregate
+    with map-side partial aggregation on the dst key — never a cartesian
+    or nested-loop product (the edge relation is unbounded at scale)."""
+    p = plan("part_pagerank_fixedpoint", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # partial_sum on the contribution column proves map-side combine in
+    # the per-iteration dst aggregate
+    assert "partial_sum" in p
+
+
+def test_triangle_counts_ordered_edge_joins_no_cartesian(spark, plan):
+    """Triangle enumeration is two EQUI-joins of the ordered edge
+    relation (wedge build on the shared middle vertex, closure on the
+    (a, c) pair) — a cartesian or nested-loop here would be corpus-
+    quadratic at scale."""
+    p = plan("part_triangle_counts", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_resample_gap_fill_single_user_shuffle_for_fill(spark, plan):
+    """The forward-fill window runs per user_id ordered by hour; the plan
+    must contain the window and no cartesian, and the grid explode must
+    ride a generator (sequence+explode), not a join against a calendar
+    relation."""
+    p = plan("user_value_resample_1h_ffill", spark)
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert "Generate" in p  # sequence() explode for the per-user grid
