@@ -1328,3 +1328,145 @@ def decontam_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+QUALITY_UNIT = 10**6  # integer quality-ratio units (stop/token * 1e6)
+
+
+@register(
+    "budgeted_mixture_selection",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(LEN(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         CAST(LEN(list_filter(string_split(text, ' '),
+                              x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'for'))) AS BIGINT) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN (n_stop * {QUALITY_UNIT}) // n_tokens ELSE 0 END AS q_units
+  FROM per_doc
+),
+src AS (
+  SELECT source, SUM(n_tokens) AS src_tokens,
+         CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS weight_units
+  FROM scored GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(weight_units) AS BIGINT) AS denom_units,
+         CAST(SUM(src_tokens) // 2 AS BIGINT) AS global_budget
+  FROM src
+),
+budgets AS (
+  SELECT s.source,
+         CAST((t.global_budget * s.weight_units) // t.denom_units AS BIGINT)
+           AS budget_tokens
+  FROM src s CROSS JOIN tot t
+),
+ranked AS (
+  SELECT sc.source, sc.doc_id, sc.n_tokens, b.budget_tokens,
+         SUM(sc.n_tokens) OVER (
+           PARTITION BY sc.source
+           ORDER BY sc.q_units DESC, sc.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM scored sc JOIN budgets b USING (source)
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE cum_tokens <= budget_tokens) AS BIGINT)
+         AS n_selected,
+       CAST(COALESCE(SUM(n_tokens) FILTER (WHERE cum_tokens <= budget_tokens), 0)
+         AS BIGINT) AS tokens_selected,
+       MIN(budget_tokens) AS budget_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+)
+def budgeted_mixture_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED corpus selection under temperature mixture weights —
+    the step that turns ``source_mixture_weights`` into an actual training
+    set: a global token budget (half the corpus here) is split across
+    sources proportionally to their alpha=0.5 temperature weights, and
+    within each source documents are admitted greedily in quality order
+    (stopword-ratio heuristic) until the source's budget is exhausted.
+    Returns per-source accounting: docs and tokens admitted vs budget.
+
+    Everything is exact integer arithmetic — quality ranks as
+    ratio-units (n_stop * 1e6 // n_tokens), budgets as bigint
+    floor-division shares, admission as a cumulative-sum threshold — so
+    both engines select the IDENTICAL document set (ties broken by
+    doc_id). The hash match certifies the selection itself, not just
+    the counts: a single differently-admitted doc shifts tokens_selected.
+
+    Plan: one corpus scan computes per-doc tokens + quality; the
+    source-level weight/budget relations are tiny and broadcast; the
+    admission is ONE per-source window cumulative sum (the sequence-
+    packing prefix-sum pattern) — no global sort, no driver loop. At
+    100 TB this is the standard data-recipe materialization: shuffle
+    once on source (salt a mega-source's window by quality-band if one
+    source dominates), emit admitted shards."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n_tokens = F.size(toks).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.when(
+            n_tokens > 0,
+            F.expr(
+                "div(CAST(size(filter(split(text, ' '), "
+                "x -> x IN ('the','a','and','of','to','in','is','for'))) AS BIGINT)"
+                f" * {QUALITY_UNIT}, "
+                "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("q_units"),
+    )
+    src = scored.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens"),
+        F.floor(F.sqrt(F.sum("n_tokens").cast("double")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("weight_units"),
+    )
+    tot = src.agg(
+        F.sum("weight_units").cast("bigint").alias("denom_units"),
+        F.expr("CAST(div(SUM(src_tokens), 2) AS BIGINT)").alias("global_budget"),
+    )
+    budgets = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            "CAST(div(global_budget * weight_units, denom_units) AS BIGINT)"
+        ).alias("budget_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q_units"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = scored.join(budgets, "source").select(
+        "source",
+        "n_tokens",
+        "budget_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    admitted = F.col("cum_tokens") <= F.col("budget_tokens")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.when(admitted, 1)).cast("bigint").alias("n_selected"),
+            F.coalesce(F.sum(F.when(admitted, F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_selected"),
+            F.min("budget_tokens").alias("budget_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("source")
+    )

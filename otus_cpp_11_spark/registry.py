@@ -110,6 +110,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
     "customer_running_spend": "471b2c9922e8",
+    "daily_active_users_7d": "9355cc7481e4",
     "customers_above_avg_balance": "2c2142b03318",
     "customers_without_orders": "9a01c8532a3d",
     "daily_open_shipments": "e3385cf3d8ee",
@@ -269,7 +270,8 @@ REVERIFY: frozenset[str] = frozenset({
     # customer_order_gap_stats and customer_rfm_quartiles yielded their
     # slots (pins restored) to the mid-round user_cohort_weekly_retention
     # and part_triangle_counts
-    "daily_active_users_7d",
+    # daily_active_users_7d yielded its slot (pin restored) to the
+    # mid-round budgeted_mixture_selection
     "doc_leading_tokens",
     "doc_pack_bins",
     "doc_reservoir_sample",
