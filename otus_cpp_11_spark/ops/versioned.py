@@ -189,6 +189,40 @@ def read_version(
     return spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in files])
 
 
+def restore_version(
+    spark: SparkSession, table: str, version: int, meta: dict | None = None
+) -> int:
+    """Delta's RESTORE TABLE ... VERSION AS OF: roll the table back to an
+    earlier snapshot by committing a NEW version whose manifest is the
+    old version's file list — zero data IO (files are carried by
+    reference), and the botched versions stay in the history for audit
+    and re-restore rather than being erased. The commit header records
+    ``restored_from`` so the lineage is explicit.
+
+    The restore target must still be retained (``vacuum_versions``
+    bounds the horizon). Streaming tails treat the restore like any
+    other non-append commit: fail loudly by default, or skip under
+    ``skipChangeCommits`` — rows it re-exposes were already streamed."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, files = read_manifest(spark, table, version)  # raises if vacuumed
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    hdr_meta = dict(meta or {})
+    hdr_meta["restored_from"] = version
+    return _commit(
+        spark,
+        table,
+        cur + 1,
+        "restore",
+        schema,
+        files,
+        hdr_meta,
+        dict(manifest_stats(header)),
+        rows=manifest_rows(header),
+    )
+
+
 def _write_data_dir(
     spark: SparkSession, df: DataFrame, table: str, version: int
 ) -> list[str]:

@@ -917,3 +917,73 @@ def test_versioned_protocol_model_based_random_walk(spark, table):
                 for r in read_version(spark, table, v).collect()
             }
             assert got == snapshots[v], f"time travel to v{v} diverged"
+
+
+def test_restore_is_zero_copy_and_audit_preserving(spark, table):
+    """RESTORE TABLE ... VERSION AS OF (Delta parity): rolling back is a
+    NEW commit whose manifest is the target version's file list — zero
+    data bytes written, history intact (the botched versions stay
+    time-travelable), lineage recorded in the header."""
+    from otus_cpp_11_spark.ops.versioned import metadata_count, restore_version
+
+    commit_version(spark, _df(spark, 100, "good"), table, stats_cols=["k"])
+    commit_version(spark, _df(spark, 7, "botched"), table)
+    bytes_before = _table_bytes(spark, table)
+    v3 = restore_version(spark, table, 1, meta={"reason": "bad load"})
+    assert v3 == 3 and current_version(spark, table) == 3
+    # zero data IO: the restore wrote no files, it references v1's
+    assert _table_bytes(spark, table) == bytes_before
+    hdr, files3 = read_manifest(spark, table, 3)
+    assert files3 == read_manifest(spark, table, 1)[1]
+    assert hdr["op"] == "restore"
+    assert hdr["restored_from"] == 1
+    assert hdr["reason"] == "bad load"
+    # the restored snapshot IS the old one, and carries its metadata:
+    # row counts (metadata-only COUNT) and stats survive the round trip
+    got = read_version(spark, table)
+    assert got.count() == 100
+    assert got.select("tag").distinct().first()[0] == "good"
+    assert metadata_count(spark, table, strict=True) == 100
+    assert hdr.get("stats") == version_header(spark, table, 1).get("stats")
+    # audit: the botched version is still in the history, still readable
+    assert list_versions(spark, table) == [1, 2, 3]
+    assert read_version(spark, table, 2).count() == 7
+
+
+def test_restore_survives_vacuum_of_source_version(spark, table):
+    """The restore manifest's file references keep the restored data
+    alive through retention even after the SOURCE version's marker is
+    vacuumed away — reference counting is per-file, not per-version."""
+    from otus_cpp_11_spark.ops.versioned import restore_version
+
+    commit_version(spark, _df(spark, 50, "keep"), table)
+    commit_version(spark, _df(spark, 5, "bad"), table)
+    restore_version(spark, table, 1)
+    commit_append(spark, _df(spark, 10, "more"), table)  # v4
+    # retain only v3 (restore) + v4: v1's MARKER goes, its FILES stay
+    # because the restore/append manifests still reference them
+    removed = vacuum_versions(spark, table, keep_last=2)
+    assert removed == [1, 2]
+    assert read_version(spark, table).count() == 60
+    assert read_version(spark, table, 3).count() == 50
+    # ...and restoring to the vacuumed version now fails loudly
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        restore_version(spark, table, 1)
+
+
+def test_restore_errors_and_further_commits_compose(spark, table):
+    from otus_cpp_11_spark.ops.versioned import restore_version
+
+    with pytest.raises(FileNotFoundError, match="no commits"):
+        restore_version(spark, table, 1)
+    commit_version(spark, _df(spark, 20, "a"), table, stats_cols=["k"])
+    commit_version(spark, _df(spark, 3, "b"), table)
+    restore_version(spark, table, 1)
+    # life goes on: a keyed upsert against the restored snapshot prunes
+    # and merges exactly as if v1 were still current
+    delta = spark.createDataFrame([(1, "upd")], "k long, tag string")
+    commit_upsert(spark, delta, table, ["k"])
+    cur = read_version(spark, table)
+    assert cur.count() == 20
+    assert cur.where("k = 1").first()["tag"] == "upd"
+    assert cur.where("tag = 'b'").count() == 0
