@@ -106,6 +106,22 @@ def _relativize(path: str) -> str:
     return path[i + 1 :]
 
 
+def _resolve(root: str, f: str) -> str:
+    """Physical path of a manifest entry. Entries a table wrote itself
+    are root-relative (``_data/...``, relocatable); entries installed by
+    ``clone_version`` are absolute/URI paths into the SOURCE table and
+    pass through unchanged — Delta shallow clones record exactly the
+    same split."""
+    return f if f.startswith("/") or "://" in f else f"{root}/{f}"
+
+
+def _is_foreign(f: str) -> bool:
+    """True for a manifest entry living outside this table's root — a
+    shallow clone's by-reference file. Foreign entries are readable but
+    never deletable by THIS table's vacuum (they belong to the source)."""
+    return f.startswith("/") or "://" in f
+
+
 def current_version(spark: SparkSession, table: str) -> int | None:
     """The committed version number (max commit marker), or None for a
     table with no commits. Staged ``.tmp-*`` files are not commits."""
@@ -186,7 +202,7 @@ def read_version(
     if not files:
         return spark.createDataFrame([], schema)
     root = table.rstrip("/")
-    return spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in files])
+    return spark.read.schema(schema).parquet(*[_resolve(root, f) for f in files])
 
 
 def restore_version(
@@ -220,6 +236,250 @@ def restore_version(
         hdr_meta,
         dict(manifest_stats(header)),
         rows=manifest_rows(header),
+    )
+
+
+def clone_version(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Delta's SHALLOW CLONE: create (or advance) ``dst`` with a commit
+    whose manifest references the SOURCE snapshot's data files by
+    absolute path — zero data copied, the clone is immediately readable
+    and independently writable. Later commits to the clone write into
+    its OWN ``_data`` dir; an upsert rewrites only the touched source
+    files into clone-local replacements, and ``commit_compaction``
+    localizes everything it repacks — the clone organically weans off
+    the source as it diverges.
+
+    Two contracts carried over from Delta verbatim: the clone's vacuum
+    NEVER deletes by-reference source files (they are the source's to
+    reclaim — ``_is_foreign`` guards the delete loop), and a vacuum of
+    the SOURCE that drops the cloned-from version CAN break the clone's
+    by-reference reads — pin source retention past the clone's horizon,
+    or compact the clone to localize it. Stats and row counts ride
+    along rekeyed, so metadata-only COUNT and upsert pruning work on
+    the clone from the first second."""
+    v = version if version is not None else current_version(spark, src)
+    if v is None:
+        raise FileNotFoundError(f"versioned table {src!r} has no commits")
+    header, files = read_manifest(spark, src, v)
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    src_root = src.rstrip("/")
+    abs_files = [_resolve(src_root, f) for f in files]
+    remap = dict(zip(files, abs_files))
+    stats = {remap[f]: s for f, s in manifest_stats(header).items() if f in remap}
+    rows = {remap[f]: n for f, n in manifest_rows(header).items() if f in remap}
+    hdr_meta = dict(meta or {})
+    hdr_meta["cloned_from"] = {"table": src_root, "version": v}
+    nxt = (current_version(spark, dst) or 0) + 1
+    return _commit(
+        spark, dst, nxt, "clone", schema, abs_files, hdr_meta, stats, rows=rows
+    )
+
+
+def _rewrite_matching_files(
+    spark: SparkSession,
+    table: str,
+    condition,
+    rewrite,
+    op: str,
+    bounds: dict | None,
+    meta: dict | None,
+) -> int:
+    """Shared engine of predicate DML (``commit_delete`` /
+    ``commit_update``): find the files that physically CONTAIN a row
+    matching ``condition`` (two-tier: optional manifest-stats ``bounds``
+    dismissal, then an exact `_metadata.file_path` probe of the
+    survivors), rewrite ONLY those through ``rewrite(touched_df)``, and
+    commit carried-by-reference + rewritten as the next version. Zero
+    matching rows → O(1) no-op returning the current version (Delta DML
+    commits nothing either). Rewritten files get fresh stats on every
+    column the previous manifest had stats for, so pruning quality
+    survives DML."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, prev_files = read_manifest(spark, table, cur)
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    root = table.rstrip("/")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    prev_stats = manifest_stats(header)
+    candidates = prev_files
+    if bounds and prev_stats:
+        candidates = [
+            f
+            for f in prev_files
+            if all(
+                _extent_overlaps(
+                    prev_stats.get(f), c, _stats_safe(lo), _stats_safe(hi)
+                )
+                for c, (lo, hi) in bounds.items()
+            )
+        ]
+    touched: set[str] = set()
+    if candidates:
+        cand = spark.read.schema(schema).parquet(
+            *[_resolve(root, f) for f in candidates]
+        )
+        hit = [
+            r["__f"]
+            for r in cand.where(cond)
+            .select(F.col("_metadata.file_path").alias("__f"))
+            .distinct()
+            .collect()  # bounded by file count
+        ]
+        by_suffix = {_relativize(_resolve(root, f)): f for f in candidates}
+        touched = {by_suffix[_relativize(p)] for p in hit}
+    if not touched:
+        return cur  # nothing matches anywhere: no version churn
+    carried = [f for f in prev_files if f not in touched]
+    touched_df = spark.read.schema(schema).parquet(
+        *[_resolve(root, f) for f in sorted(touched)]
+    )
+    replacement = rewrite(touched_df, cond)
+    _require_same_schema(replacement, header, table, op)
+    new_files = _write_data_dir(spark, replacement, table, cur + 1)
+    scols = sorted({c for s in prev_stats.values() for c in s})
+    stats = {f: s for f, s in prev_stats.items() if f not in touched}
+    stats.update(_collect_file_stats(spark, table, new_files, scols))
+    hdr_meta = dict(meta or {})
+    hdr_meta[f"{op}_io"] = {
+        "prev_files": len(prev_files),
+        "candidates": len(candidates),
+        "touched": len(touched),
+    }
+    return _commit(
+        spark,
+        table,
+        cur + 1,
+        op,
+        schema,
+        carried + new_files,
+        hdr_meta,
+        stats,
+        rows=manifest_rows(header),
+    )
+
+
+def commit_delete(
+    spark: SparkSession,
+    table: str,
+    condition,
+    bounds: dict | None = None,
+    meta: dict | None = None,
+) -> int:
+    """``DELETE FROM table WHERE condition`` as a commit: files holding
+    a matching row are rewritten WITHOUT those rows; every other file is
+    carried by reference — O(touched files), not O(table). ``condition``
+    is a SQL expression string or Column; optional ``bounds``
+    (``{col: (lo, hi)}``, the scan_version shape) lets manifest stats
+    dismiss provably-disjoint files before any data IO — bounds are a
+    pruning hint and must be IMPLIED BY the condition (a superset range
+    is safe; a narrower one would silently spare rows). The header's
+    ``delete_io`` makes the pruning auditable; deleted versions remain
+    time-travelable until retention drops them (GDPR note: a versioned
+    RTBF sweep must vacuum past the delete to physically forget)."""
+
+    def rewrite(df, cond):
+        return df.where(~F.coalesce(cond, F.lit(False)))
+
+    return _rewrite_matching_files(
+        spark, table, condition, rewrite, "delete", bounds, meta
+    )
+
+
+def commit_update(
+    spark: SparkSession,
+    table: str,
+    condition,
+    assignments: dict,
+    bounds: dict | None = None,
+    meta: dict | None = None,
+) -> int:
+    """``UPDATE table SET col = expr, ... WHERE condition`` as a commit:
+    same touched-file discovery and carry-by-reference as
+    ``commit_delete``; in rewritten files, matching rows get each
+    assignment applied (expression string or Column, evaluated against
+    the row) and non-matching rows pass through byte-identical. The
+    committed schema is enforced on the result, so an assignment cannot
+    drift a column's type. NULL condition rows are NOT matches — SQL
+    WHERE semantics, same as the delete."""
+    sets = {
+        c: (F.expr(v) if isinstance(v, str) else v)
+        for c, v in assignments.items()
+    }
+
+    def rewrite(df, cond):
+        unknown = sorted(set(sets) - set(df.columns))
+        if unknown:
+            raise ValueError(
+                f"commit_update: assignment to column(s) {unknown} not in "
+                f"the committed schema {df.columns} — UPDATE never adds "
+                "columns (use commit_append(merge_schema=True) to evolve)"
+            )
+        # ONE select: every assignment RHS sees the OLD row (SQL UPDATE
+        # semantics) — chained withColumn would leak earlier assignments
+        # into later ones
+        matched = F.coalesce(cond, F.lit(False))
+        return df.select(
+            *[
+                F.when(matched, sets[c]).otherwise(F.col(c)).alias(c)
+                if c in sets
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    return _rewrite_matching_files(
+        spark, table, condition, rewrite, "update", bounds, meta
+    )
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY parity: one row per committed version, newest
+    first — version, op, parent, file/row totals, the operation metrics
+    the commit recorded (upsert/optimize IO accounting, restore/clone
+    lineage) and any caller metadata, both as JSON strings (their keys
+    are open-ended). Driver-side work is one manifest read per retained
+    version — the same bounded metadata any table open already pays."""
+    known = {"op", "parent", "schema", "stats", "rows"}
+    metrics_keys = (
+        "upsert_io",
+        "optimize_io",
+        "delete_io",
+        "update_io",
+        "restored_from",
+        "cloned_from",
+    )
+    recs = []
+    for v in list_versions(spark, table):
+        header, files = read_manifest(spark, table, v)
+        rows = manifest_rows(header)
+        metrics = {k: header[k] for k in metrics_keys if k in header}
+        extra = {
+            k: header[k]
+            for k in header
+            if k not in known and k not in metrics_keys
+        }
+        recs.append(
+            (
+                v,
+                header["op"],
+                header.get("parent"),
+                len(files),
+                sum(rows[f] for f in files) if all(f in rows for f in files) else None,
+                json.dumps(metrics, sort_keys=True) if metrics else None,
+                json.dumps(extra, sort_keys=True) if extra else None,
+            )
+        )
+    return spark.createDataFrame(
+        sorted(recs, reverse=True),
+        "version int, op string, parent int, n_files int, n_rows long, "
+        "operation_metrics string, meta string",
     )
 
 
@@ -272,7 +532,7 @@ def _collect_file_stats(
     if not cols or not files:
         return {}
     root = table.rstrip("/")
-    df = spark.read.parquet(*[f"{root}/{f}" for f in files])
+    df = spark.read.parquet(*[_resolve(root, f) for f in files])
     aggs = []
     for i, c in enumerate(cols):
         aggs.append(F.min(c).alias(f"__mn{i}"))
@@ -398,7 +658,9 @@ def _footer_rows(table: str, relpath: str) -> int | None:
     try:
         import pyarrow.parquet as pq
 
-        return pq.ParquetFile(f"{table.rstrip('/')}/{relpath}").metadata.num_rows
+        return pq.ParquetFile(
+            _resolve(table.rstrip("/"), relpath)
+        ).metadata.num_rows
     except Exception:
         return None
 
@@ -734,7 +996,7 @@ def commit_upsert(
         ]
     if candidates:
         prev = spark.read.schema(schema).parquet(
-            *[f"{root}/{f}" for f in candidates]
+            *[_resolve(root, f) for f in candidates]
         )
         touched_abs = [
             r["__f"]
@@ -746,13 +1008,18 @@ def commit_upsert(
             .distinct()
             .collect()  # bounded by file count: manifest-sized driver state
         ]
-        touched = {_relativize(p) for p in touched_abs}
+        # map scanned physical paths back to their MANIFEST entries via
+        # the /_data/-anchored suffix — for a shallow clone the entry is
+        # an absolute source path while _metadata.file_path is a URI, and
+        # the suffix (uuid-unique data dir + file name) is the common key
+        by_suffix = {_relativize(_resolve(root, f)): f for f in candidates}
+        touched = {by_suffix[_relativize(p)] for p in touched_abs}
     else:
         touched = set()
     untouched = [f for f in prev_files if f not in touched]
     if touched:
         stored_touched = spark.read.schema(schema).parquet(
-            *[f"{root}/{f}" for f in sorted(touched)]
+            *[_resolve(root, f) for f in sorted(touched)]
         )
         survivors = stored_touched.join(delta_keys, keys, "left_anti")
         matched = stored_touched.join(delta_keys, keys, "left_semi")
@@ -961,6 +1228,11 @@ def vacuum_versions(
     root = table.rstrip("/")
     parents = set()
     for f in sorted(doomed):
+        if _is_foreign(f):
+            # a shallow clone's by-reference file: it belongs to the
+            # SOURCE table and only the source's own vacuum may reclaim
+            # it — exactly Delta's clone/vacuum split of responsibility
+            continue
         fs.delete(_jp(spark, root, f), False)
         parents.add(f.rsplit("/", 1)[0])
     for d in sorted(parents):  # remove now-empty commit data dirs
@@ -1011,7 +1283,7 @@ def scan_version(
     root = table.rstrip("/")
     if not sel:
         return spark.createDataFrame([], schema), acct
-    df = spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in sel])
+    df = spark.read.schema(schema).parquet(*[_resolve(root, f) for f in sel])
     for c, (lo, hi) in bounds.items():
         df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
     return df, acct
@@ -1076,7 +1348,9 @@ def commit_compaction(
     carried = [f for f in prev_files if f not in sel]
     root = table.rstrip("/")
     df = (
-        spark.read.schema(schema).parquet(*[f"{root}/{f}" for f in selected])
+        spark.read.schema(schema).parquet(
+            *[_resolve(root, f) for f in selected]
+        )
         if selected
         else spark.createDataFrame([], schema)
     )

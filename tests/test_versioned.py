@@ -987,3 +987,163 @@ def test_restore_errors_and_further_commits_compose(spark, table):
     assert cur.count() == 20
     assert cur.where("k = 1").first()["tag"] == "upd"
     assert cur.where("tag = 'b'").count() == 0
+
+
+def test_shallow_clone_zero_copy_reads_and_metadata(spark, table, tmp_path):
+    """CLONE parity: the clone is a manifest referencing the source's
+    files by absolute path — zero bytes copied, immediately readable,
+    with row counts and stats riding along (metadata-only COUNT and
+    stats-pruned scans work on the clone from the first second)."""
+    from otus_cpp_11_spark.ops.versioned import (
+        clone_version, metadata_count, scan_version,
+    )
+
+    commit_version(
+        spark, _df(spark, 100, "src").repartitionByRange(4, "k"), table,
+        stats_cols=["k"],
+    )
+    dst = str(tmp_path / "clone")
+    v = clone_version(spark, table, dst, meta={"who": "test"})
+    assert v == 1
+    # zero copy: the clone has NO data dir of its own
+    assert not os.path.exists(dst + "/_data")
+    hdr, files = read_manifest(spark, dst, 1)
+    assert hdr["op"] == "clone"
+    assert hdr["cloned_from"] == {"table": table, "version": 1}
+    assert hdr["who"] == "test"
+    assert all(f.startswith("/") for f in files)
+    got = read_version(spark, dst)
+    assert got.count() == 100
+    assert got.select("tag").distinct().first()[0] == "src"
+    assert metadata_count(spark, dst, strict=True) == 100
+    # carried stats prune: a 1-file range scan skips the other 3 files
+    _, acct = scan_version(spark, dst, {"k": (0, 10)})
+    assert acct["files_total"] == 4 and acct["files_scanned"] < 4
+
+
+def test_clone_diverges_and_weans_off_source(spark, table, tmp_path):
+    """Writes to the clone land in ITS OWN _data dir; an upsert rewrites
+    only the touched source files into clone-local replacements, the
+    source is never modified, and compaction localizes the rest."""
+    from otus_cpp_11_spark.ops.versioned import clone_version, commit_compaction
+
+    commit_version(
+        spark, _df(spark, 100, "src").repartitionByRange(4, "k"), table,
+        stats_cols=["k"],
+    )
+    src_bytes = _table_bytes(spark, table)
+    dst = str(tmp_path / "clone")
+    clone_version(spark, table, dst)
+    delta = spark.createDataFrame([(3, "upd")], "k long, tag string")
+    commit_upsert(spark, delta, table=dst, keys=["k"])
+    hdr2, files2 = read_manifest(spark, dst, 2)
+    foreign = [f for f in files2 if f.startswith("/")]
+    local = [f for f in files2 if not f.startswith("/")]
+    # pruning held across the clone boundary: 3 source files carried by
+    # reference, only the k=3 file rewritten locally
+    assert len(foreign) == 3 and len(local) >= 1
+    assert hdr2["upsert_io"]["touched"] == 1
+    cur = read_version(spark, dst)
+    assert cur.count() == 100
+    assert cur.where("k = 3").first()["tag"] == "upd"
+    # the source is untouched: same bytes, same content
+    assert _table_bytes(spark, table) == src_bytes
+    assert read_version(spark, table).where("tag = 'upd'").count() == 0
+    # OPTIMIZE localizes: after compaction no foreign references remain
+    commit_compaction(spark, dst, 1000, ["k"])
+    _, files3 = read_manifest(spark, dst, 3)
+    assert all(not f.startswith("/") for f in files3)
+    assert read_version(spark, dst).count() == 100
+
+
+def test_clone_vacuum_never_deletes_source_files(spark, table, tmp_path):
+    """The clone's vacuum reclaims only clone-local files; by-reference
+    source files are the SOURCE's to vacuum (Delta's exact contract)."""
+    from otus_cpp_11_spark.ops.versioned import clone_version
+
+    commit_version(spark, _df(spark, 50, "src"), table)
+    dst = str(tmp_path / "clone")
+    clone_version(spark, table, dst)
+    commit_append(spark, _df(spark, 5, "d1"), dst)
+    commit_append(spark, _df(spark, 5, "d2"), dst)
+    removed = vacuum_versions(spark, dst, keep_last=1, drop_uncommitted=True)
+    assert removed == [1, 2]
+    # clone still reads (v3 references the source files), source intact
+    assert read_version(spark, dst).count() == 60
+    assert read_version(spark, table).count() == 50
+    # and the source's own vacuum still behaves normally
+    assert vacuum_versions(spark, table, keep_last=1) == []
+
+
+def test_table_history_describes_the_whole_lifecycle(spark, table):
+    from otus_cpp_11_spark.ops.versioned import restore_version, table_history
+
+    commit_version(spark, _df(spark, 10, "a"), table)
+    commit_append(spark, _df(spark, 5, "b"), table, meta={"batch": 7})
+    restore_version(spark, table, 1)
+    h = table_history(spark, table).collect()
+    assert [r["version"] for r in h] == [3, 2, 1]  # newest first
+    assert [r["op"] for r in h] == ["restore", "append", "full"]
+    assert h[0]["parent"] == 2 and h[2]["parent"] is None
+    assert [r["n_rows"] for r in h] == [10, 15, 10]
+    assert json.loads(h[0]["operation_metrics"])["restored_from"] == 1
+    assert json.loads(h[1]["meta"]) == {"batch": 7}
+
+
+def test_commit_delete_rewrites_only_matching_files(spark, table):
+    """DELETE FROM ... WHERE as a commit: manifest-stats bounds dismiss
+    disjoint files, the exact probe narrows to files physically holding
+    a match, only those are rewritten (minus the rows); a no-match
+    delete is an O(1) no-op with no version churn."""
+    from otus_cpp_11_spark.ops.versioned import commit_delete, metadata_count
+
+    commit_version(
+        spark, _df(spark, 100, "a").repartitionByRange(4, "k"), table,
+        stats_cols=["k"],
+    )
+    _, files1 = read_manifest(spark, table, 1)
+    v2 = commit_delete(
+        spark, table, "k >= 95", bounds={"k": (95, 10**9)}
+    )
+    hdr, files2 = read_manifest(spark, table, v2)
+    assert hdr["op"] == "delete"
+    # bounds pruned to the one top-range file; 3 files carried verbatim
+    assert hdr["delete_io"]["candidates"] == 1
+    assert hdr["delete_io"]["touched"] == 1
+    assert len(set(files1) & set(files2)) == 3
+    cur = read_version(spark, table)
+    assert cur.count() == 95 and cur.agg(F.max("k")).first()[0] == 94
+    assert metadata_count(spark, table, strict=True) == 95
+    # time travel still shows the pre-delete rows (GDPR: vacuum to forget)
+    assert read_version(spark, table, 1).count() == 100
+    # no-match delete: no-op, same version
+    assert commit_delete(spark, table, "k > 10000") == v2
+    assert current_version(spark, table) == v2
+
+
+def test_commit_update_where_applies_old_row_semantics(spark, table):
+    """UPDATE ... SET a=b, b=a WHERE: every RHS evaluates against the
+    OLD row (the classic swap works); untouched files carry by
+    reference; NULL-condition rows are not matches."""
+    from otus_cpp_11_spark.ops.versioned import commit_update
+
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, None, 300), (4, 40, 400)],
+        "k long, a long, b long",
+    ).repartitionByRange(2, "k")
+    commit_version(spark, df, table, stats_cols=["k"])
+    v2 = commit_update(
+        spark, table, "a >= 20", {"a": "b", "b": "a"},
+    )
+    hdr, _ = read_manifest(spark, table, v2)
+    assert hdr["op"] == "update" and hdr["update_io"]["prev_files"] == 2
+    got = {r["k"]: (r["a"], r["b"]) for r in read_version(spark, table).collect()}
+    assert got == {
+        1: (10, 100),        # unmatched: untouched
+        2: (200, 20),        # swapped against the OLD row
+        3: (None, 300),      # NULL condition -> not a match
+        4: (400, 40),
+    }
+    # schema drift refused: assignment may not change a column's type
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_update(spark, table, "k = 1", {"a": "cast(a as double)"})
