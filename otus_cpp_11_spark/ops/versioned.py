@@ -68,6 +68,7 @@ inferred from absence of stats.
 from __future__ import annotations
 
 import json
+import os
 import re
 import uuid
 
@@ -106,20 +107,25 @@ def _relativize(path: str) -> str:
     return path[i + 1 :]
 
 
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _is_foreign(f: str) -> bool:
+    """True for a manifest entry living outside this table's root — a
+    shallow clone's by-reference file, written as an absolute path or a
+    URI (the scheme check also catches Hadoop's single-slash ``file:/x``
+    form). Foreign entries are readable but never deletable by THIS
+    table's vacuum (they belong to the source)."""
+    return f.startswith("/") or bool(_SCHEME.match(f))
+
+
 def _resolve(root: str, f: str) -> str:
     """Physical path of a manifest entry. Entries a table wrote itself
     are root-relative (``_data/...``, relocatable); entries installed by
     ``clone_version`` are absolute/URI paths into the SOURCE table and
     pass through unchanged — Delta shallow clones record exactly the
     same split."""
-    return f if f.startswith("/") or "://" in f else f"{root}/{f}"
-
-
-def _is_foreign(f: str) -> bool:
-    """True for a manifest entry living outside this table's root — a
-    shallow clone's by-reference file. Foreign entries are readable but
-    never deletable by THIS table's vacuum (they belong to the source)."""
-    return f.startswith("/") or "://" in f
+    return f if _is_foreign(f) else f"{root}/{f}"
 
 
 def current_version(spark: SparkSession, table: str) -> int | None:
@@ -269,6 +275,11 @@ def clone_version(
     header, files = read_manifest(spark, src, v)
     schema = StructType.fromJson(json.loads(header["schema"]))
     src_root = src.rstrip("/")
+    if not _is_foreign(src_root):
+        # a RELATIVE source root would make the recorded references
+        # resolve against the CLONE's root (and look clone-local to its
+        # vacuum) — anchor them before they enter the manifest
+        src_root = os.path.abspath(src_root)
     abs_files = [_resolve(src_root, f) for f in files]
     remap = dict(zip(files, abs_files))
     stats = {remap[f]: s for f, s in manifest_stats(header).items() if f in remap}
@@ -289,6 +300,7 @@ def _rewrite_matching_files(
     op: str,
     bounds: dict | None,
     meta: dict | None,
+    check=None,
 ) -> int:
     """Shared engine of predicate DML (``commit_delete`` /
     ``commit_update``): find the files that physically CONTAIN a row
@@ -297,43 +309,25 @@ def _rewrite_matching_files(
     survivors), rewrite ONLY those through ``rewrite(touched_df)``, and
     commit carried-by-reference + rewritten as the next version. Zero
     matching rows → O(1) no-op returning the current version (Delta DML
-    commits nothing either). Rewritten files get fresh stats on every
-    column the previous manifest had stats for, so pruning quality
-    survives DML."""
+    commits nothing either) — but ``check(schema)`` runs FIRST, so a
+    malformed statement (e.g. an assignment to a column that does not
+    exist) fails loudly whether or not anything matches. Rewritten
+    files get fresh stats on every column the previous manifest had
+    stats for, so pruning quality survives DML."""
     cur = current_version(spark, table)
     if cur is None:
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
     header, prev_files = read_manifest(spark, table, cur)
     schema = StructType.fromJson(json.loads(header["schema"]))
+    if check is not None:
+        check(schema)  # argument errors fire even on a no-match no-op
     root = table.rstrip("/")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     prev_stats = manifest_stats(header)
-    candidates = prev_files
-    if bounds and prev_stats:
-        candidates = [
-            f
-            for f in prev_files
-            if all(
-                _extent_overlaps(
-                    prev_stats.get(f), c, _stats_safe(lo), _stats_safe(hi)
-                )
-                for c, (lo, hi) in bounds.items()
-            )
-        ]
-    touched: set[str] = set()
-    if candidates:
-        cand = spark.read.schema(schema).parquet(
-            *[_resolve(root, f) for f in candidates]
-        )
-        hit = [
-            r["__f"]
-            for r in cand.where(cond)
-            .select(F.col("_metadata.file_path").alias("__f"))
-            .distinct()
-            .collect()  # bounded by file count
-        ]
-        by_suffix = {_relativize(_resolve(root, f)): f for f in candidates}
-        touched = {by_suffix[_relativize(p)] for p in hit}
+    candidates = _prune_by_bounds(prev_files, prev_stats, bounds or {})
+    touched = _files_containing(
+        spark, root, schema, candidates, lambda df: df.where(cond)
+    )
     if not touched:
         return cur  # nothing matches anywhere: no version churn
     carried = [f for f in prev_files if f not in touched]
@@ -342,7 +336,14 @@ def _rewrite_matching_files(
     )
     replacement = rewrite(touched_df, cond)
     _require_same_schema(replacement, header, table, op)
-    new_files = _write_data_dir(spark, replacement, table, cur + 1)
+    # keep_empty=False: a delete that empties every touched file must
+    # not chain a schema-only file into every descendant manifest —
+    # and even a delete-EVERYTHING commit needs no placeholder, because
+    # read_version reads an empty manifest as an empty frame of the
+    # committed schema
+    new_files = _write_data_dir(
+        spark, replacement, table, cur + 1, keep_empty=False
+    )
     scols = sorted({c for s in prev_stats.values() for c in s})
     stats = {f: s for f, s in prev_stats.items() if f not in touched}
     stats.update(_collect_file_stats(spark, table, new_files, scols))
@@ -413,14 +414,16 @@ def commit_update(
         for c, v in assignments.items()
     }
 
-    def rewrite(df, cond):
-        unknown = sorted(set(sets) - set(df.columns))
+    def check(schema):
+        unknown = sorted(set(sets) - {f.name for f in schema.fields})
         if unknown:
             raise ValueError(
                 f"commit_update: assignment to column(s) {unknown} not in "
-                f"the committed schema {df.columns} — UPDATE never adds "
+                f"the committed schema {schema.names} — UPDATE never adds "
                 "columns (use commit_append(merge_schema=True) to evolve)"
             )
+
+    def rewrite(df, cond):
         # ONE select: every assignment RHS sees the OLD row (SQL UPDATE
         # semantics) — chained withColumn would leak earlier assignments
         # into later ones
@@ -435,7 +438,7 @@ def commit_update(
         )
 
     return _rewrite_matching_files(
-        spark, table, condition, rewrite, "update", bounds, meta
+        spark, table, condition, rewrite, "update", bounds, meta, check=check
     )
 
 
@@ -484,7 +487,11 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
 
 
 def _write_data_dir(
-    spark: SparkSession, df: DataFrame, table: str, version: int
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    version: int,
+    keep_empty: bool = True,
 ) -> list[str]:
     """Write ``df``'s files into a fresh writer-unique data dir; return
     their table-relative paths. The uuid suffix is what makes concurrent
@@ -495,16 +502,20 @@ def _write_data_dir(
     and referencing it would bloat every manifest, scan plan, and —
     critically — the upsert retry's added-file overlap check, where a
     stats-less empty file reads as 'may contain anything'. A write
-    whose files are ALL empty keeps one, so empty commits stay
-    readable. Footer row counts are metadata-only IO over the new
-    files; an unreadable footer (None) counts as non-empty — never
-    drop what we cannot prove empty."""
+    whose files are ALL empty keeps one so empty commits stay readable
+    — unless ``keep_empty=False`` (predicate DML: an emptied rewrite
+    must reference nothing, not chain a schema-only file forever).
+    Footer row counts are metadata-only IO over the new files; an
+    unreadable footer (None) counts as non-empty — never drop what we
+    cannot prove empty."""
     token = uuid.uuid4().hex[:8]
     ddir = f"{table.rstrip('/')}/{_DATA}/c{version:08d}-{token}"
     df.write.parquet(ddir)
     files = [_relativize(p) for p, _ in list_data_files(spark, ddir)]
     nonempty = [f for f in files if _footer_rows(table, f) != 0]
-    return nonempty or files[:1]
+    if nonempty:
+        return nonempty
+    return files[:1] if keep_empty else []
 
 
 def _stats_safe(v):
@@ -569,6 +580,56 @@ def _extent_overlaps(file_stats: dict | None, col: str, lo, hi) -> bool:
     ):
         return True
     return not (ext[1] < lo or ext[0] > hi)
+
+
+def _prune_by_bounds(files: list[str], stats: dict, bounds: dict) -> list[str]:
+    """Manifest-stats tier of file dismissal, shared by ``scan_version``,
+    ``commit_upsert`` and predicate DML: keep the files whose recorded
+    extents MAY overlap every ``{col: (lo, hi)}`` bound. Missing stats or
+    bounds keep everything — pruning is only ever an exclusion of
+    provably-disjoint files, never a filter substitute."""
+    if not bounds:
+        return list(files)
+    return [
+        f
+        for f in files
+        if all(
+            _extent_overlaps(stats.get(f), c, _stats_safe(lo), _stats_safe(hi))
+            for c, (lo, hi) in bounds.items()
+        )
+    ]
+
+
+def _files_containing(
+    spark: SparkSession,
+    root: str,
+    schema: StructType,
+    candidates: list[str],
+    marker,
+) -> set[str]:
+    """Exact-match tier of touched-file discovery, shared by
+    ``commit_upsert`` and predicate DML: scan the candidate files with
+    ``_metadata.file_path``, keep the files physically holding a row
+    selected by ``marker(df)``, and map the scanned physical paths back
+    to their MANIFEST entries via the ``/_data/``-anchored suffix — for
+    a shallow clone the entry is an absolute source path while
+    ``file_path`` is a URI, and the suffix (uuid-unique data dir + file
+    name) is the common key. The collect is bounded by the FILE count:
+    manifest-sized driver state."""
+    if not candidates:
+        return set()
+    df = spark.read.schema(schema).parquet(
+        *[_resolve(root, f) for f in candidates]
+    )
+    hit = [
+        r["__f"]
+        for r in marker(df.withColumn("__f", F.col("_metadata.file_path")))
+        .select("__f")
+        .distinct()
+        .collect()
+    ]
+    by_suffix = {_relativize(_resolve(root, f)): f for f in candidates}
+    return {by_suffix[_relativize(p)] for p in hit}
 
 
 def _claim_commit(
@@ -984,38 +1045,18 @@ def commit_upsert(
             aggs.append(F.min(k).alias(f"__lo{i}"))
             aggs.append(F.max(k).alias(f"__hi{i}"))
         b = delta_keys.agg(*aggs).collect()[0]  # 1 row: delta key range
-        lo = {k: _stats_safe(b[f"__lo{i}"]) for i, k in enumerate(keys)}
-        hi = {k: _stats_safe(b[f"__hi{i}"]) for i, k in enumerate(keys)}
-        candidates = [
-            f
-            for f in prev_files
-            if all(
-                _extent_overlaps(prev_stats.get(f), k, lo[k], hi[k])
-                for k in keys
-            )
-        ]
-    if candidates:
-        prev = spark.read.schema(schema).parquet(
-            *[_resolve(root, f) for f in candidates]
+        candidates = _prune_by_bounds(
+            prev_files,
+            prev_stats,
+            {k: (b[f"__lo{i}"], b[f"__hi{i}"]) for i, k in enumerate(keys)},
         )
-        touched_abs = [
-            r["__f"]
-            for r in prev.select(
-                F.col("_metadata.file_path").alias("__f"), *keys
-            )
-            .join(delta_keys, keys, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()  # bounded by file count: manifest-sized driver state
-        ]
-        # map scanned physical paths back to their MANIFEST entries via
-        # the /_data/-anchored suffix — for a shallow clone the entry is
-        # an absolute source path while _metadata.file_path is a URI, and
-        # the suffix (uuid-unique data dir + file name) is the common key
-        by_suffix = {_relativize(_resolve(root, f)): f for f in candidates}
-        touched = {by_suffix[_relativize(p)] for p in touched_abs}
-    else:
-        touched = set()
+    touched = _files_containing(
+        spark,
+        root,
+        schema,
+        candidates,
+        lambda df: df.join(delta_keys, keys, "left_semi"),
+    )
     untouched = [f for f in prev_files if f not in touched]
     if touched:
         stored_touched = spark.read.schema(schema).parquet(
@@ -1268,17 +1309,7 @@ def scan_version(
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
     header, files = read_manifest(spark, table, v)
     schema = StructType.fromJson(json.loads(header["schema"]))
-    stats = manifest_stats(header)
-    sel = [
-        f
-        for f in files
-        if all(
-            _extent_overlaps(
-                stats.get(f), c, _stats_safe(lo), _stats_safe(hi)
-            )
-            for c, (lo, hi) in bounds.items()
-        )
-    ]
+    sel = _prune_by_bounds(files, manifest_stats(header), bounds)
     acct = {"files_total": len(files), "files_scanned": len(sel)}
     root = table.rstrip("/")
     if not sel:

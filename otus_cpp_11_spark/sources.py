@@ -140,6 +140,18 @@ def _vt_read_manifest(table: str, version: int):
     return json.loads(lines[0]), lines[1:]
 
 
+def _vt_resolve(table: str, f: str) -> str:
+    """Physical path of a manifest entry — mirror of ops.versioned's
+    ``_resolve`` for the connector's plain-FS (pickle-safe) reader:
+    table-relative entries join the root; a shallow clone's absolute /
+    URI entries pass through unchanged."""
+    import re as _re
+
+    if f.startswith("/") or _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", f):
+        return f
+    return f"{table.rstrip('/')}/{f}"
+
+
 def _vt_version_at_timestamp(table: str, ts: float):
     """Latest version whose commit marker mtime <= ts — Delta's
     TIMESTAMP AS OF resolution (the marker's creation instant IS the
@@ -202,7 +214,12 @@ def _vt_pinned_version(options: dict):
 
 
 class _VTFile(InputPartition):
-    def __init__(self, path: str):
+    """``path=None`` marks the placeholder partition of an EMPTY
+    snapshot (e.g. after a delete-everything DML commit, whose manifest
+    references no files): Spark's Python DataSource API needs at least
+    one partition, and the read of the placeholder yields no batches."""
+
+    def __init__(self, path: str | None):
         self.path = path
 
 
@@ -215,6 +232,8 @@ def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
     predates (projected away). Column order follows the declaration."""
     import pyarrow.parquet as pq
 
+    if partition is None or partition.path is None:
+        return  # empty snapshot's placeholder partition: no batches
     tbl = pq.read_table(partition.path)
     if schema_json is not None:
         import json
@@ -270,7 +289,9 @@ class _VTBatchReader(DataSourceReader):
                 f"versioned table {self.table!r} has no commits"
             )
         _, files = _vt_read_manifest(self.table, self.version)
-        return [_VTFile(f"{self.table}/{f}") for f in files]
+        if not files:
+            return [_VTFile(None)]
+        return [_VTFile(_vt_resolve(self.table, f)) for f in files]
 
     def read(self, partition: _VTFile):
         return _vt_read_file(partition, self._schema_json)
@@ -344,7 +365,13 @@ class _VTStreamReader(DataSourceStreamReader):
             else:
                 added.extend(f for f in files if f not in prev)
             prev = set(files)
-        return [_VTFile(f"{self.table}/{f}") for f in added]
+        if not added:
+            # an empty RANGE (start == end) plans no batch and stays [];
+            # but offsets can also advance with zero new files (e.g. a
+            # skipped change commit) — then emit the same no-batch
+            # placeholder partition as the batch face
+            return [] if hi == lo else [_VTFile(None)]
+        return [_VTFile(_vt_resolve(self.table, f)) for f in added]
 
     def read(self, partition: _VTFile):
         return _vt_read_file(partition, self._schema_json)

@@ -1147,3 +1147,61 @@ def test_commit_update_where_applies_old_row_semantics(spark, table):
     # schema drift refused: assignment may not change a column's type
     with pytest.raises(ValueError, match="schema mismatch"):
         commit_update(spark, table, "k = 1", {"a": "cast(a as double)"})
+
+
+def test_clone_readable_through_connector_and_relative_src(spark, table):
+    """Review fixes: the versioned_table connector resolves a clone's
+    absolute manifest entries (batch face), and cloning from a RELATIVE
+    source root records anchored absolute references — never entries
+    that would resolve against the clone's own root."""
+    import os as _os
+
+    from otus_cpp_11_spark.ops.versioned import clone_version
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    register_versioned_table_source(spark)
+    commit_version(spark, _df(spark, 40, "src"), table)
+    dst = table + "_clone"
+    rel_src = _os.path.relpath(table)  # exercise the relative-root path
+    clone_version(spark, rel_src, dst)
+    _, files = read_manifest(spark, dst, 1)
+    assert all(f.startswith("/") for f in files)  # anchored, not relative
+    got = (
+        spark.read.format("versioned_table").option("path", dst).load()
+    )
+    assert got.count() == 40
+    assert got.schema.simpleString() == read_version(spark, table).schema.simpleString()
+
+
+def test_update_unknown_column_raises_even_when_nothing_matches(spark, table):
+    from otus_cpp_11_spark.ops.versioned import commit_update
+
+    commit_version(spark, _df(spark, 5, "a"), table)
+    with pytest.raises(ValueError, match="assignment to column"):
+        commit_update(spark, table, "k > 10**9", {"taag": "'x'"})
+    assert current_version(spark, table) == 1  # nothing committed
+
+
+def test_delete_emptying_a_file_leaves_no_placeholder(spark, table):
+    """A delete that removes EVERY row of the touched files references
+    nothing new (no schema-only file chained into descendant manifests);
+    a delete-everything table reads back empty with its schema."""
+    from otus_cpp_11_spark.ops.versioned import commit_delete, metadata_count
+
+    commit_version(
+        spark, _df(spark, 100, "a").repartitionByRange(4, "k"), table,
+        stats_cols=["k"],
+    )
+    _, files1 = read_manifest(spark, table, 1)
+    v2 = commit_delete(spark, table, "k >= 75")  # empties the top file
+    _, files2 = read_manifest(spark, table, v2)
+    assert set(files2) < set(files1)  # carried subset, nothing new
+    assert read_version(spark, table).count() == 75
+    assert metadata_count(spark, table, strict=True) == 75
+    v3 = commit_delete(spark, table, "k >= 0")  # delete EVERYTHING
+    _, files3 = read_manifest(spark, table, v3)
+    assert files3 == []
+    got = read_version(spark, table)
+    assert got.count() == 0
+    assert got.schema.simpleString() == "struct<k:bigint,tag:string>"
+    assert metadata_count(spark, table, strict=True) == 0
