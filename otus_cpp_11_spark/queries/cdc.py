@@ -1087,3 +1087,101 @@ def events_versioned_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "versioned_dml_lifecycle",
+    oracle=f"""
+WITH b AS (SELECT MAX(o_orderkey) // 4 AS lo FROM orders),
+     f AS (
+       SELECT o_orderstatus,
+              CASE WHEN o_orderstatus = 'O'
+                   THEN 'X-' || o_orderpriority
+                   ELSE o_orderpriority END AS o_orderpriority,
+              o_totalprice
+       FROM orders, b
+       WHERE o_orderkey > b.lo
+     )
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice', 2)} AS total_price
+FROM f
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+def versioned_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full versioned-DML lifecycle as one oracle-gated pipeline:
+    CLONE orders into a scratch table (zero-copy, absolute-path manifest
+    references), run a BOTCHED predicate DELETE, RESTORE it away
+    (audit-preserving rollback — the bad version stays in the history),
+    then the real DELETE (drop the low-key quarter; manifest-stats
+    bounds dismiss the untouched files) and an UPDATE (prefix the
+    priority of open orders; RHS evaluated against the old row), and
+    aggregate the final snapshot. The oracle replays the surviving
+    operations as plain SQL WHERE + CASE over the raw table, so the
+    hash match proves predicate DML composes to exactly the SQL
+    semantics — including that the restore really undid the botched
+    delete. ``table_history`` ops are asserted so each lifecycle step
+    actually committed (clone/delete/restore/delete/update).
+
+    At 100 TB: every step here is O(touched files) — the clone writes
+    zero data bytes, each delete/update rewrites only match-bearing
+    files discovered via manifest extents + an exact file probe, and
+    the restore is a manifest-only commit. Nothing in the lifecycle
+    ever rewrites the table wholesale."""
+    from otus_cpp_11_spark.ops.versioned import (
+        clone_version,
+        commit_delete,
+        commit_update,
+        commit_version,
+        read_version,
+        restore_version,
+        table_history,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).first()[0]  # 1-scalar collect
+    lo = mx // 4
+    base = scratch_dir("sg-vdml-")
+    src, tbl = base + "/orders_src", base + "/orders_work"
+    commit_version(
+        spark,
+        orders.repartitionByRange(8, "o_orderkey"),
+        src,
+        stats_cols=["o_orderkey"],
+    )
+    clone_version(spark, src, tbl)
+    # botched job: deletes the TOP half by mistake...
+    commit_delete(
+        spark, tbl, f"o_orderkey > {mx // 2}",
+        bounds={"o_orderkey": (mx // 2 + 1, mx)},
+    )
+    # ...rolled back without erasing the evidence
+    restore_version(spark, tbl, 1, meta={"reason": "botched delete"})
+    # the real retention delete: drop the low-key quarter
+    commit_delete(
+        spark, tbl, f"o_orderkey <= {lo}", bounds={"o_orderkey": (0, lo)}
+    )
+    # and a business correction evaluated against the OLD row
+    commit_update(
+        spark,
+        tbl,
+        "o_orderstatus = 'O'",
+        {"o_orderpriority": "concat('X-', o_orderpriority)"},
+    )
+    ops = [r["op"] for r in table_history(spark, tbl).collect()]
+    assert ops == ["update", "delete", "restore", "delete", "clone"], ops
+    return (
+        read_version(spark, tbl)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

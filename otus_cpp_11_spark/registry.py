@@ -155,6 +155,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "label_whitening_residuals": "156309353abe",
     "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
+    "lineitem_measures_unpivot": "858016643174",
     "lineitem_profile": "be479a6b9360",
     "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
@@ -294,7 +295,8 @@ REVERIFY: frozenset[str] = frozenset({
     # kmeans_assign_update yielded its slot (pin restored) to the
     # mid-round doc_bpe_roundtrip
     "label_centroids",
-    "lineitem_measures_unpivot",
+    # lineitem_measures_unpivot yielded its slot (pin restored) to the
+    # mid-round versioned_dml_lifecycle
     "lineitem_price_qty_corr",
     # lineitem_profile and lineitem_qty_histogram yielded their slots
     # (pins restored) to the mid-round events_versioned_ingest_streamed
