@@ -83,6 +83,13 @@ _DATA = "_data"
 _MARKER = re.compile(r"^(\d{8})$")
 
 
+class ConstraintViolation(ValueError):
+    """A commit's NEW rows violated a CHECK constraint recorded in the
+    table (``add_constraint``). Nothing was committed: the constraint is
+    checked before the marker claim, so the written files are
+    unreferenced garbage (vacuumable) and the table is untouched."""
+
+
 class CommitConflict(RuntimeError):
     """A concurrent committer claimed the version number this commit
     attempted. The winner's snapshot is intact; the loser's data files
@@ -191,15 +198,25 @@ def version_header(spark: SparkSession, table: str, version: int | None = None) 
 
 
 def read_version(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read the current (or an explicitly pinned — time travel) snapshot
-    through its manifest. The returned DataFrame is bound to an
-    IMMUTABLE file list: later commits add new files and new manifests,
-    never touching these, so a running query cannot be disturbed. The
-    schema comes from the manifest header — no inference, and an
-    empty-manifest version reads as an empty DataFrame of the committed
-    schema."""
+    through its manifest; ``timestamp`` (epoch seconds or datetime) is
+    Delta's TIMESTAMP AS OF, resolved through commit-marker mtimes. The
+    returned DataFrame is bound to an IMMUTABLE file list: later commits
+    add new files and new manifests, never touching these, so a running
+    query cannot be disturbed. The schema comes from the manifest
+    header — no inference, and an empty-manifest version reads as an
+    empty DataFrame of the committed schema."""
+    if version is not None and timestamp is not None:
+        raise ValueError(
+            "read_version: version and timestamp are mutually exclusive"
+        )
+    if timestamp is not None:
+        version = version_at_timestamp(spark, table, timestamp)
     v = version if version is not None else current_version(spark, table)
     if v is None:
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
@@ -245,6 +262,123 @@ def restore_version(
     )
 
 
+def table_constraints(
+    spark: SparkSession, table: str, version: int | None = None
+) -> dict:
+    """The CHECK constraints active at the given (default: current)
+    version: ``{name: sql_expression}``."""
+    return version_header(spark, table, version).get("constraints") or {}
+
+
+def add_constraint(
+    spark: SparkSession, table: str, name: str, expr: str, meta: dict | None = None
+) -> int:
+    """Delta's ``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: record
+    a row-level CHECK constraint in the table, enforced on every later
+    commit's NEW rows (O(delta) — carried files were validated by the
+    commit that introduced them). Like Delta, adding the constraint
+    first validates the EXISTING data (one full scan, the only
+    O(table) moment); a violating table refuses the constraint.
+    Semantics are SQL-standard CHECK: a row fails only when the
+    expression is FALSE — NULL passes (write ``x IS NOT NULL AND ...``
+    to require presence). The constraint itself is a metadata commit
+    carrying every file by reference."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, files = read_manifest(spark, table, cur)
+    cons = dict(header.get("constraints") or {})
+    if name in cons:
+        raise ValueError(
+            f"add_constraint: {name!r} already exists on {table!r} "
+            f"(CHECK {cons[name]}); drop it first to redefine"
+        )
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    root = table.rstrip("/")
+    if files:
+        df = spark.read.schema(schema).parquet(
+            *[_resolve(root, f) for f in files]
+        )
+        bad = df.where(F.expr(expr).eqNullSafe(F.lit(False))).count()
+        if bad:
+            raise ConstraintViolation(
+                f"add_constraint: {bad} existing row(s) of {table!r} "
+                f"violate CHECK ({expr}) — constraint refused"
+            )
+    cons[name] = expr
+    hdr_meta = dict(meta or {})
+    hdr_meta["constraint"] = {"added": name, "expr": expr}
+    return _commit(
+        spark,
+        table,
+        cur + 1,
+        "add_constraint",
+        schema,
+        files,
+        hdr_meta,
+        dict(manifest_stats(header)),
+        rows=manifest_rows(header),
+        constraints=cons,
+    )
+
+
+def drop_constraint(
+    spark: SparkSession, table: str, name: str, meta: dict | None = None
+) -> int:
+    """``ALTER TABLE DROP CONSTRAINT``: metadata-only commit removing
+    the named CHECK constraint; history keeps the add/drop audit."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, files = read_manifest(spark, table, cur)
+    cons = dict(header.get("constraints") or {})
+    if name not in cons:
+        raise KeyError(
+            f"drop_constraint: no constraint {name!r} on {table!r} "
+            f"(active: {sorted(cons)})"
+        )
+    expr = cons.pop(name)
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    hdr_meta = dict(meta or {})
+    hdr_meta["constraint"] = {"dropped": name, "expr": expr}
+    return _commit(
+        spark,
+        table,
+        cur + 1,
+        "drop_constraint",
+        schema,
+        files,
+        hdr_meta,
+        dict(manifest_stats(header)),
+        rows=manifest_rows(header),
+        constraints=cons,
+    )
+
+
+def version_at_timestamp(spark: SparkSession, table: str, ts) -> int:
+    """Latest version committed at or before ``ts`` — Delta's
+    ``TIMESTAMP AS OF`` resolution: the commit marker's modification
+    time IS the commit instant (data + manifest publish in its one
+    atomic rename). ``ts`` is epoch seconds (int/float) or a
+    ``datetime``. Raises if the earliest commit is newer."""
+    epoch = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+    fs, _ = _hadoop_fs(spark, table)
+    cdir = _jp(spark, table, _COMMITS)
+    best = None
+    if fs.exists(cdir):
+        for st in fs.listStatus(cdir):
+            m = _MARKER.match(st.getPath().getName())
+            if m and st.getModificationTime() / 1000.0 <= epoch:
+                v = int(m.group(1))
+                best = v if best is None or v > best else best
+    if best is None:
+        raise FileNotFoundError(
+            f"versioned table {table!r} has no commit at or before "
+            f"timestamp {ts!r} (earliest commit is newer, or no commits)"
+        )
+    return best
+
+
 def clone_version(
     spark: SparkSession,
     src: str,
@@ -288,7 +422,19 @@ def clone_version(
     hdr_meta["cloned_from"] = {"table": src_root, "version": v}
     nxt = (current_version(spark, dst) or 0) + 1
     return _commit(
-        spark, dst, nxt, "clone", schema, abs_files, hdr_meta, stats, rows=rows
+        spark,
+        dst,
+        nxt,
+        "clone",
+        schema,
+        abs_files,
+        hdr_meta,
+        stats,
+        rows=rows,
+        # table properties travel with the clone (Delta CLONE copies
+        # them); enforcement of by-reference data is skipped — see
+        # _commit — because the source already validated it
+        constraints=dict(header.get("constraints") or {}),
     )
 
 
@@ -678,12 +824,51 @@ def _commit(
     meta: dict | None,
     stats: dict | None = None,
     rows: dict | None = None,
+    constraints: dict | None = None,
 ) -> int:
     header = {
         "op": op,
         "parent": version - 1 if version > 1 else None,
         "schema": schema.json(),
     }
+    # CHECK constraints: inherit the parent's set unless explicitly
+    # overridden (add/drop/clone), and enforce them on the commit's NEW
+    # files only — O(delta), because every carried file was validated by
+    # the commit that introduced it. Enforcement runs BEFORE the marker
+    # claim: a violating commit leaves only unreferenced garbage.
+    # ``clone`` skips the scan (its by-reference data was validated in
+    # the source; re-scanning would be O(table) and defeat zero-copy).
+    if version > 1:
+        pheader, pfiles = read_manifest(spark, table, version - 1)
+        inherited = pheader.get("constraints") or {}
+        prev_set = set(pfiles)
+    else:
+        inherited, prev_set = {}, set()
+    cons = constraints if constraints is not None else inherited
+    if cons:
+        header["constraints"] = cons
+        fresh = [f for f in files if f not in prev_set]
+        if fresh and op != "clone":
+            df = spark.read.schema(schema).parquet(
+                *[_resolve(table.rstrip("/"), f) for f in fresh]
+            )
+            aggs = [
+                F.sum(
+                    F.expr(e).eqNullSafe(F.lit(False)).cast("int")
+                ).alias(n)
+                for n, e in cons.items()
+            ]
+            r = df.agg(*aggs).first()
+            bad = {n: int(r[n]) for n in cons if r[n]}
+            if bad:
+                raise ConstraintViolation(
+                    f"{op} on {table!r}: CHECK constraint(s) violated by "
+                    f"new rows (violations per constraint: {bad}; "
+                    f"expressions: { {n: cons[n] for n in bad} }) — "
+                    "nothing was committed. NULL evaluations PASS "
+                    "(SQL-standard CHECK); add IS NOT NULL to require "
+                    "presence."
+                )
     if stats:
         # only entries for files this manifest actually references —
         # stats for files aged out of the manifest would be dead weight

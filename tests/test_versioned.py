@@ -1205,3 +1205,85 @@ def test_delete_emptying_a_file_leaves_no_placeholder(spark, table):
     assert got.count() == 0
     assert got.schema.simpleString() == "struct<k:bigint,tag:string>"
     assert metadata_count(spark, table, strict=True) == 0
+
+
+def test_check_constraints_enforced_on_new_rows(spark, table):
+    """Delta CHECK-constraint parity: add_constraint validates existing
+    data (one scan), later commits enforce on their NEW files only, a
+    violating commit commits NOTHING, NULL evaluations pass (SQL
+    standard), and drop_constraint lifts the gate."""
+    from otus_cpp_11_spark.ops.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        drop_constraint,
+        table_constraints,
+    )
+
+    commit_version(spark, _df(spark, 10, "a"), table)
+    v2 = add_constraint(spark, table, "k_nonneg", "k >= 0")
+    assert version_header(spark, table, v2)["op"] == "add_constraint"
+    assert table_constraints(spark, table) == {"k_nonneg": "k >= 0"}
+    # a violating append commits nothing
+    bad = spark.createDataFrame([(-1, "x")], "k long, tag string")
+    with pytest.raises(ConstraintViolation, match="k_nonneg"):
+        commit_append(spark, bad, table)
+    assert current_version(spark, table) == v2
+    assert read_version(spark, table).count() == 10
+    # a clean append passes and CARRIES the constraint forward
+    commit_append(spark, _df(spark, 5, "b"), table)
+    assert table_constraints(spark, table) == {"k_nonneg": "k >= 0"}
+    # NULL passes: SQL-standard CHECK (tag length unknown != false)
+    add_constraint(spark, table, "tag_len", "length(tag) > 0")
+    nulltag = spark.createDataFrame([(99, None)], "k long, tag string")
+    commit_append(spark, nulltag, table)
+    # adding a constraint the EXISTING data violates is refused
+    with pytest.raises(ConstraintViolation, match="existing row"):
+        add_constraint(spark, table, "k_small", "k < 50")
+    # drop lifts the gate; dropping the unknown raises
+    drop_constraint(spark, table, "k_nonneg")
+    commit_append(spark, bad, table)
+    assert read_version(spark, table).where("k = -1").count() == 1
+    with pytest.raises(KeyError, match="no constraint"):
+        drop_constraint(spark, table, "k_nonneg")
+
+
+def test_constraints_travel_with_clone_and_gate_dml(spark, table, tmp_path):
+    from otus_cpp_11_spark.ops.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        clone_version,
+        commit_update,
+        table_constraints,
+    )
+
+    commit_version(spark, _df(spark, 10, "a"), table)
+    add_constraint(spark, table, "k_nonneg", "k >= 0")
+    dst = str(tmp_path / "clone")
+    clone_version(spark, table, dst)  # zero-copy, no revalidation scan
+    assert table_constraints(spark, dst) == {"k_nonneg": "k >= 0"}
+    bad = spark.createDataFrame([(-7, "x")], "k long, tag string")
+    with pytest.raises(ConstraintViolation, match="k_nonneg"):
+        commit_append(spark, bad, dst)
+    # UPDATE rewrites files -> its output is 'new rows' and is gated too
+    with pytest.raises(ConstraintViolation, match="k_nonneg"):
+        commit_update(spark, dst, "k = 3", {"k": "-k"})
+    assert read_version(spark, dst).where("k < 0").count() == 0
+
+
+def test_timestamp_time_travel(spark, table):
+    import time
+
+    from otus_cpp_11_spark.ops.versioned import version_at_timestamp
+
+    commit_version(spark, _df(spark, 10, "a"), table)
+    time.sleep(0.3)
+    t_mid = time.time()
+    time.sleep(0.3)
+    commit_version(spark, _df(spark, 99, "b"), table)
+    assert version_at_timestamp(spark, table, t_mid) == 1
+    assert read_version(spark, table, timestamp=t_mid).count() == 10
+    assert read_version(spark, table, timestamp=time.time()).count() == 99
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        version_at_timestamp(spark, table, t_mid - 3600)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_version(spark, table, version=1, timestamp=t_mid)
