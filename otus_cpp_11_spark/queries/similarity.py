@@ -1589,3 +1589,90 @@ def knn_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- contrastive-pair mining -------------------------------------------------
+# Bounded literal anchor set: the broadcast side stays O(1) however big the
+# corpus is, so the mining pass is LINEAR in corpus size (never anchors ×
+# corpus shuffled). All ids exist at every SF (embeddings min vec_id 0,
+# max >= 499 at sf0.001).
+HARDNEG_ANCHORS: tuple[int, ...] = (0, 3, 7, 12, 21, 33, 42, 57)
+HARDNEG_TOPK = 3
+_ANCHOR_SQL = ", ".join(str(a) for a in HARDNEG_ANCHORS)
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
+  FROM embeddings WHERE vec_id IN ({_ANCHOR_SQL})
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id AS neg_vec_id, e.label AS neg_label,
+         {_dot_sql("e.embedding", "a.av")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) *
+          SQRT({_dot_sql("a.av", "a.av")})) AS cosine
+  FROM embeddings e, a
+  WHERE e.label <> a.anchor_label
+),
+ranked AS (
+  SELECT anchor_id, neg_vec_id, neg_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, neg_vec_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, rank, neg_vec_id, neg_label, cosine
+FROM ranked WHERE rank <= {HARDNEG_TOPK}
+ORDER BY anchor_id, rank
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair hard-negative mining: for each anchor vector, the
+    top-3 most-cosine-similar vectors carrying a DIFFERENT label — the
+    wrong-class examples a contrastive trainer most needs to see. Cosine
+    uses the module's fixed-point dot (bit-identical cross-engine,
+    module docstring); ties break on neg_vec_id.
+
+    100 TB shape: the anchor relation is bounded-by-construction (literal
+    id list) and broadcast, so the scoring pass is one linear map over the
+    corpus — the embedding column never shuffles. The label-differs
+    predicate prunes inside that map (and subsumes self-pairing: an anchor
+    shares its own label). Top-k is the two-stage window (per-(anchor,
+    salt-cell) top-3, then global top-3 over <= 16*3 survivors per anchor)
+    because |anchors| window partitions would otherwise funnel the whole
+    scored corpus through 8 reducers. The real many-anchor workload
+    (mine negatives for EVERY training example) buckets by LSH first —
+    same candidate-join shape as knn_join_lsh_top3."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        e.where(F.col("vec_id").isin(list(HARDNEG_ANCHORS)))
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("av"),
+        )
+    )
+    scored = (
+        e.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_vec_id"),
+            F.col("label").alias("neg_label"),
+            cosine_sim(F.col("embedding"), F.col("av")).alias("cosine"),
+        )
+    )
+    order = [F.desc("cosine"), F.asc("neg_vec_id")]
+    local = Window.partitionBy(
+        "anchor_id", F.pmod(F.crc32(F.col("neg_vec_id").cast("string")), F.lit(16))
+    ).orderBy(*order)
+    glob = Window.partitionBy("anchor_id").orderBy(*order)
+    return (
+        scored.withColumn("_lrn", F.row_number().over(local))
+        .where(F.col("_lrn") <= HARDNEG_TOPK)
+        .drop("_lrn")
+        .withColumn("rank", F.row_number().over(glob))
+        .where(F.col("rank") <= HARDNEG_TOPK)
+        .select("anchor_id", "rank", "neg_vec_id", "neg_label", "cosine")
+        .orderBy("anchor_id", "rank")
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from otus_cpp_11_spark.catalog import load_table
 from otus_cpp_11_spark.queries.dedup import _normalized
@@ -498,3 +499,151 @@ def corpus_datacard_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_en").cast("double") / F.col("n_docs")).alias("pct_en"),
         (F.col("n_tokens").cast("double") / F.col("n_docs")).alias("mean_tokens"),
     ).orderBy("source")
+
+
+# --- BM25 lexical retrieval ------------------------------------------------
+# Fixed keyword-query workload: a bounded literal relation (the shape a
+# retrieval service ships to the cluster), including one rare term ('dup',
+# corpus df two orders below the common vocabulary) so the idf axis is
+# actually exercised, not just tf/dl.
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("hash", "join")),
+    (2, ("vector", "scan")),
+    (3, ("stream", "window", "merge")),
+    (4, ("dup", "filter")),
+)
+BM25_TOPK = 5
+_BM25_UNIT = 1_000_000
+# k1 = 1.2, b = 0.75 cleared to integers: tf*(k1+1) / (tf + k1*(1-b) +
+# k1*b*dl/avgdl) with avgdl = T/N, multiplied through by 10*T:
+#   tfn = 22*tf*T / (10*tf*T + 3*T + 9*dl*N)           -- exact rational
+_BM25_QT_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+
+@register(
+    "doc_bm25_top5",
+    oracle=f"""
+WITH qt(query_id, term) AS (VALUES {_BM25_QT_SQL}),
+w AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, LEN(w) AS dl FROM w),
+scal AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks FROM dl),
+tok AS (SELECT doc_id, UNNEST(w) AS term FROM w),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT q.query_id, t.doc_id,
+         (({_BM25_UNIT} * (2 * s.n_docs - 2 * f.df + 1)) // (2 * f.df + 1))
+         * (({_BM25_UNIT} * 22 * t.tf * s.total_toks)
+            // (10 * t.tf * s.total_toks + 3 * s.total_toks + 9 * d.dl * s.n_docs))
+         // {_BM25_UNIT} AS c
+  FROM tf t
+  JOIN qt q USING (term)
+  JOIN df f USING (term)
+  JOIN dl d USING (doc_id), scal s
+),
+scores AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_units
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_units,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_units DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score_units
+FROM ranked WHERE rank <= {BM25_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def doc_bm25_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75): top-5 documents per keyword
+    query, scored in EXACT integer micro-units so the cross-engine oracle
+    never depends on transcendental-log agreement or FP summation order
+    (the doc_bigram_surprisal discipline). The Robertson idf's log is
+    replaced by its exact odds-ratio argument, (2N-2df+1)/(2df+1) in
+    micro-units — a monotone-in-df weight with the same rare-term-dominates
+    behavior, exactly representable in both engines; the tf normalization
+    is real BM25 cleared to one integer division (22*tf*T over
+    10*tf*T + 3*T + 9*dl*N, avgdl folded in as T/N).
+
+    100 TB shape: tokens are filtered to the bounded query vocabulary
+    INSIDE the projection (before any shuffle), so the corpus-sized explode
+    never leaves the map side; (doc, term) tf is one partially-aggregated
+    groupBy; df/query relations are bounded-by-construction broadcasts; N
+    and T come from one scalar aggregate (1-row crossJoin). The top-k is a
+    two-stage window — per-(query, hash-salt-cell) top-5 first, then the
+    global per-query top-5 over at most 16*5 survivors per query — because
+    a handful of query_id partitions would otherwise funnel every matched
+    doc in the corpus through single reducers. Integer headroom: the scaled
+    numerator 1e6*22*tf*T stays under 2^63 through corpus ~ 4e9 tokens;
+    past that the literals upgrade to decimal(38,0), same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+    )
+    scal = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w")).alias("total_toks"),
+    )
+    matched = toks.select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        F.explode(
+            F.filter(F.col("w"), lambda x: x.isin(all_terms))
+        ).alias("term"),
+    )
+    tf = matched.groupBy("doc_id", "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    u = F.lit(_BM25_UNIT)
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"(({_BM25_UNIT} * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
+                f" * (({_BM25_UNIT} * 22 * tf * total_toks)"
+                f"    div (10 * tf * total_toks + 3 * total_toks + 9 * dl * n_docs))"
+                f" div {_BM25_UNIT}"
+            ).alias("c"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score_units")
+    )
+    order = [F.desc("score_units"), F.asc("doc_id")]
+    local = Window.partitionBy(
+        "query_id", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(16))
+    ).orderBy(*order)
+    glob = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scores.withColumn("_lrn", F.row_number().over(local))
+        .where(F.col("_lrn") <= BM25_TOPK)
+        .drop("_lrn")
+        .withColumn("rank", F.row_number().over(glob))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "score_units")
+        .orderBy("query_id", "rank")
+    )

@@ -139,12 +139,14 @@ DRIVER_VERIFIED: dict[str, str] = {
     "embedding_quantization": "f5bb24cd0b57",
     "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
+    "events_json_props": "fd96cba6cc74",
     "events_minute_rollup_streamed": "564c5d8e9e5f",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
     "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
     "events_tumbling_5min_streamed": "a108f91ed90b",
+    "events_user_sketches": "70afbca65e63",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
     "incremental_near_dup": "106378cb3ab8",
@@ -285,12 +287,13 @@ REVERIFY: frozenset[str] = frozenset({
     "event_type_transitions",
     "event_value_mad",
     "events_hourly_profile",
-    "events_json_props",
+    # events_json_props and events_user_sketches yielded their slots
+    # (pins restored) to the mid-round doc_bm25_top5 and
+    # hard_negative_mining
     "events_multires_rollup",
     "events_session_windows",
     "events_sliding_10min_5min",
     "events_tumbling_5min",
-    "events_user_sketches",
     "ivf_cosine_top5",
     # kmeans_assign_update yielded its slot (pin restored) to the
     # mid-round doc_bpe_roundtrip

@@ -638,3 +638,21 @@ def test_resample_gap_fill_single_user_shuffle_for_fill(spark, plan):
     assert "CartesianProduct" not in p
     assert "Window" in p
     assert "Generate" in p  # sequence() explode for the per-user grid
+
+
+def test_bm25_plan_no_cartesian_and_broadcast_bounded_relations(spark, plan):
+    p = plan("doc_bm25_top5", spark)
+    assert "CartesianProduct" not in p
+    # query-term and df relations are bounded → broadcast hash joins;
+    # the only nested-loop is the 1-row scalar (N, T) crossJoin
+    assert "BroadcastHashJoin" in p
+
+
+def test_hard_negative_plan_is_one_broadcast_pass(spark, plan):
+    p = plan("hard_negative_mining", spark)
+    assert "CartesianProduct" not in p
+    # bounded anchor relation broadcast against the linear corpus scan;
+    # the label-differs predicate makes it a nested-loop ON THE BOUNDED
+    # side, never a shuffle of the embedding column
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p

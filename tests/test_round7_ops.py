@@ -86,3 +86,110 @@ class TestPqIncrementalRefresh:
         n_all = load_table(spark, SF, "embeddings").count()
         assert v1.count() < n_all
         assert read_version(spark, path, 2).count() == n_all
+
+
+class TestBm25Retrieval:
+    def test_topk_shape_and_rare_term_dominance(self, spark):
+        from otus_cpp_11_spark.queries.text import (
+            BM25_QUERIES,
+            BM25_TOPK,
+            doc_bm25_top5,
+        )
+
+        rows = doc_bm25_top5(spark, SF).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {q for q, _ in BM25_QUERIES}
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, SF, "documents").collect()
+        }
+        for qid, rs in by_q.items():
+            assert [r["rank"] for r in rs] == list(range(1, BM25_TOPK + 1))
+            scores = [r["score_units"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+            assert all(s > 0 for s in scores)
+        # query 4 carries 'dup' (corpus df two orders below the common
+        # vocabulary): its idf weight must put a dup-bearing doc at rank 1
+        top_doc = by_q[4][0]["doc_id"]
+        assert " dup " in f" {docs[top_doc].lower()} "
+
+    def test_scores_are_exact_integers_no_transcendentals(self, spark):
+        """The cross-engine determinism contract: score_units is bigint
+        (exact integer micro-units), never a float column."""
+        from otus_cpp_11_spark.queries.text import doc_bm25_top5
+
+        schema = dict(doc_bm25_top5(spark, SF).dtypes)
+        assert schema["score_units"] == "bigint"
+
+
+class TestHardNegativeMining:
+    def test_negatives_cross_label_and_ranked(self, spark):
+        from otus_cpp_11_spark.queries.similarity import (
+            HARDNEG_ANCHORS,
+            HARDNEG_TOPK,
+            hard_negative_mining,
+        )
+
+        e = load_table(spark, SF, "embeddings")
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in e.where(
+                F.col("vec_id").isin(list(HARDNEG_ANCHORS))
+            ).collect()
+        }
+        rows = hard_negative_mining(spark, SF).collect()
+        assert len(rows) == len(HARDNEG_ANCHORS) * HARDNEG_TOPK
+        by_a = {}
+        for r in rows:
+            assert r["neg_label"] != labels[r["anchor_id"]]
+            by_a.setdefault(r["anchor_id"], []).append(r)
+        for a, rs in by_a.items():
+            assert [r["rank"] for r in rs] == list(range(1, HARDNEG_TOPK + 1))
+            cos = [r["cosine"] for r in rs]
+            assert cos == sorted(cos, reverse=True)
+
+    def test_local_prune_matches_naive_global_topk(self, spark):
+        """The two-stage (salted) window is an EXACT top-k: compare
+        against the single-window naive formulation."""
+        from otus_cpp_11_spark.queries.similarity import (
+            HARDNEG_ANCHORS,
+            HARDNEG_TOPK,
+            cosine_sim,
+            hard_negative_mining,
+        )
+        from pyspark.sql import Window
+
+        e = load_table(spark, SF, "embeddings")
+        a = e.where(F.col("vec_id").isin(list(HARDNEG_ANCHORS))).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("av"),
+        )
+        naive = (
+            e.join(F.broadcast(a), F.col("label") != F.col("anchor_label"))
+            .select(
+                "anchor_id",
+                F.col("vec_id").alias("neg_vec_id"),
+                cosine_sim(F.col("embedding"), F.col("av")).alias("cosine"),
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("anchor_id").orderBy(
+                        F.desc("cosine"), F.asc("neg_vec_id")
+                    )
+                ),
+            )
+            .where(F.col("rank") <= HARDNEG_TOPK)
+        )
+        want = {
+            (r["anchor_id"], r["rank"], r["neg_vec_id"])
+            for r in naive.collect()
+        }
+        got = {
+            (r["anchor_id"], r["rank"], r["neg_vec_id"])
+            for r in hard_negative_mining(spark, SF).collect()
+        }
+        assert got == want
