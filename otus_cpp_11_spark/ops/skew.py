@@ -14,7 +14,7 @@ parallelism and only the skewed side's cardinality stays untouched.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,3 +56,37 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return s.join(o, [on, "_salt"], how).drop("_salt")
+
+
+def salted_topk(
+    df: DataFrame,
+    partition_cols: list[str],
+    order: list,
+    k: int,
+    salt_on: str,
+    cells: int = 16,
+) -> DataFrame:
+    """EXACT per-group top-k through two chained windows: a local top-k per
+    (group, salt-cell) first, then the global per-group top-k over at most
+    ``cells * k`` survivors. Row-identical to the single-window formulation
+    (proven in tests) because pruning a row that is not in its CELL's top-k
+    can never remove a row from the GROUP's top-k — but the heavy sort runs
+    across ``cells`` tasks per group instead of funneling every candidate
+    row in the corpus through one reducer per group. Use whenever the
+    number of groups is small relative to the cluster (retrieval queries,
+    anchor sets); ``order`` must be a total order (include a unique
+    tie-break column) for a deterministic result.
+
+    The salt is a deterministic hash of ``salt_on`` (a per-row id), never
+    rand(): retried/speculated tasks must salt identically (same contract
+    as salted_join)."""
+    salt = F.pmod(F.crc32(F.col(salt_on).cast("string")), F.lit(cells))
+    local = Window.partitionBy(*partition_cols, salt).orderBy(*order)
+    final = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        df.withColumn("_lrn", F.row_number().over(local))
+        .where(F.col("_lrn") <= k)
+        .drop("_lrn")
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+    )

@@ -1638,12 +1638,14 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     id list) and broadcast, so the scoring pass is one linear map over the
     corpus — the embedding column never shuffles. The label-differs
     predicate prunes inside that map (and subsumes self-pairing: an anchor
-    shares its own label). Top-k is the two-stage window (per-(anchor,
-    salt-cell) top-3, then global top-3 over <= 16*3 survivors per anchor)
-    because |anchors| window partitions would otherwise funnel the whole
-    scored corpus through 8 reducers. The real many-anchor workload
-    (mine negatives for EVERY training example) buckets by LSH first —
-    same candidate-join shape as knn_join_lsh_top3."""
+    shares its own label). Top-k is the shared salted_topk two-stage
+    window (ops/skew.py: per-(anchor, salt-cell) top-3, then global top-3
+    over <= 16*3 survivors per anchor, exactness proven against the naive
+    single-window formulation in tests/test_round7_ops.py) because
+    |anchors| window partitions would otherwise funnel the whole scored
+    corpus through 8 reducers. The real many-anchor workload (mine
+    negatives for EVERY training example) buckets by LSH first — same
+    candidate-join shape as knn_join_lsh_top3."""
     e = load_table(spark, sf_dir, "embeddings")
     anchors = (
         e.where(F.col("vec_id").isin(list(HARDNEG_ANCHORS)))
@@ -1662,17 +1664,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_sim(F.col("embedding"), F.col("av")).alias("cosine"),
         )
     )
-    order = [F.desc("cosine"), F.asc("neg_vec_id")]
-    local = Window.partitionBy(
-        "anchor_id", F.pmod(F.crc32(F.col("neg_vec_id").cast("string")), F.lit(16))
-    ).orderBy(*order)
-    glob = Window.partitionBy("anchor_id").orderBy(*order)
+    from otus_cpp_11_spark.ops.skew import salted_topk
+
     return (
-        scored.withColumn("_lrn", F.row_number().over(local))
-        .where(F.col("_lrn") <= HARDNEG_TOPK)
-        .drop("_lrn")
-        .withColumn("rank", F.row_number().over(glob))
-        .where(F.col("rank") <= HARDNEG_TOPK)
+        salted_topk(
+            scored,
+            ["anchor_id"],
+            [F.desc("cosine"), F.asc("neg_vec_id")],
+            HARDNEG_TOPK,
+            salt_on="neg_vec_id",
+        )
         .select("anchor_id", "rank", "neg_vec_id", "neg_label", "cosine")
         .orderBy("anchor_id", "rank")
     )

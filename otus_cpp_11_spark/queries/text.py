@@ -12,9 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.ops.skew import salted_topk
 from otus_cpp_11_spark.queries.dedup import _normalized
 from otus_cpp_11_spark.registry import register
 
@@ -514,6 +514,11 @@ BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
 )
 BM25_TOPK = 5
 _BM25_UNIT = 1_000_000
+# idf is held in MILLI-units (not micro) so the per-term product
+# idf_mu * tfn_u stays inside int64 through ~10^9 documents (see the
+# docstring's headroom analysis); the final div 1000 lands the score
+# back in micro-units.
+_BM25_IDF_UNIT = 1_000
 # k1 = 1.2, b = 0.75 cleared to integers: tf*(k1+1) / (tf + k1*(1-b) +
 # k1*b*dl/avgdl) with avgdl = T/N, multiplied through by 10*T:
 #   tfn = 22*tf*T / (10*tf*T + 3*T + 9*dl*N)           -- exact rational
@@ -543,10 +548,10 @@ tf AS (
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 contrib AS (
   SELECT q.query_id, t.doc_id,
-         (({_BM25_UNIT} * (2 * s.n_docs - 2 * f.df + 1)) // (2 * f.df + 1))
+         (({_BM25_IDF_UNIT} * (2 * s.n_docs - 2 * f.df + 1)) // (2 * f.df + 1))
          * (({_BM25_UNIT} * 22 * t.tf * s.total_toks)
             // (10 * t.tf * s.total_toks + 3 * s.total_toks + 9 * d.dl * s.n_docs))
-         // {_BM25_UNIT} AS c
+         // {_BM25_IDF_UNIT} AS c
   FROM tf t
   JOIN qt q USING (term)
   JOIN df f USING (term)
@@ -582,13 +587,22 @@ def doc_bm25_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     INSIDE the projection (before any shuffle), so the corpus-sized explode
     never leaves the map side; (doc, term) tf is one partially-aggregated
     groupBy; df/query relations are bounded-by-construction broadcasts; N
-    and T come from one scalar aggregate (1-row crossJoin). The top-k is a
-    two-stage window — per-(query, hash-salt-cell) top-5 first, then the
-    global per-query top-5 over at most 16*5 survivors per query — because
+    and T come from one scalar aggregate (1-row crossJoin). The top-k is the
+    shared salted_topk two-stage window (ops/skew.py) — per-(query,
+    hash-salt-cell) top-5 first, then the global per-query top-5 over at
+    most 16*5 survivors per query — because
     a handful of query_id partitions would otherwise funnel every matched
-    doc in the corpus through single reducers. Integer headroom: the scaled
-    numerator 1e6*22*tf*T stays under 2^63 through corpus ~ 4e9 tokens;
-    past that the literals upgrade to decimal(38,0), same plan."""
+    doc in the corpus through single reducers. The corpus is tokenized
+    twice (the scalar N/T aggregate and the tf pass are separate scans of
+    the same projection) — the doc_bigram_surprisal trade, accepted for
+    the same reason: scans are cheap, a cache pin of the tokenized corpus
+    is not. Integer headroom, binding term first: the per-term product
+    idf_mu * tfn_u <= (1e3 * 2N / 3) * 2.2e6 (a df=1 term) crosses 2^63
+    only past N ~ 6e9 documents, and the tfn numerator 1e6*22*tf*T at
+    tf <= dl crosses it past T ~ 2e10 tokens with hot-doc tf ~ 20; past
+    either bound the literals upgrade to decimal(38,0), same plan (DuckDB
+    raises on BIGINT overflow rather than wrapping, so an undersized
+    deployment fails loudly in the oracle, not silently in Spark)."""
     d = load_table(spark, sf_dir, "documents")
     all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
     qt = spark.createDataFrame(
@@ -623,27 +637,24 @@ def doc_bm25_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             F.expr(
-                f"(({_BM25_UNIT} * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
+                f"(({_BM25_IDF_UNIT} * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
                 f" * (({_BM25_UNIT} * 22 * tf * total_toks)"
                 f"    div (10 * tf * total_toks + 3 * total_toks + 9 * dl * n_docs))"
-                f" div {_BM25_UNIT}"
+                f" div {_BM25_IDF_UNIT}"
             ).alias("c"),
         )
     )
     scores = contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").cast("bigint").alias("score_units")
     )
-    order = [F.desc("score_units"), F.asc("doc_id")]
-    local = Window.partitionBy(
-        "query_id", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(16))
-    ).orderBy(*order)
-    glob = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scores.withColumn("_lrn", F.row_number().over(local))
-        .where(F.col("_lrn") <= BM25_TOPK)
-        .drop("_lrn")
-        .withColumn("rank", F.row_number().over(glob))
-        .where(F.col("rank") <= BM25_TOPK)
+        salted_topk(
+            scores,
+            ["query_id"],
+            [F.desc("score_units"), F.asc("doc_id")],
+            BM25_TOPK,
+            salt_on="doc_id",
+        )
         .select("query_id", "rank", "doc_id", "score_units")
         .orderBy("query_id", "rank")
     )

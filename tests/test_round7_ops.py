@@ -111,9 +111,11 @@ class TestBm25Retrieval:
             assert scores == sorted(scores, reverse=True)
             assert all(s > 0 for s in scores)
         # query 4 carries 'dup' (corpus df two orders below the common
-        # vocabulary): its idf weight must put a dup-bearing doc at rank 1
+        # vocabulary): its idf weight must put a dup-bearing doc at rank 1.
+        # Tokenize the way the query does (any-whitespace split), not by
+        # single-space substring match.
         top_doc = by_q[4][0]["doc_id"]
-        assert " dup " in f" {docs[top_doc].lower()} "
+        assert "dup" in docs[top_doc].lower().split()
 
     def test_scores_are_exact_integers_no_transcendentals(self, spark):
         """The cross-engine determinism contract: score_units is bigint
