@@ -527,10 +527,68 @@ _BM25_QT_SQL = ", ".join(
 )
 
 
-@register(
-    "doc_bm25_top5",
-    oracle=f"""
-WITH qt(query_id, term) AS (VALUES {_BM25_QT_SQL}),
+def _bm25_tf(spark: SparkSession, sf_dir: str):
+    """Shared retrieval front end: the per-(doc, query-term) tf relation
+    (with doc length carried through the explode, so no second per-doc
+    join) plus the 1-row (N, T) scalar aggregate and the bounded
+    query-term relation. Tokens filter to the bounded query vocabulary
+    INSIDE the projection — the corpus-sized explode never leaves the
+    map side."""
+    d = load_table(spark, sf_dir, "documents")
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+    )
+    scal = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w")).alias("total_toks"),
+    )
+    matched = toks.select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        F.explode(
+            F.filter(F.col("w"), lambda x: x.isin(all_terms))
+        ).alias("term"),
+    )
+    tf = matched.groupBy("doc_id", "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return tf, qt, scal
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score_units): exact-integer BM25 — see
+    doc_bm25_top5 for the arithmetic derivation and headroom analysis."""
+    tf, qt, scal = _bm25_tf(spark, sf_dir)
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"(({_BM25_IDF_UNIT} * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
+                f" * (({_BM25_UNIT} * 22 * tf * total_toks)"
+                f"    div (10 * tf * total_toks + 3 * total_toks + 9 * dl * n_docs))"
+                f" div {_BM25_IDF_UNIT}"
+            ).alias("c"),
+        )
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score_units")
+    )
+
+
+# Shared oracle CTE chain ending in scores(query_id, doc_id, score_units) —
+# the exact-integer BM25 relation both retrieval oracles build on.
+_BM25_SCORES_CTES = f"""qt(query_id, term) AS (VALUES {_BM25_QT_SQL}),
 w AS (
   SELECT doc_id,
          LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '),
@@ -560,7 +618,13 @@ contrib AS (
 scores AS (
   SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_units
   FROM contrib GROUP BY query_id, doc_id
-),
+)"""
+
+
+@register(
+    "doc_bm25_top5",
+    oracle=f"""
+WITH {_BM25_SCORES_CTES},
 ranked AS (
   SELECT query_id, doc_id, score_units,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -603,58 +667,129 @@ def doc_bm25_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     either bound the literals upgrade to decimal(38,0), same plan (DuckDB
     raises on BIGINT overflow rather than wrapping, so an undersized
     deployment fails loudly in the oracle, not silently in Spark)."""
-    d = load_table(spark, sf_dir, "documents")
-    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
-        "query_id int, term string",
-    )
-    toks = d.select(
-        "doc_id",
-        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
-    )
-    scal = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("w")).alias("total_toks"),
-    )
-    matched = toks.select(
-        "doc_id",
-        F.size("w").alias("dl"),
-        F.explode(
-            F.filter(F.col("w"), lambda x: x.isin(all_terms))
-        ).alias("term"),
-    )
-    tf = matched.groupBy("doc_id", "term", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    u = F.lit(_BM25_UNIT)
-    contrib = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(df_rel), "term")
-        .crossJoin(F.broadcast(scal))
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr(
-                f"(({_BM25_IDF_UNIT} * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
-                f" * (({_BM25_UNIT} * 22 * tf * total_toks)"
-                f"    div (10 * tf * total_toks + 3 * total_toks + 9 * dl * n_docs))"
-                f" div {_BM25_IDF_UNIT}"
-            ).alias("c"),
-        )
-    )
-    scores = contrib.groupBy("query_id", "doc_id").agg(
-        F.sum("c").cast("bigint").alias("score_units")
-    )
     return (
         salted_topk(
-            scores,
+            _bm25_scores(spark, sf_dir),
             ["query_id"],
             [F.desc("score_units"), F.asc("doc_id")],
             BM25_TOPK,
             salt_on="doc_id",
         )
         .select("query_id", "rank", "doc_id", "score_units")
+        .orderBy("query_id", "rank")
+    )
+
+
+# --- hybrid retrieval: reciprocal rank fusion --------------------------------
+RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+RRF_POOL = 20  # per-ranker candidate pool depth
+RRF_TOPK = 5
+_RRF_UNIT = 1_000_000
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+WITH {_BM25_SCORES_CTES},
+pool_a AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_units DESC, doc_id) AS rank_a
+  FROM scores
+  QUALIFY rank_a <= {RRF_POOL}
+),
+tf_scores AS (
+  SELECT q.query_id, t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS tf_sum
+  FROM tf t JOIN qt q USING (term)
+  GROUP BY q.query_id, t.doc_id
+),
+pool_b AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY tf_sum DESC, doc_id) AS rank_b
+  FROM tf_scores
+  QUALIFY rank_b <= {RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE({_RRF_UNIT} // ({RRF_K} + a.rank_a), 0)
+           + COALESCE({_RRF_UNIT} // ({RRF_K} + b.rank_b), 0) AS rrf_units
+  FROM pool_a a
+  FULL OUTER JOIN pool_b b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf_units,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_units DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, rrf_units
+FROM ranked WHERE rank <= {RRF_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (RRF, k=60): fuse the
+    exact-integer BM25 ranker with a raw term-frequency ranker — two
+    rankers with genuinely different orderings (tf ignores idf and length
+    normalization) — by summing 1e6 // (60 + rank) over each ranker's
+    top-20 pool, in exact integer micro-units (RRF is born
+    fusion-by-rank, so dropping the transcendentals costs nothing — the
+    reciprocal is exactly representable). The production shape this
+    stands in for is BM25 + dense-ANN fusion; the fusion operator is
+    ranker-agnostic by construction (it consumes only rank columns).
+
+    100 TB shape: each pool is already a salted_topk (bounded to
+    RRF_POOL rows per query BEFORE the fusion join), so the full-outer
+    fusion join touches at most 2 * RRF_POOL * |queries| rows — driver-
+    trivial whatever the corpus size; the heavy lifting happened inside
+    the rankers, which share one tokenize+filter front end (_bm25_tf).
+    The final top-5 re-ranks <= 2 * RRF_POOL rows per query."""
+    tf, qt, _scal = _bm25_tf(spark, sf_dir)
+    pool_a = salted_topk(
+        _bm25_scores(spark, sf_dir),
+        ["query_id"],
+        [F.desc("score_units"), F.asc("doc_id")],
+        RRF_POOL,
+        salt_on="doc_id",
+    ).select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    tf_scores = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("tf_sum"))
+    )
+    pool_b = salted_topk(
+        tf_scores,
+        ["query_id"],
+        [F.desc("tf_sum"), F.asc("doc_id")],
+        RRF_POOL,
+        salt_on="doc_id",
+    ).select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    fused = (
+        pool_a.join(pool_b, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_a)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_b)"), F.lit(0)
+                )
+            ).cast("bigint").alias("rrf_units"),
+        )
+    )
+    return (
+        salted_topk(
+            fused,
+            ["query_id"],
+            [F.desc("rrf_units"), F.asc("doc_id")],
+            RRF_TOPK,
+            salt_on="doc_id",
+        )
+        .select("query_id", "rank", "doc_id", "rrf_units")
         .orderBy("query_id", "rank")
     )

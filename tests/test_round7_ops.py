@@ -195,3 +195,36 @@ class TestHardNegativeMining:
             for r in hard_negative_mining(spark, SF).collect()
         }
         assert got == want
+
+
+class TestRrfFusion:
+    def test_fusion_invariants_and_ranker_diversity(self, spark):
+        from otus_cpp_11_spark.queries.text import (
+            BM25_QUERIES,
+            RRF_K,
+            RRF_TOPK,
+            _RRF_UNIT,
+            doc_bm25_top5,
+            retrieval_rrf_fusion,
+        )
+
+        rows = retrieval_rrf_fusion(spark, SF).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {q for q, _ in BM25_QUERIES}
+        max_units = 2 * (_RRF_UNIT // (RRF_K + 1))  # rank 1 in both pools
+        for qid, rs in by_q.items():
+            assert [r["rank"] for r in rs] == list(range(1, RRF_TOPK + 1))
+            units = [r["rrf_units"] for r in rs]
+            assert units == sorted(units, reverse=True)
+            assert all(0 < u <= max_units for u in units)
+        # the tf ranker must actually move something: fused top-5 differs
+        # from pure-BM25 top-5 for at least one query (otherwise the
+        # fusion is vacuous at this fixture)
+        bm25 = {
+            (r["query_id"], r["rank"], r["doc_id"])
+            for r in doc_bm25_top5(spark, SF).collect()
+        }
+        fused = {(r["query_id"], r["rank"], r["doc_id"]) for r in rows}
+        assert fused != bm25
