@@ -1119,3 +1119,155 @@ def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("part_id")
     )
+
+
+# --- eval analytics: deterministic bootstrap confidence interval -------------
+# The metric under the interval is the doc_quality_score gate — same
+# thresholds, imported so the two queries can never drift apart.
+from otus_cpp_11_spark.queries.text import (  # noqa: E402
+    _STOP_SQL as _BOOT_STOP_SQL,
+    QUALITY_MIN_STOP_RATIO as _BOOT_MIN_STOP_RATIO,
+    QUALITY_MIN_TOKENS as _BOOT_MIN_TOKENS,
+)
+
+BOOT_B = 200  # bootstrap replicas
+# percentile ranks for a 95% interval over B sorted replica sums:
+# 5th smallest / 196th smallest (floor(0.025*B) / B - floor(0.025*B) + 1)
+BOOT_LO_RANK = BOOT_B // 40
+BOOT_HI_RANK = BOOT_B - BOOT_B // 40 + 1
+
+
+@register(
+    "eval_bootstrap_ci",
+    oracle=f"""
+WITH ex AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS j,
+         CASE WHEN LEN(list_filter(string_split(text, ' '), x -> x <> ''))
+                   >= {_BOOT_MIN_TOKENS}
+               AND CAST(LEN(list_filter(string_split(text, ' '),
+                            x -> x IN ({_BOOT_STOP_SQL}))) AS DOUBLE)
+                   / LEN(list_filter(string_split(text, ' '), x -> x <> '')) >= {_BOOT_MIN_STOP_RATIO}
+              THEN 1 ELSE 0 END AS s
+  FROM documents
+),
+scal AS (SELECT COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS point_sum FROM ex),
+draws AS (
+  SELECT r.b,
+         (('0x' || SUBSTRING(MD5(CAST(r.b AS VARCHAR) || ':' || CAST(e.j AS VARCHAR)), 1, 6))::BIGINT % s.n) + 1 AS idx
+  FROM (SELECT UNNEST(RANGE(1, {BOOT_B} + 1)) AS b) r
+  CROSS JOIN ex e, scal s
+),
+rep AS (
+  SELECT d.b, CAST(SUM(e.s) AS BIGINT) AS rep_sum
+  FROM draws d JOIN ex e ON e.j = d.idx
+  GROUP BY d.b
+),
+ranked AS (
+  SELECT rep_sum, ROW_NUMBER() OVER (ORDER BY rep_sum, b) AS rk FROM rep
+)
+SELECT s.n AS n_examples,
+       {BOOT_B} AS n_replicas,
+       s.point_sum,
+       CAST(s.point_sum AS DOUBLE) / s.n AS point_rate,
+       (SELECT CAST(rep_sum AS DOUBLE) / s.n FROM ranked WHERE rk = {BOOT_LO_RANK}) AS ci_lo_rate,
+       (SELECT CAST(rep_sum AS DOUBLE) / s.n FROM ranked WHERE rk = {BOOT_HI_RANK}) AS ci_hi_rate
+FROM scal s
+""",
+)
+def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-analytics: a 95% bootstrap confidence interval for the corpus
+    quality-pass rate (the doc_quality_score gate), with every "random"
+    draw an md5 hash of (replica, position) — the module's determinism
+    strategy — so the interval is reproducible across runs, engines, and
+    retries. All accounting is exact integers (replica sums of 0/1
+    scores); ratios happen once at the end. The percentile method takes
+    the 5th/196th of 200 sorted replica sums.
+
+    100 TB shape: bootstrap CIs are computed over EVAL sets, which are
+    bounded by construction (thousands of examples, never the corpus) —
+    the B*n draw grid and the global ROW_NUMBER index are sized by that
+    bound, not by corpus scale; the one corpus-sized input here is the
+    metric column itself, one linear scan. For corpus-scale metrics you
+    bootstrap over SHARD means (replace ex with per-shard partial sums),
+    same plan shape. The draw->example lookup joins on the dense index;
+    the replica aggregate is one partially-aggregated groupBy over B
+    keys."""
+    from otus_cpp_11_spark.queries.text import (
+        QUALITY_MIN_STOP_RATIO,
+        QUALITY_MIN_TOKENS,
+        STOPWORDS,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin([*STOPWORDS])))
+    s = (
+        F.when(
+            (n_tokens >= QUALITY_MIN_TOKENS)
+            & (n_stop.cast("double") / n_tokens >= QUALITY_MIN_STOP_RATIO),
+            1,
+        )
+        .otherwise(0)
+    )
+    ex = d.select(
+        F.row_number().over(Window.orderBy("doc_id")).alias("j"),
+        s.alias("s"),
+    )
+    scal = ex.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").cast("bigint").alias("point_sum"),
+    )
+    replicas = spark.range(1, BOOT_B + 1).select(F.col("id").alias("b"))
+    draws = (
+        ex.crossJoin(F.broadcast(replicas))
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(":", F.col("b"), F.col("j")),
+                                "UTF-8",
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+                + 1
+            ).alias("idx"),
+        )
+    )
+    rep = (
+        draws.join(ex, draws["idx"] == ex["j"])
+        .groupBy("b")
+        .agg(F.sum("s").cast("bigint").alias("rep_sum"))
+    )
+    ranked = rep.select(
+        "rep_sum",
+        F.row_number().over(Window.orderBy("rep_sum", "b")).alias("rk"),
+    )
+    lo = ranked.where(F.col("rk") == BOOT_LO_RANK).select(
+        F.col("rep_sum").alias("lo_sum")
+    )
+    hi = ranked.where(F.col("rk") == BOOT_HI_RANK).select(
+        F.col("rep_sum").alias("hi_sum")
+    )
+    return (
+        scal.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n").alias("n_examples"),
+            F.lit(BOOT_B).alias("n_replicas"),
+            "point_sum",
+            (F.col("point_sum").cast("double") / F.col("n")).alias("point_rate"),
+            (F.col("lo_sum").cast("double") / F.col("n")).alias("ci_lo_rate"),
+            (F.col("hi_sum").cast("double") / F.col("n")).alias("ci_hi_rate"),
+        )
+    )

@@ -146,6 +146,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
+    "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
     "exact_dup_groups": "8902aa321cb1",
@@ -288,12 +289,12 @@ REVERIFY: frozenset[str] = frozenset({
     "event_type_transitions",
     "event_value_mad",
     "events_hourly_profile",
-    # events_json_props, events_user_sketches, and events_sliding_10min_5min
-    # yielded their slots (pins restored) to the mid-round doc_bm25_top5,
-    # hard_negative_mining, and retrieval_rrf_fusion
+    # events_json_props, events_user_sketches, events_sliding_10min_5min,
+    # and events_tumbling_5min yielded their slots (pins restored) to the
+    # mid-round doc_bm25_top5, hard_negative_mining, retrieval_rrf_fusion,
+    # and eval_bootstrap_ci
     "events_multires_rollup",
     "events_session_windows",
-    "events_tumbling_5min",
     "ivf_cosine_top5",
     # kmeans_assign_update yielded its slot (pin restored) to the
     # mid-round doc_bpe_roundtrip

@@ -228,3 +228,54 @@ class TestRrfFusion:
         }
         fused = {(r["query_id"], r["rank"], r["doc_id"]) for r in rows}
         assert fused != bm25
+
+
+class TestBootstrapCi:
+    def test_interval_brackets_point_and_matches_pure_python(self, spark):
+        """Independent reference implementation: recompute the replica
+        sums with hashlib md5 over the same (replica, position) keys and
+        compare the exact integers — validates the in-engine hex-index
+        math against a second implementation, not just DuckDB's."""
+        import hashlib
+
+        from otus_cpp_11_spark.queries.sampling import (
+            BOOT_B,
+            BOOT_HI_RANK,
+            BOOT_LO_RANK,
+            eval_bootstrap_ci,
+        )
+        from otus_cpp_11_spark.queries.text import (
+            QUALITY_MIN_STOP_RATIO,
+            QUALITY_MIN_TOKENS,
+            STOPWORDS,
+        )
+
+        row = eval_bootstrap_ci(spark, SF).collect()[0]
+        assert row["ci_lo_rate"] <= row["point_rate"] <= row["ci_hi_rate"]
+        assert row["n_replicas"] == BOOT_B
+
+        docs = sorted(
+            load_table(spark, SF, "documents").collect(),
+            key=lambda r: r["doc_id"],
+        )
+        s = []
+        for r in docs:
+            toks = [t for t in r["text"].split(" ") if t]
+            stop = sum(1 for t in toks if t in STOPWORDS)
+            ok = (
+                len(toks) >= QUALITY_MIN_TOKENS
+                and stop / len(toks) >= QUALITY_MIN_STOP_RATIO
+            )
+            s.append(1 if ok else 0)
+        n = len(s)
+        assert row["n_examples"] == n and row["point_sum"] == sum(s)
+        sums = []
+        for b in range(1, BOOT_B + 1):
+            tot = 0
+            for j in range(1, n + 1):
+                h = hashlib.md5(f"{b}:{j}".encode()).hexdigest()
+                tot += s[int(h[:6], 16) % n]
+            sums.append(tot)
+        sums.sort()
+        assert row["ci_lo_rate"] == sums[BOOT_LO_RANK - 1] / n
+        assert row["ci_hi_rate"] == sums[BOOT_HI_RANK - 1] / n
