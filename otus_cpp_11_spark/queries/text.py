@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from otus_cpp_11_spark.catalog import load_table
 from otus_cpp_11_spark.ops.skew import salted_topk
@@ -792,4 +793,100 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "rank", "doc_id", "rrf_units")
         .orderBy("query_id", "rank")
+    )
+
+
+# --- inference-serving analytics: shared-prefix cache potential --------------
+PREFIX_LEN = 8  # leading tokens that constitute the cacheable prefix
+PREFIX_TOP = 10
+
+
+@register(
+    "prefix_cache_analysis",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS w
+  FROM documents
+),
+pfx AS (
+  SELECT doc_id,
+         ARRAY_TO_STRING(w[1:{PREFIX_LEN}], ' ') AS prefix,
+         LEAST(LEN(w), {PREFIX_LEN}) AS plen
+  FROM w
+  WHERE LEN(w) >= 1
+),
+grouped AS (
+  SELECT MD5(prefix) AS prefix_hash,
+         MIN(plen) AS prefix_tokens,
+         COUNT(*) AS n_docs,
+         MIN(plen) * (COUNT(*) - 1) AS tokens_saved
+  FROM pfx
+  GROUP BY MD5(prefix)
+  HAVING COUNT(*) > 1
+),
+ranked AS (
+  SELECT prefix_hash, prefix_tokens, n_docs, CAST(tokens_saved AS BIGINT) AS tokens_saved,
+         ROW_NUMBER() OVER (ORDER BY tokens_saved DESC, prefix_hash) AS rank
+  FROM grouped
+)
+SELECT rank, prefix_hash, prefix_tokens, n_docs, tokens_saved
+FROM ranked WHERE rank <= {PREFIX_TOP}
+ORDER BY rank
+""",
+)
+def prefix_cache_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference-serving analytics: KV-cache reuse potential from shared
+    leading-token prefixes (the shared-system-prompt pattern). Documents
+    sharing their first PREFIX_LEN-token (8) prefix form a cache group; the
+    savings estimate is prefix_tokens * (n_docs - 1) — every request
+    after the first reuses the prefix KV. Top-10 groups by savings.
+
+    100 TB shape: one tokenize scan; the group key is an md5 of the
+    bounded prefix (never the full text crosses the shuffle — 16 bytes +
+    two ints per doc); the aggregate partial-combines map-side, so a
+    mega-hot shared prefix (every request from one template) costs one
+    row per map task, not a hot reducer. Global top-10 over the grouped
+    relation is a TakeOrderedAndProject-shaped sort of group-count rows,
+    not docs. plen rides MIN() (all group members share it by
+    construction — same leading tokens implies same
+    truncation length)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+    ).where(F.size("w") >= 1)
+    pfx = toks.select(
+        F.md5(
+            F.array_join(F.slice("w", 1, PREFIX_LEN), " ")
+        ).alias("prefix_hash"),
+        F.least(F.size("w"), F.lit(PREFIX_LEN)).alias("plen"),
+    )
+    grouped = (
+        pfx.groupBy("prefix_hash")
+        .agg(
+            F.min("plen").alias("prefix_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            "prefix_hash",
+            "prefix_tokens",
+            "n_docs",
+            (F.col("prefix_tokens") * (F.col("n_docs") - 1))
+            .cast("bigint")
+            .alias("tokens_saved"),
+        )
+    )
+    return (
+        grouped.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("tokens_saved"), F.asc("prefix_hash"))
+            ),
+        )
+        .where(F.col("rank") <= PREFIX_TOP)
+        .select("rank", "prefix_hash", "prefix_tokens", "n_docs", "tokens_saved")
+        .orderBy("rank")
     )

@@ -143,6 +143,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_minute_rollup_streamed": "564c5d8e9e5f",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
+    "events_session_windows": "ee61ffbf866a",
     "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
@@ -290,11 +291,10 @@ REVERIFY: frozenset[str] = frozenset({
     "event_value_mad",
     "events_hourly_profile",
     # events_json_props, events_user_sketches, events_sliding_10min_5min,
-    # and events_tumbling_5min yielded their slots (pins restored) to the
-    # mid-round doc_bm25_top5, hard_negative_mining, retrieval_rrf_fusion,
-    # and eval_bootstrap_ci
+    # events_tumbling_5min, and events_session_windows yielded their slots
+    # (pins restored) to the mid-round doc_bm25_top5, hard_negative_mining,
+    # retrieval_rrf_fusion, eval_bootstrap_ci, and prefix_cache_analysis
     "events_multires_rollup",
-    "events_session_windows",
     "ivf_cosine_top5",
     # kmeans_assign_update yielded its slot (pin restored) to the
     # mid-round doc_bpe_roundtrip
