@@ -890,3 +890,55 @@ def prefix_cache_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "prefix_hash", "prefix_tokens", "n_docs", "tokens_saved")
         .orderBy("rank")
     )
+
+
+@register(
+    "bm25_stats_streamed",
+    oracle=f"""
+WITH qt(query_id, term) AS (VALUES {_BM25_QT_SQL}),
+w AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '),
+                     x -> x <> '') AS w
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(w) AS term FROM w),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, term
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS tf_sum
+FROM tf
+GROUP BY term
+ORDER BY term
+""",
+)
+def bm25_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, driver-visible — the retrieval-index INGEST
+    face: replay the documents table as a file stream through the
+    foreachBatch BM25-stats maintainer (streaming.incremental_bm25_stats)
+    under Trigger.AvailableNow, then read the maintained term statistics
+    back. The oracle is the from-scratch batch aggregate — the maintained
+    stats must be bit-identical however ingestion was micro-batched,
+    because both columns (df, tf_sum) are additive across batches (each
+    document lands exactly once, so batch-local distinct-doc counts sum
+    to corpus df). This closes the loop with doc_bm25_top5: the scorer's
+    df/tf inputs can be maintained at ingest instead of rebuilt."""
+    from otus_cpp_11_spark.session import scratch_dir
+    from otus_cpp_11_spark.streaming import (
+        incremental_bm25_stats,
+        read_documents_stream,
+    )
+
+    stats = scratch_dir("sg-bm25-") + "/stats"
+    q = incremental_bm25_stats(read_documents_stream(spark, sf_dir), stats)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(stats)
+        .drop("_last_batch_id")
+        .select("term", "df", "tf_sum")
+        .orderBy("term")
+    )

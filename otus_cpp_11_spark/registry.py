@@ -141,6 +141,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_enriched_streamed": "db52a8e8f0af",
     "events_json_props": "fd96cba6cc74",
     "events_minute_rollup_streamed": "564c5d8e9e5f",
+    "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
     "events_session_windows": "ee61ffbf866a",
@@ -291,10 +292,10 @@ REVERIFY: frozenset[str] = frozenset({
     "event_value_mad",
     "events_hourly_profile",
     # events_json_props, events_user_sketches, events_sliding_10min_5min,
-    # events_tumbling_5min, and events_session_windows yielded their slots
-    # (pins restored) to the mid-round doc_bm25_top5, hard_negative_mining,
-    # retrieval_rrf_fusion, eval_bootstrap_ci, and prefix_cache_analysis
-    "events_multires_rollup",
+    # events_tumbling_5min, events_session_windows, and
+    # events_multires_rollup yielded their slots (pins restored) to the
+    # mid-round doc_bm25_top5, hard_negative_mining, retrieval_rrf_fusion,
+    # eval_bootstrap_ci, prefix_cache_analysis, and bm25_stats_streamed
     "ivf_cosine_top5",
     # kmeans_assign_update yielded its slot (pin restored) to the
     # mid-round doc_bpe_roundtrip

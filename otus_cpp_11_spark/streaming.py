@@ -560,6 +560,60 @@ def incremental_datacard(
     return _run_incremental_maintainer(docs_stream, card_path, merge_fn, checkpoint)
 
 
+def bm25_stats_delta(docs: DataFrame) -> DataFrame:
+    """Per-micro-batch retrieval-index stat delta for the bounded BM25
+    query vocabulary: per term, how many of THIS batch's documents
+    contain it (df) and its total occurrences (tf_sum). Both are
+    additive across micro-batches BY ALGEBRA — ingestion delivers each
+    document exactly once, so batch-local distinct-doc counts sum to the
+    corpus df (the COUNT(DISTINCT) non-mergeability that bans
+    n_distinct_exact from the datacard does not arise: distinctness is
+    per (batch, doc), and docs never straddle batches). The tokenizer is
+    imported from the batch BM25 front end so the streamed face can
+    never silently diverge from the oracle's tokenization."""
+    from otus_cpp_11_spark.queries.dedup import _normalized
+    from otus_cpp_11_spark.queries.text import BM25_QUERIES
+
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+    )
+    matched = toks.select(
+        "doc_id",
+        F.explode(F.filter(F.col("w"), lambda x: x.isin(all_terms))).alias("term"),
+    )
+    per_doc = matched.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("tf_sum"),
+    )
+
+
+def incremental_bm25_stats(
+    docs_stream: DataFrame, stats_path: str, checkpoint: str | None = None
+):
+    """Maintain BM25 term statistics AS THE CORPUS LANDS — the retrieval
+    half of the ingest story (the PQ index refresh is the dense half):
+    each document micro-batch is reduced to per-term (df, tf_sum) deltas
+    and additively merged into the stored stats table, on the shared
+    maintainer scaffold (idempotent retries, staging+swap recovery).
+    The maintained table is bit-identical to the from-scratch batch
+    aggregate however ingestion was micro-batched (purely additive
+    columns), so a BM25 scorer reading it is always serving the
+    whole-corpus statistics — no rebuild step between ingest and
+    retrieval. Scale: the table is one row per VOCABULARY term (bounded
+    here; ~100k rows for a production lexicon) — rewrite cost is
+    independent of corpus size; per-batch work is one map-side-filtered
+    aggregate over the batch."""
+    merge_fn = _additive_lattice_merge(
+        bm25_stats_delta, "term", sums=("df", "tf_sum")
+    )
+    return _run_incremental_maintainer(docs_stream, stats_path, merge_fn, checkpoint)
+
+
 def cdc_upsert_user_state(
     events_stream: DataFrame,
     target_path: str,

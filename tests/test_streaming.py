@@ -560,3 +560,34 @@ def test_versioned_append_sink_replay_with_interleaved_foreign_commit(
     run()
     assert read_version(spark, tbl).count() == n  # nothing double-applied
     assert current_version(spark, tbl) == v
+
+
+def test_bm25_stats_merge_path_equivalence(spark):
+    """The additive-merge contract for the BM25 stats maintainer: merging
+    per-batch deltas over ANY split of the corpus equals the from-scratch
+    single-pass aggregate (df sums because each doc is in exactly one
+    batch)."""
+    from pyspark.sql import functions as F
+
+    from otus_cpp_11_spark.catalog import load_table
+    from otus_cpp_11_spark.streaming import (
+        _additive_lattice_merge,
+        bm25_stats_delta,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    merge_fn = _additive_lattice_merge(
+        bm25_stats_delta, "term", sums=("df", "tf_sum")
+    )
+    whole = {
+        (r["term"], r["df"], r["tf_sum"])
+        for r in bm25_stats_delta(d).collect()
+    }
+    b1, b2, b3 = (
+        d.where(F.col("doc_id") % 3 == i) for i in range(3)
+    )
+    acc = None
+    for b in (b1, b2, b3):
+        acc = merge_fn(acc, b)
+    merged = {(r["term"], r["df"], r["tf_sum"]) for r in acc.collect()}
+    assert merged == whole
