@@ -1153,7 +1153,7 @@ WITH ex AS (
 scal AS (SELECT COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS point_sum FROM ex),
 draws AS (
   SELECT r.b,
-         (('0x' || SUBSTRING(MD5(CAST(r.b AS VARCHAR) || ':' || CAST(e.j AS VARCHAR)), 1, 6))::BIGINT % s.n) + 1 AS idx
+         (('0x' || SUBSTRING(MD5(CAST(r.b AS VARCHAR) || ':' || CAST(e.j AS VARCHAR)), 1, 12))::BIGINT % s.n) + 1 AS idx
   FROM (SELECT UNNEST(RANGE(1, {BOOT_B} + 1)) AS b) r
   CROSS JOIN ex e, scal s
 ),
@@ -1191,21 +1191,22 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap over SHARD means (replace ex with per-shard partial sums),
     same plan shape. The draw->example lookup joins on the dense index;
     the replica aggregate is one partially-aggregated groupBy over B
-    keys."""
-    from otus_cpp_11_spark.queries.text import (
-        QUALITY_MIN_STOP_RATIO,
-        QUALITY_MIN_TOKENS,
-        STOPWORDS,
-    )
+    keys. The 12-hex-char (48-bit) draw index addresses eval sets to
+    2^48 positions — far past any eval-set bound — while staying inside
+    signed BIGINT in both engines."""
+    from otus_cpp_11_spark.queries.text import STOPWORDS, _tokens
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    # the SAME gate expression doc_quality_score verifies: shared
+    # tokenizer helper + the module-level threshold constants imported
+    # once at the oracle-rendering site (_BOOT_*)
+    toks = _tokens()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin([*STOPWORDS])))
     s = (
         F.when(
-            (n_tokens >= QUALITY_MIN_TOKENS)
-            & (n_stop.cast("double") / n_tokens >= QUALITY_MIN_STOP_RATIO),
+            (n_tokens >= _BOOT_MIN_TOKENS)
+            & (n_stop.cast("double") / n_tokens >= _BOOT_MIN_STOP_RATIO),
             1,
         )
         .otherwise(0)
@@ -1234,7 +1235,7 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         1,
-                        6,
+                        12,
                     ),
                     16,
                     10,

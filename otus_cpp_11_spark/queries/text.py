@@ -562,10 +562,14 @@ def _bm25_tf(spark: SparkSession, sf_dir: str):
     return tf, qt, scal
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scores(spark: SparkSession, sf_dir: str, front=None) -> DataFrame:
     """(query_id, doc_id, score_units): exact-integer BM25 — see
-    doc_bm25_top5 for the arithmetic derivation and headroom analysis."""
-    tf, qt, scal = _bm25_tf(spark, sf_dir)
+    doc_bm25_top5 for the arithmetic derivation and headroom analysis.
+    ``front`` lets a caller that also needs the tf relation pass its own
+    (tf, qt, scal) tuple in, GUARANTEEING the two consumers share one
+    tokenize front end instead of betting on exchange-reuse
+    canonicalization to dedupe two structurally separate plans."""
+    tf, qt, scal = front if front is not None else _bm25_tf(spark, sf_dir)
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(qt), "term")
@@ -748,9 +752,10 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivial whatever the corpus size; the heavy lifting happened inside
     the rankers, which share one tokenize+filter front end (_bm25_tf).
     The final top-5 re-ranks <= 2 * RRF_POOL rows per query."""
-    tf, qt, _scal = _bm25_tf(spark, sf_dir)
+    front = _bm25_tf(spark, sf_dir)
+    tf, qt, _scal = front
     pool_a = salted_topk(
-        _bm25_scores(spark, sf_dir),
+        _bm25_scores(spark, sf_dir, front),
         ["query_id"],
         [F.desc("score_units"), F.asc("doc_id")],
         RRF_POOL,
@@ -879,14 +884,20 @@ def prefix_cache_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_saved"),
         )
     )
+    # orderBy().limit() is a real TakeOrderedAndProject (per-partition
+    # top-k + tiny merge); the row_number window then runs over <= 10
+    # survivors. An unpartitioned window over `grouped` would instead
+    # funnel every duplicate-bearing prefix group through one task.
+    top = grouped.orderBy(F.desc("tokens_saved"), F.asc("prefix_hash")).limit(
+        PREFIX_TOP
+    )
     return (
-        grouped.withColumn(
+        top.withColumn(
             "rank",
             F.row_number().over(
                 Window.orderBy(F.desc("tokens_saved"), F.asc("prefix_hash"))
             ),
         )
-        .where(F.col("rank") <= PREFIX_TOP)
         .select("rank", "prefix_hash", "prefix_tokens", "n_docs", "tokens_saved")
         .orderBy("rank")
     )

@@ -274,7 +274,7 @@ class TestBootstrapCi:
             tot = 0
             for j in range(1, n + 1):
                 h = hashlib.md5(f"{b}:{j}".encode()).hexdigest()
-                tot += s[int(h[:6], 16) % n]
+                tot += s[int(h[:12], 16) % n]
             sums.append(tot)
         sums.sort()
         assert row["ci_lo_rate"] == sums[BOOT_LO_RANK - 1] / n
