@@ -656,3 +656,19 @@ def test_hard_negative_plan_is_one_broadcast_pass(spark, plan):
     # side, never a shuffle of the embedding column
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_prefix_cache_topk_is_take_ordered(spark, plan):
+    p = plan("prefix_cache_analysis", spark)
+    # the global top-10 must be a real per-partition-top-k + tiny merge,
+    # not an unpartitioned window over every duplicate-bearing group
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rrf_fusion_no_cartesian_and_bounded_fusion_join(spark, plan):
+    p = plan("retrieval_rrf_fusion", spark)
+    assert "CartesianProduct" not in p
+    # both ranker pools and the fused relation go through windows; the
+    # fusion join itself is between two <= pool*|queries|-row relations
+    assert "BroadcastHashJoin" in p

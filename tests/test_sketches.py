@@ -105,3 +105,34 @@ def test_salted_join_rejects_outer_how(spark, skewed_pair):
     for how in ("right", "full", "outer", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(left, right, "k", how=how)
+
+
+def test_salted_topk_exact_under_heavy_ties(spark):
+    """salted_topk must return the identical rows as the naive single
+    window even when the order column is massively tied (the case where
+    a wrong salt interaction would be most visible): 400 rows, 4 groups,
+    only 3 distinct score values, unique id tie-break."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from otus_cpp_11_spark.ops.skew import salted_topk
+
+    df = (
+        spark.range(400)
+        .select(
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") % 3).alias("score"),
+            F.col("id"),
+        )
+    )
+    order = [F.desc("score"), F.asc("id")]
+    naive = (
+        df.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("g").orderBy(*order))
+        )
+        .where(F.col("rank") <= 7)
+    )
+    got = salted_topk(df, ["g"], order, 7, salt_on="id")
+    want = {(r["g"], r["rank"], r["id"]) for r in naive.collect()}
+    have = {(r["g"], r["rank"], r["id"]) for r in got.collect()}
+    assert have == want
