@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from otus_cpp_11_spark.catalog import load_table
 from otus_cpp_11_spark.ops.skew import salted_topk
-from otus_cpp_11_spark.queries.dedup import _normalized
+from otus_cpp_11_spark.queries.dedup import _SIMHASH_SQL, _normalized
 from otus_cpp_11_spark.registry import register
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
@@ -952,4 +952,77 @@ def bm25_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_last_batch_id")
         .select("term", "df", "tf_sum")
         .orderBy("term")
+    )
+
+
+# --- diversified retrieval: near-dup suppression in the result list ----------
+DIVERSE_TOPK = 3
+
+
+@register(
+    "retrieval_diversified_top3",
+    oracle=f"""
+WITH {_BM25_SCORES_CTES},
+pool AS (
+  SELECT query_id, doc_id, score_units,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_units DESC, doc_id) AS rank_a
+  FROM scores QUALIFY rank_a <= {RRF_POOL}
+),
+sig AS ({_SIMHASH_SQL}),
+dedup AS (
+  SELECT query_id, doc_id, score_units, rank_a, simhash,
+         ROW_NUMBER() OVER (PARTITION BY query_id, simhash
+                            ORDER BY rank_a) AS dup_rk
+  FROM pool JOIN sig USING (doc_id)
+),
+rer AS (
+  SELECT query_id, doc_id, score_units,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank_a) AS rank
+  FROM dedup WHERE dup_rk = 1
+)
+SELECT query_id, rank, doc_id, score_units
+FROM rer WHERE rank <= {DIVERSE_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def retrieval_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: the BM25 top-20 pool with near-duplicate
+    results suppressed before the final top-3 — the SERP-dedup move. Two
+    results are duplicates when their 32-bit SimHash signatures are
+    EQUAL (boilerplate/template near-dups collapse to identical
+    signatures; the fixture's planted duplicates collide inside these
+    very pools); only the best-BM25-ranked member of each (query,
+    signature) group survives, then survivors re-rank by their original
+    BM25 order. Production variants widen equality to a hamming band
+    (simhash_near_pairs' banding) — same plan, one more join.
+
+    100 TB shape: the expensive inputs are both already bounded or
+    linear — the pool is salted_topk-bounded to RRF_POOL rows/query
+    before anything else happens, and the signature relation is the
+    shared one-aggregate SimHash pipeline (_simhash_df: shuffle O(docs),
+    no bit explode). The dedup/re-rank windows run over <= RRF_POOL rows
+    per query. The signature join is pool-vs-corpus on doc_id; at scale
+    the signature table is a maintained artifact (the incremental
+    near-dup index), not recomputed per query."""
+    from otus_cpp_11_spark.queries.dedup import _simhash_df
+
+    pool = salted_topk(
+        _bm25_scores(spark, sf_dir),
+        ["query_id"],
+        [F.desc("score_units"), F.asc("doc_id")],
+        RRF_POOL,
+        salt_on="doc_id",
+    ).select("query_id", "doc_id", "score_units", F.col("rank").alias("rank_a"))
+    sig = _simhash_df(spark, sf_dir)
+    w_dup = Window.partitionBy("query_id", "simhash").orderBy("rank_a")
+    w_rer = Window.partitionBy("query_id").orderBy("rank_a")
+    return (
+        pool.join(sig, "doc_id")
+        .withColumn("dup_rk", F.row_number().over(w_dup))
+        .where(F.col("dup_rk") == 1)
+        .withColumn("rank", F.row_number().over(w_rer))
+        .where(F.col("rank") <= DIVERSE_TOPK)
+        .select("query_id", "rank", "doc_id", "score_units")
+        .orderBy("query_id", "rank")
     )

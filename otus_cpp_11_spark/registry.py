@@ -124,6 +124,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_fingerprint": "ac4f9cbb8f09",
     "doc_gopher_rules": "9eb3349e7818",
     "doc_lang_id": "9244112be464",
+    "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
     "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
@@ -279,7 +280,8 @@ REVERIFY: frozenset[str] = frozenset({
     # and part_triangle_counts
     # daily_active_users_7d yielded its slot (pin restored) to the
     # mid-round budgeted_mixture_selection
-    "doc_leading_tokens",
+    # doc_leading_tokens yielded its slot (pin restored) to the
+    # mid-round retrieval_diversified_top3
     "doc_pack_bins",
     "doc_reservoir_sample",
     "doc_stratified_sample",
