@@ -528,15 +528,34 @@ _BM25_QT_SQL = ", ".join(
 )
 
 
-def _bm25_tf(spark: SparkSession, sf_dir: str):
-    """Shared retrieval front end: the per-(doc, query-term) tf relation
-    (with doc length carried through the explode, so no second per-doc
-    join) plus the 1-row (N, T) scalar aggregate and the bounded
-    query-term relation. Tokens filter to the bounded query vocabulary
+def bm25_doc_term_tf(docs: DataFrame) -> DataFrame:
+    """Frame-polymorphic BM25 tokenize front end (batch AND streamed
+    faces share THIS code, the datacard_delta pattern): per-(doc,
+    query-term) tf with the doc length carried through the explode (no
+    second per-doc join). Tokens filter to the bounded query vocabulary
     INSIDE the projection — the corpus-sized explode never leaves the
     map side."""
-    d = load_table(spark, sf_dir, "documents")
     all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+    )
+    matched = toks.select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        F.explode(
+            F.filter(F.col("w"), lambda x: x.isin(all_terms))
+        ).alias("term"),
+    )
+    return matched.groupBy("doc_id", "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def _bm25_tf(spark: SparkSession, sf_dir: str):
+    """Shared retrieval front end: the bm25_doc_term_tf relation plus the
+    1-row (N, T) scalar aggregate and the bounded query-term relation."""
+    d = load_table(spark, sf_dir, "documents")
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
         "query_id int, term string",
@@ -549,17 +568,7 @@ def _bm25_tf(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("w")).alias("total_toks"),
     )
-    matched = toks.select(
-        "doc_id",
-        F.size("w").alias("dl"),
-        F.explode(
-            F.filter(F.col("w"), lambda x: x.isin(all_terms))
-        ).alias("term"),
-    )
-    tf = matched.groupBy("doc_id", "term", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    return tf, qt, scal
+    return bm25_doc_term_tf(d), qt, scal
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str, front=None) -> DataFrame:
@@ -949,7 +958,6 @@ def bm25_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (
         spark.read.parquet(stats)
-        .drop("_last_batch_id")
         .select("term", "df", "tf_sum")
         .orderBy("term")
     )

@@ -568,24 +568,14 @@ def bm25_stats_delta(docs: DataFrame) -> DataFrame:
     document exactly once, so batch-local distinct-doc counts sum to the
     corpus df (the COUNT(DISTINCT) non-mergeability that bans
     n_distinct_exact from the datacard does not arise: distinctness is
-    per (batch, doc), and docs never straddle batches). The tokenizer is
-    imported from the batch BM25 front end so the streamed face can
-    never silently diverge from the oracle's tokenization."""
-    from otus_cpp_11_spark.queries.dedup import _normalized
-    from otus_cpp_11_spark.queries.text import BM25_QUERIES
+    per (batch, doc), and docs never straddle batches). The tokenize ->
+    vocab-filter -> per-(doc, term) tf pipeline IS the batch BM25 front
+    end (queries.text.bm25_doc_term_tf, frame-polymorphic — the
+    datacard_delta pattern), so the streamed face can never silently
+    diverge from the scorer's inputs or the oracle's tokenization."""
+    from otus_cpp_11_spark.queries.text import bm25_doc_term_tf
 
-    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
-    toks = docs.select(
-        "doc_id",
-        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
-    )
-    matched = toks.select(
-        "doc_id",
-        F.explode(F.filter(F.col("w"), lambda x: x.isin(all_terms))).alias("term"),
-    )
-    per_doc = matched.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    per_doc = bm25_doc_term_tf(docs)
     return per_doc.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"),
         F.sum("tf").cast("bigint").alias("tf_sum"),

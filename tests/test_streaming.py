@@ -575,7 +575,7 @@ def test_bm25_stats_merge_path_equivalence(spark):
         bm25_stats_delta,
     )
 
-    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    d = load_table(spark, SF, "documents")
     merge_fn = _additive_lattice_merge(
         bm25_stats_delta, "term", sums=("df", "tf_sum")
     )
