@@ -1272,3 +1272,53 @@ def eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hi_sum").cast("double") / F.col("n")).alias("ci_hi_rate"),
         )
     )
+
+
+# --- weighted sampling: priority sampling (Duffield-Lund-Thorup) --------------
+PRIORITY_K = 50
+
+
+@register(
+    "doc_priority_sample",
+    oracle=f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
+           / n_chars AS priority
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, priority
+FROM pri
+ORDER BY priority, doc_id
+LIMIT {PRIORITY_K}
+""",
+)
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup): each doc gets priority u/w where u is a
+    48-bit md5 integer of its id and w its weight (n_chars — longer docs
+    proportionally likelier); the k SMALLEST priorities win. Inclusion
+    probability is ~proportional to weight, the estimator is unbiased
+    with the tau threshold, and — the engine point — the priority is a
+    DOUBLE division of two exact integers: bit-identical cross-engine
+    with no transcendentals and no RNG state, so the sample is
+    reproducible across runs, engines, and stage retries (the module's
+    determinism contract; seed-free rand() sampling breaks lineage on
+    retries).
+
+    100 TB shape: identical to doc_reservoir_sample — per-partition
+    top-k on priority + a k-row driver merge (TakeOrderedAndProject),
+    no global sort, no shuffle of the corpus; weights come from an
+    existing column, so the whole query is one linear scan."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    pri = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (u.cast("double") / F.col("n_chars")).alias("priority"),
+    )
+    return pri.orderBy("priority", "doc_id").limit(PRIORITY_K)

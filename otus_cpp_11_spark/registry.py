@@ -126,6 +126,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_lang_id": "9244112be464",
     "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
+    "doc_pack_bins": "640fc7df9845",
     "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
@@ -280,9 +281,9 @@ REVERIFY: frozenset[str] = frozenset({
     # and part_triangle_counts
     # daily_active_users_7d yielded its slot (pin restored) to the
     # mid-round budgeted_mixture_selection
-    # doc_leading_tokens yielded its slot (pin restored) to the
-    # mid-round retrieval_diversified_top3
-    "doc_pack_bins",
+    # doc_leading_tokens and doc_pack_bins yielded their slots (pins
+    # restored) to the mid-round retrieval_diversified_top3 and
+    # doc_priority_sample
     "doc_reservoir_sample",
     "doc_stratified_sample",
     "embedding_gram_upper",
