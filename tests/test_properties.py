@@ -383,3 +383,43 @@ def test_resize_binning_partitions_pixels(w, h, gw, gh):
     assert sum(cells.values()) == w * h
     if w >= gw and h >= gh:
         assert len(cells) == gw * gh
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # group
+            st.integers(min_value=-2, max_value=2),  # score (heavy ties)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    cells=st.integers(min_value=1, max_value=4),
+)
+def test_salted_topk_matches_brute_force(spark, rows, k, cells):
+    """salted_topk == brute-force per-group top-k for ANY (data, k,
+    cell-count), including k larger than the group and single-cell
+    degeneracy. The unique id tie-break makes the expected order total."""
+    from pyspark.sql import functions as F
+
+    from otus_cpp_11_spark.ops.skew import salted_topk
+
+    data = [(g, s, i) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, score int, id int")
+    got = {
+        (r["g"], r["rank"], r["id"])
+        for r in salted_topk(
+            df, ["g"], [F.desc("score"), F.asc("id")], k, salt_on="id",
+            cells=cells,
+        ).collect()
+    }
+    want = set()
+    by_g: dict[int, list[tuple[int, int]]] = {}
+    for g, s, i in data:
+        by_g.setdefault(g, []).append((-s, i))
+    for g, items in by_g.items():
+        for rank, (_, i) in enumerate(sorted(items)[:k], start=1):
+            want.add((g, rank, i))
+    assert got == want
