@@ -672,3 +672,11 @@ def test_rrf_fusion_no_cartesian_and_bounded_fusion_join(spark, plan):
     # both ranker pools and the fused relation go through windows; the
     # fusion join itself is between two <= pool*|queries|-row relations
     assert "BroadcastHashJoin" in p
+
+
+def test_diversified_retrieval_no_cartesian(spark, plan):
+    p = plan("retrieval_diversified_top3", spark)
+    assert "CartesianProduct" not in p
+    # pool (bounded) joins the signature relation on doc_id — an equi-join,
+    # never a nested loop over the corpus
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
