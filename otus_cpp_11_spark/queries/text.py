@@ -1034,3 +1034,50 @@ def retrieval_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "doc_id", "score_units")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "source_score_calibration",
+    oracle=f"""
+WITH {_QC_CTES},
+scored AS (
+  SELECT s.doc_id, d.source, s.score_units
+  FROM qc_scores s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, score_units,
+       PERCENT_RANK() OVER (PARTITION BY source ORDER BY score_units) AS pct_rank,
+       CUME_DIST() OVER (PARTITION BY source ORDER BY score_units) AS cume
+FROM scored
+ORDER BY doc_id
+""",
+)
+def source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: the learned quality score's
+    per-SOURCE percent_rank and cume_dist — rank-based normalization, the
+    standard fix when a single global threshold over-prunes sources whose
+    raw score distributions sit lower (different domains, languages,
+    boilerplate levels). Both statistics are exact integer ratios
+    ((rank-1)/(N-1), count<=/N) computed identically by each engine —
+    ties share a rank by ordering on score alone, so the calibrated
+    value is a property of the score, not of tiebreak luck.
+
+    100 TB shape: one shuffle on source, per-source sort inside the
+    window. A mega-source makes that partition's sort the straggler —
+    at corpus scale swap the exact ranks for approx_percentile cut
+    points broadcast back (the rfm_quartiles playbook, documented
+    there); the exact form is kept here as the oracle-checkable
+    contract the sketch version approximates."""
+    d = load_table(spark, sf_dir, "documents")
+    s = classifier_scores(d)
+    scored = s.join(d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy("score_units")
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "score_units",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("doc_id")
+    )

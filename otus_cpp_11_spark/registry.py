@@ -133,6 +133,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_quality_classifier": "496dd16e1f78",
     "doc_quality_score": "c49088db0448",
     "doc_repeated_spans": "021ae1e34c5c",
+    "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_repetition_stats": "d70389bb5105",
     "doc_shard_assignment": "b7508cca5e2e",
     "doc_simhash32": "9a4d28b0fe15",
@@ -281,10 +282,10 @@ REVERIFY: frozenset[str] = frozenset({
     # and part_triangle_counts
     # daily_active_users_7d yielded its slot (pin restored) to the
     # mid-round budgeted_mixture_selection
-    # doc_leading_tokens and doc_pack_bins yielded their slots (pins
-    # restored) to the mid-round retrieval_diversified_top3 and
-    # doc_priority_sample
-    "doc_reservoir_sample",
+    # doc_leading_tokens, doc_pack_bins, and doc_reservoir_sample yielded
+    # their slots (pins restored) to the mid-round
+    # retrieval_diversified_top3, doc_priority_sample, and
+    # source_score_calibration
     "doc_stratified_sample",
     "embedding_gram_upper",
     "embedding_near_dup_pairs",
