@@ -1322,3 +1322,101 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (u.cast("double") / F.col("n_chars")).alias("priority"),
     )
     return pri.orderBy("priority", "doc_id").limit(PRIORITY_K)
+
+
+# --- association rules over the co-purchase relation --------------------------
+ASSOC_TOP = 20
+_ASSOC_UNIT = 1_000_000
+
+
+@register(
+    "copurchase_association_rules",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders_total FROM li),
+deg AS (SELECT l_partkey, COUNT(*) AS deg FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS co
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING COUNT(*) >= {COPURCHASE_MIN}
+),
+rules AS (
+  SELECT p.part_a, p.part_b, p.co, da.deg AS deg_a, db.deg AS deg_b,
+         CAST(p.co AS DOUBLE) / da.deg AS confidence_ab,
+         ({_ASSOC_UNIT} * p.co * n.n_orders_total) // (da.deg * db.deg) AS lift_units
+  FROM pairs p
+  JOIN deg da ON da.l_partkey = p.part_a
+  JOIN deg db ON db.l_partkey = p.part_b
+  CROSS JOIN n
+)
+SELECT part_a, part_b, co, deg_a, deg_b, confidence_ab,
+       CAST(lift_units AS BIGINT) AS lift_units
+FROM rules
+ORDER BY lift_units DESC, part_a, part_b
+LIMIT {ASSOC_TOP}
+""",
+)
+def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-purchase relation: per qualifying
+    pair, support (co-order count), confidence(a->b) = co/deg_a as an
+    exact int/int double, and LIFT in exact integer micro-units
+    (1e6 * co * N over deg_a * deg_b — integer division both engines
+    truncate identically, no FP products of counts). Top-20 rules by
+    lift. Lift > 1e6 units = the parts co-occur more than independence
+    predicts — the recommender/market-basket signal.
+
+    100 TB shape: the pair build is the copurchase_part_pairs shape
+    (per-order fan-out bounded by lines-per-order, never corpus-
+    quadratic); deg is one partial-aggregated groupBy; the deg joins are
+    part-keyed equi-joins AQE plans freely — deg SCALES with the part
+    dimension, so no broadcast hint (the r5->r6 scaling-dim rule); only
+    the 1-row N scalar broadcasts. The global top-20 is a
+    TakeOrderedAndProject. Integer headroom: 1e6 * co * N needs
+    co * N < 9.2e12 — at co <= lines-per-order-bounded counts this holds
+    past 1e9 orders; past that the literal upgrades to decimal(38,0)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders_total"))
+    deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= COPURCHASE_MIN)
+    )
+    rules = (
+        pairs.join(
+            deg.select(F.col("l_partkey").alias("part_a"), F.col("deg").alias("deg_a")),
+            "part_a",
+        )
+        .join(
+            deg.select(F.col("l_partkey").alias("part_b"), F.col("deg").alias("deg_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            "deg_a",
+            "deg_b",
+            (F.col("co").cast("double") / F.col("deg_a")).alias("confidence_ab"),
+            F.expr(f"({_ASSOC_UNIT} * co * n_orders_total) div (deg_a * deg_b)")
+            .cast("bigint")
+            .alias("lift_units"),
+        )
+    )
+    return rules.orderBy(F.desc("lift_units"), "part_a", "part_b").limit(ASSOC_TOP)

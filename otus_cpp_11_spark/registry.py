@@ -137,6 +137,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_repetition_stats": "d70389bb5105",
     "doc_shard_assignment": "b7508cca5e2e",
     "doc_simhash32": "9a4d28b0fe15",
+    "doc_stratified_sample": "5cbbfac47518",
     "doc_token_stats": "f1fc9c5f44ba",
     "doc_top_terms": "36f7b8dcb415",
     "embedding_quantization": "f5bb24cd0b57",
@@ -282,11 +283,10 @@ REVERIFY: frozenset[str] = frozenset({
     # and part_triangle_counts
     # daily_active_users_7d yielded its slot (pin restored) to the
     # mid-round budgeted_mixture_selection
-    # doc_leading_tokens, doc_pack_bins, and doc_reservoir_sample yielded
-    # their slots (pins restored) to the mid-round
-    # retrieval_diversified_top3, doc_priority_sample, and
-    # source_score_calibration
-    "doc_stratified_sample",
+    # doc_leading_tokens, doc_pack_bins, doc_reservoir_sample, and
+    # doc_stratified_sample yielded their slots (pins restored) to the
+    # mid-round retrieval_diversified_top3, doc_priority_sample,
+    # source_score_calibration, and copurchase_association_rules
     "embedding_gram_upper",
     "embedding_near_dup_pairs",
     "embedding_norms_by_label",
