@@ -30,7 +30,7 @@ skew-join covers moderate residual skew.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table, spread
@@ -1070,3 +1070,114 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_key",
         F.when(h == 0, "val").otherwise("train").alias("split"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Exact similarity join via PREFIX FILTERING (the PPJoin family, Xiao et
+# al.): the deterministic-complete alternative to MinHash banding — zero
+# false negatives by construction, candidates bounded by a pigeonhole
+# argument instead of probability.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "jaccard_prefix_filter_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 3 * n_common >= sa.n + sb.n
+ORDER BY doc_a, doc_b
+""",
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 similarity join via prefix filtering: each
+    doc's shingle set is ordered by global frequency (rarest first) and
+    only its PREFIX — the first n - ceil(n/2) + 1 shingles — enters the
+    candidate index. Completeness is pigeonhole, not probability: for the
+    globally-smallest common shingle e of a qualifying pair, every
+    earlier shingle in either doc is non-shared, and J >= 1/2 forces
+    n_common >= ceil(n/2) on each side, so e sits inside BOTH prefixes —
+    the ORACLE runs the full inverted-index formulation, and the
+    cross-engine match is a machine-checked proof the pruning lost no
+    pair. The threshold predicate is pure integers (3c >= n_a + n_b);
+    jaccard itself is the exact int/int double.
+
+    This is the deterministic-complete sibling of near_dup_pairs_minhash:
+    banding trades false negatives for candidate volume; prefix filtering
+    keeps exactness and still indexes only ~half of each set, with the
+    rare-first ordering steering candidates toward low-frequency shingles
+    (hot boilerplate shingles land in the suffix, OUT of the index — the
+    skew the banded join must salt away never materializes here). At
+    100 TB the shingle-frequency relation is vocabulary-sized and
+    AQE-planned (it scales, so no broadcast hint), the per-doc prefix cut
+    is one bounded window per doc, and the verify join touches only
+    candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(d, SHINGLE_WORDS)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    pos = (
+        sh.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("freq", "shingle")
+            ),
+        )
+    )
+    prefix = pos.where(
+        F.col("pos") <= F.expr("n - ((n + 1) div 2) + 1")
+    ).select("doc_id", "shingle")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sha, shb = sh.alias("sha"), sh.alias("shb")
+    inter = (
+        cands.join(sha, F.col("sha.doc_id") == F.col("doc_a"))
+        .join(
+            shb,
+            (F.col("shb.doc_id") == F.col("doc_b"))
+            & (F.col("shb.shingle") == F.col("sha.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(3 * F.col("n_common") >= F.col("n_a") + F.col("n_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
