@@ -1420,3 +1420,159 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rules.orderBy(F.desc("lift_units"), "part_a", "part_b").limit(ASSOC_TOP)
+
+
+# --- eval-set construction: Neyman (variance-optimal) allocation --------------
+NEYMAN_BUDGET = 1000
+_NEYMAN_UNIT = 1_000_000
+
+
+@register(
+    "neyman_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_x,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_x2
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, sum_x, sum_x2,
+         CAST(FLOOR(SQRT(CAST(n_docs * sum_x2 - sum_x * sum_x AS DOUBLE))
+                    / n_docs * {_NEYMAN_UNIT}.0) AS BIGINT) AS sigma_units
+  FROM s
+),
+tot AS (SELECT CAST(SUM(n_docs * sigma_units) AS BIGINT) AS denom FROM w)
+SELECT w.source, w.n_docs,
+       CAST(w.sum_x AS DOUBLE) / w.n_docs AS mean_chars,
+       w.sigma_units,
+       CAST(w.n_docs * w.sigma_units AS BIGINT) AS weight_units,
+       CAST(({NEYMAN_BUDGET} * w.n_docs * w.sigma_units) // t.denom AS BIGINT) AS alloc_docs
+FROM w CROSS JOIN tot t
+ORDER BY w.source
+""",
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal eval-set construction (Neyman allocation): each
+    stratum's share of a {NEYMAN_BUDGET}-doc annotation budget is
+    proportional to N_s * sigma_s — big AND internally-varied sources get
+    the labels; uniform boilerplate sources don't waste them. All moments
+    are exact integer sums (n*sum_x2 - sum_x^2 is the variance numerator,
+    computed before any division); sigma enters as FLOOR(sqrt/n * 1e6)
+    micro-units — sqrt is correctly-rounded IEEE on an exactly-equal
+    double in both engines — so the final allocation is pure integer
+    arithmetic. One source-keyed aggregate (map-side combined) + a 1-row
+    total: the whole query is one linear scan at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_x"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sum_x2"),
+    )
+    sigma = F.floor(
+        F.sqrt(
+            (F.col("n_docs") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x"))
+            .cast("double")
+        )
+        / F.col("n_docs")
+        * F.lit(float(_NEYMAN_UNIT))
+    ).cast("bigint")
+    w = s.select("source", "n_docs", "sum_x", "sum_x2", sigma.alias("sigma_units"))
+    tot = w.agg(
+        F.sum(F.col("n_docs") * F.col("sigma_units")).cast("bigint").alias("denom")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("sum_x").cast("double") / F.col("n_docs")).alias("mean_chars"),
+            "sigma_units",
+            (F.col("n_docs") * F.col("sigma_units")).cast("bigint").alias("weight_units"),
+            F.expr(f"({NEYMAN_BUDGET} * n_docs * sigma_units) div denom")
+            .cast("bigint")
+            .alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- off-policy evaluation: inverse propensity scoring -------------------------
+IPS_ACTIONS = ("click", "error", "purchase", "signup", "view")  # sorted
+_IPS_CASE_SQL = " ".join(
+    f"WHEN {i} THEN '{a}'" for i, a in enumerate(IPS_ACTIONS)
+)
+
+
+@register(
+    "ips_policy_value",
+    oracle=f"""
+WITH freq AS (
+  SELECT event_type, COUNT(*) AS n_a FROM events GROUP BY event_type
+),
+tot AS (SELECT COUNT(*) AS n FROM events),
+matched AS (
+  SELECT e.event_type, e.value
+  FROM events e
+  WHERE e.event_type = (CASE e.user_id % {len(IPS_ACTIONS)} {_IPS_CASE_SQL} END)
+),
+contrib AS (
+  SELECT (CAST(FLOOR(m.value * 100) AS BIGINT) * t.n) // f.n_a AS c
+  FROM matched m JOIN freq f USING (event_type) CROSS JOIN tot t
+)
+SELECT t.n AS n_events,
+       (SELECT COUNT(*) FROM matched) AS n_matched,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM contrib) AS ips_units,
+       CAST((SELECT SUM(c) FROM contrib) AS DOUBLE) / (100.0 * t.n) AS ips_estimate
+FROM tot t
+""",
+)
+def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: estimate the
+    value of a DETERMINISTIC target policy (action = user_id mod 5 into
+    the sorted action list) from logged traffic, reweighting each
+    policy-matching event by 1/p(a) with p estimated as the logging
+    policy's empirical action frequency. The reward rides as
+    FLOOR(value*100) integer centi-units and the IPS weight as the exact
+    rational (N / n_a) folded into one integer division, so the sum —
+    the order-sensitive step — is exact integer arithmetic; the estimate
+    divides once at the end.
+
+    100 TB shape: the propensity relation is |action-space| rows
+    (bounded broadcast), the policy is a pure column expression (no
+    model server), and the whole estimator is one filtered linear scan +
+    a scalar aggregate. This is the replay-evaluation primitive for
+    recommendation / routing policies over logged interaction data.
+    Integer headroom: centi-reward * N needs value*100*N < 9.2e18 —
+    holds past 1e12 events at this value range."""
+    e = load_table(spark, sf_dir, "events")
+    freq = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    policy = F.element_at(
+        F.array(*[F.lit(a) for a in IPS_ACTIONS]),
+        (F.col("user_id") % len(IPS_ACTIONS)).cast("int") + 1,
+    )
+    matched = e.where(F.col("event_type") == policy).select("event_type", "value")
+    contrib = (
+        matched.join(F.broadcast(freq), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("(cast(floor(value * 100) as bigint) * n) div n_a").alias("c")
+        )
+    )
+    agg = contrib.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("c").cast("bigint").alias("ips_units"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(agg))
+        .select(
+            F.col("n").alias("n_events"),
+            "n_matched",
+            "ips_units",
+            (F.col("ips_units").cast("double") / (100.0 * F.col("n"))).alias(
+                "ips_estimate"
+            ),
+        )
+    )

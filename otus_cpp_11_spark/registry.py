@@ -141,6 +141,8 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_token_stats": "f1fc9c5f44ba",
     "doc_top_terms": "36f7b8dcb415",
     "embedding_gram_upper": "f0e2d768f439",
+    "embedding_near_dup_pairs": "fe5ace666bf3",
+    "embedding_norms_by_label": "b079260add86",
     "embedding_quantization": "f5bb24cd0b57",
     "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
@@ -288,10 +290,10 @@ REVERIFY: frozenset[str] = frozenset({
     # doc_stratified_sample yielded their slots (pins restored) to the
     # mid-round retrieval_diversified_top3, doc_priority_sample,
     # source_score_calibration, and copurchase_association_rules
-    # embedding_gram_upper yielded its slot (pin restored) to the
-    # mid-round jaccard_prefix_filter_pairs
-    "embedding_near_dup_pairs",
-    "embedding_norms_by_label",
+    # embedding_gram_upper, embedding_near_dup_pairs, and
+    # embedding_norms_by_label yielded their slots (pins restored) to the
+    # mid-round jaccard_prefix_filter_pairs, neyman_allocation, and
+    # ips_policy_value
     "embedding_power_iteration",
     "embedding_random_projection",
     "event_type_transitions",
