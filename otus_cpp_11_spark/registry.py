@@ -85,20 +85,23 @@ def register(
 # shared-helper caveat). Regenerate entries with
 # scripts/gen_verified_hashes.py after promoting a round's greens.
 #
-# Round-7 membership: every green row from rounds 1-6 (the r6 driver
-# report was 49/50 green — doc_bpe_token_ids alone errored on its nested
-# array column and re-queues this round with a canon-friendly schema —
-# bringing cumulative coverage to 181/182), each pinned to the source
-# hash current at promotion time. Round-7 edits remove their entries
-# below (see the note near WINDOW_DEFER).
+# Round-8 membership: every green row from rounds 1-7 (the r7 driver
+# report was 50/50 green, bringing cumulative coverage to 210/210), each
+# pinned to the source hash current at promotion time. Round-8 edits
+# remove their entries below (see the note near WINDOW_DEFER).
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
     "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
+    "bm25_stats_streamed": "db0f069a9984",
     "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
-    "corpus_after_span_strip": "521eaebb4885",
+    "budgeted_mixture_selection": "bfe3e84837f5",
+    "cdc_change_data_feed": "c877eea61ea1",
+    "cdf_netting_across_versions": "ca8de7bf1a5e",
+    "copurchase_association_rules": "77b285b9c575",
     "copurchase_part_pairs": "86f91ab99906",
+    "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
     "corpus_datacard_streamed": "be0f3e747b1b",
@@ -110,14 +113,17 @@ DRIVER_VERIFIED: dict[str, str] = {
     "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
     "customer_running_spend": "471b2c9922e8",
-    "daily_active_users_7d": "9355cc7481e4",
     "customers_above_avg_balance": "2c2142b03318",
     "customers_without_orders": "9a01c8532a3d",
+    "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
     "decontam_bloom_prune": "004a9cd16c69",
     "dedup_canonical_by_quality": "48bc5b1ec055",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
+    "doc_bm25_top5": "ced1284d5fab",
+    "doc_bpe_roundtrip": "b33acb08e4ca",
+    "doc_bpe_token_ids": "b734428e749a",
     "doc_bpe_token_stats": "a44dac60fb4a",
     "doc_dedup_clusters": "5150a5c0e008",
     "doc_dsir_weights": "391a5a705947",
@@ -130,11 +136,12 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
+    "doc_priority_sample": "aee1eab452aa",
     "doc_quality_classifier": "496dd16e1f78",
     "doc_quality_score": "c49088db0448",
     "doc_repeated_spans": "021ae1e34c5c",
-    "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_repetition_stats": "d70389bb5105",
+    "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_shard_assignment": "b7508cca5e2e",
     "doc_simhash32": "9a4d28b0fe15",
     "doc_stratified_sample": "5cbbfac47518",
@@ -143,9 +150,15 @@ DRIVER_VERIFIED: dict[str, str] = {
     "embedding_gram_upper": "f0e2d768f439",
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
+    "embedding_power_iteration": "ace381c5764a",
     "embedding_quantization": "f5bb24cd0b57",
+    "embedding_random_projection": "149313e23aa4",
+    "eval_bootstrap_ci": "8c11b34fbbf5",
+    "event_type_transitions": "5d5953723362",
+    "event_value_mad": "a8aa5b034a6c",
     "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
+    "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
     "events_minute_rollup_streamed": "564c5d8e9e5f",
     "events_multires_rollup": "9500a9fc4621",
@@ -158,37 +171,52 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
+    "events_versioned_ingest_streamed": "48dd8e3478c1",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
+    "hard_negative_mining": "f06cf1ecd76f",
     "incremental_near_dup": "106378cb3ab8",
+    "ips_policy_value": "2c1ea431a372",
+    "ivf_cosine_top5": "4587a141ad18",
     "ivf_pq_top5": "984566e4c151",
-    "knn_join_lsh_top3": "635fe257dd5a",
+    "jaccard_prefix_filter_pairs": "5008341bdc1c",
     "kmeans_assign_update": "1957709e4ad9",
+    "knn_join_lsh_top3": "635fe257dd5a",
     "knn_recall_at_3": "c88e0a7440fb",
+    "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
+    "lakehouse_compaction_accounting": "52959dcfdac9",
     "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
     "lineitem_measures_unpivot": "858016643174",
+    "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
     "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
+    "lsh_cosine_top5": "bcbb1c08dc09",
+    "lsh_cosine_top5_multiprobe": "8a46b082e0db",
     "minhash_estimate_accuracy": "d049fca2dea7",
     "multimodal_decode_features": "ba3641b52a2e",
     "multimodal_frame_sample": "6c3ae1db4d13",
+    "nation_richest_customer": "c569db84fd24",
     "nation_set_ops": "ee0a45799605",
     "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
+    "neyman_allocation": "199b938badbe",
     "ngram_jaccard_pairs": "1ce24908ed83",
     "order_distinct_aggs": "798ac52398ee",
     "orders_by_month": "3b5d56427f88",
     "orders_cube": "977856a76063",
     "orders_grouping_sets": "7c2a2fcda67b",
+    "orders_price_percentiles": "00142ef3899e",
     "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
+    "part_pagerank_fixedpoint": "56fc8a2088c0",
     "part_price_band_join": "feedac3b7d7c",
+    "part_triangle_counts": "3b688cf75576",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_ahash16": "86dc850ac759",
@@ -199,6 +227,8 @@ DRIVER_VERIFIED: dict[str, str] = {
     "pq_adc_top10": "464767265696",
     "pq_code_assignment": "c33530f39f3e",
     "pq_encode_arrow": "d468a2b1f089",
+    "pq_index_after_append": "21b89952fc13",
+    "prefix_cache_analysis": "605af3784f13",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
@@ -206,6 +236,8 @@ DRIVER_VERIFIED: dict[str, str] = {
     "python_datasource_stream_checksum": "609b3f6c9262",
     "q10_returned_revenue": "a6bbc6cce502",
     "q11_important_stock": "64595b7c314a",
+    "q12_priority_shipping": "d4cca0b4c80f",
+    "q13_customer_distribution": "18c33d02b9f8",
     "q14_promo_revenue": "a04be26f867a",
     "q15_top_supplier": "524038b306d8",
     "q16_part_supplier_relation": "7946efac9fb7",
@@ -215,21 +247,27 @@ DRIVER_VERIFIED: dict[str, str] = {
     "q1_pricing_summary": "3560e363e9ed",
     "q20_potential_promotion": "26aa152b0b15",
     "q21_waiting_supplier": "8eb51526a69e",
+    "q22_global_sales_opportunity": "b6a092e119de",
     "q2_min_cost_supplier": "9b562eef7ff0",
     "q3_shipping_priority": "fd99cfaeace7",
+    "q4_order_priority": "df07a6d2b909",
     "q5_local_supplier_volume": "a6c0b0f534c0",
+    "q6_forecast_revenue": "91e2e7229798",
     "q7_nation_volume": "71bb2f5a3869",
     "q8_market_share": "defa2dff53c1",
     "q9_product_profit": "f67a4359d652",
     "region_nation_full_outer": "f11eea99322c",
     "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
+    "retrieval_diversified_top3": "0ae5067ed6f0",
+    "retrieval_rrf_fusion": "ae89b20c6090",
     "running_user_counts_streamed": "fbca008c058d",
     "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "98c7aff24981",
     "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
+    "source_score_calibration": "9b24c55b1db8",
     "source_token_fertility": "d1452d0ad04b",
     "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
@@ -238,13 +276,23 @@ DRIVER_VERIFIED: dict[str, str] = {
     "term_cms_heavy_hitters": "c42035a2f51d",
     "top3_orders_per_customer": "e381e519d72e",
     "unique_by_abs": "aec470f57ab8",
+    "user_cohort_weekly_retention": "bd3c35154ddb",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
+    "user_state_cdc_streamed": "d761b9bc71db",
     "user_state_scd2": "a7229906f4e7",
     "user_state_scd2_streamed": "f1055a14a5d8",
+    "user_value_moving_avg": "7afcd06d0608",
+    "user_value_resample_1h_ffill": "06dcf51ee8d8",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
     "user_value_zscore_outliers": "2c6fb32b13af",
+    "versioned_dml_lifecycle": "2897685078a3",
+    "versioned_metadata_count": "1630468efb50",
+    "versioned_optimize_roundtrip": "e9ef2e2aa955",
+    "versioned_scan_skipping": "ce505e83611c",
+    "versioned_schema_evolution": "6402afe3d77a",
+    "versioned_stream_rollup": "825692b63304",
     "view_purchase_left_outer_streamed": "f8e79f71ba33",
     "view_purchase_within_6h": "ceb393bc123c",
     "view_purchase_within_6h_streamed": "fa86e1f70ded",
@@ -272,58 +320,10 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
 REVERIFY: frozenset[str] = frozenset({
-    # Round 7 refill (r7 review finding: the queue was emptied but never
-    # refilled, leaving ~45 of the driver's 50 correctness slots idle):
-    # every remaining pin whose LAST green row is round 2 (all 19) plus
-    # 20 of the round-3 cohort — oldest last green first, computed from
-    # CORRECTNESS_r0*.json. Six r3 members yielded their slots (pins
-    # restored) to the six mid-round versioned-lakehouse queries,
-    # keeping the unverified window at exactly 50.
-    # copurchase_part_pairs yielded its slot (pin restored) to the
-    # mid-round user_value_resample_1h_ffill
-    # customer_order_gap_stats and customer_rfm_quartiles yielded their
-    # slots (pins restored) to the mid-round user_cohort_weekly_retention
-    # and part_triangle_counts
-    # daily_active_users_7d yielded its slot (pin restored) to the
-    # mid-round budgeted_mixture_selection
-    # doc_leading_tokens, doc_pack_bins, doc_reservoir_sample, and
-    # doc_stratified_sample yielded their slots (pins restored) to the
-    # mid-round retrieval_diversified_top3, doc_priority_sample,
-    # source_score_calibration, and copurchase_association_rules
-    # embedding_gram_upper, embedding_near_dup_pairs, and
-    # embedding_norms_by_label yielded their slots (pins restored) to the
-    # mid-round jaccard_prefix_filter_pairs, neyman_allocation, and
-    # ips_policy_value
-    "embedding_power_iteration",
-    "embedding_random_projection",
-    "event_type_transitions",
-    "event_value_mad",
-    "events_hourly_profile",
-    # events_json_props, events_user_sketches, events_sliding_10min_5min,
-    # events_tumbling_5min, events_session_windows, and
-    # events_multires_rollup yielded their slots (pins restored) to the
-    # mid-round doc_bm25_top5, hard_negative_mining, retrieval_rrf_fusion,
-    # eval_bootstrap_ci, prefix_cache_analysis, and bm25_stats_streamed
-    "ivf_cosine_top5",
-    # kmeans_assign_update yielded its slot (pin restored) to the
-    # mid-round doc_bpe_roundtrip
-    "label_centroids",
-    # lineitem_measures_unpivot yielded its slot (pin restored) to the
-    # mid-round versioned_dml_lifecycle
-    "lineitem_price_qty_corr",
-    # lineitem_profile and lineitem_qty_histogram yielded their slots
-    # (pins restored) to the mid-round events_versioned_ingest_streamed
-    # and part_pagerank_fixedpoint, keeping the window at exactly 50
-    "lsh_cosine_top5",
-    "lsh_cosine_top5_multiprobe",
-    "nation_richest_customer",
-    "orders_price_percentiles",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q22_global_sales_opportunity",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "user_value_moving_avg",
+    # Round 8: emptied at round start (all 18 r7-queued members got green
+    # rows and were promoted). Refilled at round end with the oldest-green
+    # pins once the round's own edits are counted — see
+    # scripts/gen_verified_hashes.py workflow.
 })
 
 
