@@ -76,11 +76,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from otus_cpp_11_spark.ops import manifest_format as mf
 from otus_cpp_11_spark.ops.lakehouse import _hadoop_fs, list_data_files
 
 _COMMITS = "_commits"
 _DATA = "_data"
-_MARKER = re.compile(r"^(\d{8})$")
+_MARKER = mf.MARKER_RE
 
 
 class ConstraintViolation(ValueError):
@@ -167,25 +168,74 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
     return sorted(out)
 
 
+def _read_commit_text(spark: SparkSession, table: str, name: str) -> str:
+    """Raw text of a ``_commits``-dir file (marker or checkpoint);
+    FileNotFoundError when absent — the exception ``mf.load_state``'s
+    replay contract keys on."""
+    fs, _ = _hadoop_fs(spark, table)
+    p = _jp(spark, table, _COMMITS, name)
+    if not fs.exists(p):
+        raise FileNotFoundError(f"{table!r}: no commit-dir file {name!r}")
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _commit_dir_names(spark: SparkSession, table: str) -> list[str]:
+    fs, _ = _hadoop_fs(spark, table)
+    cdir = _jp(spark, table, _COMMITS)
+    if not fs.exists(cdir):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(cdir)]
+
+
+def _load_state(spark: SparkSession, table: str, version: int) -> dict:
+    """Snapshot state (files / rows / stats / dv) at ``version``,
+    reconstructed from the nearest checkpoint plus the delta-encoded
+    markers after it (``manifest_format.load_state``). O(state +
+    CHECKPOINT_EVERY marker reads), never O(history)."""
+    return mf.load_state(
+        version,
+        lambda n: _read_commit_text(spark, table, n),
+        _commit_dir_names(spark, table),
+    )
+
+
 def read_manifest(
     spark: SparkSession, table: str, version: int
 ) -> tuple[dict, list[str]]:
     """(header, relative data-file paths) of a committed version. The
     header carries the schema (reads never re-infer), the commit op,
     the parent version, and any caller metadata (e.g. a maintainer's
-    batch id)."""
-    fs, _ = _hadoop_fs(spark, table)
-    marker = _jp(spark, table, _COMMITS, f"{version:08d}")
-    if not fs.exists(marker):
-        raise FileNotFoundError(f"version {version} of {table!r} is not committed")
-    stream = fs.open(marker)
+    batch id) — plus the RECONSTRUCTED per-file ``stats`` / ``rows`` /
+    ``dv`` maps of the snapshot, replayed from the delta-encoded
+    markers (``manifest_format``) so callers see the same shape the
+    old full-list format carried in every header."""
+    header, _ = parse_commit(spark, table, version)
+    state = _load_state(spark, table, version)
+    for key in ("stats", "rows", "dv"):
+        if state[key]:
+            header[key] = state[key]
+        else:
+            header.pop(key, None)
+    return header, list(state["files"])
+
+
+def parse_commit(
+    spark: SparkSession, table: str, version: int
+) -> tuple[dict, list[str]]:
+    """A single commit marker's OWN (header, body lines) — the commit's
+    actions, not the reconstructed snapshot. Raises for an uncommitted
+    version (a staged ``.tmp-*`` or vacuumed marker is not a commit)."""
     try:
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    lines = [ln for ln in text.splitlines() if ln]
-    header = json.loads(lines[0])
-    return header, lines[1:]
+        text = _read_commit_text(spark, table, mf.marker_name(version))
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"version {version} of {table!r} is not committed"
+        ) from None
+    return mf.parse_marker(text)
 
 
 def version_header(spark: SparkSession, table: str, version: int | None = None) -> dict:
@@ -222,10 +272,9 @@ def read_version(
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
     header, files = read_manifest(spark, table, v)
     schema = StructType.fromJson(json.loads(header["schema"]))
-    if not files:
-        return spark.createDataFrame([], schema)
-    root = table.rstrip("/")
-    return spark.read.schema(schema).parquet(*[_resolve(root, f) for f in files])
+    return _read_files_masked(
+        spark, table, schema, files, manifest_dvs(header)
+    )
 
 
 def restore_version(
@@ -259,6 +308,7 @@ def restore_version(
         hdr_meta,
         dict(manifest_stats(header)),
         rows=manifest_rows(header),
+        dvs=dict(manifest_dvs(header)),
     )
 
 
@@ -294,10 +344,9 @@ def add_constraint(
             f"(CHECK {cons[name]}); drop it first to redefine"
         )
     schema = StructType.fromJson(json.loads(header["schema"]))
-    root = table.rstrip("/")
     if files:
-        df = spark.read.schema(schema).parquet(
-            *[_resolve(root, f) for f in files]
+        df = _read_files_masked(
+            spark, table, schema, files, manifest_dvs(header)
         )
         bad = df.where(F.expr(expr).eqNullSafe(F.lit(False))).count()
         if bad:
@@ -319,6 +368,7 @@ def add_constraint(
         dict(manifest_stats(header)),
         rows=manifest_rows(header),
         constraints=cons,
+        dvs=dict(manifest_dvs(header)),
     )
 
 
@@ -352,6 +402,7 @@ def drop_constraint(
         dict(manifest_stats(header)),
         rows=manifest_rows(header),
         constraints=cons,
+        dvs=dict(manifest_dvs(header)),
     )
 
 
@@ -418,6 +469,14 @@ def clone_version(
     remap = dict(zip(files, abs_files))
     stats = {remap[f]: s for f, s in manifest_stats(header).items() if f in remap}
     rows = {remap[f]: n for f, n in manifest_rows(header).items() if f in remap}
+    # DVs travel with the clone, rekeyed like stats; a SIDECAR dv's path
+    # is anchored to the source root too (the sidecar is source data the
+    # clone references — the same by-reference contract as data files)
+    dvs = {
+        remap[f]: (dv if "i" in dv else {**dv, "p": _resolve(src_root, dv["p"])})
+        for f, dv in manifest_dvs(header).items()
+        if f in remap
+    }
     hdr_meta = dict(meta or {})
     hdr_meta["cloned_from"] = {"table": src_root, "version": v}
     nxt = (current_version(spark, dst) or 0) + 1
@@ -435,7 +494,48 @@ def clone_version(
         # them); enforcement of by-reference data is skipped — see
         # _commit — because the source already validated it
         constraints=dict(header.get("constraints") or {}),
+        dvs=dvs,
     )
+
+
+def _write_dv_sidecar(
+    spark: SparkSession, table: str, indices: list[int]
+) -> str:
+    """Spill a deletion vector too large for inline marker carriage to
+    a sidecar JSON file in its OWN uuid directory (never shared with
+    parquet data — vacuum's empty-data-dir sweep checks for parquet
+    only and must not collaterally remove a live sidecar). Returns the
+    table-relative path recorded in the DV descriptor."""
+    rel = f"{_DATA}/dv-{uuid.uuid4().hex}/dv.json"
+    fs, _ = _hadoop_fs(spark, table)
+    out = fs.create(_jp(spark, table, rel), True)
+    try:
+        out.write(bytearray(json.dumps({"i": indices}).encode("utf-8")))
+    finally:
+        out.close()
+    return rel
+
+
+def _list_dv_sidecars(spark: SparkSession, data_root: str) -> list[str]:
+    """Absolute paths of DV sidecar JSON files under ``_data`` — the
+    non-parquet half of the uncommitted-garbage sweep (list_data_files
+    deliberately lists parquet only)."""
+    fs, jpath = _hadoop_fs(spark, data_root)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".json"):
+            out.append(st.getPath().toString())
+    return out
+
+
+def _make_dv(spark: SparkSession, table: str, indices: list[int]) -> dict:
+    if len(indices) <= mf.DV_INLINE_MAX:
+        return {"i": indices}
+    return {"p": _write_dv_sidecar(spark, table, indices), "n": len(indices)}
 
 
 def _rewrite_matching_files(
@@ -447,6 +547,7 @@ def _rewrite_matching_files(
     bounds: dict | None,
     meta: dict | None,
     check=None,
+    dv_max_fraction: float | None = None,
 ) -> int:
     """Shared engine of predicate DML (``commit_delete`` /
     ``commit_update``): find the files that physically CONTAIN a row
@@ -459,7 +560,21 @@ def _rewrite_matching_files(
     malformed statement (e.g. an assignment to a column that does not
     exist) fails loudly whether or not anything matches. Rewritten
     files get fresh stats on every column the previous manifest had
-    stats for, so pruning quality survives DML."""
+    stats for, so pruning quality survives DML.
+
+    ``dv_max_fraction`` (delete only) enables DELETION VECTORS —
+    Delta's DV / Iceberg's positional-delete design: a touched file
+    whose cumulative deleted fraction stays at or under the threshold
+    is NOT rewritten; the matched rows' parquet positions are recorded
+    in the manifest instead (inline, or a sidecar past
+    ``manifest_format.DV_INLINE_MAX``) and every read path masks them.
+    A one-row delete in a 1 GB file then commits O(deleted rows) bytes
+    of metadata and ZERO data bytes; the fraction cap bounds DV size
+    and hands chronic deleters back to the rewrite path.
+    ``commit_compaction`` physically applies DVs (its rewrite reads
+    masked), which is also the GDPR note's physical-forget step —
+    until then the bytes remain in the file, exactly like a
+    pre-vacuum rewritten version."""
     cur = current_version(spark, table)
     if cur is None:
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
@@ -470,34 +585,104 @@ def _rewrite_matching_files(
     root = table.rstrip("/")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     prev_stats = manifest_stats(header)
+    prev_dvs = manifest_dvs(header)
+    prev_rows = manifest_rows(header)
     candidates = _prune_by_bounds(prev_files, prev_stats, bounds or {})
     touched = _files_containing(
-        spark, root, schema, candidates, lambda df: df.where(cond)
+        spark, table, schema, candidates, lambda df: df.where(cond), prev_dvs
     )
     if not touched:
         return cur  # nothing matches anywhere: no version churn
-    carried = [f for f in prev_files if f not in touched]
-    touched_df = spark.read.schema(schema).parquet(
-        *[_resolve(root, f) for f in sorted(touched)]
-    )
-    replacement = rewrite(touched_df, cond)
-    _require_same_schema(replacement, header, table, op)
-    # keep_empty=False: a delete that empties every touched file must
-    # not chain a schema-only file into every descendant manifest —
-    # and even a delete-EVERYTHING commit needs no placeholder, because
-    # read_version reads an empty manifest as an empty frame of the
-    # committed schema
-    new_files = _write_data_dir(
-        spark, replacement, table, cur + 1, keep_empty=False
-    )
+    matched_cond = F.coalesce(cond, F.lit(False))
+    dv_out: dict = {}
+    dv_rows_added = 0
+    rewrite_set = set(touched)
+    if dv_max_fraction is not None:
+        # per-file LIVE matched counts (existing DV positions masked) —
+        # one column-pruned scan of the touched files, collect bounded
+        # by the file count
+        by_suffix = {_relativize(_resolve(root, f)): f for f in touched}
+        per = (
+            _read_files_masked(
+                spark, table, schema, sorted(touched), prev_dvs, path_col="__f"
+            )
+            .groupBy("__f")
+            .agg(F.sum(matched_cond.cast("long")).alias("__m"))
+            .collect()
+        )
+        matched_by_file = {by_suffix[_relativize(r["__f"])]: int(r["__m"]) for r in per}
+        dv_candidates = []
+        for f, m in matched_by_file.items():
+            physical = prev_rows.get(f)
+            if physical is None:
+                physical = _footer_rows(table, f)
+            if not physical:
+                continue  # unknown size: cannot prove the fraction — rewrite
+            already = mf.dv_deleted_count(prev_dvs.get(f))
+            if (already + m) / physical <= dv_max_fraction:
+                dv_candidates.append(f)
+        if dv_candidates:
+            # matched LIVE row positions of just the DV-eligible files —
+            # collect bounded by sum(matched) <= fraction * their rows
+            idx_rows = (
+                _read_files_masked(
+                    spark,
+                    table,
+                    schema,
+                    sorted(dv_candidates),
+                    prev_dvs,
+                    path_col="__f",
+                    idx_col="__i",
+                )
+                .where(matched_cond)
+                .select("__f", "__i")
+                .collect()
+            )
+            fresh: dict[str, list[int]] = {}
+            for r in idx_rows:
+                fresh.setdefault(by_suffix[_relativize(r["__f"])], []).append(
+                    int(r["__i"])
+                )
+            for f, idxs in fresh.items():
+                existing = (
+                    _dv_indices(spark, table, prev_dvs[f])
+                    if prev_dvs.get(f)
+                    else []
+                )
+                dv_out[f] = _make_dv(
+                    spark, table, mf.merge_dv_indices(existing, idxs)
+                )
+                dv_rows_added += len(idxs)
+                rewrite_set.discard(f)
+    carried = [f for f in prev_files if f not in rewrite_set]
+    new_files: list[str] = []
+    if rewrite_set:
+        touched_df = _read_files_masked(
+            spark, table, schema, sorted(rewrite_set), prev_dvs
+        )
+        replacement = rewrite(touched_df, cond)
+        _require_same_schema(replacement, header, table, op)
+        # keep_empty=False: a delete that empties every touched file must
+        # not chain a schema-only file into every descendant manifest —
+        # and even a delete-EVERYTHING commit needs no placeholder, because
+        # read_version reads an empty manifest as an empty frame of the
+        # committed schema
+        new_files = _write_data_dir(
+            spark, replacement, table, cur + 1, keep_empty=False
+        )
     scols = sorted({c for s in prev_stats.values() for c in s})
-    stats = {f: s for f, s in prev_stats.items() if f not in touched}
+    stats = {f: s for f, s in prev_stats.items() if f not in rewrite_set}
     stats.update(_collect_file_stats(spark, table, new_files, scols))
+    dvs = {f: d for f, d in prev_dvs.items() if f not in rewrite_set}
+    dvs.update(dv_out)
     hdr_meta = dict(meta or {})
     hdr_meta[f"{op}_io"] = {
         "prev_files": len(prev_files),
         "candidates": len(candidates),
         "touched": len(touched),
+        "rewritten": len(rewrite_set),
+        "dv_files": len(dv_out),
+        "dv_rows": dv_rows_added,
     }
     return _commit(
         spark,
@@ -508,7 +693,8 @@ def _rewrite_matching_files(
         carried + new_files,
         hdr_meta,
         stats,
-        rows=manifest_rows(header),
+        rows=prev_rows,
+        dvs=dvs,
     )
 
 
@@ -518,6 +704,7 @@ def commit_delete(
     condition,
     bounds: dict | None = None,
     meta: dict | None = None,
+    dv_max_fraction: float | None = None,
 ) -> int:
     """``DELETE FROM table WHERE condition`` as a commit: files holding
     a matching row are rewritten WITHOUT those rows; every other file is
@@ -529,13 +716,26 @@ def commit_delete(
     is safe; a narrower one would silently spare rows). The header's
     ``delete_io`` makes the pruning auditable; deleted versions remain
     time-travelable until retention drops them (GDPR note: a versioned
-    RTBF sweep must vacuum past the delete to physically forget)."""
+    RTBF sweep must vacuum past the delete to physically forget — and
+    with deletion vectors, compact first to apply them).
+
+    ``dv_max_fraction`` opts files whose deleted fraction stays under
+    it into DELETION VECTORS instead of rewrites (Delta's DV design):
+    a point delete then costs O(deleted rows) metadata, not a file
+    rewrite — see ``_rewrite_matching_files`` for the full contract."""
 
     def rewrite(df, cond):
         return df.where(~F.coalesce(cond, F.lit(False)))
 
     return _rewrite_matching_files(
-        spark, table, condition, rewrite, "delete", bounds, meta
+        spark,
+        table,
+        condition,
+        rewrite,
+        "delete",
+        bounds,
+        meta,
+        dv_max_fraction=dv_max_fraction,
     )
 
 
@@ -595,7 +795,7 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
     lineage) and any caller metadata, both as JSON strings (their keys
     are open-ended). Driver-side work is one manifest read per retained
     version — the same bounded metadata any table open already pays."""
-    known = {"op", "parent", "schema", "stats", "rows"}
+    known = {"op", "parent", "schema", "stats", "rows", "dv", "fmt"}
     metrics_keys = (
         "upsert_io",
         "optimize_io",
@@ -608,6 +808,7 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
     for v in list_versions(spark, table):
         header, files = read_manifest(spark, table, v)
         rows = manifest_rows(header)
+        dvs = manifest_dvs(header)
         metrics = {k: header[k] for k in metrics_keys if k in header}
         extra = {
             k: header[k]
@@ -620,7 +821,9 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
                 header["op"],
                 header.get("parent"),
                 len(files),
-                sum(rows[f] for f in files) if all(f in rows for f in files) else None,
+                sum(rows[f] - mf.dv_deleted_count(dvs.get(f)) for f in files)
+                if all(f in rows for f in files)
+                else None,
                 json.dumps(metrics, sort_keys=True) if metrics else None,
                 json.dumps(extra, sort_keys=True) if extra else None,
             )
@@ -748,14 +951,16 @@ def _prune_by_bounds(files: list[str], stats: dict, bounds: dict) -> list[str]:
 
 def _files_containing(
     spark: SparkSession,
-    root: str,
+    table: str,
     schema: StructType,
     candidates: list[str],
     marker,
+    dvs: dict | None = None,
 ) -> set[str]:
     """Exact-match tier of touched-file discovery, shared by
-    ``commit_upsert`` and predicate DML: scan the candidate files with
-    ``_metadata.file_path``, keep the files physically holding a row
+    ``commit_upsert`` and predicate DML: scan the candidate files (DV
+    positions masked — an already-deleted row must not drag its file
+    into a rewrite), keep the files physically holding a LIVE row
     selected by ``marker(df)``, and map the scanned physical paths back
     to their MANIFEST entries via the ``/_data/``-anchored suffix — for
     a shallow clone the entry is an absolute source path while
@@ -764,16 +969,11 @@ def _files_containing(
     manifest-sized driver state."""
     if not candidates:
         return set()
-    df = spark.read.schema(schema).parquet(
-        *[_resolve(root, f) for f in candidates]
+    root = table.rstrip("/")
+    df = _read_files_masked(
+        spark, table, schema, candidates, dvs or {}, path_col="__f"
     )
-    hit = [
-        r["__f"]
-        for r in marker(df.withColumn("__f", F.col("_metadata.file_path")))
-        .select("__f")
-        .distinct()
-        .collect()
-    ]
+    hit = [r["__f"] for r in marker(df).select("__f").distinct().collect()]
     by_suffix = {_relativize(_resolve(root, f)): f for f in candidates}
     return {by_suffix[_relativize(p)] for p in hit}
 
@@ -825,6 +1025,7 @@ def _commit(
     stats: dict | None = None,
     rows: dict | None = None,
     constraints: dict | None = None,
+    dvs: dict | None = None,
 ) -> int:
     header = {
         "op": op,
@@ -839,11 +1040,13 @@ def _commit(
     # ``clone`` skips the scan (its by-reference data was validated in
     # the source; re-scanning would be O(table) and defeat zero-copy).
     if version > 1:
-        pheader, pfiles = read_manifest(spark, table, version - 1)
+        pheader, _ = parse_commit(spark, table, version - 1)
+        parent_state = _load_state(spark, table, version - 1)
         inherited = pheader.get("constraints") or {}
-        prev_set = set(pfiles)
+        prev_set = set(parent_state["files"])
     else:
         inherited, prev_set = {}, set()
+        parent_state = mf.empty_state()
     cons = constraints if constraints is not None else inherited
     if cons:
         header["constraints"] = cons
@@ -869,13 +1072,6 @@ def _commit(
                     "(SQL-standard CHECK); add IS NOT NULL to require "
                     "presence."
                 )
-    if stats:
-        # only entries for files this manifest actually references —
-        # stats for files aged out of the manifest would be dead weight
-        referenced = set(files)
-        live = {f: s for f, s in stats.items() if f in referenced}
-        if live:
-            header["stats"] = live
     # per-file ROW COUNTS: entries carried from the parent manifest cost
     # nothing; files without one (the commit's new files — O(delta)) get
     # a parquet FOOTER read, metadata-only, no data bytes. This is what
@@ -888,13 +1084,50 @@ def _commit(
             n = _footer_rows(table, f)
         if n is not None:
             complete[f] = n
-    if complete:
-        header["rows"] = complete
+    referenced = set(files)
+    new_state = {
+        "files": list(files),
+        "rows": complete,
+        "stats": {f: s for f, s in (stats or {}).items() if f in referenced},
+        "dv": {f: d for f, d in (dvs or {}).items() if f in referenced and d},
+    }
     if meta:
         header.update(meta)
-    content = "\n".join([json.dumps(header), *files]) + "\n"
+    # Delta-encoded marker (manifest_format): remove/add actions vs. the
+    # parent snapshot — commit METADATA bytes are O(delta), matching the
+    # O(delta) data bytes. The full file list lives nowhere: readers
+    # replay from the nearest checkpoint.
+    content = mf.render_marker(header, parent_state, new_state)
     _claim_commit(spark, table, version, content)
+    if version % mf.CHECKPOINT_EVERY == 0:
+        _write_checkpoint(spark, table, version, new_state)
     return version
+
+
+def _write_checkpoint(
+    spark: SparkSession, table: str, version: int, state: dict
+) -> None:
+    """Best-effort full-state checkpoint AFTER the marker claim —
+    Delta's design: the checkpoint bounds replay length and lets vacuum
+    drop old markers, but it is derived data, so a failure here (crash,
+    race, IO fault) costs replay time, never correctness. Racing
+    writers of the SAME version render identical content, so whichever
+    rename lands is right."""
+    fs, _ = _hadoop_fs(spark, table)
+    tmp = _jp(spark, table, _COMMITS, f".tmp-ckpt-{uuid.uuid4().hex}")
+    dest = _jp(spark, table, _COMMITS, mf.ckpt_name(version))
+    try:
+        out = fs.create(tmp, True)
+        try:
+            out.write(
+                bytearray(mf.render_checkpoint(version, state).encode("utf-8"))
+            )
+        finally:
+            out.close()
+        if not fs.rename(tmp, dest):
+            fs.delete(tmp, False)
+    except Exception:
+        pass
 
 
 def _footer_rows(table: str, relpath: str) -> int | None:
@@ -919,8 +1152,103 @@ def manifest_stats(header: dict) -> dict:
 
 
 def manifest_rows(header: dict) -> dict:
-    """Per-file row counts recorded in a commit header."""
+    """Per-file PHYSICAL row counts recorded in a commit header (a
+    deletion vector's masked rows are still physically present — live
+    rows = this minus ``manifest_dvs`` counts)."""
     return header.get("rows") or {}
+
+
+def manifest_dvs(header: dict) -> dict:
+    """Per-file deletion vectors: ``{relpath: {"i": [row indices]}}``
+    inline, or ``{"p": sidecar_relpath, "n": count}`` spilled. Files
+    without an entry have no deleted rows."""
+    return header.get("dv") or {}
+
+
+def _dv_indices(spark: SparkSession, table: str, dv: dict) -> list[int]:
+    """Materialize a DV's deleted-row positions (inline, or loaded from
+    its sidecar JSON). Bounded by the delete path's rewrite threshold —
+    a file whose deleted fraction exceeds it was rewritten instead, so
+    this never approaches file-row scale."""
+    if "i" in dv:
+        return list(dv["i"])
+    text = _read_commit_text_at(spark, table, dv["p"])
+    return json.loads(text)["i"]
+
+
+def _read_commit_text_at(spark: SparkSession, table: str, relpath: str) -> str:
+    """Text of a table-relative (or foreign/absolute — clones) file."""
+    fs, _ = _hadoop_fs(spark, table)
+    p = spark._jvm.org.apache.hadoop.fs.Path(
+        _resolve(table.rstrip("/"), relpath)
+    )
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _read_files_masked(
+    spark: SparkSession,
+    table: str,
+    schema: StructType,
+    files: list[str],
+    dvs: dict,
+    path_col: str | None = None,
+    idx_col: str | None = None,
+) -> DataFrame:
+    """THE snapshot read path: the listed files aligned to the declared
+    schema, with each file's deletion-vector positions masked out —
+    every consumer (read_version, scans, DML touched-file reads, upsert
+    stored reads, constraint validation, compaction) funnels through
+    here so a DV'd row is invisible everywhere at once.
+
+    The mask is an anti-join against the (file suffix, row index) pairs
+    of the snapshot's DVs — a driver-built relation bounded by the
+    rewrite threshold, broadcast by AQE. ``_metadata.row_index`` is the
+    parquet reader's own row position (stable: files are immutable),
+    and the ``/_data/``-anchored suffix is the manifest key that
+    matches across clones' absolute paths. ``path_col`` / ``idx_col``
+    optionally keep the physical file path / in-file row position as
+    columns for callers doing touched-file discovery or DV
+    construction."""
+    root = table.rstrip("/")
+    if not files:
+        df = spark.createDataFrame([], schema)
+        for extra, typ in ((path_col, "string"), (idx_col, "long")):
+            if extra:
+                df = df.withColumn(extra, F.lit(None).cast(typ))
+        return df
+    reader = spark.read.schema(schema)
+    df = reader.parquet(*[_resolve(root, f) for f in files])
+    live = {f: dvs[f] for f in files if dvs.get(f)}
+    if not live and path_col is None and idx_col is None:
+        return df
+    cols = [F.col(c) for c in df.columns]
+    df = df.withColumn("__vt_path", F.col("_metadata.file_path")).withColumn(
+        "__vt_idx", F.col("_metadata.row_index")
+    )
+    if live:
+        pairs = [
+            (_relativize(_resolve(root, f)), int(i))
+            for f, dv in live.items()
+            for i in _dv_indices(spark, table, dv)
+        ]
+        dv_df = spark.createDataFrame(pairs, "__vt_suffix string, __vt_idx long")
+        df = df.withColumn(
+            "__vt_suffix",
+            F.concat(
+                F.lit(f"{_DATA}/"),
+                F.substring_index(F.col("__vt_path"), f"/{_DATA}/", -1),
+            ),
+        ).join(F.broadcast(dv_df), ["__vt_suffix", "__vt_idx"], "left_anti")
+    keep = list(cols)
+    if path_col:
+        keep.append(F.col("__vt_path").alias(path_col))
+    if idx_col:
+        keep.append(F.col("__vt_idx").alias(idx_col))
+    return df.select(*keep)
 
 
 def metadata_count(
@@ -942,6 +1270,7 @@ def metadata_count(
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
     header, files = read_manifest(spark, table, v)
     rows = manifest_rows(header)
+    dvs = manifest_dvs(header)
     missing = [f for f in files if f not in rows]
     if missing:
         if strict:
@@ -950,7 +1279,9 @@ def metadata_count(
                 f"no recorded row count (e.g. {missing[0]!r})"
             )
         return read_version(spark, table, v).count()
-    return sum(rows[f] for f in files)
+    # live rows = physical rows minus deletion-vector positions; the DV
+    # descriptor carries its count, so even a sidecar DV costs no IO here
+    return sum(rows[f] - mf.dv_deleted_count(dvs.get(f)) for f in files)
 
 
 def commit_version(
@@ -1114,6 +1445,7 @@ def commit_append(
                 meta,
                 stats,
                 rows=manifest_rows(header),
+                dvs=dict(manifest_dvs(header)),
             )
         except CommitConflict:
             if attempt >= max_retries:
@@ -1213,6 +1545,8 @@ def commit_upsert(
             files_out=files,
             stats_out=stats,
             rows_out={},
+            dvs_out={},
+            touched_dvs={},
             target=1,
             max_retries=max_retries,
         )
@@ -1220,9 +1554,9 @@ def commit_upsert(
     inserts = df.where(not_tombstone).drop(delete_col) if delete_col else df
     _require_same_schema(inserts, header, table, "commit_upsert")
     schema = StructType.fromJson(json.loads(header["schema"]))
-    root = table.rstrip("/")
     delta_keys = df.select(*keys).distinct()
     prev_stats = manifest_stats(header)
+    prev_dvs = manifest_dvs(header)
     candidates = prev_files
     if prev_files and prev_stats:
         aggs = []
@@ -1237,24 +1571,48 @@ def commit_upsert(
         )
     touched = _files_containing(
         spark,
-        root,
+        table,
         schema,
         candidates,
         lambda df: df.join(delta_keys, keys, "left_semi"),
+        prev_dvs,
     )
     untouched = [f for f in prev_files if f not in touched]
     if touched:
-        stored_touched = spark.read.schema(schema).parquet(
-            *[_resolve(root, f) for f in sorted(touched)]
+        stored_touched = _read_files_masked(
+            spark, table, schema, sorted(touched), prev_dvs
         )
         survivors = stored_touched.join(delta_keys, keys, "left_anti")
         matched = stored_touched.join(delta_keys, keys, "left_semi")
     else:
         survivors = None
         matched = spark.createDataFrame([], schema)
-    replacement = inserts if merge_fn is None else merge_fn(matched, inserts)
-    if merge_fn is not None:
+    if merge_fn is None:
+        replacement = inserts
+    else:
+        # delete_col + merge_fn composition (r7 advice): tombstoned keys'
+        # stored rows must NOT reach merge_fn as live "matched" state —
+        # the documented latest-wins merge_fn would resurrect them. A
+        # tombstone FORGETS the stored rows for its key; delta rows of
+        # the same key (a delete+reinsert batch) then merge as pure
+        # inserts. And a key whose delta rows are ALL tombstones must
+        # not reappear however merge_fn shapes its output.
+        tomb_keys = (
+            df.where(F.coalesce(F.col(delete_col), F.lit(False)))
+            .select(*keys)
+            .distinct()
+            if delete_col
+            else None
+        )
+        if tomb_keys is not None:
+            matched = matched.join(tomb_keys, keys, "left_anti")
+        replacement = merge_fn(matched, inserts)
         _require_same_schema(replacement, header, table, "commit_upsert merge_fn")
+        if tomb_keys is not None:
+            pure_tomb = tomb_keys.join(
+                inserts.select(*keys).distinct(), keys, "left_anti"
+            )
+            replacement = replacement.join(pure_tomb, keys, "left_anti")
     new_rows = (
         replacement if survivors is None else survivors.unionByName(replacement)
     )
@@ -1282,6 +1640,8 @@ def commit_upsert(
         files_out=untouched + new_files,
         stats_out=stats,
         rows_out=manifest_rows(header),
+        dvs_out={f: d for f, d in prev_dvs.items() if f not in touched},
+        touched_dvs={f: prev_dvs[f] for f in touched if f in prev_dvs},
         target=cur + 1,
         max_retries=max_retries,
     )
@@ -1302,6 +1662,8 @@ def _commit_upsert_retrying(
     files_out: list[str],
     stats_out: dict,
     rows_out: dict,
+    dvs_out: dict,
+    touched_dvs: dict,
     target: int,
     max_retries: int,
 ) -> int:
@@ -1309,8 +1671,10 @@ def _commit_upsert_retrying(
     conflicts by Delta's read-set/write-set rule (see ``commit_upsert``
     docstring): the restage reuses the merge's written files and is
     valid only when the interleaved commits left every touched file in
-    place and added nothing that may contain a merge key. ``df`` is the
-    ORIGINAL delta (tombstones included — a delete composes with an
+    place — bytes AND deletion vector (a DV attached concurrently to a
+    file this merge rewrote means the rewrite resurrects the DV'd
+    rows) — and added nothing that may contain a merge key. ``df`` is
+    the ORIGINAL delta (tombstones included — a delete composes with an
     interleaved insert of the same key no better than an update does);
     its key range is aggregated lazily, only when a conflict actually
     produces added files to test."""
@@ -1328,6 +1692,7 @@ def _commit_upsert_retrying(
                 hdr_meta,
                 stats_out,
                 rows=rows_out,
+                dvs=dvs_out,
             )
         except CommitConflict:
             if attempt >= max_retries:
@@ -1343,11 +1708,15 @@ def _commit_upsert_retrying(
                 f"{newcur}"
             )
         nset = set(nfiles)
-        if not touched <= nset:
+        ndvs = manifest_dvs(nheader)
+        if not touched <= nset or any(
+            ndvs.get(f) != touched_dvs.get(f) for f in touched
+        ):
             raise CommitConflict(
                 f"commit_upsert retry on {table!r}: a concurrent commit "
-                "rewrote or removed files this merge had rewritten (write-"
-                f"write conflict); redo the merge against version {newcur}"
+                "rewrote, removed, or attached a deletion vector to files "
+                "this merge had rewritten (write-write conflict); redo the "
+                f"merge against version {newcur}"
             )
         based = set(based_files)
         added = [f for f in nfiles if f not in based]
@@ -1390,6 +1759,18 @@ def _commit_upsert_retrying(
         }
         stats_out.update(new_file_stats)
         rows_out = manifest_rows(nheader)
+        dvs_out = {f: d for f, d in ndvs.items() if f not in touched}
+        # keep the audited pruning accounting honest on a restage (r7
+        # advice: the original upsert_io counted against the OLD parent):
+        # annotate rather than silently re-publish stale numbers
+        if "upsert_io" in hdr_meta:
+            hdr_meta = dict(hdr_meta)
+            hdr_meta["upsert_io"] = {
+                **hdr_meta["upsert_io"],
+                "retries": attempt,
+                "restaged_parent": newcur,
+                "restaged_parent_files": len(nfiles),
+            }
         target = newcur + 1
 
 
@@ -1411,7 +1792,16 @@ def vacuum_versions(
     or conflicting writer's leftovers. It is OFF by default because such
     a dir is indistinguishable from a LIVE commit's files written but
     not yet claimed; enable it only with writers quiesced (the same
-    rule lakehouse.vacuum documents)."""
+    rule lakehouse.vacuum documents).
+
+    Delta-encoded manifests add one load-bearing step: before any
+    marker is dropped, a full-state CHECKPOINT is written at the
+    retention horizon (the oldest kept version), because reconstruction
+    of the kept versions replays forward from a checkpoint and the
+    markers being dropped are that replay's prefix. Unlike the routine
+    every-N checkpoints (best-effort, derived), THIS one is verified
+    present before deletion proceeds. References protected from
+    deletion include deletion-vector sidecar files."""
     cur = current_version(spark, table)
     if cur is None:
         return []
@@ -1421,18 +1811,44 @@ def vacuum_versions(
     if cur not in keep:  # defensive: cur is max(versions) by construction
         keep.append(cur)
     drop = [v for v in versions if v not in keep]
+    if drop:
+        horizon = min(keep)
+        _write_checkpoint(
+            spark, table, horizon, _load_state(spark, table, horizon)
+        )
+        if not fs.exists(_jp(spark, table, _COMMITS, mf.ckpt_name(horizon))):
+            raise IOError(
+                f"vacuum: could not place the retention-horizon checkpoint "
+                f"{mf.ckpt_name(horizon)} for {table!r}; dropping older "
+                "markers without it would sever snapshot reconstruction — "
+                "nothing was deleted"
+            )
+
+    def _refs(v: int) -> set[str]:
+        header, files = read_manifest(spark, table, v)
+        refs = set(files)
+        for dv in manifest_dvs(header).values():
+            if dv and "p" in dv:
+                refs.add(dv["p"])
+        return refs
+
     kept_refs: set[str] = set()
     for v in keep:
-        kept_refs |= set(read_manifest(spark, table, v)[1])
+        kept_refs |= _refs(v)
     drop_refs_by_v = {
-        v: set(read_manifest(spark, table, v)[1]) for v in drop
-    }  # read BEFORE marker deletion — the manifest lives in the marker
+        v: _refs(v) for v in drop
+    }  # read BEFORE marker deletion — reconstruction needs the markers
     removed = []
     dropped_refs: set[str] = set()
     for v in drop:
         if fs.delete(_jp(spark, table, _COMMITS, f"{v:08d}"), False):
             removed.append(v)
             dropped_refs |= drop_refs_by_v[v]
+            # a checkpoint at a dropped version is dead weight (replay
+            # always starts from the newer horizon checkpoint)
+            ck = _jp(spark, table, _COMMITS, mf.ckpt_name(v))
+            if fs.exists(ck):
+                fs.delete(ck, False)
         else:
             # Marker survived (transient IO fault / permissions): v is
             # STILL committed, so its files must be protected exactly like
@@ -1441,11 +1857,19 @@ def vacuum_versions(
             kept_refs |= drop_refs_by_v[v]
     doomed = dropped_refs - kept_refs
     if drop_uncommitted:
-        on_disk = {
-            _relativize(p)
-            for p, _ in list_data_files(spark, f"{table.rstrip('/')}/{_DATA}")
-        }
-        doomed |= on_disk - kept_refs - dropped_refs
+        data_root = f"{table.rstrip('/')}/{_DATA}"
+        # a table whose every commit is by-reference (a fresh shallow
+        # clone) has no _data dir at all — an empty on-disk set, not an
+        # error (r7 advice)
+        if fs.exists(_jp(spark, data_root)):
+            on_disk = {
+                _relativize(p)
+                for p, _ in list_data_files(spark, data_root)
+            }
+            on_disk |= {
+                _relativize(p) for p in _list_dv_sidecars(spark, data_root)
+            }
+            doomed |= on_disk - kept_refs - dropped_refs
         cdir = _jp(spark, table, _COMMITS)
         if fs.exists(cdir):
             for st in fs.listStatus(cdir):
@@ -1543,30 +1967,37 @@ def commit_compaction(
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
     header, prev_files = read_manifest(spark, table, cur)
     schema = StructType.fromJson(json.loads(header["schema"]))
+    dvs_map = manifest_dvs(header)
     if small_file_rows is None:
         selected = list(prev_files)
     else:
         rows_map = manifest_rows(header)
+        # DV-carrying files are ALWAYS selected regardless of size —
+        # compaction is what physically applies deletion vectors (Delta
+        # OPTIMIZE does the same), restoring full-file reads and
+        # physically forgetting the deleted bytes
         selected = [
             f
             for f in prev_files
-            if f not in rows_map or rows_map[f] < small_file_rows
+            if f not in rows_map or rows_map[f] < small_file_rows or f in dvs_map
         ]
-        if len(selected) < 2 and all(f in rows_map for f in selected):
+        if (
+            len(selected) < 2
+            and all(f in rows_map for f in selected)
+            and not any(f in dvs_map for f in selected)
+        ):
             # nothing fragmented — or ONE small file, which bin-packing
             # cannot merge with anything (rewriting it alone would churn
             # a version forever on a schedule): scheduled OPTIMIZE no-ops.
-            # Exception: a lone file with NO recorded row count is still
-            # rewritten once — the rewrite records its count, restoring
-            # metadata_count(strict=True) for the table.
+            # Exceptions: a lone file with NO recorded row count is still
+            # rewritten once (the rewrite records its count, restoring
+            # metadata_count(strict=True)), and a lone DV'd file is
+            # rewritten to apply its deletion vector.
             return cur
     sel = set(selected)
     carried = [f for f in prev_files if f not in sel]
-    root = table.rstrip("/")
     df = (
-        spark.read.schema(schema).parquet(
-            *[_resolve(root, f) for f in selected]
-        )
+        _read_files_masked(spark, table, schema, selected, dvs_map)
         if selected
         else spark.createDataFrame([], schema)
     )
@@ -1599,6 +2030,9 @@ def commit_compaction(
         hdr_meta,
         stats,
         rows=manifest_rows(header),
+        # compaction APPLIED the selected files' DVs (the rewrite read
+        # was masked); only carried files may keep theirs
+        dvs={f: d for f, d in dvs_map.items() if f not in sel},
     )
 
 
@@ -1619,25 +2053,51 @@ def diff_versions(
     the v1 state lands exactly on v3 (see the oracle-gated netting
     query). Plan: two snapshot reads, one full-outer join on the key —
     strategy AQE-decided; null-safe struct comparison (`eqNullSafe`) so
-    NULL-valued columns never mask or fake a change."""
+    NULL-valued columns never mask or fake a change. Row presence rides
+    on injected literal marker columns, never on key-null probes (r7
+    advice: a legitimately-NULL first key column must not read as
+    'absent'), and the compared value-column set is the UNION of both
+    versions' non-key columns — a column added by schema evolution
+    between the versions diffs as NULL-vs-value, so changes confined to
+    it still emit a feed row (the old side NULL-pads it, exactly what a
+    reader of v_old sees)."""
     old_df = read_version(spark, table, v_old)
     new_df = read_version(spark, table, v_new)
-    vals = [c for c in old_df.columns if c not in keys]
+    vals = [c for c in new_df.columns if c not in keys]
+    vals += [c for c in old_df.columns if c not in keys and c not in vals]
+    types = {
+        **{f.name: f.dataType for f in old_df.schema.fields},
+        **{f.name: f.dataType for f in new_df.schema.fields},
+    }
+
+    def side_struct(df):
+        have = set(df.columns)
+        return F.struct(
+            *[
+                F.col(c).alias(c)
+                if c in have
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in vals
+            ]
+        )
+
     o = old_df.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
-        F.struct(*vals).alias("old"),
+        side_struct(old_df).alias("old"),
+        F.lit(True).alias("__op"),
     )
     nw = new_df.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
-        F.struct(*vals).alias("new"),
+        side_struct(new_df).alias("new"),
+        F.lit(True).alias("__np"),
     )
     cond = None
     for k in keys:
-        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = c if cond is None else (cond & c)
     j = o.join(nw, cond, "full_outer")
-    old_present = F.col(f"__ok_{keys[0]}").isNotNull()
-    new_present = F.col(f"__nk_{keys[0]}").isNotNull()
+    old_present = F.coalesce(F.col("__op"), F.lit(False))
+    new_present = F.coalesce(F.col("__np"), F.lit(False))
     return (
         j.where(
             ~old_present

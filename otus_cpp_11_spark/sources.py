@@ -132,12 +132,45 @@ def _vt_current_version(table: str):
     return max(vs) if vs else None
 
 
+def _vt_read_text(table: str, name: str) -> str:
+    with open(f"{_vt_commits_dir(table)}/{name}") as f:
+        return f.read()
+
+
 def _vt_read_manifest(table: str, version: int):
+    """(marker header + reconstructed ``dv`` map, snapshot file list) —
+    the connector's plain-FS twin of ``ops.versioned.read_manifest``.
+    Delta-encoded markers (manifest_format) mean the file list is
+    REPLAYED from the nearest checkpoint, not read from one marker;
+    this runs DRIVER-side only (``partitions()`` / ``schema()``), so
+    importing the shared pure-Python core here is pickle-safe."""
+    import os
+
+    from otus_cpp_11_spark.ops import manifest_format as mf
+
+    header, _ = mf.parse_marker(_vt_read_text(table, mf.marker_name(version)))
+    d = _vt_commits_dir(table)
+    names = os.listdir(d) if os.path.isdir(d) else []
+    state = mf.load_state(
+        version, lambda n: _vt_read_text(table, n), names
+    )
+    header = dict(header)
+    if state["dv"]:
+        header["dv"] = state["dv"]
+    else:
+        header.pop("dv", None)
+    return header, list(state["files"])
+
+
+def _vt_dv_indices(table: str, dv: dict) -> list[int]:
+    """Materialize a DV descriptor's deleted-row positions (driver-side;
+    the resolved plain list ships to executors inside the partition)."""
     import json
 
-    with open(f"{_vt_commits_dir(table)}/{version:08d}") as f:
-        lines = [ln for ln in f.read().splitlines() if ln]
-    return json.loads(lines[0]), lines[1:]
+    if "i" in dv:
+        return list(dv["i"])
+    with open(_vt_resolve(table, dv["p"])) as f:
+        return json.load(f)["i"]
 
 
 def _vt_resolve(table: str, f: str) -> str:
@@ -217,10 +250,14 @@ class _VTFile(InputPartition):
     """``path=None`` marks the placeholder partition of an EMPTY
     snapshot (e.g. after a delete-everything DML commit, whose manifest
     references no files): Spark's Python DataSource API needs at least
-    one partition, and the read of the placeholder yields no batches."""
+    one partition, and the read of the placeholder yields no batches.
+    ``dv`` carries the file's deletion-vector row positions (already
+    resolved driver-side — sidecars never ship) for the executor read
+    to mask."""
 
-    def __init__(self, path: str | None):
+    def __init__(self, path: str | None, dv: list[int] | None = None):
         self.path = path
+        self.dv = dv
 
 
 def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
@@ -229,12 +266,23 @@ def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
     newer columns (padded with NULL — the same fill ops.versioned.
     read_version gets from Spark's parquet reader) and, on a long-lived
     stream, newer files may carry columns the stream's fixed schema
-    predates (projected away). Column order follows the declaration."""
+    predates (projected away). Column order follows the declaration.
+    Deletion-vector positions (``partition.dv``) are masked FIRST —
+    they index the file's physical row order."""
     import pyarrow.parquet as pq
 
     if partition is None or partition.path is None:
         return  # empty snapshot's placeholder partition: no batches
     tbl = pq.read_table(partition.path)
+    if getattr(partition, "dv", None):
+        import numpy as np
+        import pyarrow as pa
+
+        keep = np.setdiff1d(
+            np.arange(tbl.num_rows, dtype="int64"),
+            np.asarray(sorted(set(partition.dv)), dtype="int64"),
+        )
+        tbl = tbl.take(pa.array(keep))
     if schema_json is not None:
         import json
 
@@ -288,10 +336,17 @@ class _VTBatchReader(DataSourceReader):
             raise FileNotFoundError(
                 f"versioned table {self.table!r} has no commits"
             )
-        _, files = _vt_read_manifest(self.table, self.version)
+        header, files = _vt_read_manifest(self.table, self.version)
         if not files:
             return [_VTFile(None)]
-        return [_VTFile(_vt_resolve(self.table, f)) for f in files]
+        dvs = header.get("dv") or {}
+        return [
+            _VTFile(
+                _vt_resolve(self.table, f),
+                _vt_dv_indices(self.table, dvs[f]) if dvs.get(f) else None,
+            )
+            for f in files
+        ]
 
     def read(self, partition: _VTFile):
         return _vt_read_file(partition, self._schema_json)
