@@ -1092,7 +1092,9 @@ def events_versioned_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "versioned_dml_lifecycle",
     oracle=f"""
-WITH b AS (SELECT MAX(o_orderkey) // 4 AS lo FROM orders),
+WITH b AS (SELECT MAX(o_orderkey) // 4 AS lo,
+                  MAX(o_orderkey) AS mx
+           FROM orders),
      f AS (
        SELECT o_orderstatus,
               CASE WHEN o_orderstatus = 'O'
@@ -1100,7 +1102,7 @@ WITH b AS (SELECT MAX(o_orderkey) // 4 AS lo FROM orders),
                    ELSE o_orderpriority END AS o_orderpriority,
               o_totalprice
        FROM orders, b
-       WHERE o_orderkey > b.lo
+       WHERE o_orderkey > b.lo AND o_orderkey <> b.mx
      )
 SELECT o_orderstatus,
        o_orderpriority,
@@ -1117,20 +1119,25 @@ def versioned_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     references), run a BOTCHED predicate DELETE, RESTORE it away
     (audit-preserving rollback — the bad version stays in the history),
     then the real DELETE (drop the low-key quarter; manifest-stats
-    bounds dismiss the untouched files) and an UPDATE (prefix the
+    bounds dismiss the untouched files), an UPDATE (prefix the
     priority of open orders; RHS evaluated against the old row), and
-    aggregate the final snapshot. The oracle replays the surviving
-    operations as plain SQL WHERE + CASE over the raw table, so the
-    hash match proves predicate DML composes to exactly the SQL
-    semantics — including that the restore really undid the botched
-    delete. ``table_history`` ops are asserted so each lifecycle step
-    actually committed (clone/delete/restore/delete/update).
+    an RTBF-style POINT DELETE of the single max-key order that takes
+    the DELETION-VECTOR path (``dv_max_fraction``: the commit is
+    asserted to rewrite ZERO files — O(deleted rows) metadata, the
+    Delta DV design), and aggregate the final snapshot. The oracle
+    replays the surviving operations as plain SQL WHERE + CASE over
+    the raw table, so the hash match proves predicate DML composes to
+    exactly the SQL semantics — including that the restore really
+    undid the botched delete and that DV-masked rows are invisible to
+    every aggregate. ``table_history`` ops are asserted so each
+    lifecycle step actually committed.
 
-    At 100 TB: every step here is O(touched files) — the clone writes
-    zero data bytes, each delete/update rewrites only match-bearing
-    files discovered via manifest extents + an exact file probe, and
-    the restore is a manifest-only commit. Nothing in the lifecycle
-    ever rewrites the table wholesale."""
+    At 100 TB: every step here is O(touched files) or better — the
+    clone writes zero data bytes, each delete/update rewrites only
+    match-bearing files discovered via manifest extents + an exact
+    file probe, the restore is a manifest-only commit, and the point
+    delete writes no data files at all. Nothing in the lifecycle ever
+    rewrites the table wholesale."""
     from otus_cpp_11_spark.ops.versioned import (
         clone_version,
         commit_delete,
@@ -1139,6 +1146,7 @@ def versioned_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_version,
         restore_version,
         table_history,
+        version_header,
     )
     from otus_cpp_11_spark.session import scratch_dir
 
@@ -1174,8 +1182,26 @@ def versioned_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus = 'O'",
         {"o_orderpriority": "concat('X-', o_orderpriority)"},
     )
+    # RTBF point delete: one key, deletion-vector path — asserted to
+    # rewrite nothing (the r8 'one-row delete commits O(rows) bytes')
+    v_dv = commit_delete(
+        spark,
+        tbl,
+        f"o_orderkey = {mx}",
+        bounds={"o_orderkey": (mx, mx)},
+        dv_max_fraction=0.05,
+    )
+    dv_io = version_header(spark, tbl, v_dv)["delete_io"]
+    assert dv_io["rewritten"] == 0 and dv_io["dv_files"] >= 1, dv_io
+    # time travel still sees the forgotten row (until vacuum+compact)
+    assert (
+        read_version(spark, tbl, v_dv - 1)
+        .where(F.col("o_orderkey") == mx)
+        .count()
+        == 1
+    )
     ops = [r["op"] for r in table_history(spark, tbl).collect()]
-    assert ops == ["update", "delete", "restore", "delete", "clone"], ops
+    assert ops == ["delete", "update", "delete", "restore", "delete", "clone"], ops
     return (
         read_version(spark, tbl)
         .groupBy("o_orderstatus", "o_orderpriority")
@@ -1185,3 +1211,83 @@ def versioned_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+@register(
+    "versioned_rtbf_deletion_vectors",
+    oracle=f"""
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+),
+v1 AS (
+  SELECT 1 AS version, COUNT(*) AS n_rows,
+         {dsum_sql('c_acctbal', 2)} AS total_acctbal,
+         (SELECT COUNT(*) FROM victims) AS victims_visible
+  FROM customer
+),
+v2 AS (
+  SELECT 2 AS version, COUNT(*) AS n_rows,
+         {dsum_sql('c_acctbal', 2)} AS total_acctbal,
+         CAST(0 AS BIGINT) AS victims_visible
+  FROM customer
+  WHERE c_custkey % 97 <> 0
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+ORDER BY version
+""",
+)
+def versioned_rtbf_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten via DELETION VECTORS (r8): commit customer
+    as a versioned table, DV-delete every 97th customer key (~1% of
+    rows, spread across every file — the worst case for file-level
+    rewrite DML and the best case for DVs), and emit per-version
+    (row count, exact balance sum, victims still visible). The commit
+    is asserted to rewrite ZERO data files — the delete's footprint is
+    the row positions alone, Delta's DV / Iceberg's positional-delete
+    economics — while ``metadata_count(strict=True)`` stays exact
+    (DV counts subtract from manifest row counts without IO) and the
+    pre-delete version still shows the victims (time travel for audit;
+    physical forgetting = compaction applying the DV, proven in
+    tests/test_versioned_r8.py). The oracle replays both versions as
+    plain SQL over the raw table, so the hash match proves the masked
+    read path drops exactly the victim rows and nothing else.
+
+    At 100 TB: an RTBF sweep of k scattered rows commits O(k) metadata
+    bytes instead of rewriting every file that holds one victim — the
+    difference between minutes and a full-table rewrite. Reference:
+    the C++ engine (src/mapreduce.cpp) has no mutation story at all;
+    this family exists for the lakehouse mandate."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_delete,
+        commit_version,
+        metadata_count,
+        read_version,
+        version_header,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    tbl = scratch_dir("sg-rtbf-") + "/customer_v"
+    commit_version(
+        spark,
+        cust.repartitionByRange(4, "c_custkey"),
+        tbl,
+        stats_cols=["c_custkey"],
+    )
+    v2 = commit_delete(spark, tbl, "c_custkey % 97 = 0", dv_max_fraction=0.1)
+    io = version_header(spark, tbl, v2)["delete_io"]
+    assert io["rewritten"] == 0 and io["dv_files"] >= 1, io
+    assert metadata_count(spark, tbl, strict=True) == read_version(spark, tbl).count()
+
+    def snap(version: int, victims_col):
+        df = read_version(spark, tbl, version)
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+            victims_col.alias("victims_visible"),
+        )
+
+    v1_snap = snap(1, F.sum((F.col("c_custkey") % 97 == 0).cast("long")))
+    v2_snap = snap(2, F.sum((F.col("c_custkey") % 97 == 0).cast("long")))
+    return v1_snap.unionByName(v2_snap).orderBy("version")

@@ -88,7 +88,11 @@ def register(
 # Round-8 membership: every green row from rounds 1-7 (the r7 driver
 # report was 50/50 green, bringing cumulative coverage to 210/210), each
 # pinned to the source hash current at promotion time. Round-8 edits
-# remove their entries below (see the note near WINDOW_DEFER).
+# remove their entries below (see the note near WINDOW_DEFER). The
+# r8 delta-encoded-manifest + deletion-vector rewrite of ops/versioned
+# changed SHARED HELPER semantics under the whole versioned family, so
+# all 11 pinned queries touching it re-queue (the query_source_hash
+# caveat: helper rewrites need the human rule, not just hash drift).
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
     "balanced_doc_sample": "e369f0894200",
@@ -97,8 +101,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
     "budgeted_mixture_selection": "bfe3e84837f5",
-    "cdc_change_data_feed": "c877eea61ea1",
-    "cdf_netting_across_versions": "ca8de7bf1a5e",
     "copurchase_association_rules": "77b285b9c575",
     "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
@@ -171,7 +173,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
-    "events_versioned_ingest_streamed": "48dd8e3478c1",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
     "hard_negative_mining": "f06cf1ecd76f",
@@ -227,7 +228,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "pq_adc_top10": "464767265696",
     "pq_code_assignment": "c33530f39f3e",
     "pq_encode_arrow": "d468a2b1f089",
-    "pq_index_after_append": "21b89952fc13",
     "prefix_cache_analysis": "605af3784f13",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
@@ -279,7 +279,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_cohort_weekly_retention": "bd3c35154ddb",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
-    "user_state_cdc_streamed": "d761b9bc71db",
     "user_state_scd2": "a7229906f4e7",
     "user_state_scd2_streamed": "f1055a14a5d8",
     "user_value_moving_avg": "7afcd06d0608",
@@ -287,12 +286,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
     "user_value_zscore_outliers": "2c6fb32b13af",
-    "versioned_dml_lifecycle": "2897685078a3",
-    "versioned_metadata_count": "1630468efb50",
-    "versioned_optimize_roundtrip": "e9ef2e2aa955",
-    "versioned_scan_skipping": "ce505e83611c",
-    "versioned_schema_evolution": "6402afe3d77a",
-    "versioned_stream_rollup": "825692b63304",
     "view_purchase_left_outer_streamed": "f8e79f71ba33",
     "view_purchase_within_6h": "ceb393bc123c",
     "view_purchase_within_6h_streamed": "fa86e1f70ded",
