@@ -367,13 +367,17 @@ def user_state_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming, driver-visible: replay the change feed
     through the INCREMENTAL SCD2 maintainer
     (streaming.incremental_scd2_history — per-batch scoped recompute of
-    touched keys only, late events rewriting their key's validity chain,
-    double idempotence via the batch marker plus SCD2's own
-    duplication-collapse) under Trigger.AvailableNow, then return the
-    maintained history. The oracle is the from-scratch batch SCD2 —
-    the maintained chain must be bit-identical no matter how the stream
-    was micro-batched, the same streaming=backfill contract as the
-    rollup tier and the CDC-apply table."""
+    touched keys only, late events rewriting their key's validity
+    chain), now COMMITTING each batch's touched-key rewrite as a
+    VERSION of an ops.versioned manifest table (r8: the second
+    maintainer to graduate off staging+swap — batch id in both commit
+    headers, file-pruned keyed upsert for the history replace) under
+    Trigger.AvailableNow, then return the maintained history read
+    through ``read_version``. The oracle is the from-scratch batch
+    SCD2 — the maintained chain must be bit-identical no matter how
+    the stream was micro-batched, the same streaming=backfill contract
+    as the rollup tier and the CDC-apply table."""
+    from otus_cpp_11_spark.ops.versioned import read_version
     from otus_cpp_11_spark.session import scratch_dir
     from otus_cpp_11_spark.streaming import (
         incremental_scd2_history,
@@ -386,7 +390,7 @@ def user_state_scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return (
-        spark.read.parquet(base + "/hist")
+        read_version(spark, base + "/hist")
         .select(
             "user_id",
             "version",

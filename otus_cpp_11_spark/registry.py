@@ -280,7 +280,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
     "user_state_scd2": "a7229906f4e7",
-    "user_state_scd2_streamed": "f1055a14a5d8",
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_resample_1h_ffill": "06dcf51ee8d8",
     "user_value_scd2": "3be5f39e67c1",

@@ -360,7 +360,10 @@ class TestIncrementalScd2:
         )
         hist, raw = str(tmp_path / "hist"), str(tmp_path / "raw")
         incremental_scd2_history(stream, hist, raw).awaitTermination()
-        got = spark.read.parquet(hist).drop("_last_batch_id")
+        from otus_cpp_11_spark.ops.versioned import current_version, read_version
+
+        assert current_version(spark, hist) >= 2  # genuinely multi-commit
+        got = read_version(spark, hist)
         want = _scd2_history(events)
         assert _rows(got, "user_id", "version") == _rows(want, "user_id", "version")
 
@@ -394,10 +397,12 @@ class TestIncrementalScd2:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
+        from otus_cpp_11_spark.ops.versioned import read_version
+
         incremental_scd2_history(stream(), hist, raw, ckpt).awaitTermination()
         v1 = {
             (r.user_id, r.version): (r.state, r.valid_from)
-            for r in spark.read.parquet(hist).collect()
+            for r in read_version(spark, hist).collect()
         }
         assert v1[(1, 1)][0] == "click" and v1[(1, 2)][0] == "view"
 
@@ -408,7 +413,7 @@ class TestIncrementalScd2:
         late.coalesce(1).write.mode("append").parquet(src)
         # same checkpoint: AvailableNow picks up ONLY the new file
         incremental_scd2_history(stream(), hist, raw, ckpt).awaitTermination()
-        rows = spark.read.parquet(hist).collect()
+        rows = read_version(spark, hist).collect()
         u1 = sorted(
             [(r.version, r.state, r.valid_from, r.valid_to) for r in rows if r.user_id == 1]
         )
@@ -422,3 +427,62 @@ class TestIncrementalScd2:
         # untouched key carried byte-for-byte
         u2 = [(r.version, r.state) for r in rows if r.user_id == 2]
         assert u2 == [(1, "click")]
+
+    def test_crash_between_raw_and_hist_commits_replays_cleanly(
+        self, spark, tmp_path
+    ):
+        """The one two-table crash window of the versioned SCD2
+        maintainer: die AFTER the batch's raw append commit, BEFORE its
+        history upsert commit. The checkpoint replays the batch; the
+        raw header's batch id suppresses the re-append (no duplicate
+        records) and the history commit completes — final state equals
+        the from-scratch batch SCD2."""
+        import otus_cpp_11_spark.ops.versioned as V
+        from otus_cpp_11_spark.queries.cdc import _scd2_history
+        from otus_cpp_11_spark.streaming import incremental_scd2_history
+
+        events = load_table(spark, SF, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        src = str(tmp_path / "src")
+        events.repartition(2).write.parquet(src)
+        stream = lambda: (  # noqa: E731
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        hist, raw = str(tmp_path / "hist"), str(tmp_path / "raw")
+        ckpt = str(tmp_path / "ckpt")
+
+        orig_upsert = V.commit_upsert
+        armed = {"on": True}
+
+        def flaky_upsert(bspark, df, table, keys, **kw):
+            # crash on the SECOND batch's history commit (its raw
+            # commit has already happened by this point in the merge)
+            if armed["on"] and V.current_version(bspark, table) is not None:
+                armed["on"] = False
+                raise RuntimeError("injected crash: raw committed, hist not")
+            return orig_upsert(bspark, df, table, keys, **kw)
+
+        V.commit_upsert = flaky_upsert
+        try:
+            q = incremental_scd2_history(stream(), hist, raw, ckpt)
+            try:
+                q.awaitTermination()
+            except Exception:
+                pass  # the injected crash kills the query mid-run
+            assert not armed["on"], "crash was never injected"
+            # crash window state: raw is ahead of hist by one batch
+            raw_bid = V.version_header(spark, raw).get("batch_id")
+            hist_bid = V.version_header(spark, hist).get("batch_id")
+            assert raw_bid == hist_bid + 1
+        finally:
+            V.commit_upsert = orig_upsert
+        # restart from the same checkpoint: replay must converge
+        incremental_scd2_history(stream(), hist, raw, ckpt).awaitTermination()
+        # no duplicated raw records from the replayed append
+        assert V.read_version(spark, raw).count() == events.count()
+        got = _rows(V.read_version(spark, hist), "user_id", "version")
+        want = _rows(_scd2_history(events), "user_id", "version")
+        assert got == want

@@ -157,12 +157,18 @@ def test_partial_staging_is_never_promoted(spark, tmp_path):
 
 def test_scd2_raw_store_compaction_preserves_history(spark, tmp_path):
     """Integration of the maintenance triple with the CDC family: the
-    SCD2 maintainer's raw store is append-fragmented (one file per
-    micro-batch); compacting it clustered on user_id (the touched-key
+    SCD2 maintainer's raw store is append-fragmented (one versioned
+    APPEND commit per micro-batch); OPTIMIZE-ing it as a commit
+    (commit_compaction clustered on user_id, the touched-key
     recompute's pruning key) must leave every key's recomputed SCD2
     chain byte-identical."""
     from otus_cpp_11_spark.catalog import load_table
-    from otus_cpp_11_spark.ops.lakehouse import compact_parquet
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_compaction,
+        current_version,
+        read_manifest,
+        read_version,
+    )
     from otus_cpp_11_spark.queries.cdc import _scd2_history
     from otus_cpp_11_spark.streaming import incremental_scd2_history
 
@@ -178,16 +184,17 @@ def test_scd2_raw_store_compaction_preserves_history(spark, tmp_path):
     incremental_scd2_history(
         stream, hist, raw, checkpoint=str(tmp_path / "ckpt")
     ).awaitTermination()
-    before = _rows_sorted(spark.read.parquet(hist).drop("_last_batch_id"))
-    n_files_before = len(list_data_files(spark, raw))
-    assert n_files_before >= 4  # one append per micro-batch
+    before = _rows_sorted(read_version(spark, hist))
+    n_files_before = len(read_manifest(spark, raw, current_version(spark, raw))[1])
+    assert n_files_before >= 4  # one append commit per micro-batch
 
-    acct = compact_parquet(
-        spark, raw, rows_per_file=10_000, order_by=[F.col("user_id"), F.col("event_id")]
+    v = commit_compaction(
+        spark, raw, max_rows_per_file=10_000, cluster_cols=["user_id", "event_id"]
     )
-    assert acct["files_after"] < n_files_before
+    n_files_after = len(read_manifest(spark, raw, v)[1])
+    assert n_files_after < n_files_before
     # full recompute from the compacted raw store: identical history
-    recomputed = _rows_sorted(_scd2_history(spark.read.parquet(raw)))
+    recomputed = _rows_sorted(_scd2_history(read_version(spark, raw)))
     assert recomputed == before
 
 
