@@ -14,9 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from otus_cpp_11_spark.catalog import load_table
+from otus_cpp_11_spark.catalog import load_table, spread
 from otus_cpp_11_spark.ops.skew import salted_topk
 from otus_cpp_11_spark.queries.dedup import _SIMHASH_SQL, _normalized
+from otus_cpp_11_spark.queries.similarity import _dot_sql
 from otus_cpp_11_spark.registry import register
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for")
@@ -554,8 +555,13 @@ def bm25_doc_term_tf(docs: DataFrame) -> DataFrame:
 
 def _bm25_tf(spark: SparkSession, sf_dir: str):
     """Shared retrieval front end: the bm25_doc_term_tf relation plus the
-    1-row (N, T) scalar aggregate and the bounded query-term relation."""
-    d = load_table(spark, sf_dir, "documents")
+    1-row (N, T) scalar aggregate and the bounded query-term relation.
+    The corpus scan is ``spread()`` so the regex tokenize (the front
+    end's whole cost — BOTH consumers re-scan it) parallelizes across
+    cores on row-group-starved local inputs; at lake scale the gate
+    no-ops (r8: the unbenched-family audit found the tokenize serial
+    on one partition)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
     qt = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
         "query_id int, term string",
@@ -796,6 +802,146 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).cast("bigint").alias("rrf_units"),
         )
+    )
+    return (
+        salted_topk(
+            fused,
+            ["query_id"],
+            [F.desc("rrf_units"), F.asc("doc_id")],
+            RRF_TOPK,
+            salt_on="doc_id",
+        )
+        .select("query_id", "rank", "doc_id", "rrf_units")
+        .orderBy("query_id", "rank")
+    )
+
+
+# Per-query dense anchors for the hybrid ranker: query_id -> the vec_id
+# whose stored embedding plays the query vector (a retrieval service
+# ships encoded query vectors the same way it ships query terms — a
+# bounded literal relation).
+HYBRID_ANCHORS: tuple[tuple[int, int], ...] = tuple(
+    (qid, qid * 7) for qid, _ in BM25_QUERIES
+)
+_HYBRID_ANCHORS_SQL = ", ".join(f"({q}, {a})" for q, a in HYBRID_ANCHORS)
+
+
+@register(
+    "retrieval_hybrid_dense_top5",
+    oracle=f"""
+WITH {_BM25_SCORES_CTES},
+pool_a AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_units DESC, doc_id) AS rank_a
+  FROM scores
+  QUALIFY rank_a <= {RRF_POOL}
+),
+anchors(query_id, anchor_id) AS (VALUES {_HYBRID_ANCHORS_SQL}),
+qv AS (
+  SELECT a.query_id, a.anchor_id, e.embedding AS qv
+  FROM anchors a JOIN embeddings e ON e.vec_id = a.anchor_id
+),
+dense AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         {_dot_sql("e.embedding", "q.qv")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM embeddings e, qv q
+  WHERE e.vec_id <> q.anchor_id
+),
+pool_b AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS rank_b
+  FROM dense
+  QUALIFY rank_b <= {RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE({_RRF_UNIT} // ({RRF_K} + a.rank_a), 0)
+           + COALESCE({_RRF_UNIT} // ({RRF_K} + b.rank_b), 0) AS rrf_units
+  FROM pool_a a
+  FULL OUTER JOIN pool_b b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf_units,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_units DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, rrf_units
+FROM ranked WHERE rank <= {RRF_TOPK}
+ORDER BY query_id, rank
+""",
+)
+def retrieval_hybrid_dense_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE + LEXICAL hybrid retrieval (r7 verdict item 6 — the
+    production shape the RRF docstring names): fuse the exact-integer
+    BM25 ranker over ``documents`` with a dense cosine ranker over
+    ``embeddings`` (doc_id == vec_id, the corpus's embedding column)
+    through the SAME ranker-agnostic RRF fusion, in exact integer
+    micro-units. Each query carries a dense anchor vector
+    (``HYBRID_ANCHORS``: a stored embedding standing in for the encoded
+    query — a bounded literal relation, exactly how a serving tier
+    ships query vectors to the cluster). The dense scores use the
+    fixed-point cosine from queries/similarity.py (per-element floored
+    products summed as DECIMAL — bit-identical in both engines), so
+    the dense pool's ordering is oracle-exact, not approximately
+    close.
+
+    100 TB shape: the dense side scores |corpus| x |queries| rows with
+    the 4-row anchor relation broadcast — a map-side pass with no
+    vector shuffle — then per-query salted_topk bounds it to RRF_POOL
+    rows before fusion, exactly like the lexical side; the fusion join
+    touches <= 2 * RRF_POOL * |queries| rows regardless of corpus
+    size. The brute-force dense scan is the recall=1 baseline; the
+    IVF/PQ rankers (pq_adc_top10, ivf_pq_top5) swap in behind the same
+    pool interface when the corpus outgrows brute force — the fusion
+    consumes only rank columns and cannot tell."""
+    from otus_cpp_11_spark.queries.similarity import cosine_sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = spark.createDataFrame(
+        list(HYBRID_ANCHORS), "query_id int, anchor_id long"
+    )
+    qv = (
+        e.join(F.broadcast(anchors), e["vec_id"] == anchors["anchor_id"])
+        .select("query_id", "anchor_id", F.col("embedding").alias("qv"))
+    )
+    dense = (
+        e.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+    )
+    pool_b = salted_topk(
+        dense,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("doc_id")],
+        RRF_POOL,
+        salt_on="doc_id",
+    ).select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    pool_a = salted_topk(
+        _bm25_scores(spark, sf_dir),
+        ["query_id"],
+        [F.desc("score_units"), F.asc("doc_id")],
+        RRF_POOL,
+        salt_on="doc_id",
+    ).select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    fused = pool_a.join(pool_b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_a)"), F.lit(0))
+            + F.coalesce(
+                F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_b)"), F.lit(0)
+            )
+        ).cast("bigint").alias("rrf_units"),
     )
     return (
         salted_topk(
