@@ -38,6 +38,25 @@ from otus_cpp_11_spark.registry import all_queries  # noqa: E402
 from otus_cpp_11_spark.session import get_spark  # noqa: E402
 
 TIMED_RUNS = 2  # min over repeated timed runs (see module docstring)
+
+
+def _materialize(df):
+    """Execute the full plan through Spark's noop sink (r8 harness
+    change). Previous rounds timed ``df.collect()``, which adds py4j
+    Row-object deserialization ON THE DRIVER to every measurement —
+    pure harness overhead that scales with RESULT size, not engine
+    work: user_value_resample_1h_ffill measured 0.8 s of computation
+    (count) plus 10 s of collect on its 1M-row result, so a 2x plan
+    regression would have hidden inside serialization noise. The noop
+    sink (Spark's standard benchmarking sink) materializes every row
+    JVM-side — the quantity that scales to a real cluster, where
+    results land in tables, not the driver. Correctness still collects:
+    the driver's oracle harness compares full result sets. A/B note
+    for round-over-round reading: r8 numbers are uniformly <= their
+    collect-based r7 equivalents (small results pay ~10-50 ms collect;
+    big results pay seconds); BENCH_LOCAL_r8 re-baselines every query
+    under the new harness."""
+    df.write.format("noop").mode("overwrite").save()
 # Per-query override (r5 verdict item 7): benchmark_decontamination has
 # twice measured 2-4x its own flat floor on PIN-UNCHANGED code (r3 and r5
 # driver rounds; in r6 the same 2.5x showed up locally and an A/B against
@@ -116,7 +135,7 @@ def main():
         # between, heap/codegen locality decays and the timed run re-pays
         # part of the bring-up (measured 2.7x on q9).
         try:
-            q.fn(spark, sf_dir).collect()
+            _materialize(q.fn(spark, sf_dir))
         except Exception:
             pass  # a warmup failure must never sink the bench
         best = None
@@ -131,8 +150,7 @@ def main():
             time.sleep(1.0)
             t0 = time.time()
             df = q.fn(spark, sf_dir)
-            # force full materialization of the result set
-            df.collect()
+            _materialize(df)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

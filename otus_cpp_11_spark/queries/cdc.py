@@ -1095,6 +1095,7 @@ def events_versioned_ingest_streamed(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "versioned_dml_lifecycle",
+    bench=True,
     oracle=f"""
 WITH b AS (SELECT MAX(o_orderkey) // 4 AS lo,
                   MAX(o_orderkey) AS mx

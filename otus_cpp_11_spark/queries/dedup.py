@@ -1082,6 +1082,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "jaccard_prefix_filter_pairs",
+    bench=True,
     oracle=f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1121,9 +1122,16 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the shingle-frequency relation is vocabulary-sized and
     AQE-planned (it scales, so no broadcast hint), the per-doc prefix cut
     is one bounded window per doc, and the verify join touches only
-    candidate pairs."""
+    candidate pairs.
+
+    The shingle relation feeds FIVE consumers in this one plan (sizes,
+    frequency, prefix positions, both verify sides), so it is cached
+    for the call — the minhash family's single-generation pattern;
+    without it every consumer re-ran the shingling regex (r8 bench
+    audit: ~2x the whole query)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _word_shingles(d, SHINGLE_WORDS)
+    release_dedup_caches()  # evict the previous call's generation
+    sh = _cache(_word_shingles(d, SHINGLE_WORDS))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     pos = (

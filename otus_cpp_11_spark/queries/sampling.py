@@ -147,6 +147,7 @@ def _pr_cached(df: DataFrame) -> DataFrame:
 
 @register(
     "part_pagerank_fixedpoint",
+    bench=True,
     oracle=f"""
 WITH pairs AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -232,13 +233,18 @@ def part_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # edge list + sender degree, built once and reused every iteration
+    # edge list + sender degree, built once and reused every iteration —
+    # and EVERYTHING downstream (node count, rank init) derives from the
+    # cached relation, so the expensive lineitem self-join executes
+    # exactly once per call (r8 bench audit: deg.count() and the rank
+    # init each re-ran the self-join, tripling the query's cost)
     edges_deg = _pr_cached(edges.join(deg, "src"))
-    n = deg.count()  # 1-scalar collect: node count
+    nodes = edges_deg.select("src").distinct()
+    n = nodes.count()  # 1-scalar collect: node count; fills the cache
     if n == 0:  # degenerate corpus: no qualifying pairs -> empty ranking
         return spark.createDataFrame([], "part_id bigint, rank_units bigint")
     tele = PR_TELE_NUM // n
-    rank = deg.select(
+    rank = nodes.select(
         F.col("src").alias("node"), F.lit(PR_SCALE // n).alias("rank")
     )
     for _ in range(3):

@@ -643,6 +643,7 @@ scores AS (
 
 @register(
     "doc_bm25_top5",
+    bench=True,
     oracle=f"""
 WITH {_BM25_SCORES_CTES},
 ranked AS (
@@ -828,6 +829,7 @@ _HYBRID_ANCHORS_SQL = ", ".join(f"({q}, {a})" for q, a in HYBRID_ANCHORS)
 
 @register(
     "retrieval_hybrid_dense_top5",
+    bench=True,
     oracle=f"""
 WITH {_BM25_SCORES_CTES},
 pool_a AS (

@@ -847,6 +847,7 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_value_resample_1h_ffill",
+    bench=True,
     oracle="""
 WITH ranked AS (
   SELECT user_id, date_trunc('hour', ts) AS hour, value,

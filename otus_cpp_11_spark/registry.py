@@ -123,7 +123,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "dedup_canonical_by_quality": "48bc5b1ec055",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
-    "doc_bm25_top5": "ced1284d5fab",
     "doc_bpe_roundtrip": "b33acb08e4ca",
     "doc_bpe_token_ids": "b734428e749a",
     "doc_bpe_token_stats": "a44dac60fb4a",
@@ -180,7 +179,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ips_policy_value": "2c1ea431a372",
     "ivf_cosine_top5": "4587a141ad18",
     "ivf_pq_top5": "984566e4c151",
-    "jaccard_prefix_filter_pairs": "5008341bdc1c",
     "kmeans_assign_update": "1957709e4ad9",
     "knn_join_lsh_top3": "635fe257dd5a",
     "knn_recall_at_3": "c88e0a7440fb",
@@ -215,7 +213,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
-    "part_pagerank_fixedpoint": "56fc8a2088c0",
     "part_price_band_join": "feedac3b7d7c",
     "part_triangle_counts": "3b688cf75576",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
@@ -281,7 +278,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_funnel_conversion": "fe16d90615f6",
     "user_state_scd2": "a7229906f4e7",
     "user_value_moving_avg": "7afcd06d0608",
-    "user_value_resample_1h_ffill": "06dcf51ee8d8",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
     "user_value_zscore_outliers": "2c6fb32b13af",
