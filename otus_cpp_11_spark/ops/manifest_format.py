@@ -86,23 +86,30 @@ def apply_marker(state: dict, header: dict, body: list[str]) -> None:
     bodies replay remove/add actions in line order (an add of an
     already-present path overwrites its metadata in place — how a DV
     attaches without perturbing manifest order); format-1 bodies replace
-    the state wholesale (the marker IS the full snapshot)."""
+    the state wholesale (the marker IS the full snapshot).
+
+    During replay ``state["files"]`` is held as an insertion-ordered
+    dict (keys = paths): a rewrite-heavy marker (big OPTIMIZE) removes
+    k files, and ``list.remove`` would make that one marker O(k * n) —
+    quadratic driver time at the module's ~10^6-file design point.
+    ``load_state`` materializes the list once at the end."""
+    files = state["files"]
+    if not isinstance(files, dict):
+        files = dict.fromkeys(files)
+        state["files"] = files
     if header.get("fmt") == 2:
         for ln in body:
             act = json.loads(ln)
             if "r" in act:
                 f = act["r"]
-                if f in state["rows"] or f in state["stats"] or f in state["dv"]:
-                    state["rows"].pop(f, None)
-                    state["stats"].pop(f, None)
-                    state["dv"].pop(f, None)
-                if f in state["files"]:
-                    state["files"].remove(f)
+                state["rows"].pop(f, None)
+                state["stats"].pop(f, None)
+                state["dv"].pop(f, None)
+                files.pop(f, None)
             else:
                 a = act["a"]
                 f = a["f"]
-                if f not in state["files"]:
-                    state["files"].append(f)
+                files.setdefault(f)
                 for key, slot in (("n", "rows"), ("s", "stats"), ("dv", "dv")):
                     v = a.get(key)
                     if v is None:
@@ -110,7 +117,7 @@ def apply_marker(state: dict, header: dict, body: list[str]) -> None:
                     else:
                         state[slot][f] = v
     else:
-        state["files"] = list(body)
+        state["files"] = dict.fromkeys(body)
         state["rows"] = dict(header.get("rows") or {})
         state["stats"] = dict(header.get("stats") or {})
         state["dv"] = dict(header.get("dv") or {})
@@ -159,6 +166,7 @@ def load_state(
                 "and no later checkpoint covers it"
             ) from None
         apply_marker(state, header, body)
+    state["files"] = list(state["files"])
     return state
 
 

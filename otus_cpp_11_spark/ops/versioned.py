@@ -45,8 +45,9 @@ Crash windows, exhaustively:
   no torn-content state a reader can observe);
 * after rename — committed; a foreachBatch retry sees its batch id in
   the committed header and no-ops (marker + data + batch id move in ONE
-  atomic claim, the property the in-place maintainers approximate with
-  an in-table ``_last_batch_id`` column).
+  atomic claim — since r8 every streaming maintainer commits through
+  this protocol; the in-table ``_last_batch_id`` swap approximation is
+  retired).
 
 What it costs: storage for retained versions (bounded by
 ``vacuum_versions``, which deletes only files no retained manifest
@@ -240,11 +241,19 @@ def parse_commit(
 
 def version_header(spark: SparkSession, table: str, version: int | None = None) -> dict:
     """Header of the given (default: current) version — the cheap probe
-    a retrying writer uses to ask 'is my batch already committed?'."""
+    a retrying writer uses to ask 'is my batch already committed?'.
+
+    ONE marker read (``parse_commit``), never a snapshot reconstruction:
+    every header field (op, parent, batch_id, constraints, delete_io,
+    upsert_io, caller meta) lives in the commit's OWN marker line, so
+    the streaming maintainers' per-micro-batch probes and txn walk-backs
+    stay O(1) file reads even on long append-only histories. Callers
+    needing the reconstructed per-file ``stats``/``rows``/``dv`` maps
+    use ``read_manifest``."""
     v = version if version is not None else current_version(spark, table)
     if v is None:
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
-    return read_manifest(spark, table, v)[0]
+    return parse_commit(spark, table, v)[0]
 
 
 def read_version(
@@ -1920,10 +1929,14 @@ def scan_version(
     schema = StructType.fromJson(json.loads(header["schema"]))
     sel = _prune_by_bounds(files, manifest_stats(header), bounds)
     acct = {"files_total": len(files), "files_scanned": len(sel)}
-    root = table.rstrip("/")
     if not sel:
         return spark.createDataFrame([], schema), acct
-    df = spark.read.schema(schema).parquet(*[_resolve(root, f) for f in sel])
+    # Through the masked read path, NOT a raw parquet read: a file kept
+    # by pruning may carry a deletion vector (point deletes attach DVs
+    # without rewriting), and a stats-pruned scan must be as blind to
+    # DV'd rows as read_version is — otherwise RTBF-deleted rows
+    # reappear exactly in the fast path.
+    df = _read_files_masked(spark, table, schema, sel, manifest_dvs(header))
     for c, (lo, hi) in bounds.items():
         df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
     return df, acct

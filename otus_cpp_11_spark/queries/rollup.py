@@ -282,11 +282,13 @@ def events_minute_rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
         read_events_stream,
     )
 
+    from otus_cpp_11_spark.ops.versioned import read_version
+
     tier_path = scratch_dir("sg-tier-") + "/minute"
     q = incremental_minute_rollup(read_events_stream(spark, sf_dir), tier_path)
     q.awaitTermination()
     return (
-        spark.read.parquet(tier_path)
+        read_version(spark, tier_path)
         .select(
             "bucket_start",
             "n_events",

@@ -487,10 +487,12 @@ def corpus_datacard_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_documents_stream,
     )
 
+    from otus_cpp_11_spark.ops.versioned import read_version
+
     card = scratch_dir("sg-card-") + "/datacard"
     q = incremental_datacard(read_documents_stream(spark, sf_dir), card)
     q.awaitTermination()
-    c = spark.read.parquet(card).drop("_last_batch_id")
+    c = read_version(spark, card)
     return c.select(
         "source",
         "n_docs",
@@ -1101,11 +1103,13 @@ def bm25_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_documents_stream,
     )
 
+    from otus_cpp_11_spark.ops.versioned import read_version
+
     stats = scratch_dir("sg-bm25-") + "/stats"
     q = incremental_bm25_stats(read_documents_stream(spark, sf_dir), stats)
     q.awaitTermination()
     return (
-        spark.read.parquet(stats)
+        read_version(spark, stats)
         .select("term", "df", "tf_sum")
         .orderBy("term")
     )

@@ -97,7 +97,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
     "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
-    "bm25_stats_streamed": "db0f069a9984",
     "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
     "budgeted_mixture_selection": "bfe3e84837f5",
@@ -106,7 +105,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
-    "corpus_datacard_streamed": "be0f3e747b1b",
     "corpus_dedup_stats": "3fa9e48f7a71",
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
@@ -161,7 +159,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
-    "events_minute_rollup_streamed": "564c5d8e9e5f",
     "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
@@ -256,8 +253,13 @@ DRIVER_VERIFIED: dict[str, str] = {
     "region_nation_full_outer": "f11eea99322c",
     "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
-    "retrieval_diversified_top3": "0ae5067ed6f0",
-    "retrieval_rrf_fusion": "ae89b20c6090",
+    # bm25_stats_streamed / corpus_datacard_streamed /
+    # events_minute_rollup_streamed: re-queued r8 — the additive
+    # maintainers migrated from staging+swap onto versioned commits.
+    # retrieval_diversified_top3 / retrieval_rrf_fusion: re-queued r8 —
+    # the hybrid-retrieval commit added spread() to the shared _bm25_tf
+    # tokenize front end under their pinned (hash-unchanged) sources;
+    # the query_source_hash helper caveat applies, so the human rule does
     "running_user_counts_streamed": "fbca008c058d",
     "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "98c7aff24981",

@@ -402,13 +402,20 @@ class _VTStreamReader(DataSourceStreamReader):
         return {"version": _vt_current_version(self.table) or 0}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        import json
+
+        from otus_cpp_11_spark.ops import manifest_format as mf
+
         lo, hi = int(start["version"]), int(end["version"])
-        prev: set = (
-            set() if lo == 0 else set(_vt_read_manifest(self.table, lo)[1])
-        )
         added: list[str] = []
+        # lazily-built snapshot file set, needed ONLY when a legacy
+        # format-1 marker (full-list body) is hit mid-range; fmt-2
+        # markers are self-describing so the common path never replays
+        prev: set | None = None
         for v in range(lo + 1, hi + 1):
-            hdr, files = _vt_read_manifest(self.table, v)
+            hdr, body = mf.parse_marker(
+                _vt_read_text(self.table, mf.marker_name(v))
+            )
             if v > 1 and hdr.get("op") != "append":
                 if not self.skip_change:
                     raise ValueError(
@@ -417,9 +424,27 @@ class _VTStreamReader(DataSourceStreamReader):
                         "already streamed; restart from a fresh checkpoint "
                         "or set skipChangeCommits=true to ignore it"
                     )
+                prev = None  # snapshot changed under us: recompute if needed
+            elif hdr.get("fmt") == 2:
+                # O(delta) per version: a delta-encoded append's add
+                # actions ARE its new files (appends remove nothing),
+                # one marker read — no checkpoint replay, no set-diff
+                # of consecutive full snapshots (review finding, r8)
+                acts = [json.loads(ln) for ln in body if ln]
+                new = [a["a"]["f"] for a in acts if "a" in a]
+                added.extend(new)
+                if prev is not None:
+                    prev.update(new)
             else:
-                added.extend(f for f in files if f not in prev)
-            prev = set(files)
+                # legacy full-list marker: diff against the prior snapshot
+                if prev is None:
+                    prev = (
+                        set(_vt_read_manifest(self.table, v - 1)[1])
+                        if v > 1
+                        else set()
+                    )
+                added.extend(f for f in body if f not in prev)
+                prev = set(body)
         if not added:
             # an empty RANGE (start == end) plans no batch and stays [];
             # but offsets can also advance with zero new files (e.g. a

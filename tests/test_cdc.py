@@ -486,3 +486,59 @@ class TestIncrementalScd2:
         got = _rows(V.read_version(spark, hist), "user_id", "version")
         want = _rows(_scd2_history(events), "user_id", "version")
         assert got == want
+
+    def test_interleaved_optimize_in_crash_window_does_not_duplicate(
+        self, spark, tmp_path
+    ):
+        """Replay idempotence must survive an interleaved NON-batch
+        commit: crash after the raw append, then run commit_compaction
+        on the raw store (the maintainer's own docstring recommends it),
+        which puts a batch-id-free OPTIMIZE commit at the head. A head
+        peek would miss the applied batch id and re-append the batch on
+        restart; the txn-scan (walk back to the newest header carrying
+        a batch id) must not (review finding, r8)."""
+        import otus_cpp_11_spark.ops.versioned as V
+        from otus_cpp_11_spark.queries.cdc import _scd2_history
+        from otus_cpp_11_spark.streaming import incremental_scd2_history
+
+        events = load_table(spark, SF, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        src = str(tmp_path / "src")
+        events.repartition(2).write.parquet(src)
+        stream = lambda: (  # noqa: E731
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        hist, raw = str(tmp_path / "hist"), str(tmp_path / "raw")
+        ckpt = str(tmp_path / "ckpt")
+
+        orig_upsert = V.commit_upsert
+        armed = {"on": True}
+
+        def flaky_upsert(bspark, df, table, keys, **kw):
+            if armed["on"] and V.current_version(bspark, table) is not None:
+                armed["on"] = False
+                raise RuntimeError("injected crash: raw committed, hist not")
+            return orig_upsert(bspark, df, table, keys, **kw)
+
+        V.commit_upsert = flaky_upsert
+        try:
+            q = incremental_scd2_history(stream(), hist, raw, ckpt)
+            try:
+                q.awaitTermination()
+            except Exception:
+                pass
+            assert not armed["on"], "crash was never injected"
+        finally:
+            V.commit_upsert = orig_upsert
+        # the interleaved maintenance commit: masks the head batch id
+        v_opt = V.commit_compaction(spark, raw, 10**9, ["user_id"])
+        assert V.version_header(spark, raw, v_opt).get("batch_id") is None
+        # restart: replay must suppress the re-append despite the mask
+        incremental_scd2_history(stream(), hist, raw, ckpt).awaitTermination()
+        assert V.read_version(spark, raw).count() == events.count()
+        got = _rows(V.read_version(spark, hist), "user_id", "version")
+        want = _rows(_scd2_history(events), "user_id", "version")
+        assert got == want

@@ -151,13 +151,18 @@ def test_incremental_rollup_equals_batch(spark, batch_events, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     q = incremental_minute_rollup(stream, tier, ckpt)
     q.awaitTermination()
-    got = spark.read.parquet(tier).drop("_last_batch_id")
+    from otus_cpp_11_spark.ops.versioned import current_version, read_version
+    from otus_cpp_11_spark.streaming import _latest_batch_id
+
+    got = read_version(spark, tier)
     want = minute_rollup_delta(batch_events)
     assert _rows(got, "bucket_start") == _rows(want, "bucket_start")
 
     # Resume idempotence: resuming with the ORIGINAL checkpoint sees no
-    # new files, processes no batches, and leaves the tier unchanged.
-    applied = spark.read.parquet(tier).agg({"_last_batch_id": "max"}).first()[0]
+    # new files, processes no batches, and leaves the tier unchanged
+    # (same current version, same header batch id).
+    applied = _latest_batch_id(spark, tier)
+    ver = current_version(spark, tier)
     from otus_cpp_11_spark.streaming import incremental_minute_rollup as _imr
 
     q2 = _imr(
@@ -168,9 +173,9 @@ def test_incremental_rollup_equals_batch(spark, batch_events, tmp_path):
         ckpt,
     )
     q2.awaitTermination()
-    again = spark.read.parquet(tier)
-    assert again.agg({"_last_batch_id": "max"}).first()[0] == applied
-    assert _rows(again.drop("_last_batch_id"), "bucket_start") == _rows(
+    assert _latest_batch_id(spark, tier) == applied
+    assert current_version(spark, tier) == ver
+    assert _rows(read_version(spark, tier), "bucket_start") == _rows(
         want, "bucket_start"
     )
 
@@ -184,9 +189,9 @@ def test_incremental_rollup_equals_batch(spark, batch_events, tmp_path):
             .parquet(src),
             tier,
         )
-    assert _rows(
-        spark.read.parquet(tier).drop("_last_batch_id"), "bucket_start"
-    ) == _rows(want, "bucket_start")
+    assert _rows(read_version(spark, tier), "bucket_start") == _rows(
+        want, "bucket_start"
+    )
 
 
 def test_maintainer_restart_resumes_offsets_and_crash_retry_is_exactly_once(
@@ -230,21 +235,22 @@ def test_maintainer_restart_resumes_offsets_and_crash_retry_is_exactly_once(
         )
         incremental_minute_rollup(stream, tier, ckpt).awaitTermination()
 
+    from otus_cpp_11_spark.ops.versioned import read_version
+    from otus_cpp_11_spark.streaming import _latest_batch_id
+
     run()  # leg 1
-    assert _rows(
-        spark.read.parquet(tier).drop("_last_batch_id"), "bucket_start"
-    ) == _rows(minute_rollup_delta(e1), "bucket_start")
-    marker1 = spark.read.parquet(tier).agg({"_last_batch_id": "max"}).first()[0]
+    assert _rows(read_version(spark, tier), "bucket_start") == _rows(
+        minute_rollup_delta(e1), "bucket_start"
+    )
+    marker1 = _latest_batch_id(spark, tier)
 
     shutil.copytree(ckpt, str(tmp_path / "ckpt_snap"))  # pre-run#2 snapshot
     e2.repartition(2).write.mode("append").parquet(src)
 
     run()  # leg 2: restart, same checkpoint — only the new files
     want_all = _rows(minute_rollup_delta(batch_events), "bucket_start")
-    assert _rows(
-        spark.read.parquet(tier).drop("_last_batch_id"), "bucket_start"
-    ) == want_all
-    marker2 = spark.read.parquet(tier).agg({"_last_batch_id": "max"}).first()[0]
+    assert _rows(read_version(spark, tier), "bucket_start") == want_all
+    marker2 = _latest_batch_id(spark, tier)
     assert marker2 > marker1  # ids continued: resumed offsets, no replay
 
     # leg 3: the kill window — tier holds run#2's merge, checkpoint does
@@ -252,9 +258,8 @@ def test_maintainer_restart_resumes_offsets_and_crash_retry_is_exactly_once(
     shutil.rmtree(ckpt)
     shutil.copytree(str(tmp_path / "ckpt_snap"), ckpt)
     run()
-    final = spark.read.parquet(tier)
-    assert _rows(final.drop("_last_batch_id"), "bucket_start") == want_all
-    assert final.agg({"_last_batch_id": "max"}).first()[0] == marker2
+    assert _rows(read_version(spark, tier), "bucket_start") == want_all
+    assert _latest_batch_id(spark, tier) == marker2
 
 
 def test_incremental_datacard_equals_batch_across_micro_batches(spark, tmp_path):
@@ -274,23 +279,25 @@ def test_incremental_datacard_equals_batch_across_micro_batches(spark, tmp_path)
     )
     card = str(tmp_path / "card")
     incremental_datacard(stream, card, str(tmp_path / "ckpt")).awaitTermination()
-    got = spark.read.parquet(card).drop("_last_batch_id")
+    from otus_cpp_11_spark.ops.versioned import read_version
+
+    got = read_version(spark, card)
     want = datacard_delta(docs)
     assert _rows(got, "source") == _rows(want, "source")
 
 
-def test_crash_window_recovery_restores_sole_copy(spark, batch_events, tmp_path):
-    """The swap's crash window (process died AFTER fs.delete(target),
-    BEFORE fs.rename(staging)): on retry the target is missing and the
-    staging sibling holds the ONLY complete copy. The maintainer must
-    recover it — the failure mode this pins down is the retry misreading
-    the window as 'no table yet' and rebuilding all maintained state
-    from the single retried batch."""
-    import os
-    import shutil
-
+def test_maintainer_tier_is_versioned_and_time_travelable(
+    spark, batch_events, tmp_path
+):
+    """r8: the additive maintainers moved from the staging+swap protocol
+    onto ops.versioned commits — the swap's crash window (target deleted,
+    staging not yet renamed in) no longer EXISTS, because data + manifest
+    + batch id publish in one atomic marker rename. What the protocol
+    buys instead is pinned-snapshot reads: a version captured mid-stream
+    keeps serving its exact state while later batches commit."""
     from pyspark.sql import functions as F
 
+    from otus_cpp_11_spark.ops.versioned import current_version, read_version
     from otus_cpp_11_spark.streaming import (
         incremental_minute_rollup,
         minute_rollup_delta,
@@ -312,24 +319,25 @@ def test_crash_window_recovery_restores_sole_copy(spark, batch_events, tmp_path)
         incremental_minute_rollup(stream, tier, ckpt).awaitTermination()
 
     run()
-    shutil.copytree(ckpt, str(tmp_path / "ckpt_snap"))
+    v_leg1 = current_version(spark, tier)
+    want_leg1 = _rows(minute_rollup_delta(e1), "bucket_start")
+    assert _rows(read_version(spark, tier), "bucket_start") == want_leg1
+
     e2.repartition(2).write.mode("append").parquet(src)
     run()
+    # current = full batch answer; the pinned leg-1 version still serves
+    # exactly leg-1's state (retention: leg 2 committed 2 versions, so
+    # v_leg1 is within the keep_last=3 horizon)
     want_all = _rows(minute_rollup_delta(batch_events), "bucket_start")
-    marker = spark.read.parquet(tier).agg({"_last_batch_id": "max"}).first()[0]
+    assert _rows(read_version(spark, tier), "bucket_start") == want_all
+    assert current_version(spark, tier) == v_leg1 + 2
+    assert _rows(read_version(spark, tier, v_leg1), "bucket_start") == want_leg1
+    # no swap debris anywhere: the protocol has no staging siblings
+    import os
 
-    # forge the exact crash state: the completed tier sits at the last
-    # batch's staging path, the target is gone, the checkpoint does not
-    # know the batch committed
-    os.rename(tier, tier + f".staging-{marker}")
-    shutil.rmtree(ckpt)
-    shutil.copytree(str(tmp_path / "ckpt_snap"), ckpt)
-
-    run()  # retry: must recover, then skip the re-delivered batch
-    final = spark.read.parquet(tier)
-    assert _rows(final.drop("_last_batch_id"), "bucket_start") == want_all
-    assert final.agg({"_last_batch_id": "max"}).first()[0] == marker
-    assert not os.path.exists(tier + f".staging-{marker}")
+    assert not [
+        d for d in os.listdir(tmp_path) if ".staging-" in d
+    ], "versioned maintainer must not create swap staging dirs"
 
 
 def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
@@ -586,8 +594,11 @@ def test_bm25_stats_merge_path_equivalence(spark):
     b1, b2, b3 = (
         d.where(F.col("doc_id") % 3 == i) for i in range(3)
     )
+    # merge_fn now has commit_upsert's (matched, inserts) signature: fold
+    # each batch's DELTA into the accumulated state
     acc = None
     for b in (b1, b2, b3):
-        acc = merge_fn(acc, b)
+        delta = bm25_stats_delta(b)
+        acc = delta if acc is None else merge_fn(acc, delta)
     merged = {(r["term"], r["df"], r["tf_sum"]) for r in acc.collect()}
     assert merged == whole

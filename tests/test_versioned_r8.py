@@ -29,6 +29,7 @@ from otus_cpp_11_spark.ops.versioned import (
     read_manifest,
     read_version,
     restore_version,
+    scan_version,
     vacuum_versions,
     version_header,
 )
@@ -401,3 +402,14 @@ def test_upsert_conflict_retry_annotates_upsert_io(spark, table):
     assert "restaged_parent_files" in io
     got = {r["k"]: r["tag"] for r in read_version(spark, table).collect()}
     assert got == {1: "a2", 2: "b", 100: "z"}
+
+def test_scan_version_masks_deletion_vectors(spark, table):
+    """A stats-pruned scan must be as blind to DV'd rows as
+    read_version — the RTBF story dies if the FAST path resurrects
+    deleted rows (review finding, r8)."""
+    commit_version(spark, _df(spark, 0, 1000).repartition(2), table)
+    commit_delete(spark, table, "k = 7", dv_max_fraction=0.01)
+    df, acct = scan_version(spark, table, {"k": (0, 50)})
+    ks = {r.k for r in df.collect()}
+    assert ks == set(range(0, 51)) - {7}
+    assert acct["files_scanned"] >= 1
