@@ -75,7 +75,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from otus_cpp_11_spark.ops import manifest_format as mf
 from otus_cpp_11_spark.ops.lakehouse import _hadoop_fs, list_data_files
@@ -557,6 +557,7 @@ def _rewrite_matching_files(
     meta: dict | None,
     check=None,
     dv_max_fraction: float | None = None,
+    change_rows=None,
 ) -> int:
     """Shared engine of predicate DML (``commit_delete`` /
     ``commit_update``): find the files that physically CONTAIN a row
@@ -693,6 +694,23 @@ def _rewrite_matching_files(
         "dv_files": len(dv_out),
         "dv_rows": dv_rows_added,
     }
+    if change_rows is not None:
+        # write-time CDF for predicate DML: the matched LIVE rows (old
+        # DV positions masked — an already-deleted row must not re-emit
+        # a delete) shaped by the op's own change_rows callback, written
+        # once per commit and referenced by the header. One extra scan
+        # of the touched files, only when the caller opted in.
+        live = _read_files_masked(
+            spark, table, schema, sorted(touched), prev_dvs
+        )
+        hdr_meta["cdf"] = _write_data_dir(
+            spark,
+            change_rows(live, matched_cond),
+            table,
+            cur + 1,
+            keep_empty=False,
+            prefix="cdf",
+        )
     return _commit(
         spark,
         table,
@@ -714,6 +732,7 @@ def commit_delete(
     bounds: dict | None = None,
     meta: dict | None = None,
     dv_max_fraction: float | None = None,
+    change_feed: bool = False,
 ) -> int:
     """``DELETE FROM table WHERE condition`` as a commit: files holding
     a matching row are rewritten WITHOUT those rows; every other file is
@@ -736,6 +755,12 @@ def commit_delete(
     def rewrite(df, cond):
         return df.where(~F.coalesce(cond, F.lit(False)))
 
+    def change_rows(live, matched):
+        # the feed records the deleted rows themselves (Delta CDF's
+        # delete rows) — identical whether the commit took the DV path
+        # or the rewrite path
+        return live.where(matched).withColumn("_change_type", F.lit("delete"))
+
     return _rewrite_matching_files(
         spark,
         table,
@@ -745,6 +770,7 @@ def commit_delete(
         bounds,
         meta,
         dv_max_fraction=dv_max_fraction,
+        change_rows=change_rows if change_feed else None,
     )
 
 
@@ -755,6 +781,7 @@ def commit_update(
     assignments: dict,
     bounds: dict | None = None,
     meta: dict | None = None,
+    change_feed: bool = False,
 ) -> int:
     """``UPDATE table SET col = expr, ... WHERE condition`` as a commit:
     same touched-file discovery and carry-by-reference as
@@ -792,8 +819,25 @@ def commit_update(
             ]
         )
 
+    def change_rows(live, matched):
+        ct = "_change_type"
+        pre = live.where(matched)
+        # rewrite() applies assignments to rows matching cond — on the
+        # pre-filtered rows every row matches, yielding the post-images
+        return pre.withColumn(ct, F.lit("update_preimage")).unionByName(
+            rewrite(pre, matched).withColumn(ct, F.lit("update_postimage"))
+        )
+
     return _rewrite_matching_files(
-        spark, table, condition, rewrite, "update", bounds, meta, check=check
+        spark,
+        table,
+        condition,
+        rewrite,
+        "update",
+        bounds,
+        meta,
+        check=check,
+        change_rows=change_rows if change_feed else None,
     )
 
 
@@ -850,6 +894,7 @@ def _write_data_dir(
     table: str,
     version: int,
     keep_empty: bool = True,
+    prefix: str = "c",
 ) -> list[str]:
     """Write ``df``'s files into a fresh writer-unique data dir; return
     their table-relative paths. The uuid suffix is what makes concurrent
@@ -867,7 +912,7 @@ def _write_data_dir(
     unreadable footer (None) counts as non-empty — never drop what we
     cannot prove empty."""
     token = uuid.uuid4().hex[:8]
-    ddir = f"{table.rstrip('/')}/{_DATA}/c{version:08d}-{token}"
+    ddir = f"{table.rstrip('/')}/{_DATA}/{prefix}{version:08d}-{token}"
     df.write.parquet(ddir)
     files = [_relativize(p) for p, _ in list_data_files(spark, ddir)]
     nonempty = [f for f in files if _footer_rows(table, f) != 0]
@@ -1472,6 +1517,7 @@ def commit_upsert(
     merge_fn=None,
     stats_cols: list[str] | None = None,
     max_retries: int = 0,
+    change_feed: bool = False,
 ) -> int:
     """Keyed MERGE commit with file-level pruning — the Delta ``MERGE
     INTO`` shape: rows of ``df`` replace the stored rows with matching
@@ -1524,7 +1570,16 @@ def commit_upsert(
     missing stats, overlapping extents, a touched file gone — raises
     ``CommitConflict``: correctness over convenience, the merge must
     be redone against the new parent. On success the restage is O(1)
-    metadata; the rewritten files are reused, never rewritten."""
+    metadata; the rewritten files are reused, never rewritten.
+
+    ``change_feed=True`` records write-time CHANGE FILES (Delta's
+    enableChangeDataFeed): the commit's row-level insert /
+    update_preimage / update_postimage / delete rows, persisted under
+    ``_data/`` and referenced by the header's ``cdf`` list — see
+    ``read_change_feed``. Valid under conflict retry: the restage's
+    read-set check proves the pre-images still describe the new
+    parent. The INITIAL commit writes no change file (every v1 row is
+    an insert, derivable from the snapshot itself)."""
     cur = current_version(spark, table)
     not_tombstone = (
         ~F.coalesce(F.col(delete_col), F.lit(False)) if delete_col else None
@@ -1596,26 +1651,29 @@ def commit_upsert(
     else:
         survivors = None
         matched = spark.createDataFrame([], schema)
+    # delete_col + merge_fn composition (r7 advice): tombstoned keys'
+    # stored rows must NOT reach merge_fn as live "matched" state —
+    # the documented latest-wins merge_fn would resurrect them. A
+    # tombstone FORGETS the stored rows for its key; delta rows of
+    # the same key (a delete+reinsert batch) then merge as pure
+    # inserts. And a key whose delta rows are ALL tombstones must
+    # not reappear however merge_fn shapes its output.
+    tomb_keys = (
+        df.where(F.coalesce(F.col(delete_col), F.lit(False)))
+        .select(*keys)
+        .distinct()
+        if delete_col
+        else None
+    )
+    live_matched = (
+        matched.join(tomb_keys, keys, "left_anti")
+        if tomb_keys is not None
+        else matched
+    )
     if merge_fn is None:
         replacement = inserts
     else:
-        # delete_col + merge_fn composition (r7 advice): tombstoned keys'
-        # stored rows must NOT reach merge_fn as live "matched" state —
-        # the documented latest-wins merge_fn would resurrect them. A
-        # tombstone FORGETS the stored rows for its key; delta rows of
-        # the same key (a delete+reinsert batch) then merge as pure
-        # inserts. And a key whose delta rows are ALL tombstones must
-        # not reappear however merge_fn shapes its output.
-        tomb_keys = (
-            df.where(F.coalesce(F.col(delete_col), F.lit(False)))
-            .select(*keys)
-            .distinct()
-            if delete_col
-            else None
-        )
-        if tomb_keys is not None:
-            matched = matched.join(tomb_keys, keys, "left_anti")
-        replacement = merge_fn(matched, inserts)
+        replacement = merge_fn(live_matched, inserts)
         _require_same_schema(replacement, header, table, "commit_upsert merge_fn")
         if tomb_keys is not None:
             pure_tomb = tomb_keys.join(
@@ -1635,6 +1693,50 @@ def commit_upsert(
         "candidates": len(candidates),
         "touched": len(touched),
     }
+    if change_feed:
+        # write-time CDF (Delta's enableChangeDataFeed): classify the
+        # commit's row-level changes while the merge relations are still
+        # in hand and persist them as change files the header references
+        # ("cdf") — readers then serve the feed at O(change bytes) with
+        # ZERO joins, instead of reconstructing diffs from snapshots.
+        # All four relations are delta-bounded. A stored key the
+        # merge_fn dropped from its output is a DELETE (read-modify-
+        # write can shrink state); pre/post pairs are emitted for every
+        # live matched key, value-changed or not — Delta MERGE does the
+        # same (a touched key IS an update).
+        ct = "_change_type"
+        rkeys = replacement.select(*keys).distinct()
+        mkeys = live_matched.select(*keys).distinct()
+        changes = (
+            live_matched.join(rkeys, keys, "left_semi")
+            .withColumn(ct, F.lit("update_preimage"))
+            .unionByName(
+                live_matched.join(rkeys, keys, "left_anti").withColumn(
+                    ct, F.lit("delete")
+                )
+            )
+            .unionByName(
+                replacement.join(mkeys, keys, "left_semi").withColumn(
+                    ct, F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                replacement.join(mkeys, keys, "left_anti").withColumn(
+                    ct, F.lit("insert")
+                )
+            )
+        )
+        if tomb_keys is not None:
+            changes = changes.unionByName(
+                matched.join(tomb_keys, keys, "left_semi").withColumn(
+                    ct, F.lit("delete")
+                )
+            )
+        # "cdf" PRESENT (even empty) = this commit was CDF-enabled; the
+        # readers' loud-failure rule keys on absence
+        hdr_meta["cdf"] = _write_data_dir(
+            spark, changes, table, cur + 1, keep_empty=False, prefix="cdf"
+        )
     return _commit_upsert_retrying(
         spark,
         table,
@@ -1839,6 +1941,10 @@ def vacuum_versions(
         for dv in manifest_dvs(header).values():
             if dv and "p" in dv:
                 refs.add(dv["p"])
+        # change files belong to exactly ONE version (the header's own
+        # "cdf" list, never carried into snapshot state) and live for
+        # exactly that version's retention
+        refs.update(header.get("cdf") or [])
         return refs
 
     kept_refs: set[str] = set()
@@ -2130,3 +2236,118 @@ def diff_versions(
             "new",
         )
     )
+
+
+def _added_files(
+    spark: SparkSession, table: str, version: int, header: dict, body: list[str]
+) -> list[str]:
+    """Data files a commit ADDED, at one-marker cost for fmt-2 markers
+    (the add actions ARE the delta); legacy full-list markers fall back
+    to a snapshot diff against the parent."""
+    if header.get("fmt") == 2:
+        return [
+            a["a"]["f"]
+            for a in (json.loads(ln) for ln in body if ln)
+            if "a" in a
+        ]
+    files = set(body)
+    prev = (
+        set(read_manifest(spark, table, version - 1)[1])
+        if version > 1
+        else set()
+    )
+    return [f for f in body if f not in prev]
+
+
+# commit ops whose snapshot content is LOGICALLY unchanged — they emit
+# nothing in a change feed (optimize only re-arranges rows whose deletes
+# were already fed when their DVs/rewrites committed; constraint ops are
+# pure metadata)
+_CDF_NEUTRAL_OPS = frozenset({"optimize", "add_constraint", "drop_constraint"})
+
+
+def read_change_feed(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Delta's ``table_changes`` / ``readChangeFeed`` BATCH face: the
+    row-level change feed across committed versions ``[v_from, v_to]``,
+    as table rows plus ``_change_type`` ∈ {insert, update_preimage,
+    update_postimage, delete} and ``_commit_version`` — the flat shape
+    Delta publishes (vs ``diff_versions``' keyed old/new structs, which
+    RECONSTRUCT a net diff from two snapshots with a full-outer join).
+
+    Zero joins, O(change bytes): append commits serve inserts straight
+    from their ADDED files (one fmt-2 marker read names them — Delta
+    derives inserts from AddFile actions the same way); DML commits
+    serve the change files their writer recorded (``change_feed=True``);
+    version 1 is the initial snapshot (every row an insert); neutral
+    ops (OPTIMIZE, constraints) emit nothing. A content-changing commit
+    in range with NO recorded change file fails loudly — Delta errors
+    identically when CDF was not enabled for a version, because
+    silently skipping it would serve a feed that no longer replays to
+    the table.
+
+    Appended files are read RAW (no DV mask): the feed reflects each
+    commit's own change — rows a LATER deletion vector removed were fed
+    as deletes by that later version, not retroactively erased here.
+    Rows align to the END version's schema (older rows NULL-pad evolved
+    columns). At 100 TB the work is proportional to the changes in
+    range, never table size — the property that makes CDF the correct
+    incremental-consumer contract."""
+    v_to = v_to if v_to is not None else current_version(spark, table)
+    if v_to is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    end_schema = StructType.fromJson(
+        json.loads(parse_commit(spark, table, v_to)[0]["schema"])
+    )
+    ct_schema = StructType(
+        list(end_schema.fields)
+        + [StructField("_change_type", StringType(), True)]
+    )
+    root = table.rstrip("/")
+    parts: list[DataFrame] = []
+    for v in range(max(v_from, 1), v_to + 1):
+        header, body = parse_commit(spark, table, v)
+        op = header.get("op")
+        cdf = header.get("cdf")
+        if cdf is not None:
+            if cdf:
+                parts.append(
+                    spark.read.schema(ct_schema)
+                    .parquet(*[_resolve(root, f) for f in cdf])
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+            continue
+        if v == 1 or op == "append":
+            added = _added_files(spark, table, v, header, body)
+            if added:
+                parts.append(
+                    spark.read.schema(end_schema)
+                    .parquet(*[_resolve(root, f) for f in added])
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+            continue
+        if op in _CDF_NEUTRAL_OPS:
+            continue
+        raise ValueError(
+            f"read_change_feed: version {v} of {table!r} is a {op!r} "
+            "commit with no recorded change file — it changes table "
+            "content in a way the feed cannot reproduce (commit DML "
+            "with change_feed=True, or start the read past it)"
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(ct_schema.fields)
+                + [StructField("_commit_version", LongType(), False)]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1296,3 +1296,185 @@ def versioned_rtbf_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFra
     v1_snap = snap(1, F.sum((F.col("c_custkey") % 97 == 0).cast("long")))
     v2_snap = snap(2, F.sum((F.col("c_custkey") % 97 == 0).cast("long")))
     return v1_snap.unionByName(v2_snap).orderBy("version")
+
+
+_CDF_FEED_ORACLE = """
+WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+s1 AS (
+  SELECT user_id, ts, event_id, event_type FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, mx WHERE event_id <= m // 2
+  ) t WHERE rn = 1
+),
+d2 AS (
+  SELECT user_id, ts, event_id, event_type FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, mx WHERE event_id > m // 2
+  ) t WHERE rn = 1
+),
+merged AS (
+  SELECT user_id, ts, event_id, event_type FROM (
+    SELECT u.user_id, u.ts, u.event_id, u.event_type,
+           ROW_NUMBER() OVER (PARTITION BY u.user_id
+                              ORDER BY u.ts DESC, u.event_id DESC) AS rn
+    FROM (
+      SELECT * FROM s1 WHERE user_id IN (SELECT user_id FROM d2)
+      UNION ALL SELECT * FROM d2
+    ) u
+  ) t WHERE rn = 1
+)
+SELECT * FROM (
+  SELECT user_id, 'insert' AS _change_type, event_id,
+         event_type AS state, CAST(1 AS BIGINT) AS _commit_version
+  FROM s1
+  UNION ALL
+  SELECT user_id, 'update_preimage', event_id, event_type, 2
+  FROM s1 WHERE user_id IN (SELECT user_id FROM d2)
+  UNION ALL
+  SELECT user_id, 'update_postimage', event_id, event_type, 2
+  FROM merged WHERE user_id IN (SELECT user_id FROM s1)
+  UNION ALL
+  SELECT user_id, 'insert', event_id, event_type, 2
+  FROM merged WHERE user_id NOT IN (SELECT user_id FROM s1)
+)
+ORDER BY _commit_version, user_id, _change_type
+"""
+
+
+def _cdf_feed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build the two-commit CDF-enabled user-state table both change-feed
+    queries read: v1 = full snapshot of the first-half latest state,
+    v2 = a latest-wins keyed MERGE of the second half's per-user deltas
+    committed with ``change_feed=True`` (write-time change files)."""
+    from otus_cpp_11_spark.ops.versioned import commit_upsert, commit_version
+    from otus_cpp_11_spark.session import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max("event_id")).first()[0] // 2
+    rec = F.struct("ts", "event_id", "event_type")
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(rec).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+                F.col("m.event_type").alias("state"),
+            )
+        )
+
+    tbl = scratch_dir("sg-cdfw-") + "/user_state"
+    commit_version(
+        spark,
+        latest(ev.where(F.col("event_id") <= cutoff)),
+        tbl,
+        stats_cols=["user_id"],
+    )
+    latest_wins = lambda matched, inserts: (  # noqa: E731
+        matched.unionByName(inserts)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "state")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.state").alias("state"),
+        )
+    )
+    commit_upsert(
+        spark,
+        latest(ev.where(F.col("event_id") > cutoff)),
+        tbl,
+        ["user_id"],
+        merge_fn=latest_wins,
+        stats_cols=["user_id"],
+        change_feed=True,
+    )
+    return tbl
+
+
+_CDF_FEED_COLS = [
+    "user_id",
+    "_change_type",
+    "event_id",
+    "state",
+    "_commit_version",
+]
+
+
+@register("versioned_change_feed", oracle=_CDF_FEED_ORACLE, bench=True)
+def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-TIME change data feed — Delta's enableChangeDataFeed +
+    table_changes, completing the CDF story the snapshot-diff face
+    (``cdc_change_data_feed`` / ``diff_versions``) started: the MERGE
+    commit itself records its row-level insert / update_preimage /
+    update_postimage / delete rows as change files referenced by the
+    commit header, and ``read_change_feed`` serves the feed across a
+    version range with ZERO joins — O(change bytes), never table size.
+    Version 1's rows come straight from its added files as inserts (the
+    AddFile derivation Delta uses), so appends pay nothing extra at
+    write time either.
+
+    The oracle rebuilds the exact feed relationally: first-half latest
+    state (v1 inserts), then per-user second-half deltas folded
+    latest-wins — every delta-touched user emits a pre/post pair (or a
+    bare insert when new), the same classification the commit wrote.
+    Hash equality therefore proves the write path recorded EXACTLY the
+    changes the merge performed — the replay-to-table property CDC
+    consumers rely on.
+
+    Scale: the feed read is one marker read per version plus the change
+    files themselves; the write-side classification joins are all
+    delta-bounded (see commit_upsert). Reference parity: extension
+    mandate (the reference has no table format at all)."""
+    from otus_cpp_11_spark.ops.versioned import read_change_feed
+
+    tbl = _cdf_feed_table(spark, sf_dir)
+    return (
+        read_change_feed(spark, tbl, 1, 2)
+        .select(*_CDF_FEED_COLS)
+        .orderBy("_commit_version", "user_id", "_change_type")
+    )
+
+
+@register("versioned_change_feed_streamed", oracle=_CDF_FEED_ORACLE)
+def versioned_change_feed_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING face of the write-time change feed — Delta's
+    ``readStream.option("readChangeFeed", "true")``: the versioned-table
+    connector tails commits by version-number offsets and emits the
+    row-level change stream (appends' added files as inserts, DML
+    commits' writer-recorded change files verbatim), stamping
+    ``_commit_version`` executor-side. Same oracle as the batch face:
+    the streamed feed must be row-identical to the relational rebuild,
+    proving offset planning loses/duplicates nothing across micro-batch
+    boundaries. Plan: O(changes) driver planning (one marker read per
+    version, no snapshot replay), Arrow-batched executor reads."""
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    register_versioned_table_source(spark)
+    tbl = _cdf_feed_table(spark, sf_dir)
+    stream = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    name = f"cdf_feed_{abs(hash(tbl)) % 10**8}"
+    (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.table(name)
+        .select(*_CDF_FEED_COLS)
+        .orderBy("_commit_version", "user_id", "_change_type")
+    )

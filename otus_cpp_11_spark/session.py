@@ -82,6 +82,13 @@ def get_spark(
         # timestamp type and rejects the file outright without this conf.
         # We read nanos as raw long and convert in catalog.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not the deprecated INT96:
+        # INT96 has no logical-type annotation, so pyarrow surfaces it as
+        # timestamp[ns] — which Spark's OWN Arrow bridge rejects when a
+        # Python DataSource (the versioned-table connector) hands the
+        # batches back. Micros round-trip Spark -> parquet -> pyarrow ->
+        # Spark losslessly; they are also what Delta/Iceberg mandate.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -246,6 +246,29 @@ def _vt_pinned_version(options: dict):
     return None
 
 
+def _vt_cdf_schema_json(schema_json: str) -> str:
+    """Table schema extended with the change-feed columns — the flat
+    Delta CDF shape (_change_type, _commit_version)."""
+    import json
+
+    s = json.loads(schema_json)
+    s["fields"] = list(s["fields"]) + [
+        {
+            "name": "_change_type",
+            "type": "string",
+            "nullable": True,
+            "metadata": {},
+        },
+        {
+            "name": "_commit_version",
+            "type": "long",
+            "nullable": True,
+            "metadata": {},
+        },
+    ]
+    return json.dumps(s)
+
+
 class _VTFile(InputPartition):
     """``path=None`` marks the placeholder partition of an EMPTY
     snapshot (e.g. after a delete-everything DML commit, whose manifest
@@ -255,9 +278,19 @@ class _VTFile(InputPartition):
     resolved driver-side — sidecars never ship) for the executor read
     to mask."""
 
-    def __init__(self, path: str | None, dv: list[int] | None = None):
+    def __init__(
+        self,
+        path: str | None,
+        dv: list[int] | None = None,
+        consts: list | None = None,
+    ):
         self.path = path
         self.dv = dv
+        # constant columns to append executor-side: [(name, value,
+        # arrow type alias)] — how a change-feed read stamps
+        # _commit_version (and 'insert' _change_type for append files)
+        # onto rows without the writer having stored them per row
+        self.consts = consts
 
 
 def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
@@ -283,6 +316,25 @@ def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
             np.asarray(sorted(set(partition.dv)), dtype="int64"),
         )
         tbl = tbl.take(pa.array(keep))
+    for name, val, typ in getattr(partition, "consts", None) or []:
+        import pyarrow as pa
+
+        tbl = tbl.append_column(
+            name, pa.array([val] * tbl.num_rows, type=pa.type_for_alias(typ))
+        )
+    # legacy INT96 parquet timestamps surface as timestamp[ns], which
+    # Spark's Arrow bridge rejects outright — normalize to micros
+    # (INT96 is UTC-normalized, so a naive ns column casts to tz=UTC);
+    # new writes are TIMESTAMP_MICROS (session.py) and skip this
+    import pyarrow as pa
+
+    for i, f in enumerate(tbl.schema):
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            tbl = tbl.set_column(
+                i,
+                f.name,
+                tbl.column(i).cast(pa.timestamp("us", f.type.tz or "UTC")),
+            )
     if schema_json is not None:
         import json
 
@@ -371,6 +423,12 @@ class _VTStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
+        # readChangeFeed=true — Delta's streaming CDF: instead of a
+        # snapshot-consistent row stream (append files only), emit the
+        # row-level CHANGE stream — appends' added files as inserts,
+        # DML commits' writer-recorded change files verbatim (see
+        # ops.versioned.read_change_feed for the batch face + contract)
+        self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         self.starting = options.get("startingversion")
         cur = _vt_current_version(self.table)
         # the stream's schema is FIXED at start (Spark resolves it once);
@@ -381,6 +439,8 @@ class _VTStreamReader(DataSourceStreamReader):
             if cur is not None
             else None
         )
+        if self.cdf and self._schema_json is not None:
+            self._schema_json = _vt_cdf_schema_json(self._schema_json)
 
     def initialOffset(self) -> dict:
         # Delta's startingVersion: stream changes FROM version N
@@ -402,6 +462,8 @@ class _VTStreamReader(DataSourceStreamReader):
         return {"version": _vt_current_version(self.table) or 0}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if self.cdf:
+            return self._cdf_partitions(start, end)
         import json
 
         from otus_cpp_11_spark.ops import manifest_format as mf
@@ -453,6 +515,65 @@ class _VTStreamReader(DataSourceStreamReader):
             return [] if hi == lo else [_VTFile(None)]
         return [_VTFile(_vt_resolve(self.table, f)) for f in added]
 
+    def _cdf_partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """readChangeFeed planning: one partition per change/added file
+        in (start, end] — O(changes), one marker read per version, no
+        snapshot replay. A content-changing commit with no recorded
+        change file fails the stream loudly (Delta errors identically:
+        a feed that silently skipped it would no longer replay to the
+        table). skipChangeCommits is ignored here — change commits ARE
+        the stream."""
+        import json
+
+        from otus_cpp_11_spark.ops import manifest_format as mf
+
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_VTFile] = []
+        for v in range(lo + 1, hi + 1):
+            hdr, body = mf.parse_marker(
+                _vt_read_text(self.table, mf.marker_name(v))
+            )
+            op = hdr.get("op")
+            cdf = hdr.get("cdf")
+            vconst = [("_commit_version", v, "int64")]
+            if cdf is not None:
+                parts.extend(
+                    _VTFile(_vt_resolve(self.table, f), consts=vconst)
+                    for f in cdf
+                )
+            elif v == 1 or op == "append":
+                if hdr.get("fmt") == 2:
+                    added = [
+                        a["a"]["f"]
+                        for a in (json.loads(ln) for ln in body if ln)
+                        if "a" in a
+                    ]
+                else:  # legacy full-list marker
+                    prev = (
+                        set(_vt_read_manifest(self.table, v - 1)[1])
+                        if v > 1
+                        else set()
+                    )
+                    added = [f for f in body if f not in prev]
+                parts.extend(
+                    _VTFile(
+                        _vt_resolve(self.table, f),
+                        consts=[("_change_type", "insert", "string"), *vconst],
+                    )
+                    for f in added
+                )
+            elif op in ("optimize", "add_constraint", "drop_constraint"):
+                continue  # logically content-neutral: nothing to feed
+            else:
+                raise ValueError(
+                    f"versioned_table readChangeFeed: version {v} is a "
+                    f"{op!r} commit with no recorded change file — commit "
+                    "DML with change_feed=True, or start past it"
+                )
+        if not parts:
+            return [] if hi == lo else [_VTFile(None)]
+        return parts
+
     def read(self, partition: _VTFile):
         return _vt_read_file(partition, self._schema_json)
 
@@ -492,7 +613,13 @@ class VersionedTableDataSource(DataSource):
         if v is None:
             raise FileNotFoundError(f"versioned table {table!r} has no commits")
         header, _ = _vt_read_manifest(table, v)
-        declared = StructType.fromJson(json.loads(header["schema"]))
+        schema_json = header["schema"]
+        if (
+            str(_vt_opts(self.options).get("readchangefeed", "false")).lower()
+            == "true"
+        ):
+            schema_json = _vt_cdf_schema_json(schema_json)
+        declared = StructType.fromJson(json.loads(schema_json))
         # file sources read everything nullable (Spark's own parquet
         # source does the same): pre-evolution files NULL-pad evolved
         # columns regardless of what the writer's schema claimed
@@ -503,6 +630,15 @@ class VersionedTableDataSource(DataSource):
         )
 
     def reader(self, schema) -> _VTBatchReader:
+        if (
+            str(_vt_opts(self.options).get("readchangefeed", "false")).lower()
+            == "true"
+        ):
+            raise ValueError(
+                "versioned_table: readChangeFeed is a STREAMING option "
+                "here; the batch change-feed face is "
+                "ops.versioned.read_change_feed(spark, table, v_from, v_to)"
+            )
         return _VTBatchReader(self.options)
 
     def streamReader(self, schema) -> _VTStreamReader:

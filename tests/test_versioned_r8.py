@@ -20,6 +20,7 @@ from otus_cpp_11_spark.ops.versioned import (
     commit_append,
     commit_compaction,
     commit_delete,
+    commit_update,
     commit_upsert,
     commit_version,
     current_version,
@@ -413,3 +414,112 @@ def test_scan_version_masks_deletion_vectors(spark, table):
     ks = {r.k for r in df.collect()}
     assert ks == set(range(0, 51)) - {7}
     assert acct["files_scanned"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Write-time change data feed (r8): change files + batch/stream readers
+# ---------------------------------------------------------------------------
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def _feed(spark, table, lo=1, hi=None):
+    from otus_cpp_11_spark.ops.versioned import read_change_feed
+
+    return sorted(
+        (r._commit_version, r.k, r.v, r._change_type)
+        for r in read_change_feed(spark, table, lo, hi).collect()
+    )
+
+
+def test_change_feed_upsert_classification_and_tombstones(spark, table):
+    commit_version(spark, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]), table,
+                   stats_cols=["k"])
+    delta = spark.createDataFrame(
+        [(2, "B", False), (4, "d", None), (3, None, True)],
+        "k bigint, v string, dead boolean",
+    )
+    commit_upsert(spark, delta, table, ["k"], delete_col="dead",
+                  stats_cols=["k"], change_feed=True)
+    rows = _feed(spark, table)
+    assert (1, 1, "a", "insert") in rows
+    assert (2, 2, "b", "update_preimage") in rows
+    assert (2, 2, "B", "update_postimage") in rows
+    assert (2, 4, "d", "insert") in rows
+    # the tombstoned key's STORED row is the delete's pre-image
+    assert (2, 3, "c", "delete") in rows
+    assert len([r for r in rows if r[0] == 2]) == 4
+
+
+def test_change_feed_dv_and_rewrite_deletes_agree(spark, table):
+    """The feed must record identical delete rows whether the commit
+    attached a deletion vector or rewrote the file."""
+    commit_version(spark, _df(spark, 0, 1000).repartition(2), table)
+    commit_delete(spark, table, "k = 7", dv_max_fraction=0.01,
+                  change_feed=True)  # DV path (io asserted elsewhere)
+    commit_delete(spark, table, "k = 8", change_feed=True)  # rewrite path
+    from otus_cpp_11_spark.ops.versioned import read_change_feed
+
+    feed = read_change_feed(spark, table, 2, 3)
+    got = sorted((r._commit_version, r.k, r._change_type) for r in feed.collect())
+    assert got == [(2, 7, "delete"), (3, 8, "delete")]
+
+
+def test_change_feed_update_pre_post_images(spark, table):
+    commit_version(spark, _mk(spark, [(1, "a"), (2, "b")]), table)
+    commit_update(spark, table, "k = 2", {"v": "upper(v)"}, change_feed=True)
+    rows = _feed(spark, table, 2, 2)
+    assert rows == [(2, 2, "B", "update_postimage"), (2, 2, "b", "update_preimage")]
+
+
+def test_change_feed_loud_on_unfed_dml_and_neutral_optimize(spark, table):
+    commit_version(spark, _df(spark, 0, 100), table)
+    commit_compaction(spark, table, 10, ["k"])  # neutral: feeds nothing
+    assert all(t == "insert" and cv == 1 for cv, _k, _tag, t in [
+        (r._commit_version, r.k, r.tag, r._change_type)
+        for r in __import__("otus_cpp_11_spark.ops.versioned", fromlist=["read_change_feed"]).read_change_feed(spark, table, 1).collect()
+    ])
+    commit_delete(spark, table, "k = 1")  # no change_feed
+    from otus_cpp_11_spark.ops.versioned import read_change_feed
+
+    with pytest.raises(ValueError, match="no recorded change file"):
+        read_change_feed(spark, table, 1).count()
+    # starting past the unfed commit is fine
+    commit_append(spark, _df(spark, 500, 505), table)
+    v = current_version(spark, table)
+    assert read_change_feed(spark, table, v, v).count() == 5
+
+
+def test_change_feed_files_survive_retention_then_reclaim(spark, table):
+    import os
+
+    commit_version(spark, _mk(spark, [(1, "a"), (2, "b")]), table)
+    commit_upsert(spark, _mk(spark, [(2, "B")]), table, ["k"], change_feed=True)
+    hdr = version_header(spark, table, 2)
+    cdf = hdr["cdf"]
+    assert cdf and all(os.path.exists(f"{table}/{f}") for f in cdf)
+    for i in range(3, 7):
+        commit_append(spark, _mk(spark, [(i * 10, "x")]), table)
+    # v2 still retained -> its change files survive vacuum
+    vacuum_versions(spark, table, keep_last=5)
+    assert all(os.path.exists(f"{table}/{f}") for f in cdf)
+    # v2 dropped -> change files reclaimed with it
+    vacuum_versions(spark, table, keep_last=2)
+    assert not any(os.path.exists(f"{table}/{f}") for f in cdf)
+
+
+def test_change_feed_stream_batch_option_is_refused(spark, table, tmp_path):
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    register_versioned_table_source(spark)
+    commit_version(spark, _mk(spark, [(1, "a")]), table)
+    with pytest.raises(Exception, match="STREAMING option"):
+        (
+            spark.read.format("versioned_table")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+            .count()
+        )
