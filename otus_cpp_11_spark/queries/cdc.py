@@ -1478,3 +1478,105 @@ def versioned_change_feed_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         .select(*_CDF_FEED_COLS)
         .orderBy("_commit_version", "user_id", "_change_type")
     )
+
+
+@register(
+    "cdf_incremental_state_counts",
+    oracle="""
+WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+s1 AS (
+  SELECT user_id, ts, event_id, event_type FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, mx WHERE event_id <= m // 2
+  ) t WHERE rn = 1
+),
+d2 AS (
+  SELECT user_id, ts, event_id, event_type FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, mx WHERE event_id > m // 2
+  ) t WHERE rn = 1
+),
+merged AS (
+  SELECT user_id, event_type FROM (
+    SELECT u.user_id, u.event_type,
+           ROW_NUMBER() OVER (PARTITION BY u.user_id
+                              ORDER BY u.ts DESC, u.event_id DESC) AS rn
+    FROM (
+      SELECT * FROM s1 WHERE user_id IN (SELECT user_id FROM d2)
+      UNION ALL SELECT * FROM d2
+    ) u
+  ) t WHERE rn = 1
+),
+final AS (
+  SELECT user_id, event_type FROM merged
+  UNION ALL
+  SELECT user_id, event_type FROM s1
+  WHERE user_id NOT IN (SELECT user_id FROM d2)
+)
+SELECT event_type AS state, COUNT(*) AS n_users
+FROM final GROUP BY state
+ORDER BY state
+""",
+)
+def cdf_incremental_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed put to its PURPOSE — an incremental downstream
+    consumer: a per-state user-count aggregate maintained purely by
+    APPLYING CDF deltas (insert/update_postimage: +1 its state,
+    update_preimage/delete: -1), never recomputing from the source
+    table. The pipeline is the full CDC loop this family has been
+    building: versioned producer table (snapshot + CDF-enabled MERGE)
+    -> readChangeFeed stream -> additive maintainer committing each
+    micro-batch as a versioned upsert of the aggregate table. The
+    oracle recomputes the final state's counts from scratch, so hash
+    equality proves feed-apply == recompute — the exact contract that
+    lets a 100 TB consumer avoid rescanning the source per refresh
+    (work is O(changes), source never re-read).
+
+    Signed counts are the standard changelog-to-aggregate reduction
+    (Flink retraction streams / Materialize diffs): every feed row
+    carries weight +1 or -1 and the aggregate is the running signed
+    sum — associative, so micro-batch boundaries cannot change the
+    result. States whose net count reaches zero are filtered like the
+    recompute never saw them (the stored 0 row is the retraction
+    ledger, not a live state)."""
+    from otus_cpp_11_spark.ops.versioned import read_version
+    from otus_cpp_11_spark.session import scratch_dir
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+    from otus_cpp_11_spark.streaming import (
+        _additive_lattice_merge,
+        _run_incremental_maintainer,
+    )
+
+    register_versioned_table_source(spark)
+    tbl = _cdf_feed_table(spark, sf_dir)
+    feed = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+
+    def delta_fn(batch: DataFrame) -> DataFrame:
+        w = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        return (
+            batch.groupBy(F.col("state"))
+            .agg(F.sum(w).cast("bigint").alias("n_users"))
+        )
+
+    merge_fn = _additive_lattice_merge(delta_fn, "state", sums=("n_users",))
+    agg = scratch_dir("sg-cdfagg-") + "/state_counts"
+    _run_incremental_maintainer(
+        feed, agg, delta_fn, "state", merge_fn, None
+    ).awaitTermination()
+    return (
+        read_version(spark, agg)
+        .where(F.col("n_users") > 0)
+        .orderBy("state")
+    )
