@@ -12,9 +12,15 @@ Delta's actual design: each commit records only its ACTIONS relative to
 the parent —
 
 * ``{"a": {"f": path, "n": rows, "s": stats, "dv": dv}}`` — ADD a data
-  file (or re-add one whose metadata changed, e.g. a deletion vector
-  attached), carrying its row count, column extents, and optional
-  deletion vector;
+  file NEW to the snapshot, carrying its row count, column extents,
+  and optional deletion vector;
+* ``{"u": {...same shape...}}`` — UPDATE a carried file's metadata in
+  place (a deletion vector attached, a footer row count repaired).
+  Replay treats it exactly like an add; the distinction exists for
+  DELTA-deriving readers (the stream source, the change feed), for
+  whom an ``a`` is new rows and a ``u`` is rows they already have —
+  conflating them would re-emit an entire carried file into an
+  exactly-once stream;
 * ``{"r": "path"}`` — REMOVE a file from the snapshot;
 
 so commit metadata bytes are O(delta), matching the O(delta) data bytes
@@ -107,7 +113,7 @@ def apply_marker(state: dict, header: dict, body: list[str]) -> None:
                 state["dv"].pop(f, None)
                 files.pop(f, None)
             else:
-                a = act["a"]
+                a = act.get("a") or act["u"]
                 f = a["f"]
                 files.setdefault(f)
                 for key, slot in (("n", "rows"), ("s", "stats"), ("dv", "dv")):
@@ -170,20 +176,22 @@ def load_state(
     return state
 
 
-def render_add(f: str, state: dict) -> str:
+def render_add(f: str, state: dict, kind: str = "a") -> str:
     a: dict = {"f": f}
     for key, slot in (("n", "rows"), ("s", "stats"), ("dv", "dv")):
         v = state[slot].get(f)
         if v is not None:
             a[key] = v
-    return json.dumps({"a": a}, sort_keys=True)
+    return json.dumps({kind: a}, sort_keys=True)
 
 
 def render_marker(header: dict, parent_state: dict, new_state: dict) -> str:
-    """Format-2 marker content: header line + remove actions + add
-    actions, where adds cover new files AND carried files whose
-    (rows, stats, dv) metadata changed — O(delta) lines. The header
-    must not carry 'stats'/'rows'/'dv' maps (that is format 1)."""
+    """Format-2 marker content: header line + remove actions + ``a``
+    actions for files NEW to the snapshot + ``u`` actions for carried
+    files whose (rows, stats, dv) metadata changed — O(delta) lines.
+    The a/u split is load-bearing: delta-deriving readers take only
+    ``a`` as new rows (see module docstring). The header must not carry
+    'stats'/'rows'/'dv' maps (that is format 1)."""
     header = dict(header)
     header["fmt"] = 2
     prev = set(parent_state["files"])
@@ -193,9 +201,40 @@ def render_marker(header: dict, parent_state: dict, new_state: dict) -> str:
         if f not in now:
             lines.append(json.dumps({"r": f}))
     for f in new_state["files"]:
-        if f not in prev or _entry(parent_state, f) != _entry(new_state, f):
+        if f not in prev:
             lines.append(render_add(f, new_state))
+        elif _entry(parent_state, f) != _entry(new_state, f):
+            lines.append(render_add(f, new_state, kind="u"))
     return "\n".join(lines) + "\n"
+
+
+def marker_added_files(header: dict, body: list[str]) -> list[str] | None:
+    """Files a fmt-2 marker ADDED to the snapshot (its ``a`` actions —
+    metadata-only ``u`` re-adds excluded), or None for a legacy
+    full-list marker, whose delta needs a parent-snapshot diff. ONE
+    implementation for every delta-deriving reader (stream source,
+    change feed, batch CDF) so they can never disagree on what counts
+    as new rows."""
+    if header.get("fmt") != 2:
+        return None
+    return [
+        act["a"]["f"]
+        for act in (json.loads(ln) for ln in body if ln)
+        if "a" in act
+    ]
+
+
+# commit ops whose snapshot content is LOGICALLY unchanged — change
+# feeds emit nothing for them (OPTIMIZE only re-arranges rows whose
+# deletes were already fed when their DVs/rewrites committed;
+# constraint ops are pure metadata). One home, consulted by the batch
+# face (ops.versioned.read_change_feed) and the streaming face
+# (sources._VTStreamReader) alike.
+CDF_NEUTRAL_OPS = frozenset({"optimize", "add_constraint", "drop_constraint"})
+
+# the change-feed columns appended to the table schema — Delta's flat
+# CDF shape, shared by both faces' schema construction
+CDF_FIELDS = (("_change_type", "string"), ("_commit_version", "long"))
 
 
 def render_checkpoint(version: int, state: dict) -> str:

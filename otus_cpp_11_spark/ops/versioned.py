@@ -2242,28 +2242,19 @@ def _added_files(
     spark: SparkSession, table: str, version: int, header: dict, body: list[str]
 ) -> list[str]:
     """Data files a commit ADDED, at one-marker cost for fmt-2 markers
-    (the add actions ARE the delta); legacy full-list markers fall back
-    to a snapshot diff against the parent."""
-    if header.get("fmt") == 2:
-        return [
-            a["a"]["f"]
-            for a in (json.loads(ln) for ln in body if ln)
-            if "a" in a
-        ]
-    files = set(body)
+    (``manifest_format.marker_added_files`` — metadata-only ``u``
+    re-adds excluded, so a carried file whose footer count was repaired
+    in an append never re-emits its rows); legacy full-list markers
+    fall back to a snapshot diff against the parent."""
+    added = mf.marker_added_files(header, body)
+    if added is not None:
+        return added
     prev = (
         set(read_manifest(spark, table, version - 1)[1])
         if version > 1
         else set()
     )
     return [f for f in body if f not in prev]
-
-
-# commit ops whose snapshot content is LOGICALLY unchanged — they emit
-# nothing in a change feed (optimize only re-arranges rows whose deletes
-# were already fed when their DVs/rewrites committed; constraint ops are
-# pure metadata)
-_CDF_NEUTRAL_OPS = frozenset({"optimize", "add_constraint", "drop_constraint"})
 
 
 def read_change_feed(
@@ -2331,7 +2322,7 @@ def read_change_feed(
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )
             continue
-        if op in _CDF_NEUTRAL_OPS:
+        if op in mf.CDF_NEUTRAL_OPS:
             continue
         raise ValueError(
             f"read_change_feed: version {v} of {table!r} is a {op!r} "
@@ -2347,7 +2338,15 @@ def read_change_feed(
                 + [StructField("_commit_version", LongType(), False)]
             ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # balanced pairwise fold: a feed spanning hundreds of versions (one
+    # commit per micro-batch is the normal producer cadence) must not
+    # nest one Union node per version — linear chaining hits analyzer
+    # recursion limits around ~512-deep plans
+    while len(parts) > 1:
+        parts = [
+            parts[i].unionByName(parts[i + 1])
+            if i + 1 < len(parts)
+            else parts[i]
+            for i in range(0, len(parts), 2)
+        ]
+    return parts[0]

@@ -1570,7 +1570,7 @@ def cdf_incremental_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(w).cast("bigint").alias("n_users"))
         )
 
-    merge_fn = _additive_lattice_merge(delta_fn, "state", sums=("n_users",))
+    merge_fn = _additive_lattice_merge("state", sums=("n_users",))
     agg = scratch_dir("sg-cdfagg-") + "/state_counts"
     _run_incremental_maintainer(
         feed, agg, delta_fn, "state", merge_fn, None

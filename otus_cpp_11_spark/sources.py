@@ -248,23 +248,16 @@ def _vt_pinned_version(options: dict):
 
 def _vt_cdf_schema_json(schema_json: str) -> str:
     """Table schema extended with the change-feed columns — the flat
-    Delta CDF shape (_change_type, _commit_version)."""
+    Delta CDF shape, field list shared with the batch face through
+    ``manifest_format.CDF_FIELDS``."""
     import json
+
+    from otus_cpp_11_spark.ops import manifest_format as mf
 
     s = json.loads(schema_json)
     s["fields"] = list(s["fields"]) + [
-        {
-            "name": "_change_type",
-            "type": "string",
-            "nullable": True,
-            "metadata": {},
-        },
-        {
-            "name": "_commit_version",
-            "type": "long",
-            "nullable": True,
-            "metadata": {},
-        },
+        {"name": n, "type": t, "nullable": True, "metadata": {}}
+        for n, t in mf.CDF_FIELDS
     ]
     return json.dumps(s)
 
@@ -319,8 +312,12 @@ def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
     for name, val, typ in getattr(partition, "consts", None) or []:
         import pyarrow as pa
 
+        # pa.repeat: O(1) Python objects — a list-comprehension constant
+        # would allocate num_rows references per file in the Arrow fast
+        # path
         tbl = tbl.append_column(
-            name, pa.array([val] * tbl.num_rows, type=pa.type_for_alias(typ))
+            name,
+            pa.repeat(pa.scalar(val, type=pa.type_for_alias(typ)), tbl.num_rows),
         )
     # legacy INT96 parquet timestamps surface as timestamp[ns], which
     # Spark's Arrow bridge rejects outright — normalize to micros
@@ -464,8 +461,6 @@ class _VTStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         if self.cdf:
             return self._cdf_partitions(start, end)
-        import json
-
         from otus_cpp_11_spark.ops import manifest_format as mf
 
         lo, hi = int(start["version"]), int(end["version"])
@@ -487,13 +482,12 @@ class _VTStreamReader(DataSourceStreamReader):
                         "or set skipChangeCommits=true to ignore it"
                     )
                 prev = None  # snapshot changed under us: recompute if needed
-            elif hdr.get("fmt") == 2:
-                # O(delta) per version: a delta-encoded append's add
-                # actions ARE its new files (appends remove nothing),
-                # one marker read — no checkpoint replay, no set-diff
-                # of consecutive full snapshots (review finding, r8)
-                acts = [json.loads(ln) for ln in body if ln]
-                new = [a["a"]["f"] for a in acts if "a" in a]
+            elif (new := mf.marker_added_files(hdr, body)) is not None:
+                # O(delta) per version: a delta-encoded append's ``a``
+                # actions ARE its new files (metadata-only ``u`` re-adds
+                # excluded — those rows were already streamed), one
+                # marker read — no checkpoint replay, no set-diff of
+                # consecutive full snapshots (review findings, r8)
                 added.extend(new)
                 if prev is not None:
                     prev.update(new)
@@ -523,8 +517,6 @@ class _VTStreamReader(DataSourceStreamReader):
         a feed that silently skipped it would no longer replay to the
         table). skipChangeCommits is ignored here — change commits ARE
         the stream."""
-        import json
-
         from otus_cpp_11_spark.ops import manifest_format as mf
 
         lo, hi = int(start["version"]), int(end["version"])
@@ -542,13 +534,8 @@ class _VTStreamReader(DataSourceStreamReader):
                     for f in cdf
                 )
             elif v == 1 or op == "append":
-                if hdr.get("fmt") == 2:
-                    added = [
-                        a["a"]["f"]
-                        for a in (json.loads(ln) for ln in body if ln)
-                        if "a" in a
-                    ]
-                else:  # legacy full-list marker
+                added = mf.marker_added_files(hdr, body)
+                if added is None:  # legacy full-list marker
                     prev = (
                         set(_vt_read_manifest(self.table, v - 1)[1])
                         if v > 1
@@ -562,7 +549,7 @@ class _VTStreamReader(DataSourceStreamReader):
                     )
                     for f in added
                 )
-            elif op in ("optimize", "add_constraint", "drop_constraint"):
+            elif op in mf.CDF_NEUTRAL_OPS:
                 continue  # logically content-neutral: nothing to feed
             else:
                 raise ValueError(

@@ -325,15 +325,16 @@ def minute_rollup_delta(events: DataFrame) -> DataFrame:
     )
 
 
-def _additive_lattice_merge(delta_fn, key: str, sums=(), mins=(), maxs=()):
-    """(delta_fn, key, merge_fn) triple for maintainers whose columns are
-    additive (counts/sums) or semilattice (min/max) — the only merge
-    shapes that are micro-batch-invariant BY ALGEBRA, which is what makes
-    a maintained table provably equal to its from-scratch batch
-    aggregate. ``merge_fn`` has ``commit_upsert``'s read-modify-write
+def _additive_lattice_merge(key: str, sums=(), mins=(), maxs=()):
+    """merge_fn for maintainers whose columns are additive (counts/sums)
+    or semilattice (min/max) — the only merge shapes that are
+    micro-batch-invariant BY ALGEBRA, which is what makes a maintained
+    table provably equal to its from-scratch batch aggregate. The
+    returned function has ``commit_upsert``'s read-modify-write
     signature (stored rows matching the delta's keys, the delta itself)
     so the whole fold evaluates inside the commit's own touched-file
-    read. One implementation of the merge: a fix to the
+    read; the batch-to-delta reduction is the maintainer's separate
+    ``delta_fn``. One implementation of the merge: a fix to the
     union/re-aggregate shape lands once, not once per maintainer."""
     aggs = (
         [F.sum(c).alias(c) for c in sums]
@@ -389,23 +390,11 @@ def _run_incremental_maintainer(
     + delta) plus one manifest rename. Retention is vacuumed past
     ``keep_versions`` by the single writer (safe mode — files referenced
     by retained manifests survive)."""
-    from otus_cpp_11_spark.ops.versioned import (
-        commit_upsert,
-        current_version,
-        vacuum_versions,
-    )
+    from otus_cpp_11_spark.ops.versioned import commit_upsert, vacuum_versions
 
     spark = events_stream.sparkSession
     if checkpoint is None:
-        if current_version(spark, target_path) is not None:
-            raise ValueError(
-                f"target {target_path!r} already has commits but no "
-                "persistent checkpoint was given: a fresh checkpoint "
-                "restarts batch ids at 0, so the header marker cannot "
-                "tell a foreachBatch retry from a re-run (data would be "
-                "dropped or double-applied). Pass the checkpoint the "
-                "target was built with, or use a fresh target."
-            )
+        _require_fresh_target(spark, target_path)
         checkpoint = scratch_dir("sg-ckpt-")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -455,9 +444,7 @@ def incremental_minute_rollup(
     touched-file rewrites are cheap relative to the stream. Read it with
     ``ops.versioned.read_version`` (time travel included)."""
 
-    merge_fn = _additive_lattice_merge(
-        minute_rollup_delta, "bucket_start", sums=("n_events", "units")
-    )
+    merge_fn = _additive_lattice_merge("bucket_start", sums=("n_events", "units"))
     return _run_incremental_maintainer(
         events_stream,
         tier_path,
@@ -528,7 +515,6 @@ def incremental_datacard(
     ``read_version``)."""
 
     merge_fn = _additive_lattice_merge(
-        datacard_delta,
         "source",
         sums=("n_docs", "n_tokens", "n_en"),
         mins=("min_tokens",),
@@ -579,12 +565,43 @@ def incremental_bm25_stats(
     aggregate over the batch. r8: the stats table is an ops.versioned
     table (read with ``read_version``) — a scorer pinned to a version
     serves CONSISTENT (df, tf_sum) pairs even mid-commit."""
-    merge_fn = _additive_lattice_merge(
-        bm25_stats_delta, "term", sums=("df", "tf_sum")
-    )
+    merge_fn = _additive_lattice_merge("term", sums=("df", "tf_sum"))
     return _run_incremental_maintainer(
         docs_stream, stats_path, bm25_stats_delta, "term", merge_fn, checkpoint
     )
+
+
+def _require_fresh_target(spark: SparkSession, target_path: str) -> None:
+    """A maintainer called WITHOUT a persistent checkpoint must get a
+    genuinely fresh target: a fresh checkpoint restarts foreachBatch
+    ids at 0, so the header batch id could not tell a retry from a
+    re-run over an existing table (data dropped or double-applied).
+    Refused for BOTH an existing versioned table (has commits) and any
+    other pre-existing directory — e.g. a pre-r8 swap-protocol table,
+    which a fresh versioned writer would silently SHADOW (its first
+    commit would publish delta-only state inside the old dir while the
+    old rows become invisible to read_version). One guard, shared by
+    every maintainer."""
+    from otus_cpp_11_spark.ops.versioned import current_version
+
+    if current_version(spark, target_path) is not None:
+        raise ValueError(
+            f"target {target_path!r} already has commits but no "
+            "persistent checkpoint was given: a fresh checkpoint "
+            "restarts batch ids at 0, so the header marker cannot tell "
+            "a foreachBatch retry from a re-run (data would be dropped "
+            "or double-applied). Pass the checkpoint the target was "
+            "built with, or use a fresh target."
+        )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        raise ValueError(
+            f"target {target_path!r} exists but is not a versioned "
+            "table (no commits) — committing into it would silently "
+            "shadow whatever it holds (e.g. a pre-versioned maintainer "
+            "table). Migrate or remove it, or point at a fresh path."
+        )
 
 
 def _latest_batch_id(spark: SparkSession, table: str):
@@ -659,23 +676,11 @@ def cdc_upsert_user_state(
     ``keep_versions`` bounds storage: after each commit the maintainer
     vacuums markers beyond the horizon (safe mode — files referenced by
     retained manifests, and any not-yet-claimed writer data, survive)."""
-    from otus_cpp_11_spark.ops.versioned import (
-        commit_upsert,
-        current_version,
-        vacuum_versions,
-    )
+    from otus_cpp_11_spark.ops.versioned import commit_upsert, vacuum_versions
 
     spark = events_stream.sparkSession
     if checkpoint is None:
-        if current_version(spark, target_path) is not None:
-            raise ValueError(
-                f"target {target_path!r} already has commits but no "
-                "persistent checkpoint was given: a fresh checkpoint "
-                "restarts batch ids at 0, so the header marker cannot "
-                "tell a foreachBatch retry from a re-run (data would be "
-                "dropped or double-applied). Pass the checkpoint the "
-                "table was built with, or use a fresh target."
-            )
+        _require_fresh_target(spark, target_path)
         checkpoint = scratch_dir("sg-ckpt-")
 
     rec = F.struct("ts", "event_id", "event_type", "value")
@@ -752,23 +757,11 @@ def append_stream_to_versioned(
     per-file extents for ``stats_cols`` recorded at write time feed
     downstream ``scan_version`` pruning and metadata-only COUNT. The
     table never rewrites old data, so sink cost is flat in table size."""
-    from otus_cpp_11_spark.ops.versioned import (
-        commit_append,
-        current_version,
-        vacuum_versions,
-    )
+    from otus_cpp_11_spark.ops.versioned import commit_append, vacuum_versions
 
     spark = stream_df.sparkSession
     if checkpoint is None:
-        if current_version(spark, target_path) is not None:
-            raise ValueError(
-                f"target {target_path!r} already has commits but no "
-                "persistent checkpoint was given: a fresh checkpoint "
-                "restarts batch ids at 0, so the header marker cannot "
-                "tell a foreachBatch retry from a re-run (data would be "
-                "dropped or double-appended). Pass the checkpoint the "
-                "table was built with, or use a fresh target."
-            )
+        _require_fresh_target(spark, target_path)
         checkpoint = scratch_dir("sg-ckpt-")
 
     def append(batch_df: DataFrame, batch_id: int) -> None:
@@ -841,7 +834,6 @@ def incremental_scd2_history(
     from otus_cpp_11_spark.ops.versioned import (
         commit_append,
         commit_upsert,
-        current_version,
         read_version,
         vacuum_versions,
     )
@@ -849,18 +841,8 @@ def incremental_scd2_history(
 
     spark = events_stream.sparkSession
     if checkpoint is None:
-        if (
-            current_version(spark, hist_path) is not None
-            or current_version(spark, raw_path) is not None
-        ):
-            raise ValueError(
-                f"targets {hist_path!r}/{raw_path!r} already have commits "
-                "but no persistent checkpoint was given: a fresh "
-                "checkpoint restarts batch ids at 0, so the header marker "
-                "cannot tell a foreachBatch retry from a re-run (data "
-                "would be dropped or double-applied). Pass the checkpoint "
-                "the tables were built with, or use fresh targets."
-            )
+        _require_fresh_target(spark, hist_path)
+        _require_fresh_target(spark, raw_path)
         checkpoint = scratch_dir("sg-ckpt-")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:

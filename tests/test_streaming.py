@@ -584,9 +584,7 @@ def test_bm25_stats_merge_path_equivalence(spark):
     )
 
     d = load_table(spark, SF, "documents")
-    merge_fn = _additive_lattice_merge(
-        bm25_stats_delta, "term", sums=("df", "tf_sum")
-    )
+    merge_fn = _additive_lattice_merge("term", sums=("df", "tf_sum"))
     whole = {
         (r["term"], r["df"], r["tf_sum"])
         for r in bm25_stats_delta(d).collect()

@@ -523,3 +523,90 @@ def test_change_feed_stream_batch_option_is_refused(spark, table, tmp_path):
             .load()
             .count()
         )
+
+
+# ---------------------------------------------------------------------------
+# a/u action split (r8 review): metadata re-adds must not re-emit rows
+# ---------------------------------------------------------------------------
+
+
+def test_marker_u_action_roundtrip_and_added_files():
+    parent = {"files": ["a"], "rows": {"a": 5}, "stats": {}, "dv": {}}
+    new = {"files": ["a", "b"], "rows": {"a": 6, "b": 2}, "stats": {}, "dv": {}}
+    marker = mf.render_marker({"op": "append"}, parent, new)
+    hdr, body = mf.parse_marker(marker)
+    # the carried file's metadata change is a 'u', the new file an 'a'
+    assert mf.marker_added_files(hdr, body) == ["b"]
+    assert any('"u"' in ln for ln in body)
+    state = {"files": ["a"], "rows": {"a": 5}, "stats": {}, "dv": {}}
+    mf.apply_marker(state, hdr, body)
+    state["files"] = list(state["files"])
+    assert state["files"] == ["a", "b"]
+    assert state["rows"] == {"a": 6, "b": 2}
+
+
+def test_metadata_readd_in_append_not_restreamed(spark, table):
+    """The review's failure scenario: a carried file whose footer row
+    count gets repaired in a later APPEND rides as a 'u' action — the
+    stream source and the change feed must NOT re-emit its rows (the
+    old all-adds encoding duplicated the entire file in an exactly-once
+    stream)."""
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), table)
+    hdr, files = read_manifest(spark, table, 1)
+    (f,) = files
+    marker = (
+        json.dumps(
+            {"op": "append", "parent": 1, "schema": hdr["schema"], "fmt": 2}
+        )
+        + "\n"
+        + json.dumps({"u": {"f": f, "n": 10}})
+        + "\n"
+    )
+    with open(f"{table}/_commits/{2:08d}", "w") as fh:
+        fh.write(marker)
+    assert read_version(spark, table, 2).count() == 10  # snapshot unchanged
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    register_versioned_table_source(spark)
+    (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .load()
+        .writeStream.format("memory")
+        .queryName("u_restream")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert spark.sql("select count(*) c from u_restream").first().c == 10
+    from otus_cpp_11_spark.ops.versioned import read_change_feed
+
+    assert read_change_feed(spark, table, 1, 2).count() == 10
+
+
+def test_dv_attach_rides_as_u_action(spark, table):
+    """A deletion-vector attach re-adds the carried file with changed
+    metadata — that must be a 'u' line in the delete marker, never an
+    'a' (delta-deriving readers would misread it as new rows)."""
+    commit_version(spark, _df(spark, 0, 100).coalesce(1), table)
+    v2 = commit_delete(spark, table, "k = 7", dv_max_fraction=0.1)
+    with open(f"{table}/_commits/{v2:08d}") as fh:
+        body = [ln for ln in fh.read().splitlines()[1:] if ln]
+    assert body and all(json.loads(ln).keys() == {"u"} for ln in body)
+
+
+def test_fresh_target_guard_refuses_existing_plain_dir(spark, tmp_path):
+    """A pre-versioned target (e.g. an r7 swap-protocol tier) must be
+    refused, not silently shadowed by a fresh versioned writer."""
+    from otus_cpp_11_spark.streaming import incremental_minute_rollup
+
+    target = str(tmp_path / "old_tier")
+    spark.range(5).write.parquet(target)
+    src = str(tmp_path / "src")
+    df = spark.sql(
+        "select timestamp'2024-01-01' as ts, 1.0 as value"
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    with pytest.raises(ValueError, match="not a versioned table"):
+        incremental_minute_rollup(stream, target)
