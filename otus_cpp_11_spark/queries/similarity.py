@@ -1677,3 +1677,73 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "rank", "neg_vec_id", "neg_label", "cosine")
         .orderBy("anchor_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Metadata-filtered ANN: the pre-filter vs post-filter correctness trap.
+# --------------------------------------------------------------------------
+
+FILTERED_TOPK = 5
+ANN_FILTER_SQL = "source IN ('src1', 'src3') AND n_chars >= 200"
+
+
+@register(
+    "ann_filtered_top5",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+allowed AS (
+  SELECT doc_id FROM documents WHERE {ANN_FILTER_SQL}
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {_dot_sql("e.embedding", "q.qv")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM embeddings e JOIN allowed a ON e.vec_id = a.doc_id, q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT {FILTERED_TOPK}
+""",
+)
+def ann_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — the production retrieval shape
+    (vector DBs call it filtered / hybrid search): top-k cosine among
+    only the vectors whose DOCUMENT satisfies a relational predicate
+    (source + length here; licence, date, tenant in practice). The
+    load-bearing choice is PRE-filtering: the predicate semi-join runs
+    BEFORE any distance math, so every scored candidate is eligible and
+    the result is exactly the top-k of the filtered set. The tempting
+    alternative — take the unfiltered top-k, then filter — is WRONG for
+    any selective predicate: eligible near neighbors ranked below k
+    vanish, and the result can carry fewer than k rows (the pytest
+    demonstrates a concrete divergence on this data).
+
+    Plan: documents-side predicate prunes at the parquet scan (only
+    doc_id + predicate columns read), the eligible-id set semi-joins
+    the vector table (AQE broadcasts it when small), the query vector
+    broadcasts, scoring is JVM-side fixed-point zip_with, and top-k is
+    a TakeOrderedAndProject — no shuffle of the embedding column, no
+    sort of the corpus. At 100 TB the same shape composes with the IVF
+    cell index (``ivf_cosine_top5``): probe cells, semi-join the
+    eligible ids INSIDE the cell scan, score survivors — filter
+    selectivity and cell pruning multiply. Reference parity: extension
+    mandate (LLM-pipeline battery)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    allowed = d.where(ANN_FILTER_SQL).select(F.col("doc_id").alias("vec_id"))
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(allowed, "vec_id", "left_semi")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "vec_id").limit(FILTERED_TOPK)

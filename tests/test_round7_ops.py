@@ -325,3 +325,44 @@ class TestDiversifiedRetrieval:
             pool_sigs = [sig[d] for d in docs_ranked[:RRF_POOL]]
             collisions += len(pool_sigs) - len(set(pool_sigs))
         assert collisions >= 1
+
+
+def test_filtered_ann_prefilter_beats_postfilter(spark):
+    """The correctness trap ann_filtered_top5's docstring names: taking
+    the UNFILTERED top-k and then filtering is not the filtered top-k.
+    Concretely on this data: post-filtering loses eligible neighbors
+    ranked below k (or returns fewer than k rows), while the pre-filter
+    result is exactly brute force over the eligible set."""
+    from otus_cpp_11_spark.queries.similarity import (
+        ANN_FILTER_SQL,
+        FILTERED_TOPK,
+        QUERY_VEC_ID,
+        ann_filtered_top5,
+        cosine_sim,
+    )
+
+    got = [(r.vec_id, round(r.cosine, 9)) for r in ann_filtered_top5(spark, SF).collect()]
+    assert len(got) == FILTERED_TOPK
+
+    e = load_table(spark, SF, "embeddings")
+    d = load_table(spark, SF, "documents")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"))
+    )
+    allowed = {r.doc_id for r in d.where(ANN_FILTER_SQL).select("doc_id").collect()}
+    ranked = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in scored.orderBy(F.desc("cosine"), "vec_id").collect()
+    ]
+    # exact filtered top-k from the full ranking == the query's answer
+    want = [p for p in ranked if p[0] in allowed][:FILTERED_TOPK]
+    assert got == want
+    # the broken shape: filter AFTER truncating to the top-k
+    post = [p for p in ranked[:FILTERED_TOPK] if p[0] in allowed]
+    assert post != want, (
+        "fixture too permissive: unfiltered top-k happens to be all "
+        "eligible — tighten ANN_FILTER_SQL so the trap is demonstrable"
+    )
