@@ -1747,3 +1747,113 @@ def ann_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(FILTERED_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Truncated-dimension retrieval recall (Matryoshka-style MRL evaluation).
+# --------------------------------------------------------------------------
+
+TRUNC_DIM = 16  # leading dims scored by the cheap first-stage ranker
+TRUNC_RECALL_K = 5
+TRUNC_N_QUERIES = 20
+
+
+@register(
+    "ann_truncated_dim_recall",
+    oracle=f"""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < {TRUNC_N_QUERIES}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         {_dot_sql("e.embedding", "q.qv")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) AS s_full,
+         {_dot_sql(f"e.embedding[1:{TRUNC_DIM}]", f"q.qv[1:{TRUNC_DIM}]")} /
+         (SQRT({_dot_sql(f"e.embedding[1:{TRUNC_DIM}]", f"e.embedding[1:{TRUNC_DIM}]")}) *
+          SQRT({_dot_sql(f"q.qv[1:{TRUNC_DIM}]", f"q.qv[1:{TRUNC_DIM}]")})) AS s_trunc
+  FROM embeddings e JOIN qs q ON e.vec_id <> q.qid
+),
+top_full AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s_full DESC, vec_id) AS rn
+    FROM scored) t WHERE rn <= {TRUNC_RECALL_K}
+),
+top_trunc AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s_trunc DESC, vec_id) AS rn
+    FROM scored) t WHERE rn <= {TRUNC_RECALL_K}
+)
+SELECT f.qid,
+       CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(t.vec_id) AS DOUBLE) / {TRUNC_RECALL_K}.0 AS recall_at_k
+FROM top_full f LEFT JOIN top_trunc t
+  ON f.qid = t.qid AND f.vec_id = t.vec_id
+GROUP BY f.qid
+ORDER BY f.qid
+""",
+)
+def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval EVAL: per query,
+    recall@k of the ranking produced by only the LEADING ``TRUNC_DIM``
+    dimensions against the full-dimension ranking — the measurement
+    that decides whether a cheap low-dim first stage (MRL truncation /
+    PCA head) can front a rerank pipeline, and the dense analogue of
+    the PQ recall gate (``pq_recall_eval``). Both rankings are exact
+    and deterministic (fixed-point dot products, vec_id tie-break), so
+    the recall matrix is oracle-hashable — no RNG, no float-order
+    sensitivity.
+
+    Plan: the bounded query set broadcasts; ONE corpus pass scores both
+    similarities per (query, candidate) pair (the truncated dot is a
+    prefix of the full dot's work); per-query top-k goes through the
+    skew-safe two-stage ``salted_topk``; the recall join touches only
+    2 * k * |queries| rows. At 100 TB: queries stay bounded (eval
+    sets), the corpus pass is linear and embarrassingly parallel, and
+    the first-stage candidate generation this eval justifies would run
+    over the IVF/PQ index rather than brute force. Reference parity:
+    extension mandate (LLM-pipeline battery)."""
+    from otus_cpp_11_spark.ops.skew import salted_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < TRUNC_N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    tr = lambda c: F.slice(c, 1, TRUNC_DIM)  # noqa: E731
+    scored = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("s_full"),
+            cosine_sim(tr(F.col("embedding")), tr(F.col("qv"))).alias(
+                "s_trunc"
+            ),
+        )
+    )
+    top_full = salted_topk(
+        scored, ["qid"], [F.desc("s_full"), F.col("vec_id")],
+        TRUNC_RECALL_K, salt_on="vec_id",
+    ).select("qid", "vec_id")
+    top_trunc = salted_topk(
+        scored, ["qid"], [F.desc("s_trunc"), F.col("vec_id")],
+        TRUNC_RECALL_K, salt_on="vec_id",
+    ).select("qid", F.col("vec_id").alias("tvec"))
+    return (
+        top_full.join(
+            top_trunc,
+            (top_full.qid == top_trunc.qid)
+            & (top_full.vec_id == top_trunc.tvec),
+            "left",
+        )
+        .groupBy(top_full.qid)
+        .agg(
+            F.count("tvec").cast("bigint").alias("n_hits"),
+            (F.count("tvec").cast("double") / F.lit(float(TRUNC_RECALL_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("qid")
+    )
