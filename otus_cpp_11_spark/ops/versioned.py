@@ -2055,6 +2055,7 @@ def commit_compaction(
     cluster_cols: list[str],
     meta: dict | None = None,
     small_file_rows: int | None = None,
+    zorder: bool = False,
 ) -> int:
     """OPTIMIZE as a COMMIT: rewrite the selected files' data into
     ceil(rows / max_rows_per_file) files range-clustered on
@@ -2078,7 +2079,11 @@ def commit_compaction(
 
     Clustering + the stats recorded for ``cluster_cols`` are what make
     ``scan_version``/``commit_upsert`` pruning effective: tight
-    per-file extents on the columns queries and merges key on. The
+    per-file extents on the columns queries and merges key on.
+    ``zorder=True`` (exactly two integer cluster columns) clusters on
+    their Morton interleave instead — Delta's OPTIMIZE ZORDER BY — so
+    extents tighten on BOTH columns at once and conjunctive 2-D
+    predicates prune multiplicatively (see ops.zorder). The
     header records {files_before, files_selected, files_after, rows} so
     the bin-packing claim is auditable per commit."""
     cur = current_version(spark, table)
@@ -2122,12 +2127,56 @@ def commit_compaction(
     )
     n = df.count()
     n_out = max(1, -(-n // max_rows_per_file))
-    packed = (
-        df.repartitionByRange(n_out, *cluster_cols)
-        .sortWithinPartitions(*cluster_cols)
-        if n
-        else df.coalesce(1)
-    )
+    if not n:
+        packed = df.coalesce(1)
+    elif zorder:
+        # OPTIMIZE ZORDER BY (Delta): cluster on the Morton interleave
+        # of the two cluster columns' normalized bucket ids instead of
+        # their lexicographic order — every output file's (c1, c2)
+        # extents become a tight rectangle <= 1/2^Z_BITS of EACH
+        # domain, so scan_version prunes conjunctive 2-D predicates on
+        # both dimensions (a lexicographic sort clusters c1 and leaves
+        # c2 predicates scanning everything). Pure integer math shared
+        # with the layout planner (ops.zorder); the bounds relation is
+        # one broadcast row.
+        from otus_cpp_11_spark.ops.zorder import Z_BITS, z_interleave
+
+        if len(cluster_cols) != 2:
+            raise ValueError(
+                "commit_compaction(zorder=True) interleaves exactly two "
+                f"cluster columns, got {cluster_cols!r}"
+            )
+        c1, c2 = cluster_cols
+        bounds = df.agg(
+            F.min(c1).alias("__lo1"),
+            F.max(c1).alias("__hi1"),
+            F.min(c2).alias("__lo2"),
+            F.max(c2).alias("__hi2"),
+        )
+        buckets = 2**Z_BITS
+        packed = (
+            df.join(F.broadcast(bounds))
+            .withColumn(
+                "__px",
+                F.expr(
+                    f"(({c1} - __lo1) * {buckets}) div (__hi1 - __lo1 + 1)"
+                ),
+            )
+            .withColumn(
+                "__py",
+                F.expr(
+                    f"(({c2} - __lo2) * {buckets}) div (__hi2 - __lo2 + 1)"
+                ),
+            )
+            .withColumn("__zv", z_interleave("__px", "__py"))
+            .repartitionByRange(n_out, "__zv")
+            .sortWithinPartitions("__zv")
+            .drop("__px", "__py", "__zv", "__lo1", "__hi1", "__lo2", "__hi2")
+        )
+    else:
+        packed = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
     new_files = _write_data_dir(spark, packed, table, cur + 1)
     car = set(carried)
     stats = {f: s for f, s in manifest_stats(header).items() if f in car}

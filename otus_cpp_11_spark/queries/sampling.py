@@ -849,27 +849,14 @@ def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a single sort key clusters BOTH — the standard lakehouse OPTIMIZE ZORDER
 # move, expressed as plain integer column math.
 
-Z_BITS = 4  # 16 buckets per dimension -> 8-bit z-value, 256 cells
+# bit-interleave math lives in ops.zorder (shared with the versioned
+# OPTIMIZE's zorder mode); these aliases keep this module's oracle
+# f-strings and call sites unchanged
+from otus_cpp_11_spark.ops.zorder import Z_BITS
+from otus_cpp_11_spark.ops.zorder import z_interleave as _z_interleave
+from otus_cpp_11_spark.ops.zorder import z_sql
 
-
-def _z_interleave(px: str, py: str):
-    """Morton-interleave two Z_BITS-bit bucket id columns (px gets the
-    odd bits)."""
-    z = F.lit(0)
-    for i in range(Z_BITS):
-        z = (
-            z
-            + F.expr(f"(({px} div {2 ** i}) % 2) * {2 ** (2 * i + 1)}")
-            + F.expr(f"(({py} div {2 ** i}) % 2) * {2 ** (2 * i)}")
-        )
-    return z
-
-
-_Z_SQL = " + ".join(
-    f"((px // {2 ** i}) % 2) * {2 ** (2 * i + 1)}"
-    f" + ((py // {2 ** i}) % 2) * {2 ** (2 * i)}"
-    for i in range(Z_BITS)
-)
+_Z_SQL = z_sql()
 
 
 @register(

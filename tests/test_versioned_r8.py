@@ -610,3 +610,38 @@ def test_fresh_target_guard_refuses_existing_plain_dir(spark, tmp_path):
     stream = spark.readStream.schema(df.schema).parquet(src)
     with pytest.raises(ValueError, match="not a versioned table"):
         incremental_minute_rollup(stream, target)
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, table, tmp_path):
+    """OPTIMIZE ZORDER accounting: after z-order clustering on (a, b),
+    a narrow predicate on EITHER dimension dismisses most files from
+    the manifest alone; lexicographic clustering on (a, b) only ever
+    prunes the leading column, so a b-only probe scans everything.
+    Same rows, same file count — the layout is the only difference."""
+    from otus_cpp_11_spark.ops.versioned import commit_compaction
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    lex, zed = str(tmp_path / "lex"), str(tmp_path / "zed")
+    for path in (lex, zed):
+        commit_version(spark, df.repartition(8), path)
+    commit_compaction(spark, lex, 256, ["a", "b"])
+    commit_compaction(spark, zed, 256, ["a", "b"], zorder=True)
+    probe = {"b": (10, 13)}  # narrow on the NON-leading dimension
+    got_lex, acct_lex = scan_version(spark, lex, probe)
+    got_zed, acct_zed = scan_version(spark, zed, probe)
+    # identical answers...
+    rows = lambda d: sorted((r.a, r.b, r.payload) for r in d.collect())  # noqa: E731
+    assert rows(got_lex) == rows(got_zed)
+    assert acct_lex["files_total"] == acct_zed["files_total"] == 16
+    # ...but lexicographic scans every file for a b-only predicate while
+    # z-order dismisses most from the manifest header alone
+    assert acct_lex["files_scanned"] == 16
+    assert acct_zed["files_scanned"] <= 8, acct_zed
+    # and the a-dimension still prunes on the z-order layout too
+    _, acct_a = scan_version(spark, zed, {"a": (0, 3)})
+    assert acct_a["files_scanned"] <= 8, acct_a
