@@ -101,7 +101,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "bpe_token_frequencies": "b5ff23ca929c",
     "budgeted_mixture_selection": "bfe3e84837f5",
     "copurchase_association_rules": "77b285b9c575",
-    "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
@@ -109,13 +108,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
     "customer_monthly_retention": "5005e34e6d54",
-    "customer_order_gap_stats": "6d3cb75325f9",
     "customer_order_window_family": "e056a8223d4c",
-    "customer_rfm_quartiles": "6b43762ac3f2",
     "customer_running_spend": "471b2c9922e8",
     "customers_above_avg_balance": "2c2142b03318",
     "customers_without_orders": "9a01c8532a3d",
-    "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
     "decontam_bloom_prune": "004a9cd16c69",
     "dedup_canonical_by_quality": "48bc5b1ec055",
@@ -129,9 +125,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_fingerprint": "ac4f9cbb8f09",
     "doc_gopher_rules": "9eb3349e7818",
     "doc_lang_id": "9244112be464",
-    "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
-    "doc_pack_bins": "640fc7df9845",
     "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
@@ -140,15 +134,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_quality_score": "c49088db0448",
     "doc_repeated_spans": "021ae1e34c5c",
     "doc_repetition_stats": "d70389bb5105",
-    "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_shard_assignment": "b7508cca5e2e",
     "doc_simhash32": "9a4d28b0fe15",
-    "doc_stratified_sample": "5cbbfac47518",
     "doc_token_stats": "f1fc9c5f44ba",
     "doc_top_terms": "36f7b8dcb415",
-    "embedding_gram_upper": "f0e2d768f439",
-    "embedding_near_dup_pairs": "fe5ace666bf3",
-    "embedding_norms_by_label": "b079260add86",
     "embedding_power_iteration": "ace381c5764a",
     "embedding_quantization": "f5bb24cd0b57",
     "embedding_random_projection": "149313e23aa4",
@@ -158,17 +147,11 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
-    "events_json_props": "fd96cba6cc74",
-    "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
-    "events_session_windows": "ee61ffbf866a",
     "events_session_windows_streamed": "08f0e60d5c18",
-    "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
-    "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
-    "events_user_sketches": "70afbca65e63",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
     "hard_negative_mining": "f06cf1ecd76f",
@@ -176,7 +159,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ips_policy_value": "2c1ea431a372",
     "ivf_cosine_top5": "4587a141ad18",
     "ivf_pq_top5": "984566e4c151",
-    "kmeans_assign_update": "1957709e4ad9",
     "knn_join_lsh_top3": "635fe257dd5a",
     "knn_recall_at_3": "c88e0a7440fb",
     "label_centroids": "03cb7a43743a",
@@ -184,10 +166,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "lakehouse_compaction_accounting": "52959dcfdac9",
     "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
-    "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
-    "lineitem_profile": "be479a6b9360",
-    "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
     "lsh_cosine_top5": "bcbb1c08dc09",
     "lsh_cosine_top5_multiprobe": "8a46b082e0db",
@@ -208,7 +187,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_grouping_sets": "7c2a2fcda67b",
     "orders_price_percentiles": "00142ef3899e",
     "orders_rollup": "cc0326964a00",
-    "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
     "part_price_band_join": "feedac3b7d7c",
     "part_triangle_counts": "3b688cf75576",
@@ -309,11 +287,32 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
+# Round-8 refill: the 22 oldest-green pins (last green r2-r3), queued
+# after the round's 28 new/changed queries so the driver window is
+# exactly 50. Members left DRIVER_VERIFIED per the workflow.
 REVERIFY: frozenset[str] = frozenset({
-    # Round 8: emptied at round start (all 18 r7-queued members got green
-    # rows and were promoted). Refilled at round end with the oldest-green
-    # pins once the round's own edits are counted — see
-    # scripts/gen_verified_hashes.py workflow.
+    "copurchase_part_pairs",
+    "customer_order_gap_stats",
+    "customer_rfm_quartiles",
+    "daily_active_users_7d",
+    "doc_leading_tokens",
+    "doc_pack_bins",
+    "doc_reservoir_sample",
+    "doc_stratified_sample",
+    "embedding_gram_upper",
+    "embedding_near_dup_pairs",
+    "embedding_norms_by_label",
+    "events_json_props",
+    "events_multires_rollup",
+    "events_session_windows",
+    "events_sliding_10min_5min",
+    "events_tumbling_5min",
+    "events_user_sketches",
+    "kmeans_assign_update",
+    "lineitem_measures_unpivot",
+    "lineitem_profile",
+    "lineitem_qty_histogram",
+    "orders_yoy_growth",
 })
 
 
