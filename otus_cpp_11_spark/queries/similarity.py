@@ -1843,7 +1843,10 @@ def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", F.col("vec_id").alias("tvec"))
     return (
         top_full.join(
-            top_trunc,
+            # bounded BY CONSTRUCTION (k * |queries| rows), so the
+            # broadcast hint is inside the no-hint rule's exemption —
+            # a sort-merge of two 100-row relations is pure overhead
+            F.broadcast(top_trunc),
             (top_full.qid == top_trunc.qid)
             & (top_full.vec_id == top_trunc.tvec),
             "left",

@@ -680,3 +680,69 @@ def test_diversified_retrieval_no_cartesian(spark, plan):
     # pool (bounded) joins the signature relation on doc_id — an equi-join,
     # never a nested loop over the corpus
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_filtered_ann_predicate_pushes_into_documents_scan(spark, plan):
+    p = plan("ann_filtered_top5", spark)
+    # the document predicate reaches the parquet reader (only eligible
+    # candidates are ever scored), and the eligible-id semi-join never
+    # degenerates to a cartesian
+    assert "GreaterThanOrEqual(n_chars,200)" in p
+    assert "CartesianProduct" not in p
+    # the corpus embedding column never shuffles: top-k is a real
+    # per-partition top-k + tiny merge
+    assert "TakeOrderedAndProject" in p
+
+
+def test_truncated_recall_single_corpus_pass_no_cartesian(spark, plan):
+    p = plan("ann_truncated_dim_recall", spark)
+    assert "CartesianProduct" not in p
+    # bounded query set broadcasts against the linear corpus scan (the
+    # vec_id != qid predicate makes it a nested loop on the BOUNDED side)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_change_feed_reads_are_joinless(spark, plan):
+    """read_change_feed must stay a union of file scans — zero joins:
+    the write path already classified the changes, and re-deriving them
+    at read time is exactly the O(snapshot) cost CDF exists to avoid."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_delete,
+        commit_upsert,
+        commit_version,
+        read_change_feed,
+    )
+
+    tbl = tempfile.mkdtemp() + "/t"
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    commit_version(spark, df, tbl, stats_cols=["k"])
+    commit_upsert(
+        spark,
+        spark.range(5).select(F.col("id").alias("k"), F.lit("y").alias("v")),
+        tbl,
+        ["k"],
+        change_feed=True,
+    )
+    commit_delete(spark, tbl, "k = 50", change_feed=True)
+    feed = read_change_feed(spark, tbl, 1, 3)
+    qe = feed._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = qe.explainString(mode)
+    for join in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert join not in p, join
+    assert feed.count() == 100 + 10 + 1  # v1 inserts + 5 pre/post pairs + delete
