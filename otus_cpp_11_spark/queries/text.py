@@ -1233,3 +1233,103 @@ def source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Eval-ops: inter-rater agreement between two quality gates.
+# --------------------------------------------------------------------------
+
+KAPPA_MIN_CHARS = 300  # rater B: the blunt metadata-only length gate
+
+
+@register(
+    "quality_gate_kappa",
+    oracle=f"""
+WITH r AS (
+  SELECT source,
+         CASE WHEN LEN(list_filter(string_split(text, ' '), x -> x <> ''))
+                   >= {QUALITY_MIN_TOKENS}
+               AND CAST(LEN(list_filter(string_split(text, ' '),
+                                        x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                   / LEN(list_filter(string_split(text, ' '), x -> x <> ''))
+                   >= {QUALITY_MIN_STOP_RATIO}
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_chars >= {KAPPA_MIN_CHARS} THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+c AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a) AS BIGINT) AS a1,
+         CAST(SUM(b) AS BIGINT) AS b1,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM r GROUP BY source
+)
+SELECT source, n, a1, b1, n11, n00,
+       CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+         / (n * n - (a1 * b1 + (n - a1) * (n - b1))) AS kappa
+FROM c
+ORDER BY source
+""",
+)
+def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between two quality gates,
+    per source — the eval-ops measurement behind 'is the cheap gate a
+    usable proxy for the expensive one': rater A is the token+stopword
+    heuristic (doc_quality_score's gate), rater B the metadata-only
+    length gate a 100 TB triage pass would run without reading text.
+    Kappa corrects raw agreement for chance, so a gate that just says
+    'yes' to everything scores ~0, not ~its base rate.
+
+    Exactness: kappa is ONE division of two integer expressions —
+    n*(n11+n00) - (a1*b1 + (n-a1)*(n-b1)) over n^2 - the same — so both
+    engines divide identical integers and the hash gate holds without
+    float-order caveats. Plan: one linear pass, map-side partial
+    aggregation to one row per source; the text-reading rater and the
+    metadata rater evaluate in the same projection (no second scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin([*STOPWORDS])))
+    ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens)
+    a = (
+        F.when(
+            (n_tokens >= QUALITY_MIN_TOKENS)
+            & (ratio >= QUALITY_MIN_STOP_RATIO),
+            1,
+        )
+        .otherwise(0)
+        .alias("a")
+    )
+    b = (
+        F.when(F.col("n_chars") >= KAPPA_MIN_CHARS, 1).otherwise(0).alias("b")
+    )
+    c = (
+        d.select("source", a, b)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("a").cast("bigint").alias("a1"),
+            F.sum("b").cast("bigint").alias("b1"),
+            F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+            F.sum((1 - F.col("a")) * (1 - F.col("b")))
+            .cast("bigint")
+            .alias("n00"),
+        )
+    )
+    agree = F.col("n") * (F.col("n11") + F.col("n00"))
+    chance = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    return c.select(
+        "source",
+        "n",
+        "a1",
+        "b1",
+        "n11",
+        "n00",
+        ((agree - chance).cast("double") / (F.col("n") * F.col("n") - chance)).alias(
+            "kappa"
+        ),
+    ).orderBy("source")

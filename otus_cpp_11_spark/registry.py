@@ -167,6 +167,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
     "lineitem_price_qty_corr": "46672c6c7ad5",
+    "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
     "lsh_cosine_top5": "bcbb1c08dc09",
     "lsh_cosine_top5_multiprobe": "8a46b082e0db",
@@ -188,6 +189,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_price_percentiles": "00142ef3899e",
     "orders_rollup": "cc0326964a00",
     "orderstatus_pivot": "051fd9dd302a",
+    "orders_yoy_growth": "36e8f4429a72",
     "part_price_band_join": "feedac3b7d7c",
     "part_triangle_counts": "3b688cf75576",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
@@ -287,9 +289,12 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
-# Round-8 refill: the 22 oldest-green pins (last green r2-r3), queued
-# after the round's 28 new/changed queries so the driver window is
-# exactly 50. Members left DRIVER_VERIFIED per the workflow.
+# Round-8 refill: the oldest-green pins (last green r2-r3), queued
+# after the round's new/changed queries so the driver window is exactly
+# 50. Members left DRIVER_VERIFIED per the workflow; the two late-round
+# additions (incremental_decontamination, quality_gate_kappa) displaced
+# the two newest-green members back to their still-valid pins
+# (lineitem_qty_histogram, orders_yoy_growth — the displacement rule).
 REVERIFY: frozenset[str] = frozenset({
     "copurchase_part_pairs",
     "customer_order_gap_stats",
@@ -311,8 +316,6 @@ REVERIFY: frozenset[str] = frozenset({
     "kmeans_assign_update",
     "lineitem_measures_unpivot",
     "lineitem_profile",
-    "lineitem_qty_histogram",
-    "orders_yoy_growth",
 })
 
 

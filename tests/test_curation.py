@@ -156,3 +156,58 @@ def test_span_strip_apply_matches_stats(spark):
     assert kept and len(kept) == len(stats)
     for r in stats:
         assert kept[r.doc_id] == r.n_tokens - r.tokens_removed, r.doc_id
+
+
+def test_incremental_decontamination_delta_is_novel_only(spark):
+    """The O(delta) claim, mechanically: shard 2's rescan joins only the
+    shingles NOVEL to the index (strictly fewer than the shard's own
+    set whenever shards overlap, as they do here), and the appended
+    matches are disjoint from the v1 matches — nothing is recomputed."""
+    from otus_cpp_11_spark.queries.curation import (
+        DECON_NGRAM,
+        EVAL_MOD,
+        _word_shingles_raw,
+    )
+
+    d = load_table(spark, SF, "documents")
+    grams = _word_shingles_raw(d, DECON_NGRAM)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    s1 = (
+        grams.where(is_eval & (F.col("doc_id") % (2 * EVAL_MOD) == 0))
+        .select("shingle").distinct()
+    )
+    s2 = (
+        grams.where(is_eval & (F.col("doc_id") % (2 * EVAL_MOD) != 0))
+        .select("shingle").distinct()
+    )
+    n2 = s2.count()
+    novel = s2.join(s1, "shingle", "left_anti").count()
+    assert 0 < novel < n2, (novel, n2)  # shards overlap: delta < shard
+
+    from otus_cpp_11_spark.queries.curation import incremental_decontamination
+    from otus_cpp_11_spark.ops import versioned as V
+
+    calls = []
+    orig = V.commit_append
+
+    def spy(spark_, df, table, **kw):
+        calls.append(df.count())
+        return orig(spark_, df, table, **kw)
+
+    V.commit_append = spy
+    try:
+        result = incremental_decontamination(spark, SF).collect()
+    finally:
+        V.commit_append = orig
+    assert len(calls) == 1
+    # the delta commit is bounded by matches against NOVEL shingles only
+    corpus = grams.where(F.col("doc_id") % EVAL_MOD != 0)
+    full_s2_matches = (
+        corpus.join(s2, "shingle").select("doc_id", "shingle").distinct().count()
+    )
+    novel_matches = (
+        corpus.join(s2.join(s1, "shingle", "left_anti"), "shingle")
+        .select("doc_id", "shingle").distinct().count()
+    )
+    assert calls[0] == novel_matches <= full_s2_matches
+    assert result  # and the maintained answer is non-trivial
