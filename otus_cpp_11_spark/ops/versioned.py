@@ -2125,11 +2125,7 @@ def commit_compaction(
         if selected
         else spark.createDataFrame([], schema)
     )
-    n = df.count()
-    n_out = max(1, -(-n // max_rows_per_file))
-    if not n:
-        packed = df.coalesce(1)
-    elif zorder:
+    if zorder:
         # OPTIMIZE ZORDER BY (Delta): cluster on the Morton interleave
         # of the two cluster columns' normalized bucket ids instead of
         # their lexicographic order — every output file's (c1, c2)
@@ -2137,8 +2133,10 @@ def commit_compaction(
         # domain, so scan_version prunes conjunctive 2-D predicates on
         # both dimensions (a lexicographic sort clusters c1 and leaves
         # c2 predicates scanning everything). Pure integer math shared
-        # with the layout planner (ops.zorder); the bounds relation is
-        # one broadcast row.
+        # with the layout planner (ops.zorder); the count and bounds
+        # come from ONE metadata pass, inlined as literals.
+        from pyspark.sql.types import IntegralType
+
         from otus_cpp_11_spark.ops.zorder import Z_BITS, z_interleave
 
         if len(cluster_cols) != 2:
@@ -2147,35 +2145,64 @@ def commit_compaction(
                 f"cluster columns, got {cluster_cols!r}"
             )
         c1, c2 = cluster_cols
-        bounds = df.agg(
+        bad = [
+            f.name
+            for f in schema.fields
+            if f.name in (c1, c2) and not isinstance(f.dataType, IntegralType)
+        ]
+        if bad or len([f for f in schema.fields if f.name in (c1, c2)]) != 2:
+            # a string column's bucket arithmetic silently NULLs out
+            # (every row lands in one range partition — one giant file,
+            # no pruning, no error), so gate types up front
+            raise ValueError(
+                "commit_compaction(zorder=True) needs two INTEGRAL "
+                f"cluster columns present in the schema; offending/"
+                f"missing: {bad or [c1, c2]!r}"
+            )
+        # the row count the bin-packing needs and the two columns'
+        # bounds in a single 1-row aggregate (the non-zorder path's
+        # plain count() would make this a second full read)
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n"),
             F.min(c1).alias("__lo1"),
             F.max(c1).alias("__hi1"),
             F.min(c2).alias("__lo2"),
             F.max(c2).alias("__hi2"),
-        )
+        ).first()
+        n, n_out = row["__n"], max(1, -(-row["__n"] // max_rows_per_file))
         buckets = 2**Z_BITS
+        # an all-NULL column degrades to bucket arithmetic on 0 (every
+        # row NULL -> one z-cell) — the key tie-breaks below still split
+        # the output into n_out range partitions
+        lo1 = row["__lo1"] if row["__lo1"] is not None else 0
+        lo2 = row["__lo2"] if row["__lo2"] is not None else 0
+        w1 = (row["__hi1"] or 0) - lo1 + 1
+        w2 = (row["__hi2"] or 0) - lo2 + 1
+        # the raw keys ride as range tie-breaks after __zv: __zv has only
+        # 2^(2*Z_BITS) distinct values, and without tie-breaks a large
+        # table would silently cap at that many output files, each far
+        # over max_rows_per_file
         packed = (
-            df.join(F.broadcast(bounds))
-            .withColumn(
-                "__px",
-                F.expr(
-                    f"(({c1} - __lo1) * {buckets}) div (__hi1 - __lo1 + 1)"
-                ),
+            df.withColumn(
+                "__px", F.expr(f"(({c1} - {lo1}) * {buckets}) div {w1}")
             )
             .withColumn(
-                "__py",
-                F.expr(
-                    f"(({c2} - __lo2) * {buckets}) div (__hi2 - __lo2 + 1)"
-                ),
+                "__py", F.expr(f"(({c2} - {lo2}) * {buckets}) div {w2}")
             )
             .withColumn("__zv", z_interleave("__px", "__py"))
-            .repartitionByRange(n_out, "__zv")
-            .sortWithinPartitions("__zv")
-            .drop("__px", "__py", "__zv", "__lo1", "__hi1", "__lo2", "__hi2")
-        )
+            .repartitionByRange(n_out, "__zv", c1, c2)
+            .sortWithinPartitions("__zv", c1, c2)
+            .drop("__px", "__py", "__zv")
+        ) if n else df.coalesce(1)
     else:
-        packed = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
-            *cluster_cols
+        n = df.count()
+        n_out = max(1, -(-n // max_rows_per_file))
+        packed = (
+            df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
+                *cluster_cols
+            )
+            if n
+            else df.coalesce(1)
         )
     new_files = _write_data_dir(spark, packed, table, cur + 1)
     car = set(carried)

@@ -1,8 +1,7 @@
 """Morton (z-order) interleaving as plain integer column math — ONE home
-for the bit-interleave used by the layout planner
-(queries.sampling.lineitem_zorder_cells), the unversioned OPTIMIZE
-(lakehouse compaction ordering), and the versioned OPTIMIZE
-(ops.versioned.commit_compaction zorder mode), so the Spark expression
+for the bit-interleave used by the layout planner + z-cell-ordered
+compaction accounting queries (queries.sampling) and the versioned
+OPTIMIZE (ops.versioned.commit_compaction zorder mode), so the Spark expression
 and its DuckDB oracle twin can never drift apart.
 
 Why z-order: bucket each of two columns into 2^bits ranges, interleave

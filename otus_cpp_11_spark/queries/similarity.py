@@ -1833,30 +1833,39 @@ def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    top_full = salted_topk(
-        scored, ["qid"], [F.desc("s_full"), F.col("vec_id")],
-        TRUNC_RECALL_K, salt_on="vec_id",
-    ).select("qid", "vec_id")
-    top_trunc = salted_topk(
-        scored, ["qid"], [F.desc("s_trunc"), F.col("vec_id")],
-        TRUNC_RECALL_K, salt_on="vec_id",
-    ).select("qid", F.col("vec_id").alias("tvec"))
+    # BOTH rankings in one DAG branch: stack the two similarities into
+    # (metric, s) rows and rank per (qid, metric) — two independent
+    # salted_topk branches over the uncached `scored` would re-execute
+    # the dominant fixed-point scoring pass twice (r8 review finding).
+    # The recall join then collapses to a (qid, vec_id) flag aggregate:
+    # a vec_id in both metrics' top-k is a hit, and no self-join of the
+    # same lineage (which would also re-scan) ever forms.
+    both = scored.selectExpr(
+        "qid",
+        "vec_id",
+        "stack(2, 'full', s_full, 'trunc', s_trunc) AS (metric, s)",
+    )
+    topk = salted_topk(
+        both,
+        ["qid", "metric"],
+        [F.desc("s"), F.col("vec_id")],
+        TRUNC_RECALL_K,
+        salt_on="vec_id",
+    )
     return (
-        top_full.join(
-            # bounded BY CONSTRUCTION (k * |queries| rows), so the
-            # broadcast hint is inside the no-hint rule's exemption —
-            # a sort-merge of two 100-row relations is pure overhead
-            F.broadcast(top_trunc),
-            (top_full.qid == top_trunc.qid)
-            & (top_full.vec_id == top_trunc.tvec),
-            "left",
-        )
-        .groupBy(top_full.qid)
+        topk.groupBy("qid", "vec_id")
         .agg(
-            F.count("tvec").cast("bigint").alias("n_hits"),
-            (F.count("tvec").cast("double") / F.lit(float(TRUNC_RECALL_K))).alias(
-                "recall_at_k"
-            ),
+            F.max(F.col("metric") == "full").alias("in_full"),
+            F.max(F.col("metric") == "trunc").alias("in_trunc"),
+        )
+        .where("in_full")  # recall's denominator set
+        .groupBy("qid")
+        .agg(
+            F.sum(F.col("in_trunc").cast("bigint")).alias("n_hits"),
+            (
+                F.sum(F.col("in_trunc").cast("bigint")).cast("double")
+                / F.lit(float(TRUNC_RECALL_K))
+            ).alias("recall_at_k"),
         )
         .orderBy("qid")
     )

@@ -703,12 +703,10 @@ def test_truncated_recall_single_corpus_pass_no_cartesian(spark, plan):
     assert "SortMergeJoin" not in p
 
 
-def test_change_feed_reads_are_joinless(spark, plan):
+def test_change_feed_reads_are_joinless(spark, plan, tmp_path):
     """read_change_feed must stay a union of file scans — zero joins:
     the write path already classified the changes, and re-deriving them
     at read time is exactly the O(snapshot) cost CDF exists to avoid."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from otus_cpp_11_spark.ops.versioned import (
@@ -718,7 +716,7 @@ def test_change_feed_reads_are_joinless(spark, plan):
         read_change_feed,
     )
 
-    tbl = tempfile.mkdtemp() + "/t"
+    tbl = str(tmp_path / "t")
     df = spark.range(100).select(
         F.col("id").alias("k"), F.lit("x").alias("v")
     )

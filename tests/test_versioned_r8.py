@@ -645,3 +645,36 @@ def test_optimize_zorder_prunes_both_dimensions(spark, table, tmp_path):
     # and the a-dimension still prunes on the z-order layout too
     _, acct_a = scan_version(spark, zed, {"a": (0, 3)})
     assert acct_a["files_scanned"] <= 8, acct_a
+
+
+def test_optimize_zorder_bin_packing_survives_past_cell_count(spark, table):
+    """n_out > 2^(2*Z_BITS) must still produce ~n_out files: __zv has
+    only 256 distinct values, so without raw-key range tie-breaks the
+    output would silently cap at 256 oversized files (r8 review)."""
+    from otus_cpp_11_spark.ops.versioned import commit_compaction
+
+    n = 6000
+    df = spark.range(n).select(
+        (F.col("id") % 100).alias("a"),
+        (F.col("id") / 100).cast("long").alias("b"),
+    )
+    commit_version(spark, df.repartition(4), table)
+    commit_compaction(spark, table, 10, ["a", "b"], zorder=True)
+    hdr, files = read_manifest(spark, table, 2)
+    assert len(files) >= 500  # ceil(6000/10) = 600 bins, not capped at 256
+    rows = hdr["rows"]
+    assert max(rows[f] for f in files) <= 3 * 10  # range skew tolerance
+    assert read_version(spark, table).count() == n
+
+
+def test_optimize_zorder_refuses_non_integral_columns(spark, table):
+    from otus_cpp_11_spark.ops.versioned import commit_compaction
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    commit_version(spark, df, table)
+    with pytest.raises(ValueError, match="INTEGRAL"):
+        commit_compaction(spark, table, 5, ["tag", "k"], zorder=True)
+    with pytest.raises(ValueError, match="INTEGRAL"):
+        commit_compaction(spark, table, 5, ["k", "missing"], zorder=True)
