@@ -84,6 +84,14 @@ _COMMITS = "_commits"
 _DATA = "_data"
 _MARKER = mf.MARKER_RE
 
+# Snapshot-wide deleted-row count up to which the DV anti-join relation
+# is broadcast (hash-relation rows are ~100 bytes: ~100 MB at the cap —
+# comfortably under executor memory, far over any healthy DV volume).
+# Past it — a table overdue for OPTIMIZE — the mask degrades to a
+# shuffle anti-join rather than shipping an unbounded broadcast; the
+# per-file `dv_max_fraction` cap still bounds each file's share.
+DV_BROADCAST_MAX_ROWS = 1_000_000
+
 
 class ConstraintViolation(ValueError):
     """A commit's NEW rows violated a CHECK constraint recorded in the
@@ -558,6 +566,7 @@ def _rewrite_matching_files(
     check=None,
     dv_max_fraction: float | None = None,
     change_rows=None,
+    max_retries: int = 0,
 ) -> int:
     """Shared engine of predicate DML (``commit_delete`` /
     ``commit_update``): find the files that physically CONTAIN a row
@@ -711,18 +720,74 @@ def _rewrite_matching_files(
             keep_empty=False,
             prefix="cdf",
         )
-    return _commit(
+    return _commit_retrying(
         spark,
         table,
-        cur + 1,
         op,
         schema,
-        carried + new_files,
-        hdr_meta,
-        stats,
-        rows=prev_rows,
-        dvs=dvs,
+        touched=set(touched),
+        rewrite_set=rewrite_set,
+        base_dvs={f: prev_dvs[f] for f in touched if f in prev_dvs},
+        based_files=prev_files,
+        new_files=new_files,
+        new_file_stats={f: s for f, s in stats.items() if f in set(new_files)},
+        new_dvs=dv_out,
+        hdr_meta=hdr_meta,
+        files_out=carried + new_files,
+        stats_out=stats,
+        rows_out=prev_rows,
+        dvs_out=dvs,
+        target=cur + 1,
+        max_retries=max_retries,
+        added_check=_dml_added_check(spark, table, schema, cond, bounds, op),
     )
+
+
+def _dml_added_check(spark, table, schema, cond, bounds, op):
+    """``added_check`` for predicate DML: an interleaved commit's added
+    file conflicts when it holds a LIVE row matching this DML's
+    condition — in either serial order the DML would have touched those
+    rows, so committing around them would silently spare them (Delta's
+    ConcurrentAppendException). Two tiers, same shape as touched-file
+    discovery: manifest-stats dismissal against the caller's ``bounds``
+    (zero IO), then an EXACT masked probe of the survivors — O(the
+    interleaved delta's data), strictly more permissive than Delta's
+    stats-only test, and only paid when a conflict actually restages."""
+    matched_cond = F.coalesce(cond, F.lit(False))
+
+    def check(nheader, added, newcur):
+        nstats = manifest_stats(nheader)
+        nrows = manifest_rows(nheader)
+        suspect = []
+        for f in added:
+            if nrows.get(f) == 0:
+                continue  # physically empty: cannot match
+            if bounds and not all(
+                _extent_overlaps(
+                    nstats.get(f), c, _stats_safe(lo), _stats_safe(hi)
+                )
+                for c, (lo, hi) in bounds.items()
+            ):
+                continue  # provably disjoint from the predicate's bounds
+            suspect.append(f)
+        if suspect:
+            hit = _files_containing(
+                spark,
+                table,
+                schema,
+                sorted(suspect),
+                lambda df: df.where(matched_cond),
+                manifest_dvs(nheader),
+            )
+            if hit:
+                raise CommitConflict(
+                    f"commit_{op} retry on {table!r}: a concurrent commit "
+                    f"added file(s) {sorted(hit)} containing live rows "
+                    "matching this statement's condition; redo the "
+                    f"statement against version {newcur}"
+                )
+
+    return check
 
 
 def commit_delete(
@@ -733,6 +798,7 @@ def commit_delete(
     meta: dict | None = None,
     dv_max_fraction: float | None = None,
     change_feed: bool = False,
+    max_retries: int = 0,
 ) -> int:
     """``DELETE FROM table WHERE condition`` as a commit: files holding
     a matching row are rewritten WITHOUT those rows; every other file is
@@ -750,7 +816,15 @@ def commit_delete(
     ``dv_max_fraction`` opts files whose deleted fraction stays under
     it into DELETION VECTORS instead of rewrites (Delta's DV design):
     a point delete then costs O(deleted rows) metadata, not a file
-    rewrite — see ``_rewrite_matching_files`` for the full contract."""
+    rewrite — see ``_rewrite_matching_files`` for the full contract.
+
+    ``max_retries`` enables optimistic-concurrency RESOLUTION of the
+    version race (Delta's rule): a loser restages O(1) against the new
+    parent when its touched files survived untouched and no interleaved
+    commit added a live row matching ``condition`` — see
+    ``_commit_retrying`` / ``_dml_added_check``. An RTBF delete racing
+    a streaming maintainer's per-micro-batch upserts then commits
+    instead of dying on ``CommitConflict``."""
 
     def rewrite(df, cond):
         return df.where(~F.coalesce(cond, F.lit(False)))
@@ -771,6 +845,7 @@ def commit_delete(
         meta,
         dv_max_fraction=dv_max_fraction,
         change_rows=change_rows if change_feed else None,
+        max_retries=max_retries,
     )
 
 
@@ -782,6 +857,7 @@ def commit_update(
     bounds: dict | None = None,
     meta: dict | None = None,
     change_feed: bool = False,
+    max_retries: int = 0,
 ) -> int:
     """``UPDATE table SET col = expr, ... WHERE condition`` as a commit:
     same touched-file discovery and carry-by-reference as
@@ -838,6 +914,7 @@ def commit_update(
         meta,
         check=check,
         change_rows=change_rows if change_feed else None,
+        max_retries=max_retries,
     )
 
 
@@ -1259,14 +1336,26 @@ def _read_files_masked(
     here so a DV'd row is invisible everywhere at once.
 
     The mask is an anti-join against the (file suffix, row index) pairs
-    of the snapshot's DVs — a driver-built relation bounded by the
-    rewrite threshold, broadcast by AQE. ``_metadata.row_index`` is the
-    parquet reader's own row position (stable: files are immutable),
-    and the ``/_data/``-anchored suffix is the manifest key that
-    matches across clones' absolute paths. ``path_col`` / ``idx_col``
-    optionally keep the physical file path / in-file row position as
-    columns for callers doing touched-file discovery or DV
-    construction."""
+    of the snapshot's DVs. Driver state is DESCRIPTOR-level only — one
+    row per DV'd file, the same O(file count) scale as the file list
+    itself (r8 advice: materializing every file's indices on the driver
+    made a wide RTBF sweep O(total deleted rows) of driver memory on
+    EVERY read until compaction). Indices materialize executor-side:
+    inline DVs explode from their descriptor rows; sidecar DVs are read
+    as a JSON file source and joined back to their data file by the
+    ``/_data/``-anchored suffix (each sidecar lives in its own uuid
+    dir, so its suffix is unique). The anti-join relation is broadcast
+    only while the snapshot's TOTAL deleted-row count — known from the
+    descriptors without loading any sidecar — stays under
+    ``DV_BROADCAST_MAX_ROWS``; past it the join falls back to a shuffle,
+    trading one wide shuffle for not shipping an oversized broadcast.
+
+    ``_metadata.row_index`` is the parquet reader's own row position
+    (stable: files are immutable), and the ``/_data/``-anchored suffix
+    is the manifest key that matches across clones' absolute paths.
+    ``path_col`` / ``idx_col`` optionally keep the physical file path /
+    in-file row position as columns for callers doing touched-file
+    discovery or DV construction."""
     root = table.rstrip("/")
     if not files:
         df = spark.createDataFrame([], schema)
@@ -1284,19 +1373,60 @@ def _read_files_masked(
         "__vt_idx", F.col("_metadata.row_index")
     )
     if live:
-        pairs = [
-            (_relativize(_resolve(root, f)), int(i))
+        suffix_of = lambda f: _relativize(_resolve(root, f))  # noqa: E731
+        rels: list[DataFrame] = []
+        inline = [
+            (suffix_of(f), [int(i) for i in dv["i"]])
             for f, dv in live.items()
-            for i in _dv_indices(spark, table, dv)
+            if "i" in dv
         ]
-        dv_df = spark.createDataFrame(pairs, "__vt_suffix string, __vt_idx long")
+        if inline:
+            rels.append(
+                spark.createDataFrame(
+                    inline, "__vt_suffix string, __vt_dvi array<bigint>"
+                ).select(
+                    "__vt_suffix", F.explode("__vt_dvi").alias("__vt_idx")
+                )
+            )
+        sidecar = [
+            (suffix_of(dv["p"]), suffix_of(f))
+            for f, dv in live.items()
+            if "p" in dv
+        ]
+        if sidecar:
+            sc_map = spark.createDataFrame(
+                sidecar, "__vt_sc string, __vt_suffix string"
+            )
+            sc_suffix = F.concat(
+                F.lit(f"{_DATA}/"),
+                F.substring_index(
+                    F.col("_metadata.file_path"), f"/{_DATA}/", -1
+                ),
+            )
+            sc_idx = (
+                spark.read.schema("i array<bigint>")
+                .json([_resolve(root, dv["p"]) for _, dv in live.items() if "p" in dv])
+                .select(
+                    sc_suffix.alias("__vt_sc"),
+                    F.explode("i").alias("__vt_idx"),
+                )
+            )
+            rels.append(
+                sc_idx.join(F.broadcast(sc_map), "__vt_sc").select(
+                    "__vt_suffix", "__vt_idx"
+                )
+            )
+        dv_df = rels[0] if len(rels) == 1 else rels[0].unionByName(rels[1])
+        total = sum(mf.dv_deleted_count(dv) for dv in live.values())
+        if total <= DV_BROADCAST_MAX_ROWS:
+            dv_df = F.broadcast(dv_df)
         df = df.withColumn(
             "__vt_suffix",
             F.concat(
                 F.lit(f"{_DATA}/"),
                 F.substring_index(F.col("__vt_path"), f"/{_DATA}/", -1),
             ),
-        ).join(F.broadcast(dv_df), ["__vt_suffix", "__vt_idx"], "left_anti")
+        ).join(dv_df, ["__vt_suffix", "__vt_idx"], "left_anti")
     keep = list(cols)
     if path_col:
         keep.append(F.col("__vt_path").alias(path_col))
@@ -1595,24 +1725,26 @@ def commit_upsert(
             )
         files = _write_data_dir(spark, inserts, table, 1)
         stats = _collect_file_stats(spark, table, files, scols)
-        return _commit_upsert_retrying(
+        return _commit_retrying(
             spark,
             table,
-            df,
-            keys,
+            "upsert",
             inserts.schema,
             touched=set(),
+            rewrite_set=set(),
+            base_dvs={},
             based_files=[],
             new_files=files,
             new_file_stats=stats,
+            new_dvs={},
             hdr_meta=dict(meta or {}),
             files_out=files,
             stats_out=stats,
             rows_out={},
             dvs_out={},
-            touched_dvs={},
             target=1,
             max_retries=max_retries,
+            added_check=_upsert_added_check(spark, table, df, keys),
         )
     header, prev_files = read_manifest(spark, table, cur)
     inserts = df.where(not_tombstone).drop(delete_col) if delete_col else df
@@ -1737,67 +1869,91 @@ def commit_upsert(
         hdr_meta["cdf"] = _write_data_dir(
             spark, changes, table, cur + 1, keep_empty=False, prefix="cdf"
         )
-    return _commit_upsert_retrying(
+    return _commit_retrying(
         spark,
         table,
-        df,
-        keys,
+        "upsert",
         schema,
         touched=touched,
+        rewrite_set=touched,
+        base_dvs={f: prev_dvs[f] for f in touched if f in prev_dvs},
         based_files=prev_files,
         new_files=new_files,
         new_file_stats=new_file_stats,
+        new_dvs={},
         hdr_meta=hdr_meta,
         files_out=untouched + new_files,
         stats_out=stats,
         rows_out=manifest_rows(header),
         dvs_out={f: d for f, d in prev_dvs.items() if f not in touched},
-        touched_dvs={f: prev_dvs[f] for f in touched if f in prev_dvs},
         target=cur + 1,
         max_retries=max_retries,
+        added_check=_upsert_added_check(spark, table, df, keys),
     )
 
 
-def _commit_upsert_retrying(
+def _commit_retrying(
     spark: SparkSession,
     table: str,
-    df: DataFrame,
-    keys: list[str],
+    op: str,
     schema: StructType,
     *,
     touched: set,
+    rewrite_set: set,
+    base_dvs: dict,
     based_files: list[str],
     new_files: list[str],
     new_file_stats: dict,
+    new_dvs: dict,
     hdr_meta: dict,
     files_out: list[str],
     stats_out: dict,
     rows_out: dict,
     dvs_out: dict,
-    touched_dvs: dict,
     target: int,
     max_retries: int,
+    added_check=None,
 ) -> int:
-    """Commit an already-performed merge, resolving version-number
-    conflicts by Delta's read-set/write-set rule (see ``commit_upsert``
-    docstring): the restage reuses the merge's written files and is
-    valid only when the interleaved commits left every touched file in
-    place — bytes AND deletion vector (a DV attached concurrently to a
-    file this merge rewrote means the rewrite resurrects the DV'd
-    rows) — and added nothing that may contain a merge key. ``df`` is
-    the ORIGINAL delta (tombstones included — a delete composes with an
-    interleaved insert of the same key no better than an update does);
-    its key range is aggregated lazily, only when a conflict actually
-    produces added files to test."""
+    """Commit already-performed work, resolving version-number conflicts
+    by Delta's read-set/write-set rule — ONE implementation behind
+    ``commit_upsert``, ``commit_delete``, ``commit_update`` and
+    ``commit_compaction`` (r8 verdict #1: every streaming maintainer now
+    commits per micro-batch, so predicate DML races maintainers
+    constantly and must not die permanently on ``CommitConflict``).
+
+    The restage reuses the already-written data files and is valid only
+    when the interleaved commits provably did not invalidate what this
+    commit read:
+
+    * the schema is unchanged;
+    * every file in ``touched`` (the commit's READ SET: files it rewrote
+      OR attached a deletion vector to) is still referenced by the new
+      parent with the SAME deletion vector it was read under —
+      ``base_dvs`` — because the rewrite/DV math was computed against
+      that mask (a concurrently-attached DV would be resurrected by the
+      rewrite, a concurrently-merged DV would be clobbered by ours);
+    * ``added_check(nheader, added_files, newcur)`` — the op-specific
+      read-PREDICATE half: an upsert raises when an added file's key
+      extents may contain a merge key; predicate DML raises when an
+      added file may hold a row matching its condition (a serial-order
+      run after the interleave would have touched those rows); pure
+      layout ops (OPTIMIZE) pass None — concurrent appends compose.
+
+    On success the restage is O(1) metadata against the new parent:
+    ``files_out`` = new parent minus ``rewrite_set`` (the files this
+    commit physically REPLACED — for a DV-only delete this is empty and
+    every parent file is carried) plus ``new_files``; parent metadata is
+    carried for everything else and ``new_dvs`` (DVs this commit
+    attaches) overlays last — valid because the touched-file check just
+    proved their base DVs unchanged."""
     attempt = 0
-    rng: dict | None = None  # lazy {key: (lo, hi)} over the delta
     while True:
         try:
             return _commit(
                 spark,
                 table,
                 target,
-                "upsert",
+                op,
                 schema,
                 files_out,
                 hdr_meta,
@@ -1814,75 +1970,91 @@ def _commit_upsert_retrying(
         ncommitted = StructType.fromJson(json.loads(nheader["schema"]))
         if ncommitted.simpleString() != schema.simpleString():
             raise CommitConflict(
-                f"commit_upsert retry on {table!r}: a concurrent commit "
-                "changed the table schema; redo the merge against version "
+                f"{op} retry on {table!r}: a concurrent commit changed "
+                "the table schema; redo the operation against version "
                 f"{newcur}"
             )
         nset = set(nfiles)
         ndvs = manifest_dvs(nheader)
         if not touched <= nset or any(
-            ndvs.get(f) != touched_dvs.get(f) for f in touched
+            ndvs.get(f) != base_dvs.get(f) for f in touched
         ):
             raise CommitConflict(
-                f"commit_upsert retry on {table!r}: a concurrent commit "
-                "rewrote, removed, or attached a deletion vector to files "
-                "this merge had rewritten (write-write conflict); redo the "
-                f"merge against version {newcur}"
+                f"{op} retry on {table!r}: a concurrent commit rewrote, "
+                "removed, or changed the deletion vector of files this "
+                "operation had read (write-write conflict); redo it "
+                f"against version {newcur}"
             )
         based = set(based_files)
         added = [f for f in nfiles if f not in based]
-        if added:
-            if rng is None:
-                aggs = []
-                for i, k in enumerate(keys):
-                    aggs.append(F.min(k).alias(f"__lo{i}"))
-                    aggs.append(F.max(k).alias(f"__hi{i}"))
-                b = df.select(*keys).agg(*aggs).collect()[0]
-                rng = {
-                    k: (
-                        _stats_safe(b[f"__lo{i}"]),
-                        _stats_safe(b[f"__hi{i}"]),
-                    )
-                    for i, k in enumerate(keys)
-                }
-            nstats = manifest_stats(nheader)
-            nrows = manifest_rows(nheader)
-            for f in added:
-                if nrows.get(f) == 0:
-                    continue  # physically empty: cannot contain any key
-                if all(
-                    _extent_overlaps(nstats.get(f), k, rng[k][0], rng[k][1])
-                    for k in keys
-                ):
-                    raise CommitConflict(
-                        f"commit_upsert retry on {table!r}: a concurrent "
-                        f"commit added file {f!r} whose key extents may "
-                        "contain this merge's keys (or carries no extents "
-                        "to prove otherwise); redo the merge against "
-                        f"version {newcur}"
-                    )
-        # compose: the new parent minus this merge's rewrites, plus the
+        if added and added_check is not None:
+            added_check(nheader, added, newcur)
+        # compose: the new parent minus this op's rewrites, plus the
         # replacement files already written — O(1) metadata, no data IO
         based_files = nfiles
-        files_out = [f for f in nfiles if f not in touched] + new_files
+        files_out = [f for f in nfiles if f not in rewrite_set] + new_files
         stats_out = {
-            f: s for f, s in manifest_stats(nheader).items() if f not in touched
+            f: s
+            for f, s in manifest_stats(nheader).items()
+            if f not in rewrite_set
         }
         stats_out.update(new_file_stats)
         rows_out = manifest_rows(nheader)
-        dvs_out = {f: d for f, d in ndvs.items() if f not in touched}
+        dvs_out = {f: d for f, d in ndvs.items() if f not in rewrite_set}
+        dvs_out.update(new_dvs)
         # keep the audited pruning accounting honest on a restage (r7
-        # advice: the original upsert_io counted against the OLD parent):
+        # advice: the original op_io counted against the OLD parent):
         # annotate rather than silently re-publish stale numbers
-        if "upsert_io" in hdr_meta:
+        io_key = f"{op if op != 'optimize' else 'optimize'}_io"
+        if io_key in hdr_meta:
             hdr_meta = dict(hdr_meta)
-            hdr_meta["upsert_io"] = {
-                **hdr_meta["upsert_io"],
+            hdr_meta[io_key] = {
+                **hdr_meta[io_key],
                 "retries": attempt,
                 "restaged_parent": newcur,
                 "restaged_parent_files": len(nfiles),
             }
         target = newcur + 1
+
+
+def _upsert_added_check(spark, table, df, keys):
+    """``added_check`` for the MERGE shape: an interleaved commit's
+    added file conflicts when its manifest key extents may contain one
+    of this merge's keys (or it carries no extents to prove otherwise).
+    The delta's key range is aggregated lazily, only when a conflict
+    actually produces added files to test."""
+    state: dict = {"rng": None}
+
+    def check(nheader, added, newcur):
+        if state["rng"] is None:
+            aggs = []
+            for i, k in enumerate(keys):
+                aggs.append(F.min(k).alias(f"__lo{i}"))
+                aggs.append(F.max(k).alias(f"__hi{i}"))
+            b = df.select(*keys).agg(*aggs).collect()[0]
+            state["rng"] = {
+                k: (_stats_safe(b[f"__lo{i}"]), _stats_safe(b[f"__hi{i}"]))
+                for i, k in enumerate(keys)
+            }
+        rng = state["rng"]
+        nstats = manifest_stats(nheader)
+        nrows = manifest_rows(nheader)
+        for f in added:
+            if nrows.get(f) == 0:
+                continue  # physically empty: cannot contain any key
+            if all(
+                _extent_overlaps(nstats.get(f), k, rng[k][0], rng[k][1])
+                for k in keys
+            ):
+                raise CommitConflict(
+                    f"commit_upsert retry on {table!r}: a concurrent "
+                    f"commit added file {f!r} whose key extents may "
+                    "contain this merge's keys (or carries no extents "
+                    "to prove otherwise); redo the merge against "
+                    f"version {newcur}"
+                )
+
+    return check
 
 
 def vacuum_versions(
@@ -2056,6 +2228,7 @@ def commit_compaction(
     meta: dict | None = None,
     small_file_rows: int | None = None,
     zorder: bool = False,
+    max_retries: int = 0,
 ) -> int:
     """OPTIMIZE as a COMMIT: rewrite the selected files' data into
     ceil(rows / max_rows_per_file) files range-clustered on
@@ -2215,19 +2388,34 @@ def commit_compaction(
         "files_after": len(carried) + len(new_files),
         "rows": n,
     }
-    return _commit(
+    new_stats = {f: s for f, s in stats.items() if f not in car}
+    # added_check=None: OPTIMIZE has no read PREDICATE — a concurrent
+    # append's files simply are not compacted this round (Delta's rule:
+    # layout ops never conflict with appends); the touched-file check
+    # still rejects a concurrent rewrite/DV of any selected file, whose
+    # rows this rewrite already re-emitted from the OLD mask.
+    return _commit_retrying(
         spark,
         table,
-        cur + 1,
         "optimize",
         schema,
-        carried + new_files,
-        hdr_meta,
-        stats,
-        rows=manifest_rows(header),
+        touched=sel,
+        rewrite_set=sel,
+        base_dvs={f: dvs_map[f] for f in sel if f in dvs_map},
+        based_files=prev_files,
+        new_files=new_files,
+        new_file_stats=new_stats,
+        new_dvs={},
+        hdr_meta=hdr_meta,
+        files_out=carried + new_files,
+        stats_out=stats,
+        rows_out=manifest_rows(header),
         # compaction APPLIED the selected files' DVs (the rewrite read
         # was masked); only carried files may keep theirs
-        dvs={f: d for f, d in dvs_map.items() if f not in sel},
+        dvs_out={f: d for f, d in dvs_map.items() if f not in sel},
+        target=cur + 1,
+        max_retries=max_retries,
+        added_check=None,
     )
 
 

@@ -162,14 +162,27 @@ def _vt_read_manifest(table: str, version: int):
     return header, list(state["files"])
 
 
-def _vt_dv_indices(table: str, dv: dict) -> list[int]:
-    """Materialize a DV descriptor's deleted-row positions (driver-side;
-    the resolved plain list ships to executors inside the partition)."""
+def _vt_dv_descriptor(table: str, dv: dict) -> dict:
+    """DV descriptor to ship inside a partition: inline indices pass
+    through (bounded by ``manifest_format.DV_INLINE_MAX`` per file); a
+    sidecar ships as its RESOLVED path and the executor read loads the
+    index list there (r8 advice: resolving every sidecar driver-side
+    made planning a wide-RTBF snapshot O(total deleted rows) of driver
+    memory and pickled partition bytes)."""
+    if "i" in dv:
+        return {"i": list(dv["i"])}
+    return {"p": _vt_resolve(table, dv["p"])}
+
+
+def _vt_dv_load(dv: dict | None) -> list[int]:
+    """Executor-side materialization of a shipped DV descriptor."""
     import json
 
+    if not dv:
+        return []
     if "i" in dv:
         return list(dv["i"])
-    with open(_vt_resolve(table, dv["p"])) as f:
+    with open(dv["p"]) as f:
         return json.load(f)["i"]
 
 
@@ -267,14 +280,14 @@ class _VTFile(InputPartition):
     snapshot (e.g. after a delete-everything DML commit, whose manifest
     references no files): Spark's Python DataSource API needs at least
     one partition, and the read of the placeholder yields no batches.
-    ``dv`` carries the file's deletion-vector row positions (already
-    resolved driver-side — sidecars never ship) for the executor read
-    to mask."""
+    ``dv`` carries the file's deletion-vector DESCRIPTOR (inline
+    indices, or a resolved sidecar path the executor loads) for the
+    read to mask — index lists never materialize on the driver."""
 
     def __init__(
         self,
         path: str | None,
-        dv: list[int] | None = None,
+        dv: dict | None = None,
         consts: list | None = None,
     ):
         self.path = path
@@ -306,7 +319,9 @@ def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
 
         keep = np.setdiff1d(
             np.arange(tbl.num_rows, dtype="int64"),
-            np.asarray(sorted(set(partition.dv)), dtype="int64"),
+            np.asarray(
+                sorted(set(_vt_dv_load(partition.dv))), dtype="int64"
+            ),
         )
         tbl = tbl.take(pa.array(keep))
     for name, val, typ in getattr(partition, "consts", None) or []:
@@ -392,7 +407,7 @@ class _VTBatchReader(DataSourceReader):
         return [
             _VTFile(
                 _vt_resolve(self.table, f),
-                _vt_dv_indices(self.table, dvs[f]) if dvs.get(f) else None,
+                _vt_dv_descriptor(self.table, dvs[f]) if dvs.get(f) else None,
             )
             for f in files
         ]

@@ -678,3 +678,27 @@ def test_optimize_zorder_refuses_non_integral_columns(spark, table):
         commit_compaction(spark, table, 5, ["tag", "k"], zorder=True)
     with pytest.raises(ValueError, match="INTEGRAL"):
         commit_compaction(spark, table, 5, ["k", "missing"], zorder=True)
+
+
+def test_sidecar_dv_masks_through_engine_and_connector(spark, table):
+    """r9: DV index lists must materialize EXECUTOR-side on both faces —
+    the engine's mask reads sidecars as a JSON file source, the
+    connector ships only the descriptor (path) inside the partition.
+    Gate: a past-inline-cap sidecar DV masks identically through
+    read_version and the versioned_table connector."""
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    n = 4 * mf.DV_INLINE_MAX
+    cut = mf.DV_INLINE_MAX + 1
+    commit_version(spark, _df(spark, 0, n).coalesce(1), table)
+    commit_delete(spark, table, f"k < {cut}", dv_max_fraction=0.5)
+    hdr, _ = read_manifest(spark, table, 2)
+    (dv,) = manifest_dvs(hdr).values()
+    assert "p" in dv  # genuinely spilled
+    got = read_version(spark, table)
+    assert got.count() == n - cut
+    assert got.agg(F.min("k")).first()[0] == cut
+    register_versioned_table_source(spark)
+    via_conn = spark.read.format("versioned_table").option("path", table).load()
+    assert via_conn.count() == n - cut
+    assert via_conn.where(f"k < {cut}").count() == 0
