@@ -442,6 +442,34 @@ class _VTStreamReader(DataSourceStreamReader):
         # ops.versioned.read_change_feed for the batch face + contract)
         self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         self.starting = options.get("startingversion")
+        # maxFilesPerTrigger — Delta's admission control: cap how many
+        # data/change files one micro-batch may plan, so a consumer
+        # catching up after downtime drains pending versions in BOUNDED
+        # batches instead of one unbounded catch-up batch (the r8
+        # verdict's last unbounded-batch hazard). Offsets are version-
+        # granular, so at least one full version is always admitted per
+        # trigger even when it alone exceeds the cap (Delta admits at
+        # least one file the same way). The per-version file counts come
+        # from the fmt-2 markers' own action lines — one marker read per
+        # version, no snapshot replay.
+        raw_cap = options.get("maxfilespertrigger")
+        self.max_files = int(raw_cap) if raw_cap is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError(
+                f"versioned_table: maxFilesPerTrigger must be >= 1, got "
+                f"{raw_cap!r}"
+            )
+        # admission-control cursor: the newest version already planned
+        # (or replayed) by THIS reader. The Python DataSource API hands
+        # latestOffset() no start offset, so the cap measures from here.
+        # Seeded to the stream's starting base because Spark calls
+        # latestOffset() BEFORE initialOffset() on a fresh stream
+        # (observed call order, pyspark 4.1); on a RESTART, Spark first
+        # replays commit(end) with the checkpointed offset (and
+        # partitions(start, end) for an unfinished batch), both of which
+        # only ever ADVANCE the cursor — so a capped latestOffset can
+        # never regress behind the checkpoint and re-emit versions.
+        self._cursor: int | None = self._starting_base()
         cur = _vt_current_version(self.table)
         # the stream's schema is FIXED at start (Spark resolves it once);
         # align every commit's files to it — older files pad evolved
@@ -454,26 +482,66 @@ class _VTStreamReader(DataSourceStreamReader):
         if self.cdf and self._schema_json is not None:
             self._schema_json = _vt_cdf_schema_json(self._schema_json)
 
-    def initialOffset(self) -> dict:
+    def _starting_base(self) -> int:
         # Delta's startingVersion: stream changes FROM version N
         # (inclusive) instead of replaying the initial snapshot;
         # "latest" starts past everything committed at stream start.
         if self.starting is None:
-            return {"version": 0}
+            return 0
         if str(self.starting).lower() == "latest":
-            return {"version": _vt_current_version(self.table) or 0}
+            return _vt_current_version(self.table) or 0
         n = int(self.starting)
         if n < 1:
             raise ValueError(
                 f"versioned_table: startingVersion must be >= 1 or "
                 f"'latest', got {self.starting!r}"
             )
-        return {"version": n - 1}
+        return n - 1
+
+    def initialOffset(self) -> dict:
+        base = self._starting_base()
+        if self._cursor is None or base > self._cursor:
+            self._cursor = base
+        return {"version": base}
+
+    def _version_file_count(self, v: int) -> int:
+        """Files version ``v`` would contribute to a micro-batch — the
+        admission-control unit. One marker read; a legacy full-list
+        marker answers 'the cap' (unknown delta without a snapshot
+        replay: admit it alone rather than pay O(state) per trigger)."""
+        from otus_cpp_11_spark.ops import manifest_format as mf
+
+        hdr, body = mf.parse_marker(
+            _vt_read_text(self.table, mf.marker_name(v))
+        )
+        if self.cdf and hdr.get("cdf") is not None:
+            return len(hdr["cdf"])
+        added = mf.marker_added_files(hdr, body)
+        if added is None:
+            return self.max_files or 1  # legacy marker: admit it alone
+        return len(added)
 
     def latestOffset(self) -> dict:
-        return {"version": _vt_current_version(self.table) or 0}
+        cur = _vt_current_version(self.table) or 0
+        if self.max_files is None or self._cursor is None or cur <= self._cursor:
+            return {"version": cur}
+        # admit whole versions while the running file count stays under
+        # the cap; always admit the first pending version (progress must
+        # never stall on a single oversized commit)
+        end, total = self._cursor, 0
+        for v in range(self._cursor + 1, cur + 1):
+            n = self._version_file_count(v)
+            if end > self._cursor and total + n > self.max_files:
+                break
+            end, total = v, total + n
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # the planned range is authoritative for the admission cursor —
+        # a replayed (restart) batch teaches a fresh reader its position
+        hi_seen = max(int(start["version"]), int(end["version"]))
+        if self._cursor is None or hi_seen > self._cursor:
+            self._cursor = hi_seen
         if self.cdf:
             return self._cdf_partitions(start, end)
         from otus_cpp_11_spark.ops import manifest_format as mf
@@ -580,7 +648,11 @@ class _VTStreamReader(DataSourceStreamReader):
         return _vt_read_file(partition, self._schema_json)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the checkpoint; manifests immutable
+        # offsets are durable in the checkpoint; manifests immutable —
+        # only the admission cursor advances here
+        v = int(end["version"])
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
 
 
 class VersionedTableDataSource(DataSource):
@@ -591,8 +663,11 @@ class VersionedTableDataSource(DataSource):
     Delta-parity options: batch ``versionAsOf`` / ``timestampAsOf``
     (time travel; timestamp resolves through commit-marker mtimes),
     stream ``startingVersion`` (``N`` streams changes from version N
-    inclusive, ``latest`` skips everything already committed) and
-    ``skipChangeCommits``. Paths are plain-filesystem here (the
+    inclusive, ``latest`` skips everything already committed),
+    ``skipChangeCommits``, and ``maxFilesPerTrigger`` (admission
+    control: bound each micro-batch's planned files at version
+    granularity — see ``_VTStreamReader``). Paths are plain-filesystem
+    here (the
     connector runs driver-side manifest reads through ``open``); an
     object-store deployment swaps these few lines for its client, the
     protocol is unchanged."""
