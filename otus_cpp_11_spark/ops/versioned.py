@@ -918,13 +918,47 @@ def commit_update(
     )
 
 
+def _iter_states(spark: SparkSession, table: str, versions: list[int]):
+    """Yield ``(version, header, files, state)`` for the requested
+    committed versions in ASCENDING order, replaying each commit marker
+    exactly ONCE through a shared mutable state — O(total markers +
+    state), where calling ``read_manifest`` per version would be
+    O(versions × state) of driver JSON reconstruction (r8 advice:
+    ``table_history`` and ``vacuum_versions`` both paid that on
+    long-retention tables). ``header`` is the version's OWN marker
+    header; ``files`` is the snapshot file list; ``state`` holds the
+    reconstructed ``rows``/``stats``/``dv`` maps and is REUSED across
+    yields — consumers must extract what they need before advancing.
+    A hole in the marker chain (externally deleted marker between two
+    requested versions) re-anchors through checkpoint reconstruction
+    instead of failing the sweep."""
+    state: dict | None = None
+    at = 0
+    for v in sorted(set(versions)):
+        header = None
+        if state is not None:
+            try:
+                for step in range(at + 1, v + 1):
+                    header, body = parse_commit(spark, table, step)
+                    mf.apply_marker(state, header, body)
+            except FileNotFoundError:
+                state = None  # hole in the chain: re-anchor below
+        if state is None:
+            state = _load_state(spark, table, v)
+            state["files"] = dict.fromkeys(state["files"])
+            header, _ = parse_commit(spark, table, v)
+        at = v
+        yield v, header, list(state["files"]), state
+
+
 def table_history(spark: SparkSession, table: str) -> DataFrame:
     """DESCRIBE HISTORY parity: one row per committed version, newest
     first — version, op, parent, file/row totals, the operation metrics
     the commit recorded (upsert/optimize IO accounting, restore/clone
     lineage) and any caller metadata, both as JSON strings (their keys
-    are open-ended). Driver-side work is one manifest read per retained
-    version — the same bounded metadata any table open already pays."""
+    are open-ended). Driver-side work is ONE incremental marker replay
+    across the whole retained history (``_iter_states``), not a
+    from-scratch snapshot reconstruction per version."""
     known = {"op", "parent", "schema", "stats", "rows", "dv", "fmt"}
     metrics_keys = (
         "upsert_io",
@@ -935,10 +969,11 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
         "cloned_from",
     )
     recs = []
-    for v in list_versions(spark, table):
-        header, files = read_manifest(spark, table, v)
-        rows = manifest_rows(header)
-        dvs = manifest_dvs(header)
+    for v, header, files, state in _iter_states(
+        spark, table, list_versions(spark, table)
+    ):
+        rows = state["rows"]
+        dvs = state["dv"]
         metrics = {k: header[k] for k in metrics_keys if k in header}
         extra = {
             k: header[k]
@@ -2096,10 +2131,17 @@ def vacuum_versions(
     drop = [v for v in versions if v not in keep]
     if drop:
         horizon = min(keep)
-        _write_checkpoint(
-            spark, table, horizon, _load_state(spark, table, horizon)
-        )
-        if not fs.exists(_jp(spark, table, _COMMITS, mf.ckpt_name(horizon))):
+        ck = _jp(spark, table, _COMMITS, mf.ckpt_name(horizon))
+        # a checkpoint already at the horizon (a routine every-N one, or
+        # a previous vacuum's) makes the render a no-op — the
+        # per-micro-batch maintainers vacuum after every commit, and
+        # re-rendering O(table state) each batch would undo the
+        # O(delta)-metadata goal for streaming sinks (r8 advice)
+        if not fs.exists(ck):
+            _write_checkpoint(
+                spark, table, horizon, _load_state(spark, table, horizon)
+            )
+        if not fs.exists(ck):
             raise IOError(
                 f"vacuum: could not place the retention-horizon checkpoint "
                 f"{mf.ckpt_name(horizon)} for {table!r}; dropping older "
@@ -2107,24 +2149,23 @@ def vacuum_versions(
                 "nothing was deleted"
             )
 
-    def _refs(v: int) -> set[str]:
-        header, files = read_manifest(spark, table, v)
+    # per-version referenced paths (snapshot files + DV sidecars + the
+    # version's own change files — "cdf" is never carried into snapshot
+    # state and lives for exactly its version's retention), computed in
+    # ONE incremental marker replay over keep+drop and read BEFORE any
+    # marker deletion (reconstruction needs the markers)
+    refs_by_v: dict[int, set[str]] = {}
+    for v, header, files, state in _iter_states(spark, table, keep + drop):
         refs = set(files)
-        for dv in manifest_dvs(header).values():
+        for dv in state["dv"].values():
             if dv and "p" in dv:
                 refs.add(dv["p"])
-        # change files belong to exactly ONE version (the header's own
-        # "cdf" list, never carried into snapshot state) and live for
-        # exactly that version's retention
         refs.update(header.get("cdf") or [])
-        return refs
-
+        refs_by_v[v] = refs
     kept_refs: set[str] = set()
     for v in keep:
-        kept_refs |= _refs(v)
-    drop_refs_by_v = {
-        v: _refs(v) for v in drop
-    }  # read BEFORE marker deletion — reconstruction needs the markers
+        kept_refs |= refs_by_v[v]
+    drop_refs_by_v = {v: refs_by_v[v] for v in drop}
     removed = []
     dropped_refs: set[str] = set()
     for v in drop:
@@ -2299,73 +2340,91 @@ def commit_compaction(
         else spark.createDataFrame([], schema)
     )
     if zorder:
-        # OPTIMIZE ZORDER BY (Delta): cluster on the Morton interleave
-        # of the two cluster columns' normalized bucket ids instead of
-        # their lexicographic order — every output file's (c1, c2)
-        # extents become a tight rectangle <= 1/2^Z_BITS of EACH
-        # domain, so scan_version prunes conjunctive 2-D predicates on
-        # both dimensions (a lexicographic sort clusters c1 and leaves
-        # c2 predicates scanning everything). Pure integer math shared
-        # with the layout planner (ops.zorder); the count and bounds
-        # come from ONE metadata pass, inlined as literals.
+        # OPTIMIZE ZORDER BY (Delta): cluster on the round-robin Morton
+        # interleave of the N cluster columns' normalized bucket ids
+        # instead of their lexicographic order — every output file's
+        # extents become a tight hyper-rectangle <= 1/2^Z_BITS of EACH
+        # bucketed domain, so scan_version prunes conjunctive
+        # predicates on every dimension (a lexicographic sort clusters
+        # the leading column and leaves the others scanning
+        # everything). Pure integer math shared with the layout planner
+        # (ops.zorder); the count and bounds come from ONE metadata
+        # pass, inlined as literals.
         from pyspark.sql.types import IntegralType
 
-        from otus_cpp_11_spark.ops.zorder import Z_BITS, z_interleave
+        from otus_cpp_11_spark.ops.zorder import Z_BITS, zn_interleave
 
-        if len(cluster_cols) != 2:
+        if len(cluster_cols) < 2:
             raise ValueError(
-                "commit_compaction(zorder=True) interleaves exactly two "
+                "commit_compaction(zorder=True) interleaves two or more "
                 f"cluster columns, got {cluster_cols!r}"
             )
-        c1, c2 = cluster_cols
+        want = set(cluster_cols)
+        have = {f.name: f for f in schema.fields if f.name in want}
         bad = [
-            f.name
-            for f in schema.fields
-            if f.name in (c1, c2) and not isinstance(f.dataType, IntegralType)
+            n_
+            for n_, f in have.items()
+            if not isinstance(f.dataType, IntegralType)
         ]
-        if bad or len([f for f in schema.fields if f.name in (c1, c2)]) != 2:
+        if bad or len(have) != len(want):
             # a string column's bucket arithmetic silently NULLs out
             # (every row lands in one range partition — one giant file,
             # no pruning, no error), so gate types up front
             raise ValueError(
-                "commit_compaction(zorder=True) needs two INTEGRAL "
-                f"cluster columns present in the schema; offending/"
-                f"missing: {bad or [c1, c2]!r}"
+                "commit_compaction(zorder=True) needs INTEGRAL cluster "
+                "columns present in the schema; offending/missing: "
+                f"{bad or sorted(want - set(have))!r}"
             )
-        # the row count the bin-packing needs and the two columns'
-        # bounds in a single 1-row aggregate (the non-zorder path's
-        # plain count() would make this a second full read)
-        row = df.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min(c1).alias("__lo1"),
-            F.max(c1).alias("__hi1"),
-            F.min(c2).alias("__lo2"),
-            F.max(c2).alias("__hi2"),
-        ).first()
+        # the row count the bin-packing needs and every column's bounds
+        # in a single 1-row aggregate (the non-zorder path's plain
+        # count() would make this a second full read)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(cluster_cols):
+            aggs.append(F.min(df[c]).alias(f"__lo{i}"))
+            aggs.append(F.max(df[c]).alias(f"__hi{i}"))
+        row = df.agg(*aggs).first()
         n, n_out = row["__n"], max(1, -(-row["__n"] // max_rows_per_file))
         buckets = 2**Z_BITS
-        # an all-NULL column degrades to bucket arithmetic on 0 (every
-        # row NULL -> one z-cell) — the key tie-breaks below still split
-        # the output into n_out range partitions
-        lo1 = row["__lo1"] if row["__lo1"] is not None else 0
-        lo2 = row["__lo2"] if row["__lo2"] is not None else 0
-        w1 = (row["__hi1"] or 0) - lo1 + 1
-        w2 = (row["__hi2"] or 0) - lo2 + 1
-        # the raw keys ride as range tie-breaks after __zv: __zv has only
-        # 2^(2*Z_BITS) distinct values, and without tie-breaks a large
-        # table would silently cap at that many output files, each far
-        # over max_rows_per_file
+        # bucket id = (c div step) - (lo div step), clamped to the top
+        # bucket: WIDTH-FIRST division (r8 advice) — the old
+        # ((c - lo) * buckets) div w multiplies before dividing and
+        # silently wraps long for extreme-range keys, and even (c - lo)
+        # can overflow when lo is deeply negative; dividing each term
+        # first keeps every intermediate within the column's own range.
+        # Truncating div is monotone for step > 0, so the mapping
+        # preserves order; the clamp absorbs the one extra boundary
+        # bucket the floor-difference form can emit. An all-NULL column
+        # degrades to a NULL z-value (one range partition) — the key
+        # tie-breaks below still split the output into n_out files.
+        proj = df
+        pcols: list[str] = []
+        for i, c in enumerate(cluster_cols):
+            lo = row[f"__lo{i}"] if row[f"__lo{i}"] is not None else 0
+            w = (row[f"__hi{i}"] if row[f"__hi{i}"] is not None else 0) - lo + 1
+            step = -(-w // buckets)  # ceil(w / buckets), driver-side exact
+            # anchor = floor(lo / step), computed driver-side in exact
+            # Python arithmetic (Spark div truncates toward zero, which
+            # would misanchor a negative lo); row-side work is one div
+            # and one subtract of a literal — non-negative because
+            # trunc(c/step) >= floor(lo/step) for every c >= lo
+            anchor = lo // step
+            proj = proj.withColumn(
+                f"__p{i}",
+                F.least(
+                    F.lit(buckets - 1),
+                    F.expr(f"(`{c}` div {step}) - ({anchor})"),
+                ),
+            )
+            pcols.append(f"__p{i}")
+        # the raw keys ride as range tie-breaks after __zv: __zv has
+        # only 2^(N*Z_BITS) distinct values, and without tie-breaks a
+        # large table would silently cap at that many output files,
+        # each far over max_rows_per_file
         packed = (
-            df.withColumn(
-                "__px", F.expr(f"(({c1} - {lo1}) * {buckets}) div {w1}")
-            )
-            .withColumn(
-                "__py", F.expr(f"(({c2} - {lo2}) * {buckets}) div {w2}")
-            )
-            .withColumn("__zv", z_interleave("__px", "__py"))
-            .repartitionByRange(n_out, "__zv", c1, c2)
-            .sortWithinPartitions("__zv", c1, c2)
-            .drop("__px", "__py", "__zv")
+            proj.withColumn("__zv", zn_interleave(pcols))
+            .repartitionByRange(n_out, "__zv", *cluster_cols)
+            .sortWithinPartitions("__zv", *cluster_cols)
+            .drop(*pcols, "__zv")
         ) if n else df.coalesce(1)
     else:
         n = df.count()

@@ -23,17 +23,62 @@ from pyspark.sql import functions as F
 Z_BITS = 4  # 16 buckets per dimension -> 8-bit z-value, 256 cells
 
 
-def z_interleave(px: str, py: str, bits: int = Z_BITS):
-    """Morton-interleave two ``bits``-bit bucket-id columns (``px`` gets
-    the odd bits). Pure div/mod integer math — exact in both engines."""
+def zn_interleave(cols: list[str], bits: int = Z_BITS):
+    """Round-robin Morton interleave of N non-negative ``bits``-bit
+    bucket-id columns (Delta ZORDER BY takes N columns; r8 verdict #3
+    generalized the 2-D special case): bit ``i`` of column ``j`` lands
+    at output position ``i*N + (N-1-j)``, so every column contributes
+    one bit per round and cell extents stay <= 1/2^bits of EACH
+    column's bucketed domain. Column names are backtick-quoted inside
+    the generated expression (r8 advice: raw interpolation broke names
+    needing quoting). Pure div/mod integer math — exact in both
+    engines; ``bits * N`` terms, far under Catalyst's expression-depth
+    limits for any sane N."""
+    n = len(cols)
+    quoted = [_quote(c) for c in cols]
     z = F.lit(0)
     for i in range(bits):
-        z = (
-            z
-            + F.expr(f"(({px} div {2 ** i}) % 2) * {2 ** (2 * i + 1)}")
-            + F.expr(f"(({py} div {2 ** i}) % 2) * {2 ** (2 * i)}")
-        )
+        for j, c in enumerate(quoted):
+            z = z + F.expr(
+                f"(({c} div {2 ** i}) % 2) * {2 ** (i * n + (n - 1 - j))}"
+            )
     return z
+
+
+def _quote(c: str) -> str:
+    """Backtick a bare column name; pass a composite EXPRESSION through
+    parenthesized (several callers hand z_interleave whole bucket
+    expressions, which quoting would corrupt)."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+        return f"`{c}`"
+    return f"({c})"
+
+
+def zn_sql(cols: list[str], bits: int = Z_BITS) -> str:
+    """DuckDB twin of ``zn_interleave`` (// for integer division;
+    bare identifiers double-quoted, composite expressions passed
+    through parenthesized)."""
+    import re
+
+    n = len(cols)
+    q = [
+        f'"{c}"' if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c) else f"({c})"
+        for c in cols
+    ]
+    return " + ".join(
+        f"(({c} // {2 ** i}) % 2) * {2 ** (i * n + (n - 1 - j))}"
+        for i in range(bits)
+        for j, c in enumerate(q)
+    )
+
+
+def z_interleave(px: str, py: str, bits: int = Z_BITS):
+    """Morton-interleave two ``bits``-bit bucket-id columns (``px`` gets
+    the odd bits) — the 2-D special case of ``zn_interleave``, kept as
+    the layout-accounting queries' stable entry point."""
+    return zn_interleave([px, py], bits)
 
 
 def z_sql(px: str = "px", py: str = "py", bits: int = Z_BITS) -> str:

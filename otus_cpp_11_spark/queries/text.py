@@ -1268,7 +1268,7 @@ c AS (
 )
 SELECT source, n, a1, b1, n11, n00,
        CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
-         / (n * n - (a1 * b1 + (n - a1) * (n - b1))) AS kappa
+         / NULLIF(n * n - (a1 * b1 + (n - a1) * (n - b1)), 0) AS kappa
 FROM c
 ORDER BY source
 """,
@@ -1285,9 +1285,15 @@ def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: kappa is ONE division of two integer expressions —
     n*(n11+n00) - (a1*b1 + (n-a1)*(n-b1)) over n^2 - the same — so both
     engines divide identical integers and the hash gate holds without
-    float-order caveats. Plan: one linear pass, map-side partial
-    aggregation to one row per source; the text-reading rater and the
-    metadata rater evaluate in the same projection (no second scan)."""
+    float-order caveats. The denominator is ZERO exactly when both
+    gates are constant within a source (kappa undefined — every doc
+    passes or fails both raters identically); both sides return NULL
+    there via an explicit guard (Spark) / NULLIF (DuckDB), because
+    Spark's non-ANSI divide-by-zero NULL is not contractually the same
+    as DuckDB's double division (r8 advice). Plan: one linear pass,
+    map-side partial aggregation to one row per source; the
+    text-reading rater and the metadata rater evaluate in the same
+    projection (no second scan)."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     n_tokens = F.size(toks)
@@ -1322,6 +1328,7 @@ def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     chance = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
         F.col("n") - F.col("b1")
     )
+    denom = F.col("n") * F.col("n") - chance
     return c.select(
         "source",
         "n",
@@ -1329,7 +1336,7 @@ def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b1",
         "n11",
         "n00",
-        ((agree - chance).cast("double") / (F.col("n") * F.col("n") - chance)).alias(
+        F.when(denom != 0, (agree - chance).cast("double") / denom).alias(
             "kappa"
         ),
     ).orderBy("source")

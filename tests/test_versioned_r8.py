@@ -702,3 +702,61 @@ def test_sidecar_dv_masks_through_engine_and_connector(spark, table):
     via_conn = spark.read.format("versioned_table").option("path", table).load()
     assert via_conn.count() == n - cut
     assert via_conn.where(f"k < {cut}").count() == 0
+
+
+def test_optimize_zorder_three_columns_prunes_every_dimension(spark, tmp_path):
+    """r9: N-column ZORDER BY (round-robin bit interleave). On a 16^3
+    grid compacted to 16 files, a narrow probe on ANY one of the three
+    dimensions dismisses at least half the files from the manifest
+    alone; lexicographic clustering scans everything for the two
+    non-leading dimensions. Answers are identical on both layouts."""
+    from otus_cpp_11_spark.ops.versioned import commit_compaction
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 16).alias("a"),
+        ((F.col("id") / 16).cast("long") % 16).alias("b"),
+        (F.col("id") / 256).cast("long").alias("c"),
+        F.col("id").alias("payload"),
+    )
+    lex, zed = str(tmp_path / "lex3"), str(tmp_path / "zed3")
+    for path in (lex, zed):
+        commit_version(spark, df.repartition(8), path)
+    commit_compaction(spark, lex, 256, ["a", "b", "c"])
+    commit_compaction(spark, zed, 256, ["a", "b", "c"], zorder=True)
+    rows = lambda d: sorted(  # noqa: E731
+        (r.a, r.b, r.c, r.payload) for r in d.collect()
+    )
+    for dim in ("a", "b", "c"):
+        probe = {dim: (2, 3)}
+        got_lex, acct_lex = scan_version(spark, lex, probe)
+        got_zed, acct_zed = scan_version(spark, zed, probe)
+        assert rows(got_lex) == rows(got_zed)
+        assert acct_zed["files_total"] == 16
+        assert acct_zed["files_scanned"] <= 8, (dim, acct_zed)
+        if dim != "a":  # lexicographic only ever prunes the leader
+            assert acct_lex["files_scanned"] == 16, (dim, acct_lex)
+
+
+def test_optimize_zorder_extreme_range_keys_no_overflow(spark, table):
+    """r9 (r8 advice): bucket math must divide width-first — the old
+    ((c - lo) * buckets) div w form wraps long for extreme-range keys,
+    silently garbling cluster ids. Keys spanning ~2^63 must cluster
+    tightly enough that a one-value probe prunes most files, and the
+    rows must round-trip exactly."""
+    from otus_cpp_11_spark.ops.versioned import commit_compaction
+
+    n = 4096
+    df = spark.range(n).select(
+        ((F.col("id") % 64 - 32) * F.lit(2**57).cast("long")).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+    )
+    commit_version(spark, df.repartition(8), table)
+    commit_compaction(spark, table, 256, ["a", "b"], zorder=True)
+    got = read_version(spark, table)
+    assert got.count() == n
+    assert got.agg(F.sum("b")).first()[0] == df.agg(F.sum("b")).first()[0]
+    lo = -32 * 2**57
+    _, acct = scan_version(spark, table, {"a": (lo, lo)})
+    assert acct["files_total"] == 16
+    assert acct["files_scanned"] <= 8, acct
