@@ -1869,3 +1869,407 @@ def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Trained PQ codebook (one exact Lloyd refinement per subvector space) and
+# the recall gate proving training helps — r8 verdict item 4.
+# --------------------------------------------------------------------------
+
+PQ_RQ_N = 8  # eval queries: vec_id in [PQ_CODEBOOK, PQ_CODEBOOK + PQ_RQ_N)
+PQ_RQ_K = 5  # recall@k
+_PQ_FULL = PQ_SUBVECTORS * PQ_DSUB
+_PQ_MEAN_DIGITS = 7  # fixed-point digits of the centroid mean (kmeans recipe)
+
+
+def _pq_init_slices(e: DataFrame) -> dict[tuple[int, int], list[float]]:
+    """The init codebook reshaped per (subvector, code) slice."""
+    cents = _pq_centroids(e)
+    return {
+        (s, c): cents[c][s * PQ_DSUB : (s + 1) * PQ_DSUB]
+        for s in range(PQ_SUBVECTORS)
+        for c in range(PQ_CODEBOOK)
+    }
+
+
+def _pq_slice_mat(slices: dict[tuple[int, int], list[float]]):
+    """(PQ_SUBVECTORS, PQ_CODEBOOK, PQ_DSUB) float64 codebook matrix."""
+    import numpy as np
+
+    return np.array(
+        [
+            [slices[(s, c)] for c in range(PQ_CODEBOOK)]
+            for s in range(PQ_SUBVECTORS)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _pq_encode_np(emb, cmat):
+    """Vectorized encode of an (n, dim) float64 batch against a slice
+    codebook matrix -> (n, PQ_SUBVECTORS) int64 codes. Bit-identical to
+    the Column-expression encode (the ``pq_encode_arrow`` argument:
+    same float64 association order, every floored term < 2^53 so the
+    floor is exact, int64 sums, np.argmin's first-minimum IS the code
+    tie-break)."""
+    import numpy as np
+
+    codes = np.empty((emb.shape[0], PQ_SUBVECTORS), dtype=np.int64)
+    for s in range(PQ_SUBVECTORS):
+        lo, hi = s * PQ_DSUB, (s + 1) * PQ_DSUB
+        d = emb[:, None, lo:hi] - cmat[s][None, :, :]
+        terms = np.floor(d * d * float(PQ_SCALE)).astype(np.int64)
+        codes[:, s] = np.argmin(terms.sum(axis=2), axis=1)
+    return codes
+
+
+def _pq_trained_slices(e: DataFrame) -> dict[tuple[int, int], list[float]]:
+    """ONE exact Lloyd refinement of the init codebook per subvector
+    space, entirely in-engine: assign every subvector to its nearest
+    init centroid (the Arrow-vectorized twin of the fixed-point encode),
+    then recompute each centroid as the fixed-point mean of its members
+    (the ``kmeans_assign_update`` recipe, so DuckDB reproduces every
+    trained value bit-for-bit: per-element floor(v * 10^7) partials are
+    exact int64, summed losslessly by Spark, divided in the oracle's
+    double order). Codes with no members keep their init slice
+    (standard k-means empty-cluster handling). The collect is
+    PQ_SUBVECTORS x PQ_CODEBOOK x PQ_DSUB rows — a bounded model
+    artifact, same class as the init-codebook collect. Further
+    iterations are this function looped with the output fed back in
+    (the ``connected_components`` driver-loop pattern); one refinement
+    is the oracle-checkable unit the recall gate measures."""
+    import numpy as np
+    import pandas as pd
+
+    slices = _pq_init_slices(e)
+    cmat = _pq_slice_mat(slices)
+    mean_scale = float(10**_PQ_MEAN_DIGITS)
+
+    def partials(batches):
+        # per-batch partial sums: (s, code, i) -> (sum of floor(v*1e7),
+        # member count) — exact int64, so the cross-batch combine is a
+        # plain bigint SUM and batch boundaries cannot affect the mean
+        for pdf in batches:
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = _pq_encode_np(emb, cmat)
+            rows = []
+            for s in range(PQ_SUBVECTORS):
+                sub = np.floor(
+                    emb[:, s * PQ_DSUB : (s + 1) * PQ_DSUB] * mean_scale
+                ).astype(np.int64)
+                for c in range(PQ_CODEBOOK):
+                    m = codes[:, s] == c
+                    n = int(m.sum())
+                    if not n:
+                        continue
+                    ssum = sub[m].sum(axis=0)
+                    rows.extend(
+                        (s, c, i + 1, int(ssum[i]), n)
+                        for i in range(PQ_DSUB)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["s", "code", "i", "ssum", "cnt"]
+            )
+
+    upd = (
+        spread(e.select("embedding"))
+        .mapInPandas(
+            partials, "s int, code int, i int, ssum bigint, cnt bigint"
+        )
+        .groupBy("s", "code", "i")
+        .agg(F.sum("ssum").alias("ssum"), F.sum("cnt").alias("cnt"))
+        .collect()  # bounded: <= PQ_SUBVECTORS * PQ_CODEBOOK * PQ_DSUB rows
+    )
+    got: dict[tuple[int, int], dict[int, float]] = {}
+    for r in upd:
+        # CAST(SUM AS DOUBLE) / 10^7 / COUNT — the oracle's division
+        # order; the int sum is < 2^53 so the double cast is exact
+        got.setdefault((int(r["s"]), int(r["code"])), {})[int(r["i"])] = (
+            float(r["ssum"]) / mean_scale / int(r["cnt"])
+        )
+    trained = dict(slices)
+    for key, by_i in got.items():
+        trained[key] = [by_i[i] for i in range(1, PQ_DSUB + 1)]
+    return trained
+
+
+def _pq_dtable_slices(
+    slices: dict[tuple[int, int], list[float]], q: list[float]
+) -> list[list[int]]:
+    """ADC distance table of one query against a per-slice codebook —
+    driver-side exact integers, same fixed-point recipe as the encode."""
+    import math
+
+    return [
+        [
+            sum(
+                math.floor(
+                    (q[s * PQ_DSUB + i] - slices[(s, c)][i])
+                    * (q[s * PQ_DSUB + i] - slices[(s, c)][i])
+                    * float(PQ_SCALE)
+                )
+                for i in range(PQ_DSUB)
+            )
+            for c in range(PQ_CODEBOOK)
+        ]
+        for s in range(PQ_SUBVECTORS)
+    ]
+
+
+# trained-centroid distance in DuckDB: t.cv is the per-slice DOUBLE list
+_PQ_TDIST_SQL = (
+    "LIST_SUM([CAST(FLOOR((CAST(v.embedding[t.s * "
+    f"{PQ_DSUB} + i] AS DOUBLE) - t.cv[i])"
+    f" * (CAST(v.embedding[t.s * {PQ_DSUB} + i] AS DOUBLE) - t.cv[i])"
+    f" * {PQ_SCALE}.0) AS DECIMAL(38,0))"
+    f" FOR i IN RANGE(1, {PQ_DSUB + 1})])"
+)
+
+
+@register(
+    "pq_recall_trained_vs_init",
+    bench=True,
+    oracle=f"""
+WITH init AS (
+  SELECT vec_id AS code, embedding AS cemb FROM embeddings
+  WHERE vec_id < {PQ_CODEBOOK}
+),
+sv AS (SELECT UNNEST(RANGE(0, {PQ_SUBVECTORS})) AS s),
+d_init AS (
+  SELECT v.vec_id, sv.s, c.code, {_PQ_DIST_SQL} AS dist
+  FROM embeddings v CROSS JOIN sv CROSS JOIN init c
+),
+a_init AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+    FROM d_init) t WHERE rk = 1
+),
+memb AS (
+  SELECT s, code, u.i AS i, u.v AS v FROM (
+    SELECT a.s AS s, a.code AS code,
+           UNNEST([{{'i': i, 'v': v.embedding[a.s * {PQ_DSUB} + i]}}
+                   FOR i IN RANGE(1, {PQ_DSUB + 1})]) AS u
+    FROM a_init a JOIN embeddings v ON a.vec_id = v.vec_id) t
+),
+upd AS (
+  SELECT s, code, i,
+         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * {10 ** _PQ_MEAN_DIGITS}.0)
+                       AS DECIMAL(38,0))) AS DOUBLE)
+           / {10 ** _PQ_MEAN_DIGITS}.0 / COUNT(*) AS cv
+  FROM memb GROUP BY s, code, i
+),
+upd_l AS (SELECT s, code, LIST(cv ORDER BY i) AS cv FROM upd GROUP BY s, code),
+trained AS (
+  SELECT sv.s AS s, c.code AS code,
+         COALESCE(u.cv,
+                  [CAST(c.cemb[sv.s * {PQ_DSUB} + i] AS DOUBLE)
+                   FOR i IN RANGE(1, {PQ_DSUB + 1})]) AS cv
+  FROM init c CROSS JOIN sv
+  LEFT JOIN upd_l u ON u.s = sv.s AND u.code = c.code
+),
+d_tr AS (
+  SELECT v.vec_id, t.s, t.code, {_PQ_TDIST_SQL} AS dist
+  FROM embeddings v CROSS JOIN trained t
+),
+a_tr AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+    FROM d_tr) t WHERE rk = 1
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id >= {PQ_CODEBOOK} AND vec_id < {PQ_CODEBOOK + PQ_RQ_N}
+),
+qd_init AS (
+  SELECT q.qid, sv.s, c.code,
+         LIST_SUM([CAST(FLOOR((CAST(q.qv[sv.s * {PQ_DSUB} + i] AS DOUBLE)
+                               - CAST(c.cemb[sv.s * {PQ_DSUB} + i] AS DOUBLE))
+                              * (CAST(q.qv[sv.s * {PQ_DSUB} + i] AS DOUBLE)
+                                 - CAST(c.cemb[sv.s * {PQ_DSUB} + i] AS DOUBLE))
+                              * {PQ_SCALE}.0) AS DECIMAL(38,0))
+                   FOR i IN RANGE(1, {PQ_DSUB + 1})]) AS dist
+  FROM qs q CROSS JOIN sv CROSS JOIN init c
+),
+qd_tr AS (
+  SELECT q.qid, t.s, t.code,
+         LIST_SUM([CAST(FLOOR((CAST(q.qv[t.s * {PQ_DSUB} + i] AS DOUBLE) - t.cv[i])
+                              * (CAST(q.qv[t.s * {PQ_DSUB} + i] AS DOUBLE) - t.cv[i])
+                              * {PQ_SCALE}.0) AS DECIMAL(38,0))
+                   FOR i IN RANGE(1, {PQ_DSUB + 1})]) AS dist
+  FROM qs q CROSS JOIN trained t
+),
+adc_init AS (
+  SELECT d.qid, a.vec_id, CAST(SUM(d.dist) AS DECIMAL(38,0)) AS d
+  FROM a_init a JOIN qd_init d ON d.s = a.s AND d.code = a.code
+  WHERE a.vec_id <> d.qid GROUP BY d.qid, a.vec_id
+),
+adc_tr AS (
+  SELECT d.qid, a.vec_id, CAST(SUM(d.dist) AS DECIMAL(38,0)) AS d
+  FROM a_tr a JOIN qd_tr d ON d.s = a.s AND d.code = a.code
+  WHERE a.vec_id <> d.qid GROUP BY d.qid, a.vec_id
+),
+exact AS (
+  SELECT q.qid, v.vec_id,
+         LIST_SUM([CAST(FLOOR((CAST(v.embedding[i] AS DOUBLE)
+                               - CAST(q.qv[i] AS DOUBLE))
+                              * (CAST(v.embedding[i] AS DOUBLE)
+                                 - CAST(q.qv[i] AS DOUBLE))
+                              * {PQ_SCALE}.0) AS DECIMAL(38,0))
+                   FOR i IN RANGE(1, {_PQ_FULL + 1})]) AS d
+  FROM embeddings v JOIN qs q ON v.vec_id <> q.qid
+),
+t_ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rk
+    FROM exact) t WHERE rk <= {PQ_RQ_K}
+),
+t_in AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rk
+    FROM adc_init) t WHERE rk <= {PQ_RQ_K}
+),
+t_tr AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rk
+    FROM adc_tr) t WHERE rk <= {PQ_RQ_K}
+)
+SELECT e.qid,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits_init,
+       CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits_trained,
+       CAST(COUNT(i.vec_id) AS DOUBLE) / {PQ_RQ_K}.0 AS recall_init,
+       CAST(COUNT(t.vec_id) AS DOUBLE) / {PQ_RQ_K}.0 AS recall_trained
+FROM t_ex e
+LEFT JOIN t_in i ON i.qid = e.qid AND i.vec_id = e.vec_id
+LEFT JOIN t_tr t ON t.qid = e.qid AND t.vec_id = e.vec_id
+GROUP BY e.qid
+ORDER BY e.qid
+""",
+)
+def pq_recall_trained_vs_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook TRAINING with a recall gate (r8 verdict #4): one
+    exact Lloyd refinement of the init-by-first-K codebook per
+    subvector space (``_pq_trained_slices``), then per eval query the
+    recall@k of ADC search under the INIT codebook vs the TRAINED one
+    against the exact squared-L2 ground truth — the measurement that
+    justifies spending training compute before building a
+    billion-vector index. Every stage is fixed-point exact (argmin
+    assignment, decimal-mean update, integer ADC tables, vec_id
+    tie-breaks), so the trained centroids and both rankings are
+    bit-identical across engines and the whole eval is oracle-hashable
+    — no RNG anywhere.
+
+    Plan: ONE Arrow-vectorized corpus pass encodes under both codebooks
+    and scores all three distances per (query, candidate) — the ADC
+    distances are int64 table lookups over the just-computed codes, the
+    exact distance per-element-floored and int64-summed so it equals the
+    Column/decimal form at any magnitude — emitted long-form so no
+    lineage branch re-scans; per-(query, metric) top-k via the skew-safe
+    ``salted_topk``; the recall join touches 3 * k * |queries| rows.
+    At 100 TB: training cost is one linear assignment pass per
+    iteration plus a K x dim aggregate (the IVF/k-means shape), eval
+    queries stay bounded, and the stored-code index (``pq_adc_top10``)
+    simply re-encodes under the trained codebook. Reference parity:
+    extension mandate (LLM-pipeline battery)."""
+    import numpy as np
+    import pandas as pd
+
+    from otus_cpp_11_spark.ops.skew import salted_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    init = _pq_init_slices(e)
+    trained = _pq_trained_slices(e)
+    ci, ct = _pq_slice_mat(init), _pq_slice_mat(trained)
+    qrows = (
+        e.where(
+            (F.col("vec_id") >= PQ_CODEBOOK)
+            & (F.col("vec_id") < PQ_CODEBOOK + PQ_RQ_N)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    qmat = np.array(
+        [[float(x) for x in r["embedding"]] for r in qrows], dtype=np.float64
+    )
+    ti = np.array(
+        [_pq_dtable_slices(init, list(q)) for q in qmat], dtype=np.int64
+    )  # (NQ, S, K) ADC tables, exact ints
+    tt = np.array(
+        [_pq_dtable_slices(trained, list(q)) for q in qmat], dtype=np.int64
+    )
+
+    def score(batches):
+        for pdf in batches:
+            emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vid = pdf["vec_id"].to_numpy()
+            n = emb.shape[0]
+            codes_i = _pq_encode_np(emb, ci)
+            codes_t = _pq_encode_np(emb, ct)
+            # per-element floor BEFORE the sum (the decimal recipe);
+            # terms < 2^53 so float64 floor is exact, totals in int64
+            diffs = emb[:, None, :] - qmat[None, :, :]  # n x NQ x dim
+            exact = (
+                np.floor(diffs * diffs * float(PQ_SCALE))
+                .astype(np.int64)
+                .sum(axis=2)
+            )  # n x NQ
+            adc_i = np.zeros((n, len(qids)), dtype=np.int64)
+            adc_t = np.zeros((n, len(qids)), dtype=np.int64)
+            for s in range(PQ_SUBVECTORS):
+                adc_i += ti[:, s, :][:, codes_i[:, s]].T  # NQ lookups
+                adc_t += tt[:, s, :][:, codes_t[:, s]].T
+            frames = []
+            for metric, d in (("exact", exact), ("init", adc_i), ("trained", adc_t)):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(vid, len(qids)),
+                            "qid": np.tile(qids, n),
+                            "metric": metric,
+                            "d": d.reshape(-1),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = (
+        spread(e.select("vec_id", "embedding"))
+        .mapInPandas(
+            score, "vec_id bigint, qid bigint, metric string, d bigint"
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+    )
+    topk = salted_topk(
+        scored,
+        ["qid", "metric"],
+        [F.asc("d"), F.col("vec_id")],
+        PQ_RQ_K,
+        salt_on="vec_id",
+    )
+    hits = (
+        topk.groupBy("qid", "vec_id")
+        .agg(
+            F.max(F.col("metric") == "exact").alias("in_exact"),
+            F.max(F.col("metric") == "init").alias("in_init"),
+            F.max(F.col("metric") == "trained").alias("in_trained"),
+        )
+        .where("in_exact")
+    )
+    return (
+        hits.groupBy("qid")
+        .agg(
+            F.sum(F.col("in_init").cast("bigint")).alias("n_hits_init"),
+            F.sum(F.col("in_trained").cast("bigint")).alias("n_hits_trained"),
+            (
+                F.sum(F.col("in_init").cast("bigint")).cast("double")
+                / F.lit(float(PQ_RQ_K))
+            ).alias("recall_init"),
+            (
+                F.sum(F.col("in_trained").cast("bigint")).cast("double")
+                / F.lit(float(PQ_RQ_K))
+            ).alias("recall_trained"),
+        )
+        .orderBy("qid")
+    )

@@ -95,19 +95,14 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ann_truncated_dim_recall": "0980750bee64",
     "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
-    "bm25_stats_streamed": "56ebcc2d8fce",
     "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
     "budgeted_mixture_selection": "bfe3e84837f5",
-    "cdc_change_data_feed": "c877eea61ea1",
-    "cdf_incremental_state_counts": "44b34b2886e4",
-    "cdf_netting_across_versions": "ca8de7bf1a5e",
     "copurchase_association_rules": "77b285b9c575",
     "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
-    "corpus_datacard_streamed": "0339deef2f6d",
     "corpus_dedup_stats": "3fa9e48f7a71",
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
@@ -163,7 +158,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
-    "events_minute_rollup_streamed": "e74fbcc0b0a8",
     "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
@@ -174,12 +168,9 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
-    "events_versioned_ingest_streamed": "48dd8e3478c1",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
     "hard_negative_mining": "f06cf1ecd76f",
-    "incremental_decontamination": "27228e0f9847",
-    "incremental_near_dup": "106378cb3ab8",
     "ips_policy_value": "2c1ea431a372",
     "ivf_cosine_top5": "4587a141ad18",
     "ivf_pq_top5": "984566e4c151",
@@ -231,7 +222,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "pq_adc_top10": "464767265696",
     "pq_code_assignment": "c33530f39f3e",
     "pq_encode_arrow": "d468a2b1f089",
-    "pq_index_after_append": "21b89952fc13",
     "prefix_cache_analysis": "605af3784f13",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
@@ -260,7 +250,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "q7_nation_volume": "71bb2f5a3869",
     "q8_market_share": "defa2dff53c1",
     "q9_product_profit": "f67a4359d652",
-    "quality_gate_kappa": "ae8b17028054",
     "region_nation_full_outer": "f11eea99322c",
     "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
@@ -285,23 +274,12 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_cohort_weekly_retention": "bd3c35154ddb",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
-    "user_state_cdc_streamed": "d761b9bc71db",
     "user_state_scd2": "a7229906f4e7",
-    "user_state_scd2_streamed": "2abfd0b54841",
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_resample_1h_ffill": "8c1195e182fb",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
     "user_value_zscore_outliers": "2c6fb32b13af",
-    "versioned_change_feed": "defcc1758187",
-    "versioned_change_feed_streamed": "0921995f28c9",
-    "versioned_dml_lifecycle": "47504a991821",
-    "versioned_metadata_count": "1630468efb50",
-    "versioned_optimize_roundtrip": "e9ef2e2aa955",
-    "versioned_rtbf_deletion_vectors": "68e6e0a9b480",
-    "versioned_scan_skipping": "ce505e83611c",
-    "versioned_schema_evolution": "6402afe3d77a",
-    "versioned_stream_rollup": "825692b63304",
     "view_purchase_left_outer_streamed": "f8e79f71ba33",
     "view_purchase_within_6h": "ceb393bc123c",
     "view_purchase_within_6h_streamed": "fa86e1f70ded",
