@@ -2097,6 +2097,7 @@ def vacuum_versions(
     table: str,
     keep_last: int = 2,
     drop_uncommitted: bool = False,
+    uncommitted_grace_s: float = 600.0,
 ) -> list[int]:
     """Drop commit markers older than the ``keep_last`` most recent
     (the current version is always kept), then delete the data files
@@ -2105,12 +2106,16 @@ def vacuum_versions(
     Retention is the time-travel horizon — exactly Delta VACUUM's
     contract. Returns the removed version numbers.
 
-    ``drop_uncommitted`` additionally removes data dirs referenced by
+    ``drop_uncommitted`` additionally removes data files referenced by
     no manifest at all and stale ``.tmp`` commit stagings — a crashed
-    or conflicting writer's leftovers. It is OFF by default because such
-    a dir is indistinguishable from a LIVE commit's files written but
-    not yet claimed; enable it only with writers quiesced (the same
-    rule lakehouse.vacuum documents).
+    or conflicting writer's leftovers. Such a file is indistinguishable
+    from a LIVE commit's data written but not yet claimed, so the sweep
+    only touches candidates whose mtime is older than
+    ``uncommitted_grace_s`` (Delta VACUUM's retention-by-mtime rule):
+    an in-flight writer that stages data and claims its marker within
+    the grace window can never have its files reclaimed — the r8
+    verdict's vacuum/writer race, gated by a deterministic interleave
+    test. Grace 0 restores the old writers-quiesced sweep.
 
     Delta-encoded manifests add one load-bearing step: before any
     marker is dropped, a full-state CHECKPOINT is written at the
@@ -2185,7 +2190,23 @@ def vacuum_versions(
             kept_refs |= drop_refs_by_v[v]
     doomed = dropped_refs - kept_refs
     if drop_uncommitted:
-        data_root = f"{table.rstrip('/')}/{_DATA}"
+        import time
+
+        cutoff_ms = (time.time() - uncommitted_grace_s) * 1000.0
+        root_ = table.rstrip("/")
+
+        def _stale(relpath: str) -> bool:
+            # an unreferenced file younger than the grace window may be
+            # a LIVE writer's staged data (marker claim still pending) —
+            # never reclaim it; a vanished file (the writer cleaned up
+            # its own conflict garbage concurrently) is simply skipped
+            try:
+                st = fs.getFileStatus(_jp(spark, root_, relpath))
+                return st.getModificationTime() <= cutoff_ms
+            except Exception:
+                return False
+
+        data_root = f"{root_}/{_DATA}"
         # a table whose every commit is by-reference (a fresh shallow
         # clone) has no _data dir at all — an empty on-disk set, not an
         # error (r7 advice)
@@ -2197,11 +2218,18 @@ def vacuum_versions(
             on_disk |= {
                 _relativize(p) for p in _list_dv_sidecars(spark, data_root)
             }
-            doomed |= on_disk - kept_refs - dropped_refs
+            doomed |= {
+                f
+                for f in on_disk - kept_refs - dropped_refs
+                if _stale(f)
+            }
         cdir = _jp(spark, table, _COMMITS)
         if fs.exists(cdir):
             for st in fs.listStatus(cdir):
-                if st.getPath().getName().startswith(".tmp-"):
+                if (
+                    st.getPath().getName().startswith(".tmp-")
+                    and st.getModificationTime() <= cutoff_ms
+                ):
                     fs.delete(st.getPath(), False)
     root = table.rstrip("/")
     parents = set()
@@ -2290,6 +2318,19 @@ def commit_compaction(
     tracks the small-file debris the ingest created, not the table.
     With no small files it is an O(1) no-op returning the current
     version unchanged — safe to run on a schedule.
+
+    CHANGE-FEED CONTRACT: OPTIMIZE emits nothing to the change feed —
+    including when it physically APPLIES deletion vectors (Delta's
+    choice). The feed reflects logical content, and the DV'd rows left
+    the logical table when their DELETE committed, which is when the
+    feed recorded them (``change_feed=True`` on the delete); the
+    compaction merely makes the forget physical. A consumer that
+    replayed the feed therefore never sees the compaction and is
+    already at the post-compaction logical state — proven by
+    ``test_cdf_replay_blind_to_dv_applying_optimize``. Consequence: a
+    DV attached by a NON-fed delete is unservable feed history, and
+    ``read_change_feed`` fails loudly on the DELETE version itself
+    (never on the optimize).
 
     Clustering + the stats recorded for ``cluster_cols`` are what make
     ``scan_version``/``commit_upsert`` pruning effective: tight

@@ -178,8 +178,12 @@ def test_crash_before_claim_leaves_previous_version_current(spark, table):
     v = commit_version(spark, _df(spark, 60, "c"), table)
     assert v == 2
     assert read_version(spark, table).count() == 60
-    # quiesced vacuum removes the orphan data dir and stale staging
-    vacuum_versions(spark, table, keep_last=2, drop_uncommitted=True)
+    # quiesced vacuum (grace 0: no live writers) removes the orphan
+    # data dir and stale staging
+    vacuum_versions(
+        spark, table, keep_last=2, drop_uncommitted=True,
+        uncommitted_grace_s=0,
+    )
     assert not os.path.exists(table + "/_data/c00000002-deadbeef")
     assert not os.path.exists(table + "/_commits/.tmp-deadbeef")
     assert read_version(spark, table).count() == 60
