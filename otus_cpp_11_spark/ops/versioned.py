@@ -2040,7 +2040,7 @@ def _commit_retrying(
         # keep the audited pruning accounting honest on a restage (r7
         # advice: the original op_io counted against the OLD parent):
         # annotate rather than silently re-publish stale numbers
-        io_key = f"{op if op != 'optimize' else 'optimize'}_io"
+        io_key = f"{op}_io"
         if io_key in hdr_meta:
             hdr_meta = dict(hdr_meta)
             hdr_meta[io_key] = {
@@ -2447,14 +2447,16 @@ def commit_compaction(
             # Python arithmetic (Spark div truncates toward zero, which
             # would misanchor a negative lo); row-side work is one div
             # and one subtract of a literal — non-negative because
-            # trunc(c/step) >= floor(lo/step) for every c >= lo
+            # trunc(c/step) >= floor(lo/step) for every c >= lo. The
+            # top-bucket clamp is a when(), NOT least(): Spark's least
+            # SKIPS nulls, which would send NULL keys to the top bucket
+            # instead of the NULL z-value the contract above promises
+            # (r9 self-review)
             anchor = lo // step
+            bucket = F.expr(f"(`{c}` div {step}) - ({anchor})")
             proj = proj.withColumn(
                 f"__p{i}",
-                F.least(
-                    F.lit(buckets - 1),
-                    F.expr(f"(`{c}` div {step}) - ({anchor})"),
-                ),
+                F.when(bucket > buckets - 1, buckets - 1).otherwise(bucket),
             )
             pcols.append(f"__p{i}")
         # the raw keys ride as range tie-breaks after __zv: __zv has

@@ -537,6 +537,21 @@ class _VTStreamReader(DataSourceStreamReader):
         return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if int(end["version"]) < int(start["version"]):
+            # defense-in-depth for the admission cursor (r9 self-review):
+            # a batch planned BACKWARD means a capped latestOffset ran
+            # before this reader learned its checkpointed position — an
+            # engine call-order this code does not expect (pyspark 4.1
+            # replays commit/partitions first). Failing loudly here
+            # keeps the regressed offset from silently re-emitting
+            # already-streamed versions after the next restart.
+            raise ValueError(
+                f"versioned_table stream: batch planned backward "
+                f"({start['version']} -> {end['version']}); the "
+                "admission-control cursor missed the restart replay — "
+                "restart the stream (state is intact) and report the "
+                "pyspark microbatch call order"
+            )
         # the planned range is authoritative for the admission cursor —
         # a replayed (restart) batch teaches a fresh reader its position
         hi_seen = max(int(start["version"]), int(end["version"]))

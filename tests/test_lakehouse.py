@@ -253,3 +253,32 @@ def test_compact_bin_count_guaranteed_under_degenerate_order(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 100
     assert got.agg(F.sum("k")).first()[0] == sum(range(100))
+
+
+def test_zn_interleave_matches_duckdb_twin_at_n3(spark):
+    """Cross-engine parity of the N-column Morton interleave (r9): the
+    Spark expression and its DuckDB SQL twin must agree on every bucket
+    triple — the drift hazard the zorder module exists to prevent."""
+    import duckdb
+    import pandas as pd
+
+    from otus_cpp_11_spark.ops.zorder import Z_BITS, zn_interleave, zn_sql
+
+    b = 2**Z_BITS
+    grid = pd.DataFrame(
+        [(x, y, z) for x in range(b) for y in range(0, b, 3) for z in (0, 5, b - 1)],
+        columns=["px", "py", "pz"],
+    )
+    sdf = spark.createDataFrame(grid).select(
+        "px", "py", "pz", zn_interleave(["px", "py", "pz"]).alias("zv")
+    )
+    got = sdf.orderBy("px", "py", "pz").toPandas()
+    con = duckdb.connect()
+    con.register("grid", grid)
+    want = con.execute(
+        f"SELECT px, py, pz, {zn_sql(['px', 'py', 'pz'])} AS zv "
+        "FROM grid ORDER BY px, py, pz"
+    ).df()
+    assert (got["zv"].to_numpy() == want["zv"].to_numpy()).all()
+    # distinct triples -> distinct z-values (it is a bijection on the grid)
+    assert got["zv"].nunique() == len(got)
