@@ -94,16 +94,11 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ann_filtered_top5": "acf0825f69bc",
     "ann_truncated_dim_recall": "0980750bee64",
     "balanced_doc_sample": "e369f0894200",
-    "benchmark_decontamination": "7a996f13be83",
-    "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
     "budgeted_mixture_selection": "bfe3e84837f5",
     "copurchase_association_rules": "77b285b9c575",
     "copurchase_part_pairs": "86f91ab99906",
-    "corpus_after_span_strip": "521eaebb4885",
-    "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
-    "corpus_dedup_stats": "3fa9e48f7a71",
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
     "customer_monthly_retention": "5005e34e6d54",
@@ -117,28 +112,18 @@ DRIVER_VERIFIED: dict[str, str] = {
     "daily_open_shipments": "e3385cf3d8ee",
     "decontam_bloom_prune": "004a9cd16c69",
     "dedup_canonical_by_quality": "48bc5b1ec055",
-    "doc_arrow_byte_stats": "48790875d2b1",
-    "doc_bigram_surprisal": "101994b12e10",
     "doc_bm25_top5": "124ad5bae99a",
     "doc_bpe_roundtrip": "b33acb08e4ca",
     "doc_bpe_token_ids": "b734428e749a",
     "doc_bpe_token_stats": "a44dac60fb4a",
-    "doc_dedup_clusters": "5150a5c0e008",
     "doc_dsir_weights": "391a5a705947",
     "doc_fingerprint": "ac4f9cbb8f09",
     "doc_gopher_rules": "9eb3349e7818",
-    "doc_lang_id": "9244112be464",
     "doc_leading_tokens": "60f3d6d44749",
-    "doc_novelty_score": "5c60ea70b6ed",
     "doc_pack_bins": "640fc7df9845",
     "doc_pack_bins_bpe": "6405f8931987",
-    "doc_passage_chunks": "2d16d9cda11b",
-    "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_priority_sample": "aee1eab452aa",
-    "doc_quality_classifier": "496dd16e1f78",
     "doc_quality_score": "c49088db0448",
-    "doc_repeated_spans": "021ae1e34c5c",
-    "doc_repetition_stats": "d70389bb5105",
     "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_shard_assignment": "b7508cca5e2e",
     "doc_simhash32": "9a4d28b0fe15",
@@ -186,7 +171,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
-    "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
     "lsh_cosine_top5": "bcbb1c08dc09",
     "lsh_cosine_top5_multiprobe": "8a46b082e0db",
@@ -207,10 +191,8 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_grouping_sets": "7c2a2fcda67b",
     "orders_price_percentiles": "00142ef3899e",
     "orders_rollup": "cc0326964a00",
-    "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
     "part_pagerank_fixedpoint": "5a1d412dfb43",
-    "part_price_band_join": "feedac3b7d7c",
     "part_triangle_counts": "3b688cf75576",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
@@ -225,7 +207,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "prefix_cache_analysis": "605af3784f13",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
-    "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
     "python_datasource_stream_checksum": "609b3f6c9262",
     "q10_returned_revenue": "a6bbc6cce502",
@@ -258,30 +239,22 @@ DRIVER_VERIFIED: dict[str, str] = {
     "retrieval_rrf_fusion": "ae89b20c6090",
     "running_user_counts_streamed": "fbca008c058d",
     "scalar_string_math": "ace55f30e0cd",
-    "semantic_dedup_pairs": "98c7aff24981",
-    "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
     "source_score_calibration": "9b24c55b1db8",
     "source_token_fertility": "d1452d0ad04b",
-    "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
-    "supplier_lead_time_stats": "1fe1c74caabd",
     "suppliers_with_returns": "7a66c41651f6",
     "term_cms_heavy_hitters": "c42035a2f51d",
     "top3_orders_per_customer": "e381e519d72e",
     "unique_by_abs": "aec470f57ab8",
     "user_cohort_weekly_retention": "bd3c35154ddb",
-    "user_event_sessions": "2789bd95a888",
-    "user_funnel_conversion": "fe16d90615f6",
     "user_state_scd2": "a7229906f4e7",
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_resample_1h_ffill": "8c1195e182fb",
-    "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
     "user_value_zscore_outliers": "2c6fb32b13af",
     "view_purchase_left_outer_streamed": "f8e79f71ba33",
-    "view_purchase_within_6h": "ceb393bc123c",
     "view_purchase_within_6h_streamed": "fa86e1f70ded",
     "wav_decode_features": "c5e596df5226",
     "wav_fingerprint16": "3048e2e0c324",
@@ -306,10 +279,41 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
-# Round-9 refill happens at round end once the round's own edits are
-# counted (the oldest remaining greens are r3/r4 pins) — empty while the
-# round's new/changed queries accumulate.
-REVERIFY: frozenset[str] = frozenset()
+# Round-9 refill: the oldest-green pins (last green r3-r4), queued
+# after the round's new/changed queries (the 21-member versioned/CDF/
+# maintainer family whose shared read/commit helpers were rewritten,
+# plus quality_gate_kappa's oracle edit and the new
+# pq_recall_trained_vs_init) so the driver window is exactly 50.
+# Members left DRIVER_VERIFIED per the workflow.
+REVERIFY: frozenset[str] = frozenset({
+    "benchmark_decontamination",
+    "bpe_pair_counts",
+    "corpus_after_span_strip",
+    "corpus_curation_pipeline",
+    "corpus_dedup_stats",
+    "doc_arrow_byte_stats",
+    "doc_bigram_surprisal",
+    "doc_dedup_clusters",
+    "doc_lang_id",
+    "doc_novelty_score",
+    "doc_passage_chunks",
+    "doc_passage_chunks_udtf",
+    "doc_quality_classifier",
+    "doc_repeated_spans",
+    "doc_repetition_stats",
+    "lineitem_qty_histogram",
+    "orders_yoy_growth",
+    "part_price_band_join",
+    "purchase_prior_click_asof",
+    "semantic_dedup_pairs",
+    "session_top_paths",
+    "sql_api_region_revenue",
+    "supplier_lead_time_stats",
+    "user_event_sessions",
+    "user_funnel_conversion",
+    "user_value_scd2",
+    "view_purchase_within_6h",
+})
 
 
 def all_queries() -> dict[str, Query]:
