@@ -2273,3 +2273,311 @@ def pq_recall_trained_vs_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# --------------------------------------------------------------------------
+# Trained IVF coarse quantizer + recall gate — the IVF symmetry of the
+# PQ training eval: does one Lloyd refinement of the seeded coarse
+# centroids improve nprobe-bounded retrieval recall?
+# --------------------------------------------------------------------------
+
+IVF_T_K = 8  # coarse cells (the kmeans_assign_update seed set, vec_id < 8)
+IVF_T_NPROBE = 2  # cells scanned per query
+IVF_T_NQ = 8  # eval queries: vec_id in [IVF_T_K, IVF_T_K + IVF_T_NQ)
+IVF_T_TOPK = 5
+
+# squared L2 via the fixed-point dot expansion (the kmeans recipe):
+# each dot is decimal-exact / 1e15 in double, and the 3-term double
+# combination associates identically in both engines
+_D2_SQL = (
+    "({ee} - 2.0 * {ec} + {cc})"
+)
+
+
+def _d2(e: Column, c: Column) -> Column:
+    return _dec_dot(e, e) - 2.0 * _dec_dot(e, c) + _dec_dot(c, c)
+
+
+@register(
+    "ivf_trained_recall",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_T_K}
+),
+d_seed AS (
+  SELECT e.vec_id, s.cid,
+         ({_dot_sql("e.embedding", "e.embedding")} -
+          2.0 * {_dot_sql("e.embedding", "s.cv")} +
+          {_dot_sql("s.cv", "s.cv")}) AS d2
+  FROM embeddings e CROSS JOIN seeds s
+),
+a_seed AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM d_seed) t WHERE rk = 1
+),
+memb AS (
+  SELECT cid, u.i AS i, u.v AS v FROM (
+    SELECT a.cid AS cid,
+           UNNEST([{{'i': i, 'v': e.embedding[i]}}
+                   FOR i IN RANGE(1, LEN(e.embedding) + 1)]) AS u
+    FROM a_seed a JOIN embeddings e ON a.vec_id = e.vec_id) t
+),
+upd AS (
+  SELECT cid, i,
+         CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 10000000.0)
+                       AS DECIMAL(38,0))) AS DOUBLE)
+           / 10000000.0 / COUNT(*) AS cv
+  FROM memb GROUP BY cid, i
+),
+upd_l AS (SELECT cid, LIST(cv ORDER BY i) AS cv FROM upd GROUP BY cid),
+trained AS (
+  SELECT s.cid AS cid,
+         COALESCE(u.cv,
+                  [CAST(x AS DOUBLE) FOR x IN s.cv]) AS cv
+  FROM seeds s LEFT JOIN upd_l u ON u.cid = s.cid
+),
+d_tr AS (
+  SELECT e.vec_id, t.cid,
+         ({_dot_sql("e.embedding", "e.embedding")} -
+          2.0 * {_dot_sql("e.embedding", "t.cv")} +
+          {_dot_sql("t.cv", "t.cv")}) AS d2
+  FROM embeddings e CROSS JOIN trained t
+),
+a_tr AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM d_tr) t WHERE rk = 1
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id >= {IVF_T_K} AND vec_id < {IVF_T_K + IVF_T_NQ}
+),
+p_seed AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, d.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d.d2, d.cid) AS rk
+    FROM qs q JOIN d_seed d ON d.vec_id = q.qid) t
+  WHERE rk <= {IVF_T_NPROBE}
+),
+p_tr AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, d.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY d.d2, d.cid) AS rk
+    FROM qs q JOIN d_tr d ON d.vec_id = q.qid) t
+  WHERE rk <= {IVF_T_NPROBE}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         ({_dot_sql("e.embedding", "e.embedding")} -
+          2.0 * {_dot_sql("e.embedding", "q.qv")} +
+          {_dot_sql("q.qv", "q.qv")}) AS d2
+  FROM embeddings e JOIN qs q ON e.vec_id <> q.qid
+),
+c_seed AS (
+  SELECT p.qid, a.vec_id FROM p_seed p JOIN a_seed a ON a.cid = p.cid
+),
+c_tr AS (
+  SELECT p.qid, a.vec_id FROM p_tr p JOIN a_tr a ON a.cid = p.cid
+),
+t_ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
+    FROM scored) t WHERE rk <= {IVF_T_TOPK}
+),
+t_seed AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.d2, s.vec_id) AS rk
+    FROM scored s JOIN c_seed c ON c.qid = s.qid AND c.vec_id = s.vec_id) t
+  WHERE rk <= {IVF_T_TOPK}
+),
+t_tr AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.d2, s.vec_id) AS rk
+    FROM scored s JOIN c_tr c ON c.qid = s.qid AND c.vec_id = s.vec_id) t
+  WHERE rk <= {IVF_T_TOPK}
+)
+SELECT e.qid,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits_seeded,
+       CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits_trained,
+       CAST(COUNT(i.vec_id) AS DOUBLE) / {IVF_T_TOPK}.0 AS recall_seeded,
+       CAST(COUNT(t.vec_id) AS DOUBLE) / {IVF_T_TOPK}.0 AS recall_trained
+FROM t_ex e
+LEFT JOIN t_seed i ON i.qid = e.qid AND i.vec_id = e.vec_id
+LEFT JOIN t_tr t ON t.qid = e.qid AND t.vec_id = e.vec_id
+GROUP BY e.qid
+ORDER BY e.qid
+""",
+)
+def ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer TRAINING with a recall gate — the coarse
+    half of the index-quality story (``pq_recall_trained_vs_init`` is
+    the fine half): one exact Lloyd refinement of the seeded coarse
+    centroids (the ``kmeans_assign_update`` step, kept fully
+    relational — the trained centroids never leave the engine), then
+    per eval query the recall@k of an nprobe-bounded IVF scan under the
+    SEEDED vs the TRAINED quantizer against the exact squared-L2 ground
+    truth — the measurement that decides how much k-means compute a
+    billion-vector IVF build deserves, and whether it helps AT ALL on a
+    given corpus. Refinement provably descends the quantization
+    objective (pytest-gated), but nprobe recall is a property of the
+    DATA: on clustered embeddings better-centered cells keep true
+    neighborhoods together; on near-uniform data (this synthetic
+    corpus at sf0.1) balanced cells can split neighborhoods that a
+    lucky seed placement happened to cover — which is exactly why a
+    build pipeline runs this eval before spending the training compute.
+
+    Exactness: d2 is the fixed-point dot expansion (|e|^2 - 2e.c +
+    |c|^2) both engines combine identically; centroid means are
+    decimal-fixed-point; every argmin/rank carries a cid/vec_id
+    tie-break — the whole eval is oracle-hashable with no RNG.
+
+    Plan: cell assignment is a broadcast join against K=8 centroids
+    (map-side, the IVF-build shape); candidate generation joins the
+    bounded (query, cell) probe relation to the assignment — never a
+    corpus cross product; ONE scored relation (corpus x queries,
+    eval-bounded) serves ground truth and both variants through
+    membership flags, so the heavy fixed-point scoring runs once. At
+    100 TB the assignment pass is linear and the probed fraction is
+    nprobe/K of the corpus per query — the IVF contract. Reference
+    parity: extension mandate (LLM-pipeline battery)."""
+    from otus_cpp_11_spark.ops.skew import salted_topk
+    from otus_cpp_11_spark.queries import dsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.where(F.col("vec_id") < IVF_T_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+
+    def assign(cents):
+        # nearest-centroid cell per vector: broadcast K rows, exact d2,
+        # struct-min argmin with cid tie-break (the kmeans shape)
+        return (
+            e.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cid",
+                _d2(F.col("embedding"), F.col("cv")).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+
+    a_seed = assign(seeds)
+    # one Lloyd update: per-cell fixed-point decimal mean of the members
+    upd = (
+        a_seed.join(e, "vec_id")
+        .select("cid", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("cid", "i")
+        .agg(
+            (dsum(F.col("v").cast("double"), 7) / F.count(F.lit(1))).alias(
+                "cv"
+            )
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("cv")
+        )
+    )
+    trained = seeds.join(upd.withColumnRenamed("cv", "tcv"), "cid", "left").select(
+        "cid",
+        F.coalesce(
+            F.col("tcv"),
+            F.transform(F.col("cv"), lambda x: x.cast("double")),
+        ).alias("cv"),
+    )
+    a_tr = assign(trained)
+    qs = e.where(
+        (F.col("vec_id") >= IVF_T_K) & (F.col("vec_id") < IVF_T_K + IVF_T_NQ)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+
+    def probe(cents):
+        # nprobe nearest cells per query — bounded (NQ x K) relation
+        w = Window.partitionBy("qid").orderBy("d2", "cid")
+        return (
+            qs.join(F.broadcast(cents))
+            .select(
+                "qid", "cid", _d2(F.col("qv"), F.col("cv")).alias("d2")
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= IVF_T_NPROBE)
+            .select("qid", "cid")
+        )
+
+    c_seed = probe(seeds).join(a_seed, "cid").select("qid", "vec_id")
+    c_tr = probe(trained).join(a_tr, "cid").select("qid", "vec_id")
+    # ONE exact scoring pass serves ground truth and both variants
+    scored = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            _d2(F.col("embedding"), F.col("qv")).alias("d2"),
+        )
+        .join(
+            c_seed.withColumn("in_seed", F.lit(True)),
+            ["qid", "vec_id"],
+            "left",
+        )
+        .join(
+            c_tr.withColumn("in_tr", F.lit(True)), ["qid", "vec_id"], "left"
+        )
+    )
+    stacked = scored.select(
+        "qid",
+        "vec_id",
+        "d2",
+        F.explode(
+            F.concat(
+                F.array(F.lit("exact")),
+                F.when(F.col("in_seed"), F.array(F.lit("seeded"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                F.when(F.col("in_tr"), F.array(F.lit("trained"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+        ).alias("metric"),
+    )
+    topk = salted_topk(
+        stacked,
+        ["qid", "metric"],
+        [F.asc("d2"), F.col("vec_id")],
+        IVF_T_TOPK,
+        salt_on="vec_id",
+    )
+    hits = (
+        topk.groupBy("qid", "vec_id")
+        .agg(
+            F.max(F.col("metric") == "exact").alias("in_exact"),
+            F.max(F.col("metric") == "seeded").alias("hit_seeded"),
+            F.max(F.col("metric") == "trained").alias("hit_trained"),
+        )
+        .where("in_exact")
+    )
+    return (
+        hits.groupBy("qid")
+        .agg(
+            F.sum(F.col("hit_seeded").cast("bigint")).alias("n_hits_seeded"),
+            F.sum(F.col("hit_trained").cast("bigint")).alias(
+                "n_hits_trained"
+            ),
+            (
+                F.sum(F.col("hit_seeded").cast("bigint")).cast("double")
+                / F.lit(float(IVF_T_TOPK))
+            ).alias("recall_seeded"),
+            (
+                F.sum(F.col("hit_trained").cast("bigint")).cast("double")
+                / F.lit(float(IVF_T_TOPK))
+            ).alias("recall_trained"),
+        )
+        .orderBy("qid")
+    )

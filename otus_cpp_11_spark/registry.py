@@ -124,6 +124,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_pack_bins_bpe": "6405f8931987",
     "doc_priority_sample": "aee1eab452aa",
     "doc_quality_score": "c49088db0448",
+    "doc_repetition_stats": "d70389bb5105",
     "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_shard_assignment": "b7508cca5e2e",
     "doc_simhash32": "9a4d28b0fe15",
@@ -284,7 +285,10 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # maintainer family whose shared read/commit helpers were rewritten,
 # plus quality_gate_kappa's oracle edit and the new
 # pq_recall_trained_vs_init) so the driver window is exactly 50.
-# Members left DRIVER_VERIFIED per the workflow.
+# Members left DRIVER_VERIFIED per the workflow; the late-round
+# ivf_trained_recall addition displaced the newest-green member
+# (doc_repetition_stats) back to its still-valid pin (the
+# displacement rule).
 REVERIFY: frozenset[str] = frozenset({
     "benchmark_decontamination",
     "bpe_pair_counts",
@@ -300,7 +304,6 @@ REVERIFY: frozenset[str] = frozenset({
     "doc_passage_chunks_udtf",
     "doc_quality_classifier",
     "doc_repeated_spans",
-    "doc_repetition_stats",
     "lineitem_qty_histogram",
     "orders_yoy_growth",
     "part_price_band_join",

@@ -62,3 +62,41 @@ def test_trained_recall_not_below_init_on_eval_queries(spark):
     got = q.fn(spark, SF_DIR).toPandas()
     assert (got["n_hits_trained"].sum()) >= (got["n_hits_init"].sum())
     assert (got["recall_trained"] - got["n_hits_trained"] / 5.0).abs().max() == 0
+
+
+def test_ivf_refinement_reduces_coarse_distortion(spark):
+    """The IVF symmetry: one Lloyd step over the COARSE (full-dim)
+    quantizer must descend the quantization objective — the provable
+    half of ivf_trained_recall (probe recall itself is data-dependent
+    and is the eval's OUTPUT, not an invariant)."""
+    from otus_cpp_11_spark.queries.similarity import IVF_T_K
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    emb = np.array(
+        [list(r["embedding"]) for r in e.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    seeds = emb[:IVF_T_K].copy()
+
+    def distortion(C):
+        d2 = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return float(d2.min(axis=1).sum())
+
+    a = ((emb[:, None, :] - seeds[None, :, :]) ** 2).sum(-1).argmin(1)
+    trained = seeds.copy()
+    for k in range(IVF_T_K):
+        m = a == k
+        if m.any():
+            trained[k] = emb[m].mean(0)
+    assert distortion(trained) < distortion(seeds)
+
+
+def test_ivf_trained_recall_rows_well_formed(spark):
+    from otus_cpp_11_spark.queries.similarity import IVF_T_NQ, IVF_T_TOPK
+
+    got = all_queries()["ivf_trained_recall"].fn(spark, SF_DIR).toPandas()
+    assert len(got) == IVF_T_NQ
+    for c in ("n_hits_seeded", "n_hits_trained"):
+        assert got[c].between(0, IVF_T_TOPK).all()
+    assert (got["recall_seeded"] == got["n_hits_seeded"] / IVF_T_TOPK).all()
+    assert (got["recall_trained"] == got["n_hits_trained"] / IVF_T_TOPK).all()
