@@ -260,3 +260,59 @@ def test_real_thread_maintainer_vs_rtbf_delete_both_commit(spark, table):
     }
     assert per_tag.pop("base") == 40
     assert per_tag == {f"m{j}": 10 for j in range(4)}
+
+
+def test_real_thread_optimize_vs_appends_both_commit(spark, table):
+    """Layout maintenance racing live ingest through real threads:
+    scheduled OPTIMIZE (max_retries) and two appenders all commit —
+    OPTIMIZE composes with appends by Delta's rule (their files are
+    simply carried uncompacted), and no row is lost or doubled."""
+    import threading
+
+    commit_version(
+        spark, _df(spark, 0, 40, "base").repartition(4), table,
+        stats_cols=["k"],
+    )
+    errors: list[Exception] = []
+
+    def appender(i):
+        try:
+            for j in range(3):
+                commit_append(
+                    spark,
+                    _df(
+                        spark, 1000 * i + 10 * j, 1000 * i + 10 * j + 10,
+                        f"a{i}",
+                    ),
+                    table,
+                    stats_cols=["k"],
+                    max_retries=16,
+                )
+        except Exception as e:
+            errors.append(e)
+
+    def optimizer():
+        try:
+            for _ in range(2):
+                commit_compaction(spark, table, 500, ["k"], max_retries=16)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(1,)),
+        threading.Thread(target=appender, args=(2,)),
+        threading.Thread(target=optimizer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert list_versions(spark, table) == list(range(1, 10))  # 1 + 6 + 2
+    cur = read_version(spark, table)
+    assert cur.count() == 40 + 6 * 10
+    per_tag = {
+        r["tag"]: r["n"]
+        for r in cur.groupBy("tag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_tag == {"base": 40, "a1": 30, "a2": 30}

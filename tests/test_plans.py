@@ -744,3 +744,13 @@ def test_change_feed_reads_are_joinless(spark, plan, tmp_path):
     ):
         assert join not in p, join
     assert feed.count() == 100 + 10 + 1  # v1 inserts + 5 pre/post pairs + delete
+
+
+def test_ivf_trained_recall_no_cartesian_and_pruned_scans(spark, plan):
+    """r9: the IVF training eval must stay broadcast-joined throughout —
+    centroid/probe relations are K- and NQ-bounded, so a CartesianProduct
+    anywhere means a bounded side lost its broadcast and the eval would
+    cross-product the corpus at scale. (The intentional corpus x queries
+    scoring join is itself a broadcast of the 8-row query relation.)"""
+    p = plan("ivf_trained_recall", spark)
+    assert "CartesianProduct" not in p
