@@ -2286,15 +2286,10 @@ IVF_T_NPROBE = 2  # cells scanned per query
 IVF_T_NQ = 8  # eval queries: vec_id in [IVF_T_K, IVF_T_K + IVF_T_NQ)
 IVF_T_TOPK = 5
 
-# squared L2 via the fixed-point dot expansion (the kmeans recipe):
-# each dot is decimal-exact / 1e15 in double, and the 3-term double
-# combination associates identically in both engines
-_D2_SQL = (
-    "({ee} - 2.0 * {ec} + {cc})"
-)
-
-
 def _d2(e: Column, c: Column) -> Column:
+    """Squared L2 via the fixed-point dot expansion (the kmeans recipe):
+    each dot is decimal-exact / 1e15 in double, and the 3-term double
+    combination associates identically in both engines."""
     return _dec_dot(e, e) - 2.0 * _dec_dot(e, c) + _dec_dot(c, c)
 
 

@@ -746,7 +746,7 @@ def test_change_feed_reads_are_joinless(spark, plan, tmp_path):
     assert feed.count() == 100 + 10 + 1  # v1 inserts + 5 pre/post pairs + delete
 
 
-def test_ivf_trained_recall_no_cartesian_and_pruned_scans(spark, plan):
+def test_ivf_trained_recall_no_cartesian(spark, plan):
     """r9: the IVF training eval must stay broadcast-joined throughout —
     centroid/probe relations are K- and NQ-bounded, so a CartesianProduct
     anywhere means a bounded side lost its broadcast and the eval would

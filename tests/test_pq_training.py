@@ -73,10 +73,13 @@ def test_ivf_refinement_reduces_coarse_distortion(spark):
 
     e = load_table(spark, SF_DIR, "embeddings")
     emb = np.array(
-        [list(r["embedding"]) for r in e.select("embedding").collect()],
+        [
+            list(r["embedding"])
+            for r in e.select("vec_id", "embedding").orderBy("vec_id").collect()
+        ],
         dtype=np.float64,
     )
-    seeds = emb[:IVF_T_K].copy()
+    seeds = emb[:IVF_T_K].copy()  # vec_id < K — the query's exact seed set
 
     def distortion(C):
         d2 = ((emb[:, None, :] - C[None, :, :]) ** 2).sum(-1)
