@@ -1424,13 +1424,21 @@ def _read_files_masked(
                 )
             )
         sidecar = [
-            (suffix_of(dv["p"]), suffix_of(f))
+            (suffix_of(dv["p"]), suffix_of(f), int(dv["n"]))
             for f, dv in live.items()
             if "p" in dv
         ]
         if sidecar:
+            # r9 advice (medium): PERMISSIVE json turned a truncated /
+            # corrupt sidecar into i=NULL, explode dropped it, and the
+            # anti-join silently stopped masking that file — RTBF rows
+            # reappeared. FAILFAST makes malformed JSON loud, and the
+            # in-data-path count check (the descriptor's ``n`` is the
+            # commit-time truth) makes a VALID-but-short sidecar loud
+            # too. The check rides the exploded column itself so column
+            # pruning can't optimize it away.
             sc_map = spark.createDataFrame(
-                sidecar, "__vt_sc string, __vt_suffix string"
+                sidecar, "__vt_sc string, __vt_suffix string, __vt_n bigint"
             )
             sc_suffix = F.concat(
                 F.lit(f"{_DATA}/"),
@@ -1440,15 +1448,28 @@ def _read_files_masked(
             )
             sc_idx = (
                 spark.read.schema("i array<bigint>")
+                .option("mode", "FAILFAST")
                 .json([_resolve(root, dv["p"]) for _, dv in live.items() if "p" in dv])
-                .select(
-                    sc_suffix.alias("__vt_sc"),
-                    F.explode("i").alias("__vt_idx"),
-                )
+                .select(sc_suffix.alias("__vt_sc"), F.col("i"))
             )
             rels.append(
                 sc_idx.join(F.broadcast(sc_map), "__vt_sc").select(
-                    "__vt_suffix", "__vt_idx"
+                    "__vt_suffix",
+                    F.explode(
+                        F.when(
+                            F.size("i") == F.col("__vt_n"), F.col("i")
+                        ).otherwise(
+                            F.raise_error(
+                                F.concat(
+                                    F.lit(
+                                        "corrupt DV sidecar: index count "
+                                        "!= descriptor n for "
+                                    ),
+                                    F.col("__vt_sc"),
+                                )
+                            )
+                        )
+                    ).alias("__vt_idx"),
                 )
             )
         dv_df = rels[0] if len(rels) == 1 else rels[0].unionByName(rels[1])
@@ -2003,7 +2024,11 @@ def _commit_retrying(
         newcur = current_version(spark, table)
         nheader, nfiles = read_manifest(spark, table, newcur)
         ncommitted = StructType.fromJson(json.loads(nheader["schema"]))
-        if ncommitted.simpleString() != schema.simpleString():
+        # r9 advice (low): simpleString() ignores nullability and field
+        # metadata, so a concurrent nullability-only change restaged
+        # silently. StructType equality compares full fields (name,
+        # type, nullable, metadata) — any schema delta aborts loudly.
+        if ncommitted != schema:
             raise CommitConflict(
                 f"{op} retry on {table!r}: a concurrent commit changed "
                 "the table schema; redo the operation against version "

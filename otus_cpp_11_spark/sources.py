@@ -13,6 +13,7 @@ recompute any aggregate of the stream without reading it.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -22,6 +23,8 @@ from pyspark.sql.datasource import (
     InputPartition,
     SimpleDataSourceStreamReader,
 )
+
+log = logging.getLogger(__name__)
 
 SOURCE_NAME = "synthetic_events"
 DEFAULT_ROWS = 5000
@@ -470,6 +473,21 @@ class _VTStreamReader(DataSourceStreamReader):
         # only ever ADVANCE the cursor — so a capped latestOffset can
         # never regress behind the checkpoint and re-emit versions.
         self._cursor: int | None = self._starting_base()
+        # r9 advice (low): the seeded cursor relies on pyspark 4.1's
+        # observed restart order (commit/partitions replay before
+        # latestOffset). If a future engine calls latestOffset FIRST
+        # after a restart, the capped offset computed from the seed can
+        # land below the checkpoint. Rather than hard-failing a healthy
+        # stream, remember every capped offset returned while the cursor
+        # is UNLEARNED (no engine callback has confirmed position yet);
+        # a backward batch whose end matches one degrades gracefully —
+        # empty batch, cursor jumps to the checkpointed start, and a
+        # floor clamp keeps the regressed WAL entry from re-emitting
+        # already-streamed versions. Genuine offset regression (an end
+        # this reader never produced) still fails loudly.
+        self._learned = False
+        self._unlearned_caps: set[int] = set()
+        self._floor: int | None = None
         cur = _vt_current_version(self.table)
         # the stream's schema is FIXED at start (Spark resolves it once);
         # align every commit's files to it — older files pad evolved
@@ -502,6 +520,9 @@ class _VTStreamReader(DataSourceStreamReader):
         base = self._starting_base()
         if self._cursor is None or base > self._cursor:
             self._cursor = base
+        # only a FRESH stream is asked for an initial offset — the
+        # stream's true position is now known
+        self._learned = True
         return {"version": base}
 
     def _version_file_count(self, v: int) -> int:
@@ -534,17 +555,40 @@ class _VTStreamReader(DataSourceStreamReader):
             if end > self._cursor and total + n > self.max_files:
                 break
             end, total = v, total + n
+        if not self._learned and end < cur:
+            # capped offset produced before any engine callback confirmed
+            # the stream's position — if a checkpoint later proves it
+            # regressed, partitions() degrades instead of failing
+            self._unlearned_caps.add(end)
         return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         if int(end["version"]) < int(start["version"]):
-            # defense-in-depth for the admission cursor (r9 self-review):
             # a batch planned BACKWARD means a capped latestOffset ran
             # before this reader learned its checkpointed position — an
-            # engine call-order this code does not expect (pyspark 4.1
-            # replays commit/partitions first). Failing loudly here
-            # keeps the regressed offset from silently re-emitting
-            # already-streamed versions after the next restart.
+            # engine call-order pyspark 4.1 never produces (it replays
+            # commit/partitions first). r9 advice: degrade gracefully
+            # when the regressed end is one THIS reader returned while
+            # unlearned — plan an empty batch, jump the cursor to the
+            # checkpointed start, and floor-clamp future ranges so the
+            # regressed WAL entry can't re-emit versions <= start. The
+            # loud error stays for genuine regression (an end offset
+            # this reader never produced, e.g. a corrupted checkpoint).
+            if not self._learned and int(end["version"]) in self._unlearned_caps:
+                chk = int(start["version"])
+                if self._cursor is None or chk > self._cursor:
+                    self._cursor = chk
+                self._floor = max(self._floor or 0, chk)
+                self._learned = True
+                log.warning(
+                    "versioned_table stream: capped latestOffset %s ran "
+                    "before the restart replay (checkpoint at %s); "
+                    "planning an empty batch, admission cap resumes next "
+                    "trigger",
+                    end["version"],
+                    start["version"],
+                )
+                return []
             raise ValueError(
                 f"versioned_table stream: batch planned backward "
                 f"({start['version']} -> {end['version']}); the "
@@ -557,11 +601,16 @@ class _VTStreamReader(DataSourceStreamReader):
         hi_seen = max(int(start["version"]), int(end["version"]))
         if self._cursor is None or hi_seen > self._cursor:
             self._cursor = hi_seen
+        self._learned = True
         if self.cdf:
             return self._cdf_partitions(start, end)
         from otus_cpp_11_spark.ops import manifest_format as mf
 
         lo, hi = int(start["version"]), int(end["version"])
+        if self._floor is not None and self._floor > lo:
+            # a degraded (backward) batch regressed the WAL below the
+            # true checkpoint; versions <= floor were already streamed
+            lo = min(self._floor, hi)
         added: list[str] = []
         # lazily-built snapshot file set, needed ONLY when a legacy
         # format-1 marker (full-list body) is hit mid-range; fmt-2
@@ -618,6 +667,8 @@ class _VTStreamReader(DataSourceStreamReader):
         from otus_cpp_11_spark.ops import manifest_format as mf
 
         lo, hi = int(start["version"]), int(end["version"])
+        if self._floor is not None and self._floor > lo:
+            lo = min(self._floor, hi)
         parts: list[_VTFile] = []
         for v in range(lo + 1, hi + 1):
             hdr, body = mf.parse_marker(
@@ -668,6 +719,7 @@ class _VTStreamReader(DataSourceStreamReader):
         v = int(end["version"])
         if self._cursor is None or v > self._cursor:
             self._cursor = v
+        self._learned = True
 
 
 class VersionedTableDataSource(DataSource):
