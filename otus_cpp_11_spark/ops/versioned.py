@@ -92,6 +92,15 @@ _MARKER = mf.MARKER_RE
 # per-file `dv_max_fraction` cap still bounds each file's share.
 DV_BROADCAST_MAX_ROWS = 1_000_000
 
+# Global deleted-row pressure valve (r9 verdict item 2): when a DELETE
+# leaves the snapshot's total DV-deleted rows above this, the writer
+# immediately follows up with a `commit_apply_dvs` purge commit, so no
+# read ever pays the shuffle-anti-join fallback for long. Matches the
+# broadcast cap by design: the valve fires exactly when reads would
+# degrade. Per-delete override: `commit_delete(dv_auto_apply_rows=...)`
+# (None disables).
+DV_AUTO_APPLY_MAX_ROWS = DV_BROADCAST_MAX_ROWS
+
 
 class ConstraintViolation(ValueError):
     """A commit's NEW rows violated a CHECK constraint recorded in the
@@ -799,6 +808,7 @@ def commit_delete(
     dv_max_fraction: float | None = None,
     change_feed: bool = False,
     max_retries: int = 0,
+    dv_auto_apply_rows: int | None = DV_AUTO_APPLY_MAX_ROWS,
 ) -> int:
     """``DELETE FROM table WHERE condition`` as a commit: files holding
     a matching row are rewritten WITHOUT those rows; every other file is
@@ -824,7 +834,19 @@ def commit_delete(
     commit added a live row matching ``condition`` — see
     ``_commit_retrying`` / ``_dml_added_check``. An RTBF delete racing
     a streaming maintainer's per-micro-batch upserts then commits
-    instead of dying on ``CommitConflict``."""
+    instead of dying on ``CommitConflict``.
+
+    ``dv_auto_apply_rows`` is the GLOBAL DELETED-ROW PRESSURE VALVE
+    (r9 verdict item 2): when the delete leaves the snapshot's TOTAL
+    DV-deleted rows (descriptor sum, no sidecar loads) above the
+    threshold, a follow-up ``commit_apply_dvs`` purge commits
+    immediately — Delta's auto-compaction move. Without it, once the
+    total passes ``DV_BROADCAST_MAX_ROWS`` EVERY read pays a shuffle
+    anti-join until a human runs OPTIMIZE. The default threshold IS the
+    broadcast cap, so the valve fires exactly when reads would start
+    degrading (None disables; any smaller budget tightens). The
+    delete's own version is returned; the purge (if any) is the
+    version after it."""
 
     def rewrite(df, cond):
         return df.where(~F.coalesce(cond, F.lit(False)))
@@ -835,7 +857,7 @@ def commit_delete(
         # or the rewrite path
         return live.where(matched).withColumn("_change_type", F.lit("delete"))
 
-    return _rewrite_matching_files(
+    v = _rewrite_matching_files(
         spark,
         table,
         condition,
@@ -847,6 +869,17 @@ def commit_delete(
         change_rows=change_rows if change_feed else None,
         max_retries=max_retries,
     )
+    if (
+        dv_auto_apply_rows is not None
+        and snapshot_dv_rows(spark, table, v) > dv_auto_apply_rows
+    ):
+        commit_apply_dvs(
+            spark,
+            table,
+            meta={"trigger": "dv_pressure_valve"},
+            max_retries=max_retries,
+        )
+    return v
 
 
 def commit_update(
@@ -2544,6 +2577,87 @@ def commit_compaction(
         max_retries=max_retries,
         added_check=None,
     )
+
+
+def commit_apply_dvs(
+    spark: SparkSession,
+    table: str,
+    meta: dict | None = None,
+    max_retries: int = 0,
+) -> int:
+    """Delta's ``REORG TABLE ... APPLY (PURGE)``: rewrite ONLY the
+    DV-carrying files with their deletion vectors applied, carrying
+    every clean file by reference — the minimal physical forget, without
+    commit_compaction's re-clustering (no cluster columns needed, so the
+    pressure valve below can run it on ANY table unattended). Cost is
+    O(DV'd file bytes); a table with no DVs is an O(1) no-op returning
+    the current version. Output preserves the per-file grouping
+    (range-repartition on the source file path, one output file per
+    input file) and re-records each rewritten file's stats over the SAME
+    columns the old files had recorded, so scan pruning survives the
+    purge. Commits as ``optimize``: CDF-neutral (the deletes were fed at
+    DV-attach time) and concurrent appends compose under the OCC retry
+    exactly as for compaction."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, prev_files = read_manifest(spark, table, cur)
+    dvs_map = manifest_dvs(header)
+    selected = [f for f in prev_files if dvs_map.get(f)]
+    if not selected:
+        return cur
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    sel = set(selected)
+    carried = [f for f in prev_files if f not in sel]
+    df = _read_files_masked(
+        spark, table, schema, selected, dvs_map, path_col="__f"
+    )
+    out = df.repartitionByRange(len(selected), "__f").drop("__f")
+    new_files = _write_data_dir(spark, out, table, cur + 1)
+    all_stats = manifest_stats(header)
+    stat_cols = sorted(
+        {c for f in selected for c in (all_stats.get(f) or {})}
+    )
+    stats = {f: s for f, s in all_stats.items() if f in set(carried)}
+    new_stats = _collect_file_stats(spark, table, new_files, stat_cols)
+    stats.update(new_stats)
+    hdr_meta = dict(meta or {})
+    hdr_meta["apply_dvs_io"] = {
+        "files_purged": len(selected),
+        "files_after": len(carried) + len(new_files),
+        "dv_rows_applied": sum(
+            mf.dv_deleted_count(dvs_map[f]) for f in selected
+        ),
+    }
+    return _commit_retrying(
+        spark,
+        table,
+        "optimize",
+        schema,
+        touched=sel,
+        rewrite_set=sel,
+        base_dvs={f: dvs_map[f] for f in sel},
+        based_files=prev_files,
+        new_files=new_files,
+        new_file_stats=new_stats,
+        new_dvs={},
+        hdr_meta=hdr_meta,
+        files_out=carried + new_files,
+        stats_out=stats,
+        rows_out=manifest_rows(header),
+        dvs_out={f: d for f, d in dvs_map.items() if f not in sel},
+        target=cur + 1,
+        max_retries=max_retries,
+        added_check=None,
+    )
+
+
+def snapshot_dv_rows(spark: SparkSession, table: str, version: int) -> int:
+    """Snapshot-wide deleted-row total, from DV DESCRIPTORS alone —
+    O(file count), no sidecar loads (each descriptor records its count).
+    This is the pressure gauge the valve reads."""
+    header, _ = read_manifest(spark, table, version)
+    return sum(mf.dv_deleted_count(d) for d in manifest_dvs(header).values())
 
 
 def diff_versions(

@@ -85,20 +85,34 @@ def register(
 # shared-helper caveat). Regenerate entries with
 # scripts/gen_verified_hashes.py after promoting a round's greens.
 #
-# Round-9 membership: every green row from rounds 1-8 (the r8 driver
-# report was 50/50 green, bringing cumulative coverage to 219/219), each
-# pinned to the source hash current at promotion time. Round-9 edits
-# remove their entries below (see the note near WINDOW_DEFER).
+# Round-10 membership: every green row from rounds 1-9 (the r9 driver
+# report was 50/50 green, bringing cumulative coverage to 221/221), each
+# pinned to the source hash current at promotion time. Round-10 edits
+# remove their entries below — this round that is the trained-quantizer
+# rewiring family (pq_adc_top10, ivf_pq_top5, pq_adc_rerank_top5,
+# pq_code_assignment, pq_encode_arrow, ivf_cosine_top5,
+# pq_index_after_append, pq_recall_trained_vs_init, ivf_trained_recall)
+# plus this round's new queries (see the note near WINDOW_DEFER).
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
     "ann_filtered_top5": "acf0825f69bc",
     "ann_truncated_dim_recall": "0980750bee64",
     "balanced_doc_sample": "e369f0894200",
+    "benchmark_decontamination": "7a996f13be83",
+    "bm25_stats_streamed": "56ebcc2d8fce",
+    "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
     "budgeted_mixture_selection": "bfe3e84837f5",
+    "cdc_change_data_feed": "c877eea61ea1",
+    "cdf_incremental_state_counts": "44b34b2886e4",
+    "cdf_netting_across_versions": "ca8de7bf1a5e",
     "copurchase_association_rules": "77b285b9c575",
     "copurchase_part_pairs": "86f91ab99906",
+    "corpus_after_span_strip": "521eaebb4885",
+    "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
+    "corpus_datacard_streamed": "0339deef2f6d",
+    "corpus_dedup_stats": "3fa9e48f7a71",
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
     "customer_monthly_retention": "5005e34e6d54",
@@ -112,18 +126,27 @@ DRIVER_VERIFIED: dict[str, str] = {
     "daily_open_shipments": "e3385cf3d8ee",
     "decontam_bloom_prune": "004a9cd16c69",
     "dedup_canonical_by_quality": "48bc5b1ec055",
+    "doc_arrow_byte_stats": "48790875d2b1",
+    "doc_bigram_surprisal": "101994b12e10",
     "doc_bm25_top5": "124ad5bae99a",
     "doc_bpe_roundtrip": "b33acb08e4ca",
     "doc_bpe_token_ids": "b734428e749a",
     "doc_bpe_token_stats": "a44dac60fb4a",
+    "doc_dedup_clusters": "5150a5c0e008",
     "doc_dsir_weights": "391a5a705947",
     "doc_fingerprint": "ac4f9cbb8f09",
     "doc_gopher_rules": "9eb3349e7818",
+    "doc_lang_id": "9244112be464",
     "doc_leading_tokens": "60f3d6d44749",
+    "doc_novelty_score": "5c60ea70b6ed",
     "doc_pack_bins": "640fc7df9845",
     "doc_pack_bins_bpe": "6405f8931987",
+    "doc_passage_chunks": "2d16d9cda11b",
+    "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_priority_sample": "aee1eab452aa",
+    "doc_quality_classifier": "496dd16e1f78",
     "doc_quality_score": "c49088db0448",
+    "doc_repeated_spans": "021ae1e34c5c",
     "doc_repetition_stats": "d70389bb5105",
     "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_shard_assignment": "b7508cca5e2e",
@@ -144,6 +167,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
+    "events_minute_rollup_streamed": "e74fbcc0b0a8",
     "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
@@ -154,12 +178,13 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
+    "events_versioned_ingest_streamed": "48dd8e3478c1",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
     "hard_negative_mining": "f06cf1ecd76f",
+    "incremental_decontamination": "27228e0f9847",
+    "incremental_near_dup": "106378cb3ab8",
     "ips_policy_value": "2c1ea431a372",
-    "ivf_cosine_top5": "4587a141ad18",
-    "ivf_pq_top5": "984566e4c151",
     "jaccard_prefix_filter_pairs": "d51e3f2c7999",
     "kmeans_assign_update": "1957709e4ad9",
     "knn_join_lsh_top3": "635fe257dd5a",
@@ -172,6 +197,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
+    "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
     "lsh_cosine_top5": "bcbb1c08dc09",
     "lsh_cosine_top5_multiprobe": "8a46b082e0db",
@@ -192,8 +218,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_grouping_sets": "7c2a2fcda67b",
     "orders_price_percentiles": "00142ef3899e",
     "orders_rollup": "cc0326964a00",
+    "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
     "part_pagerank_fixedpoint": "5a1d412dfb43",
+    "part_price_band_join": "feedac3b7d7c",
     "part_triangle_counts": "3b688cf75576",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
@@ -201,13 +229,10 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ppm_ahash_near_dup_counts": "2df65b831d36",
     "ppm_decode_features": "9da4f48f676c",
     "ppm_resize_2x2": "6b8205d6c06a",
-    "pq_adc_rerank_top5": "1d721961f9ed",
-    "pq_adc_top10": "464767265696",
-    "pq_code_assignment": "c33530f39f3e",
-    "pq_encode_arrow": "d468a2b1f089",
     "prefix_cache_analysis": "605af3784f13",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
+    "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
     "python_datasource_stream_checksum": "609b3f6c9262",
     "q10_returned_revenue": "a6bbc6cce502",
@@ -232,6 +257,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "q7_nation_volume": "71bb2f5a3869",
     "q8_market_share": "defa2dff53c1",
     "q9_product_profit": "f67a4359d652",
+    "quality_gate_kappa": "20583989b400",
     "region_nation_full_outer": "f11eea99322c",
     "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
@@ -240,22 +266,41 @@ DRIVER_VERIFIED: dict[str, str] = {
     "retrieval_rrf_fusion": "ae89b20c6090",
     "running_user_counts_streamed": "fbca008c058d",
     "scalar_string_math": "ace55f30e0cd",
+    "semantic_dedup_pairs": "98c7aff24981",
+    "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
     "source_score_calibration": "9b24c55b1db8",
     "source_token_fertility": "d1452d0ad04b",
+    "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
+    "supplier_lead_time_stats": "1fe1c74caabd",
     "suppliers_with_returns": "7a66c41651f6",
     "term_cms_heavy_hitters": "c42035a2f51d",
     "top3_orders_per_customer": "e381e519d72e",
     "unique_by_abs": "aec470f57ab8",
     "user_cohort_weekly_retention": "bd3c35154ddb",
+    "user_event_sessions": "2789bd95a888",
+    "user_funnel_conversion": "fe16d90615f6",
+    "user_state_cdc_streamed": "d761b9bc71db",
     "user_state_scd2": "a7229906f4e7",
+    "user_state_scd2_streamed": "2abfd0b54841",
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_resample_1h_ffill": "8c1195e182fb",
+    "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
     "user_value_zscore_outliers": "2c6fb32b13af",
+    "versioned_change_feed": "defcc1758187",
+    "versioned_change_feed_streamed": "0921995f28c9",
+    "versioned_dml_lifecycle": "47504a991821",
+    "versioned_metadata_count": "1630468efb50",
+    "versioned_optimize_roundtrip": "e9ef2e2aa955",
+    "versioned_rtbf_deletion_vectors": "68e6e0a9b480",
+    "versioned_scan_skipping": "ce505e83611c",
+    "versioned_schema_evolution": "6402afe3d77a",
+    "versioned_stream_rollup": "825692b63304",
     "view_purchase_left_outer_streamed": "f8e79f71ba33",
+    "view_purchase_within_6h": "ceb393bc123c",
     "view_purchase_within_6h_streamed": "fa86e1f70ded",
     "wav_decode_features": "c5e596df5226",
     "wav_fingerprint16": "3048e2e0c324",
@@ -280,43 +325,11 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
-# Round-9 refill: the oldest-green pins (last green r3-r4), queued
-# after the round's new/changed queries (the 21-member versioned/CDF/
-# maintainer family whose shared read/commit helpers were rewritten,
-# plus quality_gate_kappa's oracle edit and the new
-# pq_recall_trained_vs_init) so the driver window is exactly 50.
-# Members left DRIVER_VERIFIED per the workflow; the late-round
-# ivf_trained_recall addition displaced the newest-green member
-# (doc_repetition_stats) back to its still-valid pin (the
-# displacement rule).
-REVERIFY: frozenset[str] = frozenset({
-    "benchmark_decontamination",
-    "bpe_pair_counts",
-    "corpus_after_span_strip",
-    "corpus_curation_pipeline",
-    "corpus_dedup_stats",
-    "doc_arrow_byte_stats",
-    "doc_bigram_surprisal",
-    "doc_dedup_clusters",
-    "doc_lang_id",
-    "doc_novelty_score",
-    "doc_passage_chunks",
-    "doc_passage_chunks_udtf",
-    "doc_quality_classifier",
-    "doc_repeated_spans",
-    "lineitem_qty_histogram",
-    "orders_yoy_growth",
-    "part_price_band_join",
-    "purchase_prior_click_asof",
-    "semantic_dedup_pairs",
-    "session_top_paths",
-    "sql_api_region_revenue",
-    "supplier_lead_time_stats",
-    "user_event_sessions",
-    "user_funnel_conversion",
-    "user_value_scd2",
-    "view_purchase_within_6h",
-})
+# Round-10 refill happens at round end once the round's new/changed set
+# is final (the trained-quantizer rewiring + training-telemetry queries
+# plus the lakehouse additions) — oldest-green pins queue into whatever
+# slots the 50-query window then has spare.
+REVERIFY: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:

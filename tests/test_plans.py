@@ -283,13 +283,14 @@ def test_pq_adc_runs_over_stored_codes(spark, plan):
 
 
 def test_ivf_pq_cell_filter_pushes_into_codes_scan(spark, plan):
-    # the IVF cell predicate prunes the stored-codes parquet scan (at
-    # scale: partition pruning on a cell-partitioned index layout)
+    # the IVF cell predicate (trained-quantizer probe, r10) prunes the
+    # stored-codes parquet scan (at scale: partition pruning on a
+    # cell-partitioned index layout)
     import re
 
     p = plan("ivf_pq_top5", spark)
     assert "sg-pq-codes-" in p
-    assert re.search(r"PushedFilters: \[[^\]]*label", p)
+    assert re.search(r"PushedFilters: \[[^\]]*cell", p)
 
 
 def test_zscore_join_strategy_left_to_aqe(spark):
