@@ -53,6 +53,13 @@ from otus_cpp_11_spark.session import get_spark  # noqa: E402
 
 TIMED_RUNS = 2  # min over repeated timed runs (see module docstring)
 
+# A run whose start/end calibration kernels disagree by more than this
+# ratio was taken on a machine with bursty host steal — annotate it as
+# contaminated in the JSON so the comparison protocol discards it
+# (threshold from the r8/r9 adjudications: every contaminated run showed
+# >1.5x spread, every quiet run < 1.2x).
+CONTAMINATION_RATIO = 1.5
+
 
 def _materialize(df):
     """Execute the full plan through Spark's noop sink (r8 harness
@@ -195,6 +202,16 @@ def main():
         timings[name] = round(best, 3)
         cleanup()  # untimed: not charged to any query
     total = round(sum(timings.values()), 3)
+    calibration_end = calibrate()
+    # Contamination flag (r9 verdict item 7): the start/end calibration
+    # kernels measure the MACHINE, not the code — on a quiet host they
+    # agree within noise, and every adjudicated-contaminated run in
+    # rounds 8-9 showed a >1.5x spread (r9: 0.313 vs 0.092 = 3.4x on the
+    # judge's own first rerun). A flagged run should be discarded and
+    # re-run rather than compared; the flag makes that mechanical.
+    ratio = max(calibration_start, calibration_end) / max(
+        1e-9, min(calibration_start, calibration_end)
+    )
     print(
         json.dumps(
             {
@@ -204,7 +221,9 @@ def main():
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration_start_sec": calibration_start,
-                "calibration_end_sec": calibrate(),
+                "calibration_end_sec": calibration_end,
+                "calibration_ratio": round(ratio, 3),
+                "contaminated": ratio > CONTAMINATION_RATIO,
             }
         )
     )

@@ -230,7 +230,18 @@ def marker_added_files(header: dict, body: list[str]) -> list[str] | None:
 # constraint ops are pure metadata). One home, consulted by the batch
 # face (ops.versioned.read_change_feed) and the streaming face
 # (sources._VTStreamReader) alike.
-CDF_NEUTRAL_OPS = frozenset({"optimize", "add_constraint", "drop_constraint"})
+CDF_NEUTRAL_OPS = frozenset(
+    {
+        "optimize",
+        "add_constraint",
+        "drop_constraint",
+        # column mapping (r10): rename/drop change the LOGICAL schema but
+        # no row content — the feed reads every file under the END
+        # version's mapping, so there is nothing to emit for them
+        "rename_column",
+        "drop_column",
+    }
+)
 
 # the change-feed columns appended to the table schema — Delta's flat
 # CDF shape, shared by both faces' schema construction

@@ -299,7 +299,8 @@ def read_version(
     header, files = read_manifest(spark, table, v)
     schema = StructType.fromJson(json.loads(header["schema"]))
     return _read_files_masked(
-        spark, table, schema, files, manifest_dvs(header)
+        spark, table, schema, files, manifest_dvs(header),
+        cmap=manifest_cmap(header),
     )
 
 
@@ -335,6 +336,136 @@ def restore_version(
         dict(manifest_stats(header)),
         rows=manifest_rows(header),
         dvs=dict(manifest_dvs(header)),
+        cmap=manifest_cmap(header),
+        cmap_burned=header.get("cmap_burned") or [],
+    )
+
+
+def commit_rename_column(
+    spark: SparkSession, table: str, old: str, new: str, meta: dict | None = None
+) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` as a METADATA-ONLY commit —
+    Delta's column-mapping rename (r9 verdict item 5): the new logical
+    name maps to the old column's unchanged PHYSICAL name, every data
+    file and stats entry is carried by reference, and zero data bytes
+    move (the first schema refactor no longer forces a full rewrite).
+    Time travel keeps every snapshot name-correct: versions before the
+    rename read under the old name, after it under the new. Constraints
+    referencing the old name are refused (their expressions would
+    silently stop matching rows — rewrite them first)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, files = read_manifest(spark, table, cur)
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    names = schema.names
+    if old not in names:
+        raise ValueError(
+            f"commit_rename_column: no column {old!r} in {table!r} "
+            f"(columns: {names})"
+        )
+    if new in names:
+        raise ValueError(
+            f"commit_rename_column: column {new!r} already exists in "
+            f"{table!r}"
+        )
+    for cname, expr in (header.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(old)}\b", expr):
+            raise ValueError(
+                f"commit_rename_column: CHECK constraint {cname!r} "
+                f"({expr}) references {old!r}; drop or rewrite it before "
+                "renaming"
+            )
+    cmap = dict(manifest_cmap(header))
+    phys = cmap.pop(old, old)  # the physical name is frozen at creation
+    burned = list(header.get("cmap_burned") or [])
+    if new != phys:
+        # renaming back to the physical name restores identity; any
+        # other target maps explicitly, so reads are unambiguous even
+        # if `new` textually equals some burned/foreign physical name
+        cmap[new] = phys
+    new_schema = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+    )
+    hdr_meta = dict(meta or {})
+    hdr_meta["rename_column"] = {"from": old, "to": new, "physical": phys}
+    return _commit(
+        spark,
+        table,
+        cur + 1,
+        "rename_column",
+        new_schema,
+        files,
+        hdr_meta,
+        dict(manifest_stats(header)),
+        rows=manifest_rows(header),
+        dvs=dict(manifest_dvs(header)),
+        cmap=cmap,
+        cmap_burned=burned,
+    )
+
+
+def commit_drop_column(
+    spark: SparkSession, table: str, name: str, meta: dict | None = None
+) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` as a METADATA-ONLY commit
+    (Delta's column-mapping drop): the column leaves the logical schema
+    and its physical name is BURNED — the bytes stay in the data files
+    (reads simply never select them; retention-driven rewrites shed
+    them over time, exactly Delta's behavior) and no future column may
+    reuse the physical name, which would read the dead bytes back.
+    Zero data IO; time travel still serves the column at pre-drop
+    versions. Constraints referencing the column are refused."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, files = read_manifest(spark, table, cur)
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    if name not in schema.names:
+        raise ValueError(
+            f"commit_drop_column: no column {name!r} in {table!r} "
+            f"(columns: {schema.names})"
+        )
+    if len(schema.fields) == 1:
+        raise ValueError(
+            "commit_drop_column: cannot drop a table's only column"
+        )
+    for cname, expr in (header.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"commit_drop_column: CHECK constraint {cname!r} ({expr}) "
+                f"references {name!r}; drop it first"
+            )
+    cmap = dict(manifest_cmap(header))
+    phys = cmap.pop(name, name)
+    burned = list(header.get("cmap_burned") or [])
+    if phys not in burned:
+        burned.append(phys)
+    new_schema = StructType(
+        [f for f in schema.fields if f.name != name]
+    )
+    # stats for the dropped physical column stay in carried entries —
+    # harmless (never consulted: bounds translate from live logical
+    # names only) and rewriting them would be O(table) metadata
+    hdr_meta = dict(meta or {})
+    hdr_meta["drop_column"] = {"name": name, "physical": phys}
+    return _commit(
+        spark,
+        table,
+        cur + 1,
+        "drop_column",
+        new_schema,
+        files,
+        hdr_meta,
+        dict(manifest_stats(header)),
+        rows=manifest_rows(header),
+        dvs=dict(manifest_dvs(header)),
+        cmap=cmap,
+        cmap_burned=burned,
     )
 
 
@@ -372,7 +503,8 @@ def add_constraint(
     schema = StructType.fromJson(json.loads(header["schema"]))
     if files:
         df = _read_files_masked(
-            spark, table, schema, files, manifest_dvs(header)
+            spark, table, schema, files, manifest_dvs(header),
+            cmap=manifest_cmap(header),
         )
         bad = df.where(F.expr(expr).eqNullSafe(F.lit(False))).count()
         if bad:
@@ -521,6 +653,8 @@ def clone_version(
         # _commit — because the source already validated it
         constraints=dict(header.get("constraints") or {}),
         dvs=dvs,
+        cmap=manifest_cmap(header),
+        cmap_burned=header.get("cmap_burned") or [],
     )
 
 
@@ -615,9 +749,13 @@ def _rewrite_matching_files(
     prev_stats = manifest_stats(header)
     prev_dvs = manifest_dvs(header)
     prev_rows = manifest_rows(header)
-    candidates = _prune_by_bounds(prev_files, prev_stats, bounds or {})
+    cmap = manifest_cmap(header)
+    candidates = _prune_by_bounds(
+        prev_files, prev_stats, _phys_bounds(bounds, cmap) or {}
+    )
     touched = _files_containing(
-        spark, table, schema, candidates, lambda df: df.where(cond), prev_dvs
+        spark, table, schema, candidates, lambda df: df.where(cond), prev_dvs,
+        cmap=cmap,
     )
     if not touched:
         return cur  # nothing matches anywhere: no version churn
@@ -632,7 +770,8 @@ def _rewrite_matching_files(
         by_suffix = {_relativize(_resolve(root, f)): f for f in touched}
         per = (
             _read_files_masked(
-                spark, table, schema, sorted(touched), prev_dvs, path_col="__f"
+                spark, table, schema, sorted(touched), prev_dvs,
+                path_col="__f", cmap=cmap,
             )
             .groupBy("__f")
             .agg(F.sum(matched_cond.cast("long")).alias("__m"))
@@ -661,6 +800,7 @@ def _rewrite_matching_files(
                     prev_dvs,
                     path_col="__f",
                     idx_col="__i",
+                    cmap=cmap,
                 )
                 .where(matched_cond)
                 .select("__f", "__i")
@@ -686,7 +826,7 @@ def _rewrite_matching_files(
     new_files: list[str] = []
     if rewrite_set:
         touched_df = _read_files_masked(
-            spark, table, schema, sorted(rewrite_set), prev_dvs
+            spark, table, schema, sorted(rewrite_set), prev_dvs, cmap=cmap
         )
         replacement = rewrite(touched_df, cond)
         _require_same_schema(replacement, header, table, op)
@@ -696,7 +836,7 @@ def _rewrite_matching_files(
         # read_version reads an empty manifest as an empty frame of the
         # committed schema
         new_files = _write_data_dir(
-            spark, replacement, table, cur + 1, keep_empty=False
+            spark, replacement, table, cur + 1, keep_empty=False, cmap=cmap
         )
     scols = sorted({c for s in prev_stats.values() for c in s})
     stats = {f: s for f, s in prev_stats.items() if f not in rewrite_set}
@@ -719,7 +859,7 @@ def _rewrite_matching_files(
         # once per commit and referenced by the header. One extra scan
         # of the touched files, only when the caller opted in.
         live = _read_files_masked(
-            spark, table, schema, sorted(touched), prev_dvs
+            spark, table, schema, sorted(touched), prev_dvs, cmap=cmap
         )
         hdr_meta["cdf"] = _write_data_dir(
             spark,
@@ -728,6 +868,7 @@ def _rewrite_matching_files(
             cur + 1,
             keep_empty=False,
             prefix="cdf",
+            cmap=cmap,
         )
     return _commit_retrying(
         spark,
@@ -748,11 +889,13 @@ def _rewrite_matching_files(
         dvs_out=dvs,
         target=cur + 1,
         max_retries=max_retries,
-        added_check=_dml_added_check(spark, table, schema, cond, bounds, op),
+        added_check=_dml_added_check(
+            spark, table, schema, cond, bounds, op, cmap=cmap
+        ),
     )
 
 
-def _dml_added_check(spark, table, schema, cond, bounds, op):
+def _dml_added_check(spark, table, schema, cond, bounds, op, cmap=None):
     """``added_check`` for predicate DML: an interleaved commit's added
     file conflicts when it holds a LIVE row matching this DML's
     condition — in either serial order the DML would have touched those
@@ -764,6 +907,8 @@ def _dml_added_check(spark, table, schema, cond, bounds, op):
     stats-only test, and only paid when a conflict actually restages."""
     matched_cond = F.coalesce(cond, F.lit(False))
 
+    pbounds = _phys_bounds(bounds, cmap or {})
+
     def check(nheader, added, newcur):
         nstats = manifest_stats(nheader)
         nrows = manifest_rows(nheader)
@@ -771,11 +916,11 @@ def _dml_added_check(spark, table, schema, cond, bounds, op):
         for f in added:
             if nrows.get(f) == 0:
                 continue  # physically empty: cannot match
-            if bounds and not all(
+            if pbounds and not all(
                 _extent_overlaps(
                     nstats.get(f), c, _stats_safe(lo), _stats_safe(hi)
                 )
-                for c, (lo, hi) in bounds.items()
+                for c, (lo, hi) in pbounds.items()
             ):
                 continue  # provably disjoint from the predicate's bounds
             suspect.append(f)
@@ -787,6 +932,7 @@ def _dml_added_check(spark, table, schema, cond, bounds, op):
                 sorted(suspect),
                 lambda df: df.where(matched_cond),
                 manifest_dvs(nheader),
+                cmap=manifest_cmap(nheader),
             )
             if hit:
                 raise CommitConflict(
@@ -1040,6 +1186,7 @@ def _write_data_dir(
     version: int,
     keep_empty: bool = True,
     prefix: str = "c",
+    cmap: dict | None = None,
 ) -> list[str]:
     """Write ``df``'s files into a fresh writer-unique data dir; return
     their table-relative paths. The uuid suffix is what makes concurrent
@@ -1058,7 +1205,9 @@ def _write_data_dir(
     cannot prove empty."""
     token = uuid.uuid4().hex[:8]
     ddir = f"{table.rstrip('/')}/{_DATA}/{prefix}{version:08d}-{token}"
-    df.write.parquet(ddir)
+    # data files always carry PHYSICAL column names (manifest_cmap):
+    # that invariant is what makes rename/drop metadata-only
+    _to_physical(df, cmap or {}).write.parquet(ddir)
     files = [_relativize(p) for p, _ in list_data_files(spark, ddir)]
     nonempty = [f for f in files if _footer_rows(table, f) != 0]
     if nonempty:
@@ -1081,7 +1230,11 @@ def _stats_safe(v):
 
 
 def _collect_file_stats(
-    spark: SparkSession, table: str, files: list[str], cols: list[str]
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    cols: list[str],
+    cmap: dict | None = None,
 ) -> dict:
     """Per-file min/max of ``cols`` for freshly written ``files`` — ONE
     column-pruned scan of the NEW files only (O(delta)), keyed by
@@ -1090,6 +1243,9 @@ def _collect_file_stats(
     from the manifest header without touching the data."""
     if not cols or not files:
         return {}
+    # stats are keyed by PHYSICAL column name (the name in the file),
+    # so a later rename never has to rewrite them
+    cols = [_phys(cmap or {}, c) for c in cols]
     root = table.rstrip("/")
     df = spark.read.parquet(*[_resolve(root, f) for f in files])
     aggs = []
@@ -1155,6 +1311,7 @@ def _files_containing(
     candidates: list[str],
     marker,
     dvs: dict | None = None,
+    cmap: dict | None = None,
 ) -> set[str]:
     """Exact-match tier of touched-file discovery, shared by
     ``commit_upsert`` and predicate DML: scan the candidate files (DV
@@ -1170,7 +1327,7 @@ def _files_containing(
         return set()
     root = table.rstrip("/")
     df = _read_files_masked(
-        spark, table, schema, candidates, dvs or {}, path_col="__f"
+        spark, table, schema, candidates, dvs or {}, path_col="__f", cmap=cmap
     )
     hit = [r["__f"] for r in marker(df).select("__f").distinct().collect()]
     by_suffix = {_relativize(_resolve(root, f)): f for f in candidates}
@@ -1225,6 +1382,8 @@ def _commit(
     rows: dict | None = None,
     constraints: dict | None = None,
     dvs: dict | None = None,
+    cmap: dict | None = None,
+    cmap_burned: list | None = None,
 ) -> int:
     header = {
         "op": op,
@@ -1244,16 +1403,38 @@ def _commit(
         inherited = pheader.get("constraints") or {}
         prev_set = set(parent_state["files"])
     else:
+        pheader = {}
         inherited, prev_set = {}, set()
         parent_state = mf.empty_state()
+    # column mapping: inherited verbatim unless the commit changes it
+    # (rename/drop pass explicit maps; clone/restore pass the source
+    # version's) — every header carries the mapping its snapshot reads
+    # under, which is what makes time travel name-correct per version
+    eff_cmap = cmap if cmap is not None else (pheader.get("cmap") or {})
+    eff_burn = (
+        cmap_burned
+        if cmap_burned is not None
+        else (pheader.get("cmap_burned") or [])
+    )
+    if eff_cmap:
+        header["cmap"] = eff_cmap
+    if eff_burn:
+        header["cmap_burned"] = eff_burn
     cons = constraints if constraints is not None else inherited
     if cons:
         header["constraints"] = cons
         fresh = [f for f in files if f not in prev_set]
         if fresh and op != "clone":
-            df = spark.read.schema(schema).parquet(
+            df = spark.read.schema(_physical_schema(schema, eff_cmap)).parquet(
                 *[_resolve(table.rstrip("/"), f) for f in fresh]
             )
+            if eff_cmap:
+                df = df.select(
+                    *[
+                        F.col(_phys(eff_cmap, f_.name)).alias(f_.name)
+                        for f_ in schema.fields
+                    ]
+                )
             aggs = [
                 F.sum(
                     F.expr(e).eqNullSafe(F.lit(False)).cast("int")
@@ -1346,8 +1527,57 @@ def _footer_rows(table: str, relpath: str) -> int | None:
 def manifest_stats(header: dict) -> dict:
     """Per-file column extents recorded in a commit header:
     ``{relative_path: {col: [min, max]}}``. Empty for commits made
-    without ``stats_cols`` — pruning then degrades to scanning."""
+    without ``stats_cols`` — pruning then degrades to scanning.
+    Keys are PHYSICAL column names (identical to logical until a
+    rename; see ``manifest_cmap``) so a rename never rewrites stats."""
     return header.get("stats") or {}
+
+
+def manifest_cmap(header: dict) -> dict:
+    """COLUMN MAPPING of a snapshot (Delta's column-mapping feature,
+    r9 verdict item 5): ``{logical name: physical name}``. Data files
+    and manifest stats always use PHYSICAL names — the names columns
+    were created under — so RENAME (change a logical key) and DROP
+    (remove an entry + burn the physical name) are metadata-only
+    commits that rewrite zero data bytes. Empty = identity (every
+    table that never renamed/dropped). Each version's header carries
+    its own mapping, which is what makes time travel read every
+    snapshot under the names it had then."""
+    return header.get("cmap") or {}
+
+
+def _phys(cmap: dict, col: str) -> str:
+    return cmap.get(col, col) if cmap else col
+
+
+def _physical_schema(schema: StructType, cmap: dict) -> StructType:
+    """The read/write schema of the DATA FILES: logical field names
+    swapped for their physical names, types/nullability untouched."""
+    if not cmap:
+        return schema
+    return StructType(
+        [
+            StructField(_phys(cmap, f.name), f.dataType, f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, cmap: dict) -> DataFrame:
+    """Rename a logical DataFrame's columns to their physical names for
+    writing; columns outside the mapping (change-feed markers, temp
+    cols) pass through unchanged."""
+    if not cmap:
+        return df
+    return df.select(*[F.col(c).alias(_phys(cmap, c)) for c in df.columns])
+
+
+def _phys_bounds(bounds: dict | None, cmap: dict) -> dict | None:
+    """Translate logical bound/extent keys to the physical names the
+    manifest stats are recorded under."""
+    if not bounds or not cmap:
+        return bounds
+    return {_phys(cmap, k): v for k, v in bounds.items()}
 
 
 def manifest_rows(header: dict) -> dict:
@@ -1396,9 +1626,12 @@ def _read_files_masked(
     dvs: dict,
     path_col: str | None = None,
     idx_col: str | None = None,
+    cmap: dict | None = None,
 ) -> DataFrame:
     """THE snapshot read path: the listed files aligned to the declared
-    schema, with each file's deletion-vector positions masked out —
+    LOGICAL schema (files are read under their physical names and
+    projected to logical through ``cmap`` — see ``manifest_cmap``),
+    with each file's deletion-vector positions masked out —
     every consumer (read_version, scans, DML touched-file reads, upsert
     stored reads, constraint validation, compaction) funnels through
     here so a DV'd row is invisible everywhere at once.
@@ -1431,12 +1664,15 @@ def _read_files_masked(
             if extra:
                 df = df.withColumn(extra, F.lit(None).cast(typ))
         return df
-    reader = spark.read.schema(schema)
+    cmap = cmap or {}
+    reader = spark.read.schema(_physical_schema(schema, cmap))
     df = reader.parquet(*[_resolve(root, f) for f in files])
+    # logical projection, applied LAST: _metadata refs below need the
+    # scan relation, and the mask math is name-agnostic
+    cols = [F.col(_phys(cmap, f.name)).alias(f.name) for f in schema.fields]
     live = {f: dvs[f] for f in files if dvs.get(f)}
     if not live and path_col is None and idx_col is None:
-        return df
-    cols = [F.col(c) for c in df.columns]
+        return df.select(*cols)
     df = df.withColumn("__vt_path", F.col("_metadata.file_path")).withColumn(
         "__vt_idx", F.col("_metadata.row_index")
     )
@@ -1571,9 +1807,15 @@ def commit_version(
     rewriting them. ``stats_cols`` records per-file min/max extents of
     those columns in the manifest, enabling later upserts to prune
     untouched files without scanning them."""
-    nxt = (current_version(spark, table) or 0) + 1
-    files = _write_data_dir(spark, df, table, nxt)
-    stats = _collect_file_stats(spark, table, files, stats_cols or [])
+    cur = current_version(spark, table)
+    nxt = (cur or 0) + 1
+    # a full overwrite of a MAPPED table keeps writing physical names
+    # (the mapping is a property of the table, not of one snapshot)
+    cmap = (
+        manifest_cmap(read_manifest(spark, table, cur)[0]) if cur else {}
+    )
+    files = _write_data_dir(spark, df, table, nxt, cmap=cmap)
+    stats = _collect_file_stats(spark, table, files, stats_cols or [], cmap=cmap)
     return _commit(spark, table, nxt, "full", df.schema, files, meta, stats)
 
 
@@ -1664,6 +1906,22 @@ def commit_append(
                     "changed the table schema; re-validate and re-append"
                 )
         elif merge_schema:
+            pcmap = manifest_cmap(header)
+            burned = set(header.get("cmap_burned") or [])
+            taken = set(pcmap.values())
+            for nn in df.schema.names:
+                if nn in committed.names:
+                    continue
+                if nn in burned or (pcmap and nn in taken):
+                    # a dropped column's PHYSICAL name still lives in old
+                    # files — a new logical column reusing it would read
+                    # the dead bytes back (Delta avoids this with uuid
+                    # physical names; we refuse loudly instead)
+                    raise ValueError(
+                        f"commit_append(merge_schema): column name {nn!r} "
+                        f"collides with a dropped/renamed column's physical "
+                        "name still present in data files; pick another name"
+                    )
             have = {f.name: f.dataType for f in df.schema.fields}
             for f in committed.fields:
                 if (
@@ -1701,9 +1959,10 @@ def commit_append(
             schema = committed
             validated = committed.simpleString()
         if written is None:
-            written = _write_data_dir(spark, df, table, cur + 1)
+            pcmap = manifest_cmap(header)
+            written = _write_data_dir(spark, df, table, cur + 1, cmap=pcmap)
             new_stats = _collect_file_stats(
-                spark, table, written, stats_cols or []
+                spark, table, written, stats_cols or [], cmap=pcmap
             )
         stats = dict(manifest_stats(header))
         stats.update(new_stats)
@@ -1842,6 +2101,7 @@ def commit_upsert(
     delta_keys = df.select(*keys).distinct()
     prev_stats = manifest_stats(header)
     prev_dvs = manifest_dvs(header)
+    cmap = manifest_cmap(header)
     candidates = prev_files
     if prev_files and prev_stats:
         aggs = []
@@ -1852,7 +2112,10 @@ def commit_upsert(
         candidates = _prune_by_bounds(
             prev_files,
             prev_stats,
-            {k: (b[f"__lo{i}"], b[f"__hi{i}"]) for i, k in enumerate(keys)},
+            _phys_bounds(
+                {k: (b[f"__lo{i}"], b[f"__hi{i}"]) for i, k in enumerate(keys)},
+                cmap,
+            ),
         )
     touched = _files_containing(
         spark,
@@ -1861,11 +2124,12 @@ def commit_upsert(
         candidates,
         lambda df: df.join(delta_keys, keys, "left_semi"),
         prev_dvs,
+        cmap=cmap,
     )
     untouched = [f for f in prev_files if f not in touched]
     if touched:
         stored_touched = _read_files_masked(
-            spark, table, schema, sorted(touched), prev_dvs
+            spark, table, schema, sorted(touched), prev_dvs, cmap=cmap
         )
         survivors = stored_touched.join(delta_keys, keys, "left_anti")
         matched = stored_touched.join(delta_keys, keys, "left_semi")
@@ -1904,8 +2168,10 @@ def commit_upsert(
     new_rows = (
         replacement if survivors is None else survivors.unionByName(replacement)
     )
-    new_files = _write_data_dir(spark, new_rows, table, cur + 1)
-    new_file_stats = _collect_file_stats(spark, table, new_files, scols)
+    new_files = _write_data_dir(spark, new_rows, table, cur + 1, cmap=cmap)
+    new_file_stats = _collect_file_stats(
+        spark, table, new_files, scols, cmap=cmap
+    )
     stats = {f: s for f, s in prev_stats.items() if f not in touched}
     stats.update(new_file_stats)
     hdr_meta = dict(meta or {})
@@ -1956,7 +2222,8 @@ def commit_upsert(
         # "cdf" PRESENT (even empty) = this commit was CDF-enabled; the
         # readers' loud-failure rule keys on absence
         hdr_meta["cdf"] = _write_data_dir(
-            spark, changes, table, cur + 1, keep_empty=False, prefix="cdf"
+            spark, changes, table, cur + 1, keep_empty=False, prefix="cdf",
+            cmap=cmap,
         )
     return _commit_retrying(
         spark,
@@ -2132,11 +2399,14 @@ def _upsert_added_check(spark, table, df, keys):
         rng = state["rng"]
         nstats = manifest_stats(nheader)
         nrows = manifest_rows(nheader)
+        ncmap = manifest_cmap(nheader)
         for f in added:
             if nrows.get(f) == 0:
                 continue  # physically empty: cannot contain any key
             if all(
-                _extent_overlaps(nstats.get(f), k, rng[k][0], rng[k][1])
+                _extent_overlaps(
+                    nstats.get(f), _phys(ncmap, k), rng[k][0], rng[k][1]
+                )
                 for k in keys
             ):
                 raise CommitConflict(
@@ -2332,7 +2602,9 @@ def scan_version(
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
     header, files = read_manifest(spark, table, v)
     schema = StructType.fromJson(json.loads(header["schema"]))
-    sel = _prune_by_bounds(files, manifest_stats(header), bounds)
+    sel = _prune_by_bounds(
+        files, manifest_stats(header), _phys_bounds(bounds, manifest_cmap(header))
+    )
     acct = {"files_total": len(files), "files_scanned": len(sel)}
     if not sel:
         return spark.createDataFrame([], schema), acct
@@ -2341,7 +2613,10 @@ def scan_version(
     # without rewriting), and a stats-pruned scan must be as blind to
     # DV'd rows as read_version is — otherwise RTBF-deleted rows
     # reappear exactly in the fast path.
-    df = _read_files_masked(spark, table, schema, sel, manifest_dvs(header))
+    df = _read_files_masked(
+        spark, table, schema, sel, manifest_dvs(header),
+        cmap=manifest_cmap(header),
+    )
     for c, (lo, hi) in bounds.items():
         df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
     return df, acct
@@ -2433,8 +2708,9 @@ def commit_compaction(
             return cur
     sel = set(selected)
     carried = [f for f in prev_files if f not in sel]
+    cmap = manifest_cmap(header)
     df = (
-        _read_files_masked(spark, table, schema, selected, dvs_map)
+        _read_files_masked(spark, table, schema, selected, dvs_map, cmap=cmap)
         if selected
         else spark.createDataFrame([], schema)
     )
@@ -2537,10 +2813,12 @@ def commit_compaction(
             if n
             else df.coalesce(1)
         )
-    new_files = _write_data_dir(spark, packed, table, cur + 1)
+    new_files = _write_data_dir(spark, packed, table, cur + 1, cmap=cmap)
     car = set(carried)
     stats = {f: s for f, s in manifest_stats(header).items() if f in car}
-    stats.update(_collect_file_stats(spark, table, new_files, cluster_cols))
+    stats.update(
+        _collect_file_stats(spark, table, new_files, cluster_cols, cmap=cmap)
+    )
     hdr_meta = dict(meta or {})
     hdr_meta["optimize_io"] = {
         "files_before": len(prev_files),
@@ -2609,11 +2887,12 @@ def commit_apply_dvs(
     schema = StructType.fromJson(json.loads(header["schema"]))
     sel = set(selected)
     carried = [f for f in prev_files if f not in sel]
+    cmap = manifest_cmap(header)
     df = _read_files_masked(
-        spark, table, schema, selected, dvs_map, path_col="__f"
+        spark, table, schema, selected, dvs_map, path_col="__f", cmap=cmap
     )
     out = df.repartitionByRange(len(selected), "__f").drop("__f")
-    new_files = _write_data_dir(spark, out, table, cur + 1)
+    new_files = _write_data_dir(spark, out, table, cur + 1, cmap=cmap)
     all_stats = manifest_stats(header)
     stat_cols = sorted(
         {c for f in selected for c in (all_stats.get(f) or {})}
@@ -2796,13 +3075,30 @@ def read_change_feed(
     v_to = v_to if v_to is not None else current_version(spark, table)
     if v_to is None:
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
-    end_schema = StructType.fromJson(
-        json.loads(parse_commit(spark, table, v_to)[0]["schema"])
-    )
+    end_header = parse_commit(spark, table, v_to)[0]
+    end_schema = StructType.fromJson(json.loads(end_header["schema"]))
+    # physical names are STABLE across renames (manifest_cmap), so the
+    # END version's mapping reads every change/data file in the range;
+    # the feed is served under the end schema's LOGICAL names
+    end_cmap = manifest_cmap(end_header)
     ct_schema = StructType(
         list(end_schema.fields)
         + [StructField("_change_type", StringType(), True)]
     )
+
+    def _feed_read(schema, paths):
+        df = spark.read.schema(_physical_schema(schema, end_cmap)).parquet(
+            *paths
+        )
+        if end_cmap:
+            df = df.select(
+                *[
+                    F.col(_phys(end_cmap, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        return df
+
     root = table.rstrip("/")
     parts: list[DataFrame] = []
     for v in range(max(v_from, 1), v_to + 1):
@@ -2812,17 +3108,16 @@ def read_change_feed(
         if cdf is not None:
             if cdf:
                 parts.append(
-                    spark.read.schema(ct_schema)
-                    .parquet(*[_resolve(root, f) for f in cdf])
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                    _feed_read(
+                        ct_schema, [_resolve(root, f) for f in cdf]
+                    ).withColumn("_commit_version", F.lit(v).cast("long"))
                 )
             continue
         if v == 1 or op == "append":
             added = _added_files(spark, table, v, header, body)
             if added:
                 parts.append(
-                    spark.read.schema(end_schema)
-                    .parquet(*[_resolve(root, f) for f in added])
+                    _feed_read(end_schema, [_resolve(root, f) for f in added])
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(v).cast("long"))
                 )

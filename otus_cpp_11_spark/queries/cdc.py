@@ -1680,3 +1680,99 @@ def versioned_dv_pressure_valve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return snap(1).unionByName(snap(2)).unionByName(snap(3)).orderBy("version")
+
+
+@register(
+    "versioned_column_mapping_lifecycle",
+    oracle=f"""
+WITH src AS (SELECT c_custkey, c_acctbal FROM customer),
+v1 AS (
+  SELECT 1 AS version, 'c_custkey,c_acctbal' AS columns, COUNT(*) AS n_rows,
+         {dsum_sql('c_acctbal', 2)} AS key_or_bal_sum
+  FROM src
+),
+v2 AS (
+  SELECT 2 AS version, 'customer_id,c_acctbal' AS columns, COUNT(*) AS n_rows,
+         {dsum_sql('c_acctbal', 2)} AS key_or_bal_sum
+  FROM src
+),
+v3 AS (
+  SELECT 3 AS version, 'customer_id' AS columns, COUNT(*) AS n_rows,
+         CAST(CAST(SUM(c_custkey) AS DECIMAL(38,0)) AS DOUBLE) AS key_or_bal_sum
+  FROM src
+),
+v4 AS (
+  SELECT 4 AS version, 'customer_id' AS columns,
+         COUNT(*) + 3 AS n_rows,
+         CAST(CAST(SUM(c_custkey) + 1 + 2 + 3 AS DECIMAL(38,0)) AS DOUBLE)
+           AS key_or_bal_sum
+  FROM src
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4
+ORDER BY version
+""",
+)
+def versioned_column_mapping_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta column mapping end to end (r9 verdict item 5): commit the
+    customer table, RENAME c_custkey -> customer_id (metadata-only:
+    asserted zero new data files), DROP c_acctbal (metadata-only, the
+    physical name burned), then APPEND under the new schema — the new
+    files physically carry the ORIGINAL column name, which is the
+    invariant that makes the whole lifecycle rewrite-free. The emitted
+    rows replay every version with ITS OWN column names (time travel is
+    name-correct per snapshot) plus a content checksum; the oracle
+    recomputes all four states from the raw table, so the hash match
+    proves renames/drops never moved, duplicated, or dropped a row. At
+    100 TB: the first schema refactor on a versioned table costs two
+    O(1)-metadata commits instead of a full rewrite. Reference: the C++
+    engine has no schema story; lakehouse mandate (Delta public
+    column-mapping semantics)."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_drop_column,
+        commit_rename_column,
+        commit_version,
+        read_manifest,
+        read_version,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    tbl = scratch_dir("sg-cmap-") + "/customer_v"
+    commit_version(spark, cust.repartitionByRange(2, "c_custkey"), tbl,
+                   stats_cols=["c_custkey"])
+    _, files1 = read_manifest(spark, tbl, 1)
+    commit_rename_column(spark, tbl, "c_custkey", "customer_id")
+    commit_drop_column(spark, tbl, "c_acctbal")
+    for v in (2, 3):  # both schema commits carried every file by reference
+        _, fv = read_manifest(spark, tbl, v)
+        assert fv == files1, (v, len(fv), len(files1))
+    late = spark.createDataFrame(
+        [(1,), (2,), (3,)], "customer_id bigint"
+    )
+    commit_append(spark, late, tbl, stats_cols=["customer_id"])
+
+    def snap(version: int, sum_col: str, as_bal: bool) -> DataFrame:
+        df = read_version(spark, tbl, version)
+        metric = (
+            dsum(F.col(sum_col), 2)
+            if as_bal
+            else F.sum(F.col(sum_col)).cast("decimal(38,0)").cast("double")
+        )
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.lit(",".join(df.columns)).alias("columns"),
+            F.count(F.lit(1)).alias("n_rows"),
+            metric.alias("key_or_bal_sum"),
+        )
+
+    return (
+        snap(1, "c_acctbal", True)
+        .unionByName(snap(2, "c_acctbal", True))
+        .unionByName(snap(3, "customer_id", False))
+        .unionByName(snap(4, "customer_id", False))
+        .orderBy("version")
+    )

@@ -119,6 +119,15 @@ def register_synthetic_source(spark) -> None:
 
 VT_SOURCE_NAME = "versioned_table"
 
+# pure-metadata commit ops the row stream passes over silently: they add
+# no data files and rewrite no rows (subset of manifest_format's
+# CDF_NEUTRAL_OPS — optimize is deliberately NOT here: it rewrites rows
+# into new files, and the loud-failure/skipChangeCommits contract covers
+# it)
+_VT_STREAM_NEUTRAL_OPS = frozenset(
+    {"rename_column", "drop_column", "add_constraint", "drop_constraint"}
+)
+
 
 def _vt_commits_dir(table: str) -> str:
     return f"{table.rstrip('/')}/_commits"
@@ -230,6 +239,17 @@ def _vt_parse_ts(raw: str) -> float:
         return _dt.datetime.fromisoformat(raw).timestamp()
 
 
+def _vt_parse_bytes(raw) -> int:
+    """Byte-cap option value: a plain integer byte count, or with a
+    Delta-style binary suffix (``10k`` / ``64m`` / ``1g``)."""
+    s = str(raw).strip().lower()
+    mult = 1
+    if s and s[-1] in "kmg":
+        mult = {"k": 1024, "m": 1024**2, "g": 1024**3}[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
 def _vt_opts(options: dict) -> dict:
     """Lower-cased option keys: Spark hands DataSources a
     CaseInsensitiveDict, unit tests hand plain dicts — normalize once
@@ -302,13 +322,19 @@ class _VTFile(InputPartition):
         self.consts = consts
 
 
-def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
+def _vt_read_file(
+    partition: _VTFile, schema_json: str | None = None, cmap: dict | None = None
+):
     """Executor-side file read, ALIGNED to the snapshot's declared
     schema: additive evolution means older files legitimately lack the
     newer columns (padded with NULL — the same fill ops.versioned.
     read_version gets from Spark's parquet reader) and, on a long-lived
     stream, newer files may carry columns the stream's fixed schema
     predates (projected away). Column order follows the declaration.
+    ``cmap`` (the snapshot's column mapping, see
+    ops.versioned.manifest_cmap) renames the file's PHYSICAL column
+    names to the declared LOGICAL ones before alignment, so renamed /
+    dropped columns read correctly through the connector too.
     Deletion-vector positions (``partition.dv``) are masked FIRST —
     they index the file's physical row order."""
     import pyarrow.parquet as pq
@@ -350,6 +376,11 @@ def _vt_read_file(partition: _VTFile, schema_json: str | None = None):
                 f.name,
                 tbl.column(i).cast(pa.timestamp("us", f.type.tz or "UTC")),
             )
+    if cmap:
+        inv = {p_: l_ for l_, p_ in cmap.items()}
+        tbl = tbl.rename_columns(
+            [inv.get(c, c) for c in tbl.column_names]
+        )
     if schema_json is not None:
         import json
 
@@ -390,10 +421,16 @@ class _VTBatchReader(DataSourceReader):
         self.version = (
             pinned if pinned is not None else _vt_current_version(self.table)
         )
-        # the snapshot's declared schema rides to executors with the
-        # (pickled) reader so every file read aligns to it
+        # the snapshot's declared schema + column mapping ride to
+        # executors with the (pickled) reader so every file read aligns
+        self._hdr = (
+            _vt_read_manifest(self.table, self.version)[0]
+            if self.version is not None
+            else None
+        )
+        self._cmap = (self._hdr or {}).get("cmap") or {}
         self._schema_json = (
-            _vt_read_manifest(self.table, self.version)[0]["schema"]
+            self._hdr["schema"]
             if self.version is not None
             else None
         )
@@ -416,7 +453,7 @@ class _VTBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _VTFile):
-        return _vt_read_file(partition, self._schema_json)
+        return _vt_read_file(partition, self._schema_json, self._cmap)
 
 
 class _VTStreamReader(DataSourceStreamReader):
@@ -462,6 +499,22 @@ class _VTStreamReader(DataSourceStreamReader):
                 f"versioned_table: maxFilesPerTrigger must be >= 1, got "
                 f"{raw_cap!r}"
             )
+        # maxBytesPerTrigger — Delta's soft byte cap (r9 verdict item 6),
+        # honored alongside the file cap (a version is admitted only
+        # while BOTH budgets hold; the first pending version always
+        # admits, so an oversized commit still progresses alone). File
+        # counts come from the fmt-2 marker's own action lines; byte
+        # sizes from one driver-side stat per pending file, cached per
+        # version (the connector is the plain-filesystem face — an
+        # object-store deployment would read sizes from its listing).
+        raw_bcap = options.get("maxbytespertrigger")
+        self.max_bytes = _vt_parse_bytes(raw_bcap) if raw_bcap is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError(
+                f"versioned_table: maxBytesPerTrigger must be >= 1 byte, "
+                f"got {raw_bcap!r}"
+            )
+        self._adm_cache: dict[int, tuple[int, int | None]] = {}
         # admission-control cursor: the newest version already planned
         # (or replayed) by THIS reader. The Python DataSource API hands
         # latestOffset() no start offset, so the cap measures from here.
@@ -492,11 +545,14 @@ class _VTStreamReader(DataSourceStreamReader):
         # the stream's schema is FIXED at start (Spark resolves it once);
         # align every commit's files to it — older files pad evolved
         # columns with NULL, files evolved mid-stream project down
-        self._schema_json = (
-            _vt_read_manifest(self.table, cur)[0]["schema"]
-            if cur is not None
-            else None
+        start_hdr = (
+            _vt_read_manifest(self.table, cur)[0] if cur is not None else None
         )
+        self._schema_json = start_hdr["schema"] if start_hdr else None
+        # the column mapping is pinned WITH the schema: physical names
+        # are stable across renames, so files from later versions still
+        # read correctly under the stream's fixed logical names
+        self._cmap = (start_hdr or {}).get("cmap") or {}
         if self.cdf and self._schema_json is not None:
             self._schema_json = _vt_cdf_schema_json(self._schema_json)
 
@@ -525,36 +581,65 @@ class _VTStreamReader(DataSourceStreamReader):
         self._learned = True
         return {"version": base}
 
-    def _version_file_count(self, v: int) -> int:
-        """Files version ``v`` would contribute to a micro-batch — the
-        admission-control unit. One marker read; a legacy full-list
-        marker answers 'the cap' (unknown delta without a snapshot
-        replay: admit it alone rather than pay O(state) per trigger)."""
+    def _version_admission(self, v: int) -> tuple[int, int | None]:
+        """(file count, byte size) version ``v`` would contribute to a
+        micro-batch — the admission-control units. One marker read, one
+        stat per file (bytes computed only when a byte cap is set),
+        cached per version; a legacy full-list marker answers 'the caps'
+        (unknown delta without a snapshot replay: admit it alone rather
+        than pay O(state) per trigger)."""
+        if v in self._adm_cache:
+            return self._adm_cache[v]
+        import os
+
         from otus_cpp_11_spark.ops import manifest_format as mf
 
         hdr, body = mf.parse_marker(
             _vt_read_text(self.table, mf.marker_name(v))
         )
         if self.cdf and hdr.get("cdf") is not None:
-            return len(hdr["cdf"])
-        added = mf.marker_added_files(hdr, body)
-        if added is None:
-            return self.max_files or 1  # legacy marker: admit it alone
-        return len(added)
+            files: list[str] | None = list(hdr["cdf"])
+        else:
+            files = mf.marker_added_files(hdr, body)
+        if files is None:  # legacy marker: admit it alone
+            out = (self.max_files or 1, self.max_bytes)
+        else:
+            nbytes = (
+                sum(
+                    os.path.getsize(_vt_resolve(self.table, f))
+                    for f in files
+                )
+                if self.max_bytes is not None
+                else None
+            )
+            out = (len(files), nbytes)
+        self._adm_cache[v] = out
+        return out
 
     def latestOffset(self) -> dict:
         cur = _vt_current_version(self.table) or 0
-        if self.max_files is None or self._cursor is None or cur <= self._cursor:
+        if (
+            (self.max_files is None and self.max_bytes is None)
+            or self._cursor is None
+            or cur <= self._cursor
+        ):
             return {"version": cur}
-        # admit whole versions while the running file count stays under
-        # the cap; always admit the first pending version (progress must
-        # never stall on a single oversized commit)
-        end, total = self._cursor, 0
+        # admit whole versions while the running file count AND byte
+        # size stay under their caps; always admit the first pending
+        # version (progress must never stall on a single oversized
+        # commit — Delta admits at least one file the same way)
+        end, total, total_b = self._cursor, 0, 0
         for v in range(self._cursor + 1, cur + 1):
-            n = self._version_file_count(v)
-            if end > self._cursor and total + n > self.max_files:
+            n, nb = self._version_admission(v)
+            over = (
+                self.max_files is not None and total + n > self.max_files
+            ) or (
+                self.max_bytes is not None
+                and total_b + (nb or 0) > self.max_bytes
+            )
+            if end > self._cursor and over:
                 break
-            end, total = v, total + n
+            end, total, total_b = v, total + n, total_b + (nb or 0)
         if not self._learned and end < cur:
             # capped offset produced before any engine callback confirmed
             # the stream's position — if a checkpoint later proves it
@@ -620,6 +705,14 @@ class _VTStreamReader(DataSourceStreamReader):
             hdr, body = mf.parse_marker(
                 _vt_read_text(self.table, mf.marker_name(v))
             )
+            if v > 1 and hdr.get("op") in _VT_STREAM_NEUTRAL_OPS:
+                # pure-metadata commits (rename/drop column, constraint
+                # add/drop): zero files added, zero rows rewritten — the
+                # row stream just passes over them. The stream's OUTPUT
+                # schema stays pinned at start (Spark resolves it once);
+                # physical names are rename-stable, so later appends'
+                # files still read correctly under the pinned names.
+                continue
             if v > 1 and hdr.get("op") != "append":
                 if not self.skip_change:
                     raise ValueError(
@@ -711,7 +804,7 @@ class _VTStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _VTFile):
-        return _vt_read_file(partition, self._schema_json)
+        return _vt_read_file(partition, self._schema_json, self._cmap)
 
     def commit(self, end: dict) -> None:
         # offsets are durable in the checkpoint; manifests immutable —
@@ -731,9 +824,10 @@ class VersionedTableDataSource(DataSource):
     (time travel; timestamp resolves through commit-marker mtimes),
     stream ``startingVersion`` (``N`` streams changes from version N
     inclusive, ``latest`` skips everything already committed),
-    ``skipChangeCommits``, and ``maxFilesPerTrigger`` (admission
-    control: bound each micro-batch's planned files at version
-    granularity — see ``_VTStreamReader``). Paths are plain-filesystem
+    ``skipChangeCommits``, and ``maxFilesPerTrigger`` /
+    ``maxBytesPerTrigger`` (admission control: bound each micro-batch's
+    planned files/bytes at version granularity — see
+    ``_VTStreamReader``). Paths are plain-filesystem
     here (the
     connector runs driver-side manifest reads through ``open``); an
     object-store deployment swaps these few lines for its client, the

@@ -1,0 +1,266 @@
+"""Column mapping (r9 verdict item 5 — Delta's rename/drop without
+rewrite): logical names map to frozen PHYSICAL names recorded per
+version; RENAME and DROP are metadata-only commits (zero data IO), time
+travel reads every snapshot under the names it had then, and every
+writer/reader face (append, DML, compaction, connector, CDF, stats
+pruning) respects the mapping.
+
+Reference parity note: the reference engine (CityAplons/otus-cpp-11)
+has no schema story; this mirrors Delta's public column-mapping
+semantics for the 100 TB lakehouse mandate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from otus_cpp_11_spark.ops.versioned import (
+    commit_append,
+    commit_delete,
+    commit_drop_column,
+    commit_rename_column,
+    commit_update,
+    commit_upsert,
+    commit_version,
+    commit_compaction,
+    current_version,
+    manifest_cmap,
+    metadata_count,
+    read_change_feed,
+    read_manifest,
+    read_version,
+    scan_version,
+    version_header,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("tag")
+    )
+
+
+def _data_bytes(table):
+    total = 0
+    for r, _, fs in os.walk(os.path.join(table, "_data")):
+        for f in fs:
+            total += os.path.getsize(os.path.join(r, f))
+    return total
+
+
+def test_rename_is_metadata_only_and_time_travel_correct(spark, table):
+    commit_version(spark, _df(spark, 0, 100).coalesce(2), table, stats_cols=["k"])
+    before = _data_bytes(table)
+    v = commit_rename_column(spark, table, "k", "key_id")
+    assert v == 2
+    assert _data_bytes(table) == before  # ZERO data bytes moved
+    hdr2, files2 = read_manifest(spark, table, 2)
+    _, files1 = read_manifest(spark, table, 1)
+    assert files2 == files1  # every file carried by reference
+    assert manifest_cmap(hdr2) == {"key_id": "k"}
+    cur = read_version(spark, table)
+    assert cur.columns == ["key_id", "tag"]
+    assert cur.agg(F.sum("key_id")).first()[0] == sum(range(100))
+    # time travel: version 1 still reads under the OLD name
+    old = read_version(spark, table, 1)
+    assert old.columns == ["k", "tag"]
+    assert old.agg(F.sum("k")).first()[0] == sum(range(100))
+    assert metadata_count(spark, table, strict=True) == 100
+
+
+def test_rename_back_to_physical_restores_identity(spark, table):
+    commit_version(spark, _df(spark, 0, 10), table)
+    commit_rename_column(spark, table, "k", "key_id")
+    commit_rename_column(spark, table, "key_id", "k")
+    hdr, _ = read_manifest(spark, table, 3)
+    assert manifest_cmap(hdr) == {}
+    assert read_version(spark, table).columns == ["k", "tag"]
+
+
+def test_drop_is_metadata_only_and_burns_physical(spark, table):
+    commit_version(spark, _df(spark, 0, 50).coalesce(1), table)
+    before = _data_bytes(table)
+    commit_drop_column(spark, table, "tag")
+    assert _data_bytes(table) == before
+    cur = read_version(spark, table)
+    assert cur.columns == ["k"]
+    assert cur.count() == 50
+    # time travel still serves the dropped column
+    assert read_version(spark, table, 1).columns == ["k", "tag"]
+    # the burned physical name cannot be reused by additive evolution
+    hdr, _ = read_manifest(spark, table, 2)
+    assert hdr["cmap_burned"] == ["tag"]
+    evolved = spark.range(5).select(
+        (F.col("id") + 100).alias("k"), F.lit("zz").alias("tag")
+    )
+    with pytest.raises(ValueError, match="collides"):
+        commit_append(spark, evolved, table, merge_schema=True)
+
+
+def test_append_after_rename_writes_physical_names(spark, table):
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), table, stats_cols=["k"])
+    commit_rename_column(spark, table, "k", "key_id")
+    late = spark.range(100, 105).select(
+        F.col("id").alias("key_id"), F.lit("late").alias("tag")
+    )
+    commit_append(spark, late, table, stats_cols=["key_id"])
+    got = read_version(spark, table)
+    assert got.count() == 15
+    assert got.where("key_id >= 100").count() == 5
+    # the new files physically carry the ORIGINAL name (mapping invariant)
+    hdr, files = read_manifest(spark, table, 3)
+    import pyarrow.parquet as pq
+
+    fresh = sorted(set(files) - set(read_manifest(spark, table, 2)[1]))
+    assert fresh
+    for f in fresh:
+        cols = pq.ParquetFile(f"{table}/{f}").schema_arrow.names
+        assert "k" in cols and "key_id" not in cols
+    # stats pruning works through the mapping on LOGICAL bounds
+    got2, acct = scan_version(spark, table, bounds={"key_id": (100, 104)})
+    assert got2.count() == 5
+    assert acct["files_scanned"] < acct["files_total"]
+
+
+def test_dml_and_upsert_after_rename(spark, table):
+    commit_version(spark, _df(spark, 0, 20).coalesce(2), table, stats_cols=["k"])
+    commit_rename_column(spark, table, "k", "key_id")
+    commit_delete(spark, table, "key_id < 5")
+    assert read_version(spark, table).count() == 15
+    commit_update(spark, table, "key_id = 10", {"tag": F.lit("upd")})
+    assert (
+        read_version(spark, table).where("key_id = 10").first()["tag"] == "upd"
+    )
+    delta = spark.createDataFrame([(6, "merged")], "key_id long, tag string")
+    commit_upsert(spark, delta, table, keys=["key_id"])
+    got = read_version(spark, table)
+    assert got.where("key_id = 6").first()["tag"] == "merged"
+    assert got.count() == 15
+    assert metadata_count(spark, table, strict=True) == 15
+
+
+def test_dv_delete_and_compaction_after_rename(spark, table):
+    commit_version(spark, _df(spark, 0, 100).coalesce(1), table, stats_cols=["k"])
+    commit_rename_column(spark, table, "k", "key_id")
+    commit_delete(spark, table, "key_id < 10", dv_max_fraction=0.2)
+    assert version_header(spark, table, 3)["delete_io"]["rewritten"] == 0
+    assert read_version(spark, table).count() == 90
+    v = commit_compaction(spark, table, 1000, ["key_id"], small_file_rows=5)
+    assert v == 4
+    got = read_version(spark, table)
+    assert got.columns == ["key_id", "tag"] and got.count() == 90
+    assert metadata_count(spark, table, strict=True) == 90
+
+
+def test_connector_reads_through_mapping(spark, table):
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    commit_version(spark, _df(spark, 0, 30).coalesce(1), table)
+    commit_rename_column(spark, table, "k", "key_id")
+    commit_drop_column(spark, table, "tag")
+    register_versioned_table_source(spark)
+    via = spark.read.format("versioned_table").option("path", table).load()
+    assert via.columns == ["key_id"]
+    assert via.count() == 30
+    assert via.agg(F.sum("key_id")).first()[0] == sum(range(30))
+    # time travel through the connector uses the pinned version's names
+    old = (
+        spark.read.format("versioned_table")
+        .option("path", table)
+        .option("versionAsOf", "1")
+        .load()
+    )
+    assert old.columns == ["k", "tag"]
+    assert old.count() == 30
+
+
+def test_stream_and_cdf_respect_mapping(spark, table, tmp_path):
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), table)
+    commit_rename_column(spark, table, "k", "key_id")
+    commit_append(
+        spark,
+        spark.range(100, 110).select(
+            F.col("id").alias("key_id"), F.lit("late").alias("tag")
+        ),
+        table,
+    )
+    register_versioned_table_source(spark)
+    # stream started AFTER the rename serves the new logical names,
+    # including files written before it
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .load()
+    )
+    assert q.columns == ["key_id", "tag"]
+    out: list = []
+    sq = (
+        q.writeStream.foreachBatch(
+            lambda df, bid: out.append(
+                (df.count(), int(df.agg(F.sum("key_id")).first()[0] or 0))
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    sq.awaitTermination()
+    assert sum(n for n, _ in out) == 20
+    assert sum(s for _, s in out) == sum(range(10)) + sum(range(100, 110))
+    # batch CDF across the rename serves the END version's names
+    feed = read_change_feed(spark, table, 1, 3)
+    assert "key_id" in feed.columns
+    assert feed.where("_change_type = 'insert'").count() == 20
+
+
+def test_rename_refused_on_conflicts(spark, table):
+    from otus_cpp_11_spark.ops.versioned import add_constraint
+
+    commit_version(spark, _df(spark, 0, 10), table)
+    with pytest.raises(ValueError, match="no column"):
+        commit_rename_column(spark, table, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        commit_rename_column(spark, table, "k", "tag")
+    add_constraint(spark, table, "k_pos", "k >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        commit_rename_column(spark, table, "k", "key_id")
+    with pytest.raises(ValueError, match="constraint"):
+        commit_drop_column(spark, table, "k")
+
+
+def test_drop_only_column_refused(spark, table):
+    commit_version(spark, spark.range(5).select(F.col("id").alias("k")), table)
+    with pytest.raises(ValueError, match="only column"):
+        commit_drop_column(spark, table, "k")
+
+
+def test_valve_and_rename_compose(spark, table):
+    """The round's two lakehouse features together: a mapped table's
+    wide DV delete auto-heals through commit_apply_dvs, reading and
+    rewriting under the mapping."""
+    commit_version(
+        spark, _df(spark, 0, 200).repartitionByRange(2, "k"), table,
+        stats_cols=["k"],
+    )
+    commit_rename_column(spark, table, "k", "key_id")
+    commit_delete(
+        spark, table, "key_id % 2 = 0", dv_max_fraction=0.6,
+        dv_auto_apply_rows=10,
+    )
+    assert current_version(spark, table) == 4  # delete + auto purge
+    got = read_version(spark, table)
+    assert got.columns == ["key_id", "tag"]
+    assert got.count() == 100
+    assert metadata_count(spark, table, strict=True) == 100

@@ -180,3 +180,86 @@ def test_invalid_cap_rejected(spark, table, tmp_path):
     )
     with pytest.raises(Exception, match="maxFilesPerTrigger"):
         q.start().awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# maxBytesPerTrigger (r9 verdict item 6) — the byte-budget twin
+# ---------------------------------------------------------------------------
+
+
+def test_byte_capped_catchup_bounded_and_exactly_once(spark, table, tmp_path):
+    """Pending versions drain under maxBytesPerTrigger in several
+    bounded batches whose union equals the unbounded run exactly. The
+    budget is chosen as ~1.5 per-version payloads so each trigger
+    admits exactly one whole version."""
+    import os
+
+    _build_history(spark, table, versions=5, files_per_version=2)
+    register_versioned_table_source(spark)
+    # size one version's data files to pick a budget between 1 and 2
+    # version-payloads (parquet sizes vary with encoding, so measure)
+    data = os.path.join(table, "_data")
+    sizes = sorted(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(data)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    per_version = 2 * sizes[len(sizes) // 2]
+    capped = _run_stream(
+        spark,
+        table,
+        tmp_path,
+        "bcap",
+        maxBytesPerTrigger=str(int(per_version * 1.5)),
+    )
+    assert sum(capped) == 50
+    assert len(capped) >= 3  # far more triggers than the unbounded run
+    assert all(n <= 20 for n in capped)
+    unbounded = _run_stream(spark, table, tmp_path, "bfree")
+    assert sum(unbounded) == 50 and len(unbounded) == 1
+
+
+def test_byte_cap_oversized_version_progresses_alone(spark, table, tmp_path):
+    """A single version larger than the byte budget is admitted alone —
+    progress never stalls (Delta admits at least one file the same
+    way)."""
+    commit_version(spark, _df(spark, 0, 10, "v1").repartition(4), table)
+    commit_append(spark, _df(spark, 100, 110, "v2").coalesce(1), table)
+    register_versioned_table_source(spark)
+    batches = _run_stream(
+        spark, table, tmp_path, "btiny", maxBytesPerTrigger="1"
+    )
+    assert sum(batches) == 20
+    assert len(batches) == 2  # each version alone, nothing bundled
+
+
+def test_byte_and_file_caps_compose(spark, table, tmp_path):
+    """With both caps set, a version admits only while BOTH budgets
+    hold: a generous byte budget does not defeat a tight file cap."""
+    _build_history(spark, table, versions=4, files_per_version=2)
+    register_versioned_table_source(spark)
+    batches = _run_stream(
+        spark,
+        table,
+        tmp_path,
+        "both",
+        maxFilesPerTrigger="2",
+        maxBytesPerTrigger="1g",
+    )
+    assert sum(batches) == 40
+    assert len(batches) == 4  # file cap binds: one 2-file version each
+
+
+def test_byte_cap_suffix_and_invalid_values(spark, table, tmp_path):
+    import pytest
+
+    from otus_cpp_11_spark.sources import _VTStreamReader, _vt_parse_bytes
+
+    assert _vt_parse_bytes("10") == 10
+    assert _vt_parse_bytes("10k") == 10 * 1024
+    assert _vt_parse_bytes("2m") == 2 * 1024**2
+    assert _vt_parse_bytes("1g") == 1024**3
+    commit_version(spark, _df(spark, 0, 5, "v1"), table)
+    with pytest.raises(ValueError, match="maxBytesPerTrigger"):
+        _VTStreamReader({"path": table, "maxBytesPerTrigger": "0"})
