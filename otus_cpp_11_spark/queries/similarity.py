@@ -980,7 +980,7 @@ def _pq_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     token = _src_token(
         sf_dir,
         f"pqcodes|{PQ_SUBVECTORS}x{PQ_CODEBOOK}@{PQ_SCALE}"
-        f"|it{PQ_TRAIN_ITERS}|ivf{IVF_T_K}x{IVF_TRAIN_ITERS}",
+        f"|it{PQ_TRAIN_ITERS}|ivf{IVF_T_K}x{IVF_TRAIN_ITERS}|part-cell",
     )
     digest = hashlib.sha256(token.encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"sg-pq-codes-{digest}")
@@ -988,12 +988,19 @@ def _pq_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = load_table(spark, sf_dir, "embeddings")
         trained, _, _, _ = _pq_trained(spark, sf_dir)
         cents, _, _, _ = _ivf_trained(spark, sf_dir)
+        # PARTITIONED BY the trained-IVF cell: an nprobe probe then
+        # dismisses (K - nprobe)/K of the index from the LISTING alone
+        # (Spark partition pruning) — the physical layout a real IVF
+        # index has, not just a row filter
         e.select(
             "vec_id",
             "label",
             _ivf_cell_expr(cents).alias("cell"),
             *_pq_code_exprs_slices(trained),
-        ).write.mode("overwrite").parquet(path)
+        ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    # NOTE: partition discovery types `cell` as int; consumers that emit
+    # it cast to bigint themselves (casting here would stack a Project
+    # between filter and scan and could defeat partition pruning)
     return spark.read.parquet(path)
 
 
@@ -2626,7 +2633,11 @@ def ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.where(
             F.col("cell").isin(probed) & (F.col("vec_id") != QUERY_VEC_ID)
         )
-        .select("vec_id", "cell", _adc_expr(dtable).alias("adc_units"))
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            _adc_expr(dtable).alias("adc_units"),
+        )
         .orderBy("adc_units", "vec_id")
         .limit(IVF_TOPK)
     )

@@ -282,15 +282,15 @@ def test_pq_adc_runs_over_stored_codes(spark, plan):
     assert "embedding" not in p  # vectors never touched on the search path
 
 
-def test_ivf_pq_cell_filter_pushes_into_codes_scan(spark, plan):
-    # the IVF cell predicate (trained-quantizer probe, r10) prunes the
-    # stored-codes parquet scan (at scale: partition pruning on a
-    # cell-partitioned index layout)
+def test_ivf_pq_cell_filter_partition_prunes_codes_scan(spark, plan):
+    # the IVF cell predicate (trained-quantizer probe, r10) is a
+    # PARTITION filter on the cell-partitioned stored-codes index —
+    # non-probed cells are dismissed from the file LISTING, not scanned
     import re
 
     p = plan("ivf_pq_top5", spark)
     assert "sg-pq-codes-" in p
-    assert re.search(r"PushedFilters: \[[^\]]*cell", p)
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", p)
 
 
 def test_zscore_join_strategy_left_to_aqe(spark):
