@@ -2931,6 +2931,88 @@ def commit_apply_dvs(
     )
 
 
+def commit_autocompact(
+    spark: SparkSession,
+    table: str,
+    small_file_rows: int,
+    max_rows_per_file: int,
+    min_small_files: int = 2,
+    meta: dict | None = None,
+    max_retries: int = 0,
+) -> int:
+    """Delta autoCompact's debris sweep, cluster-agnostic: pack ONLY the
+    files whose recorded row count is under ``small_file_rows`` (or
+    unrecorded — unknown size must be read anyway) into
+    ceil(rows / max_rows_per_file) files, carrying every
+    adequately-sized file by reference. Unlike ``commit_compaction``
+    this needs NO cluster columns — the rewrite is a coalesce
+    (concatenation, zero shuffle: per-micro-batch ingest debris is
+    already roughly time-ordered and stays so), which is what lets an
+    unattended post-append hook run it on ANY table. DV'd small files
+    apply their deletion vectors in passing (the read is masked). Under
+    ``min_small_files`` it is an O(1) no-op returning the current
+    version — safe on a schedule; a steady-state per-commit hook does
+    O(debris), not O(table). Stats are re-recorded over the union of
+    the selected files' stat columns so pruning survives. Commits as
+    ``optimize`` (CDF-neutral; appends compose under the OCC retry)."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, prev_files = read_manifest(spark, table, cur)
+    rows_map = manifest_rows(header)
+    dvs_map = manifest_dvs(header)
+    selected = [
+        f
+        for f in prev_files
+        if f not in rows_map or rows_map[f] < small_file_rows
+    ]
+    if len(selected) < min_small_files:
+        return cur
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    cmap = manifest_cmap(header)
+    sel = set(selected)
+    carried = [f for f in prev_files if f not in sel]
+    df = _read_files_masked(
+        spark, table, schema, selected, dvs_map, cmap=cmap
+    )
+    n = df.count()
+    out = df.coalesce(max(1, -(-n // max_rows_per_file)))
+    new_files = _write_data_dir(spark, out, table, cur + 1, cmap=cmap)
+    all_stats = manifest_stats(header)
+    stat_cols = sorted({c for f in selected for c in (all_stats.get(f) or {})})
+    stats = {f: s for f, s in all_stats.items() if f in set(carried)}
+    new_stats = _collect_file_stats(spark, table, new_files, stat_cols)
+    stats.update(new_stats)
+    hdr_meta = dict(meta or {})
+    hdr_meta["autocompact_io"] = {
+        "files_before": len(prev_files),
+        "files_selected": len(selected),
+        "files_after": len(carried) + len(new_files),
+        "rows": n,
+    }
+    return _commit_retrying(
+        spark,
+        table,
+        "optimize",
+        schema,
+        touched=sel,
+        rewrite_set=sel,
+        base_dvs={f: dvs_map[f] for f in sel if f in dvs_map},
+        based_files=prev_files,
+        new_files=new_files,
+        new_file_stats=new_stats,
+        new_dvs={},
+        hdr_meta=hdr_meta,
+        files_out=carried + new_files,
+        stats_out=stats,
+        rows_out=manifest_rows(header),
+        dvs_out={f: d for f, d in dvs_map.items() if f not in sel},
+        target=cur + 1,
+        max_retries=max_retries,
+        added_check=None,
+    )
+
+
 def snapshot_dv_rows(spark: SparkSession, table: str, version: int) -> int:
     """Snapshot-wide deleted-row total, from DV DESCRIPTORS alone —
     O(file count), no sidecar loads (each descriptor records its count).

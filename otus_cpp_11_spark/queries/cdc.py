@@ -1776,3 +1776,98 @@ def versioned_column_mapping_lifecycle(
         .unionByName(snap(4, "customer_id", False))
         .orderBy("version")
     )
+
+
+AUTOCOMPACT_CHUNKS = 6  # simulated per-micro-batch ingest commits
+AUTOCOMPACT_TARGET = 100_000  # pack everything into ceil(n/target) files
+
+
+@register(
+    "versioned_autocompact_ingest",
+    oracle=f"""
+WITH src AS (SELECT c_custkey, c_acctbal FROM customer),
+n AS (SELECT COUNT(*) AS c FROM src),
+pre AS (
+  SELECT 'pre' AS stage, COUNT(*) AS n_rows,
+         {dsum_sql('c_acctbal', 2)} AS total_acctbal,
+         (SELECT CAST({AUTOCOMPACT_CHUNKS} AS BIGINT) FROM n) AS n_files
+  FROM src
+),
+post AS (
+  SELECT 'post' AS stage, COUNT(*) AS n_rows,
+         {dsum_sql('c_acctbal', 2)} AS total_acctbal,
+         (SELECT CAST(CEIL(c / {AUTOCOMPACT_TARGET}.0) AS BIGINT) FROM n)
+           AS n_files
+  FROM src
+)
+SELECT * FROM post UNION ALL SELECT * FROM pre
+ORDER BY stage
+""",
+)
+def versioned_autocompact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-compaction of ingest debris, end to end (the small-file
+    sibling of the DV pressure valve): the customer table arrives as
+    {AUTOCOMPACT_CHUNKS} per-micro-batch appends of one small file each
+    — the exact fragmentation a streaming sink produces — then ONE
+    ``commit_autocompact`` sweep packs every small file into
+    ceil(n / target) files while untouched-size files would be carried
+    by reference (asserted in the unit tests; here all files are small
+    by construction so the post count is the pure bin-packing formula).
+    Content is byte-identical across the sweep — the oracle recomputes
+    both stages from the raw table and the exact file-count arithmetic,
+    so the hash proves the sweep moved layout and nothing else. Zero
+    shuffle: the rewrite is a coalesce (concatenation), which is what
+    makes an unattended post-ingest hook affordable at every commit —
+    O(debris), not O(table). Reference: the C++ engine writes one file
+    per reducer with no maintenance story (src/runner.cpp); lakehouse
+    mandate (Delta autoCompact semantics)."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_autocompact,
+        commit_version,
+        read_manifest,
+        read_version,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+    tbl = scratch_dir("sg-autoc-") + "/customer_v"
+    n = cust.count()
+    step = -(-n // AUTOCOMPACT_CHUNKS)
+    chunks = [
+        cust.where(
+            (F.col("c_custkey") >= i * step)
+            & (F.col("c_custkey") < (i + 1) * step)
+        ).coalesce(1)
+        for i in range(AUTOCOMPACT_CHUNKS)
+    ]
+    commit_version(spark, chunks[0], tbl, stats_cols=["c_custkey"])
+    for ch in chunks[1:]:
+        commit_append(spark, ch, tbl, stats_cols=["c_custkey"])
+    pre_v = AUTOCOMPACT_CHUNKS
+    _, pre_files = read_manifest(spark, tbl, pre_v)
+    v = commit_autocompact(
+        spark, tbl, small_file_rows=AUTOCOMPACT_TARGET,
+        max_rows_per_file=AUTOCOMPACT_TARGET,
+    )
+    assert v == pre_v + 1
+    hdr, post_files = read_manifest(spark, tbl, v)
+    assert hdr["autocompact_io"]["files_selected"] == len(pre_files)
+
+    def snap(version: int, stage: str, nf: int) -> DataFrame:
+        return read_version(spark, tbl, version).agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+            F.lit(nf).cast("bigint").alias("n_files"),
+        )
+
+    return (
+        snap(pre_v, "pre", len(pre_files))
+        .unionByName(snap(v, "post", len(post_files)))
+        .orderBy("stage")
+    )

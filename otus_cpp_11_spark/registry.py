@@ -148,6 +148,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "eval_bootstrap_ci": "8c11b34fbbf5",
     "event_type_transitions": "5d5953723362",
     "event_value_mad": "a8aa5b034a6c",
+    "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
@@ -289,12 +290,13 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
 # Round-10 refill: the oldest-green pins (last green r4: 25 members,
-# r5: 12), queued after the round's 13 new/changed queries (the
+# r5: 11), queued after the round's 14 new/changed queries (the
 # trained-quantizer serving family, the training distortion curves, the
 # DV pressure valve, and the column-mapping lifecycle) so the driver
 # window is exactly 50. Members left DRIVER_VERIFIED per the workflow;
 # their still-valid old pins are restorable if a late addition displaces
-# one (the displacement rule).
+# one (the displacement rule — exercised: the late versioned_autocompact_
+# ingest addition displaced the newest-green member, events_dedup_streamed).
 REVERIFY: frozenset[str] = frozenset({
     "balanced_doc_sample",
     "corpus_datacard",
@@ -311,7 +313,6 @@ REVERIFY: frozenset[str] = frozenset({
     "doc_simhash32",
     "doc_token_stats",
     "doc_top_terms",
-    "events_dedup_streamed",
     "events_props_variant",
     "events_tumbling_5min_streamed",
     "exact_dup_groups",

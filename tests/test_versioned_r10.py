@@ -210,3 +210,69 @@ def test_valve_purge_is_cdf_neutral(spark, table):
     assert feed.where(
         "_commit_version = 2 AND _change_type = 'delete'"
     ).count() == 50
+
+
+# ---------------------------------------------------------------------------
+# commit_autocompact — Delta autoCompact's debris sweep (cluster-agnostic)
+# ---------------------------------------------------------------------------
+
+
+def test_autocompact_packs_only_small_files(spark, table):
+    from otus_cpp_11_spark.ops.versioned import commit_autocompact
+
+    commit_version(
+        spark, _df(spark, 0, 1000).coalesce(1), table, stats_cols=["k"]
+    )  # one big file
+    for i in range(4):  # per-micro-batch debris: 4 x 10-row files
+        commit_append(
+            spark, _df(spark, 2000 + 10 * i, 2000 + 10 * i + 10).coalesce(1),
+            table, stats_cols=["k"],
+        )
+    v = commit_autocompact(
+        spark, table, small_file_rows=100, max_rows_per_file=1000
+    )
+    assert v == 6
+    hdr, files = read_manifest(spark, table, v)
+    io = hdr["autocompact_io"]
+    assert io["files_selected"] == 4 and io["rows"] == 40
+    assert io["files_after"] == 2  # 1 carried big + 1 packed
+    assert len(files) == 2
+    assert read_version(spark, table).count() == 1040
+    assert metadata_count(spark, table, strict=True) == 1040
+    # the big file was carried by REFERENCE
+    _, files5 = read_manifest(spark, table, 5)
+    big = [f for f in files5 if f in set(files)]
+    assert len(big) == 1
+    # stats survive: key-bounded scans still prune
+    from otus_cpp_11_spark.ops.versioned import scan_version
+
+    got, acct = scan_version(spark, table, bounds={"k": (0, 10)})
+    assert got.count() == 11
+    assert acct["files_scanned"] == 1
+
+
+def test_autocompact_noop_below_min_files_and_idempotent(spark, table):
+    from otus_cpp_11_spark.ops.versioned import commit_autocompact
+
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), table)
+    assert (
+        commit_autocompact(spark, table, 100, 1000, min_small_files=2) == 1
+    )  # one small file: nothing to merge with
+    commit_append(spark, _df(spark, 100, 110).coalesce(1), table)
+    v = commit_autocompact(spark, table, 100, 1000)
+    assert v == 3
+    # a second sweep finds one adequately-merged file: no-op, no churn
+    assert commit_autocompact(spark, table, 100, 1000) == 3
+
+
+def test_autocompact_applies_dvs_of_small_files(spark, table):
+    from otus_cpp_11_spark.ops.versioned import commit_autocompact
+
+    commit_version(spark, _df(spark, 0, 50).coalesce(1), table)
+    commit_append(spark, _df(spark, 100, 150).coalesce(1), table)
+    commit_delete(spark, table, "k < 5", dv_max_fraction=0.2)
+    v = commit_autocompact(spark, table, 1000, 1000)
+    hdr, files = read_manifest(spark, table, v)
+    assert manifest_dvs(hdr) == {}
+    assert read_version(spark, table).count() == 95
+    assert _physical_rows(table, files) == 95
