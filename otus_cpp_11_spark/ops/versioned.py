@@ -69,6 +69,7 @@ inferred from absence of stats.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import uuid
@@ -83,6 +84,8 @@ from otus_cpp_11_spark.ops.lakehouse import _hadoop_fs, list_data_files
 _COMMITS = "_commits"
 _DATA = "_data"
 _MARKER = mf.MARKER_RE
+
+log = logging.getLogger(__name__)
 
 # Snapshot-wide deleted-row count up to which the DV anti-join relation
 # is broadcast (hash-relation rows are ~100 bytes: ~100 MB at the cap —
@@ -1019,12 +1022,28 @@ def commit_delete(
         dv_auto_apply_rows is not None
         and snapshot_dv_rows(spark, table, v) > dv_auto_apply_rows
     ):
-        commit_apply_dvs(
-            spark,
-            table,
-            meta={"trigger": "dv_pressure_valve"},
-            max_retries=max_retries,
-        )
+        try:
+            commit_apply_dvs(
+                spark,
+                table,
+                meta={"trigger": "dv_pressure_valve"},
+                # the purge is opportunistic: give it a retry budget even
+                # when the delete ran with none — it races maintainers by
+                # design
+                max_retries=max(max_retries, 3),
+            )
+        except CommitConflict:
+            # review finding: the DELETE already committed durably — the
+            # best-effort purge losing its race must not make the caller
+            # believe the delete failed (a retry loop would re-run it).
+            # The backlog stays; the next over-budget delete, any
+            # scheduled OPTIMIZE, or a manual commit_apply_dvs heals it.
+            log.warning(
+                "dv_pressure_valve: purge commit on %r lost its race and "
+                "was skipped; deleted-row backlog remains until the next "
+                "sweep",
+                table,
+            )
     return v
 
 
@@ -1810,10 +1829,29 @@ def commit_version(
     cur = current_version(spark, table)
     nxt = (cur or 0) + 1
     # a full overwrite of a MAPPED table keeps writing physical names
-    # (the mapping is a property of the table, not of one snapshot)
-    cmap = (
-        manifest_cmap(read_manifest(spark, table, cur)[0]) if cur else {}
-    )
+    # (the mapping is a property of the table, not of one snapshot);
+    # header-only read — the file-list replay is not needed here
+    pheader = parse_commit(spark, table, cur)[0] if cur else {}
+    cmap = manifest_cmap(pheader)
+    if cmap or pheader.get("cmap_burned"):
+        # review finding: a full overwrite introducing a column whose
+        # name collides with another column's physical name (or a
+        # burned one still present in old files) would write duplicate
+        # physical columns / resurrect dead bytes — refuse loudly, the
+        # same guard commit_append(merge_schema) applies
+        burned = set(pheader.get("cmap_burned") or [])
+        phys_names = [_phys(cmap, c) for c in df.columns]
+        dup = len(set(phys_names)) != len(phys_names)
+        reused = [
+            c for c in df.columns if c not in cmap and c in burned
+        ]
+        if dup or reused:
+            raise ValueError(
+                f"commit_version on {table!r}: column(s) "
+                f"{reused or sorted(set(c for c in phys_names if phys_names.count(c) > 1))!r} "
+                "collide with a renamed/dropped column's physical name "
+                "still present in data files; pick another name"
+            )
     files = _write_data_dir(spark, df, table, nxt, cmap=cmap)
     stats = _collect_file_stats(spark, table, files, stats_cols or [], cmap=cmap)
     return _commit(spark, table, nxt, "full", df.schema, files, meta, stats)
@@ -3048,6 +3086,23 @@ def diff_versions(
     reader of v_old sees)."""
     old_df = read_version(spark, table, v_old)
     new_df = read_version(spark, table, v_new)
+    # COLUMN MAPPING (r10 review): a renamed column is the SAME column —
+    # align the old snapshot to the new logical names wherever the two
+    # versions' logical names share a physical name, so a metadata-only
+    # rename diffs as zero changes (and a renamed KEY keeps working)
+    # instead of a spurious drop+add update for every row.
+    ocmap = manifest_cmap(parse_commit(spark, table, v_old)[0])
+    ncmap = manifest_cmap(parse_commit(spark, table, v_new)[0])
+    if ocmap or ncmap:
+        new_logical_of_phys = {_phys(ncmap, c): c for c in new_df.columns}
+        old_df = old_df.select(
+            *[
+                F.col(c).alias(
+                    new_logical_of_phys.get(_phys(ocmap, c), c)
+                )
+                for c in old_df.columns
+            ]
+        )
     vals = [c for c in new_df.columns if c not in keys]
     vals += [c for c in old_df.columns if c not in keys and c not in vals]
     types = {

@@ -834,9 +834,9 @@ def _pq_centroids(e: DataFrame) -> dict[int, list[float]]:
     )
     cents = {int(r["vec_id"]): list(r["embedding"]) for r in rows}
     dim = len(cents[0])
-    # One dimensionality contract for Spark AND the oracle SQL: _PQ_DIST_SQL
-    # interpolates PQ_DSUB, so a codebook that disagrees must fail loudly
-    # here rather than silently desynchronize the two engines.
+    # One dimensionality contract for Spark AND the generated oracle SQL
+    # (both interpolate PQ_DSUB), so a codebook that disagrees must fail
+    # loudly here rather than silently desynchronize the two engines.
     assert dim == PQ_SUBVECTORS * PQ_DSUB, (
         f"embedding dim {dim} != PQ_SUBVECTORS*PQ_DSUB ({PQ_SUBVECTORS}x{PQ_DSUB})"
     )
@@ -861,45 +861,19 @@ def _pq_dist(sub: Column, cent_slice: list[float]) -> Column:
     )
 
 
-# The oracle-side distance: PQ_DSUB is interpolated so the SQL can never
-# drift from the Spark-side dsub (ADVICE r4: a hardcoded 16 here would
-# silently desynchronize all PQ oracles if the subvector geometry changed).
-_PQ_DIST_SQL = (
-    "LIST_SUM([CAST(FLOOR((CAST(v.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))"
-    " * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))"
-    f" * {PQ_SCALE}.0) AS DECIMAL(38,0))"
-    f" FOR i IN RANGE(sv.s * {PQ_DSUB} + 1, sv.s * {PQ_DSUB} + {PQ_DSUB + 1})])"
-)
-
 _PQ_CODE_COLS = ", ".join(
     f"MAX(CASE WHEN s = {s} THEN code END) AS code_{s}" for s in range(PQ_SUBVECTORS)
 )
 
 
-def _pq_code_exprs(cents: dict[int, list[float]]) -> list[Column]:
-    """The encode expressions: one argmin-over-codebook column per
-    subvector (least-of-structs with code tie-break), all fixed-point-exact
-    Column math — codebooks ride as plan literals, no UDF, no shuffle."""
-    cols = []
-    for s in range(PQ_SUBVECTORS):
-        sub = F.slice(F.col("embedding"), s * PQ_DSUB + 1, PQ_DSUB)
-        structs = [
-            F.struct(
-                _pq_dist(sub, cents[c][s * PQ_DSUB : (s + 1) * PQ_DSUB]).alias("d"),
-                F.lit(c).cast("bigint").alias("code"),
-            )
-            for c in range(PQ_CODEBOOK)
-        ]
-        cols.append(F.least(*structs).getField("code").alias(f"code_{s}"))
-    return cols
-
-
 def _pq_code_exprs_slices(
     slices: dict[tuple[int, int], list[float]]
 ) -> list[Column]:
-    """``_pq_code_exprs`` over a per-(subvector, code) slice codebook —
-    the TRAINED-codebook encode the stored index uses (the init variant
-    keeps full K x dim vectors because its codebook IS corpus rows)."""
+    """The encode expressions over a per-(subvector, code) slice
+    codebook — one argmin-over-codebook column per subvector
+    (least-of-structs with code tie-break), all fixed-point-exact
+    Column math: codebooks ride as plan literals, no UDF, no shuffle.
+    This is the encode the TRAINED stored index is built with."""
     cols = []
     for s in range(PQ_SUBVECTORS):
         sub = F.slice(F.col("embedding"), s * PQ_DSUB + 1, PQ_DSUB)
@@ -928,31 +902,6 @@ def _ivf_cell_expr(cents: list[list[float]]) -> Column:
         for i, c in enumerate(cents)
     ]
     return F.least(*structs).getField("cid")
-
-
-def _pq_dtable(
-    cents: dict[int, list[float]], q: list[float]
-) -> list[list[int]]:
-    """The ADC distance table for one query vector: PQ_SUBVECTORS x
-    PQ_CODEBOOK exact integers, computed driver-side with the same
-    fixed-point recipe the encode uses (64 entries — a bounded model
-    artifact, not data)."""
-    import math
-
-    return [
-        [
-            sum(
-                math.floor(
-                    (q[s * PQ_DSUB + i] - cents[c][s * PQ_DSUB + i])
-                    * (q[s * PQ_DSUB + i] - cents[c][s * PQ_DSUB + i])
-                    * float(PQ_SCALE)
-                )
-                for i in range(PQ_DSUB)
-            )
-            for c in range(PQ_CODEBOOK)
-        ]
-        for s in range(PQ_SUBVECTORS)
-    ]
 
 
 def _pq_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,16 +1762,6 @@ def _pq_dtable_slices(
         ]
         for s in range(PQ_SUBVECTORS)
     ]
-
-
-# trained-centroid distance in DuckDB: t.cv is the per-slice DOUBLE list
-_PQ_TDIST_SQL = (
-    "LIST_SUM([CAST(FLOOR((CAST(v.embedding[t.s * "
-    f"{PQ_DSUB} + i] AS DOUBLE) - t.cv[i])"
-    f" * (CAST(v.embedding[t.s * {PQ_DSUB} + i] AS DOUBLE) - t.cv[i])"
-    f" * {PQ_SCALE}.0) AS DECIMAL(38,0))"
-    f" FOR i IN RANGE(1, {PQ_DSUB + 1})])"
-)
 
 
 # ---------------------------------------------------------------------------

@@ -376,11 +376,6 @@ def _vt_read_file(
                 f.name,
                 tbl.column(i).cast(pa.timestamp("us", f.type.tz or "UTC")),
             )
-    if cmap:
-        inv = {p_: l_ for l_, p_ in cmap.items()}
-        tbl = tbl.rename_columns(
-            [inv.get(c, c) for c in tbl.column_names]
-        )
     if schema_json is not None:
         import json
 
@@ -390,13 +385,20 @@ def _vt_read_file(
 
         want = StructType.fromJson(json.loads(schema_json))
         names = [f.name for f in want.fields]
-        if tbl.column_names != names:
+        # each declared column is looked up by its PHYSICAL name and
+        # emitted under its logical one — a projection, never a blanket
+        # rename of the file's columns (review finding: a file can also
+        # hold BURNED physical columns of dropped/renamed fields, and
+        # renaming those too would produce duplicate names; physical
+        # names within a file are unique, so this lookup never is)
+        phys = [(cmap or {}).get(n, n) for n in names]
+        if tbl.column_names != names or phys != names:
             have = set(tbl.column_names)
             cols = [
-                tbl.column(f.name)
-                if f.name in have
+                tbl.column(p)
+                if p in have
                 else pa.nulls(tbl.num_rows, to_arrow_type(f.dataType))
-                for f in want.fields
+                for p, f in zip(phys, want.fields)
             ]
             tbl = pa.Table.from_arrays(cols, names=names)
     yield from tbl.to_batches()
@@ -531,15 +533,14 @@ class _VTStreamReader(DataSourceStreamReader):
         # latestOffset). If a future engine calls latestOffset FIRST
         # after a restart, the capped offset computed from the seed can
         # land below the checkpoint. Rather than hard-failing a healthy
-        # stream, remember every capped offset returned while the cursor
-        # is UNLEARNED (no engine callback has confirmed position yet);
-        # a backward batch whose end matches one degrades gracefully —
-        # empty batch, cursor jumps to the checkpointed start, and a
-        # floor clamp keeps the regressed WAL entry from re-emitting
-        # already-streamed versions. Genuine offset regression (an end
-        # this reader never produced) still fails loudly.
+        # stream, a backward-planned batch on a reader whose position is
+        # still UNLEARNED (no engine callback confirmed it yet) degrades
+        # gracefully — empty batch, cursor jumps to the checkpointed
+        # start, and a floor clamp keeps the regressed WAL entry from
+        # re-emitting already-streamed versions; this also survives a
+        # restart that replays a previously-degraded entry. A LEARNED
+        # reader planned backward still fails loudly (genuine anomaly).
         self._learned = False
-        self._unlearned_caps: set[int] = set()
         self._floor: int | None = None
         cur = _vt_current_version(self.table)
         # the stream's schema is FIXED at start (Spark resolves it once);
@@ -640,11 +641,6 @@ class _VTStreamReader(DataSourceStreamReader):
             if end > self._cursor and over:
                 break
             end, total, total_b = v, total + n, total_b + (nb or 0)
-        if not self._learned and end < cur:
-            # capped offset produced before any engine callback confirmed
-            # the stream's position — if a checkpoint later proves it
-            # regressed, partitions() degrades instead of failing
-            self._unlearned_caps.add(end)
         return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -652,34 +648,39 @@ class _VTStreamReader(DataSourceStreamReader):
             # a batch planned BACKWARD means a capped latestOffset ran
             # before this reader learned its checkpointed position — an
             # engine call-order pyspark 4.1 never produces (it replays
-            # commit/partitions first). r9 advice: degrade gracefully
-            # when the regressed end is one THIS reader returned while
-            # unlearned — plan an empty batch, jump the cursor to the
-            # checkpointed start, and floor-clamp future ranges so the
-            # regressed WAL entry can't re-emit versions <= start. The
-            # loud error stays for genuine regression (an end offset
-            # this reader never produced, e.g. a corrupted checkpoint).
-            if not self._learned and int(end["version"]) in self._unlearned_caps:
+            # commit/partitions first). r9 advice + r10 review: degrade
+            # gracefully whenever this reader is still UNLEARNED — that
+            # covers both the offset this reader itself returned while
+            # unlearned AND a restart replaying a previously-degraded
+            # WAL entry (a fresh reader has an empty caps set; failing
+            # there would brick the stream on every subsequent start).
+            # Degrading is safe in both cases: plan an empty batch, jump
+            # the cursor to the checkpointed start, and floor-clamp
+            # future ranges so the regressed entry can't re-emit
+            # versions <= start. The loud error remains for a LEARNED
+            # reader planned backward — a genuine anomaly (corrupted
+            # checkpoint, rebuilt table) where silent skipping could
+            # lose data.
+            if not self._learned:
                 chk = int(start["version"])
                 if self._cursor is None or chk > self._cursor:
                     self._cursor = chk
                 self._floor = max(self._floor or 0, chk)
                 self._learned = True
                 log.warning(
-                    "versioned_table stream: capped latestOffset %s ran "
-                    "before the restart replay (checkpoint at %s); "
-                    "planning an empty batch, admission cap resumes next "
-                    "trigger",
-                    end["version"],
+                    "versioned_table stream: backward batch %s -> %s on "
+                    "an unlearned reader (capped latestOffset before the "
+                    "restart replay, or a replayed degraded entry); "
+                    "planning it empty, cap resumes next trigger",
                     start["version"],
+                    end["version"],
                 )
                 return []
             raise ValueError(
                 f"versioned_table stream: batch planned backward "
-                f"({start['version']} -> {end['version']}); the "
-                "admission-control cursor missed the restart replay — "
-                "restart the stream (state is intact) and report the "
-                "pyspark microbatch call order"
+                f"({start['version']} -> {end['version']}) on a reader "
+                "that had already learned a later position — corrupted "
+                "checkpoint or rebuilt table; refusing to guess"
             )
         # the planned range is authoritative for the admission cursor —
         # a replayed (restart) batch teaches a fresh reader its position
@@ -687,6 +688,11 @@ class _VTStreamReader(DataSourceStreamReader):
         if self._cursor is None or hi_seen > self._cursor:
             self._cursor = hi_seen
         self._learned = True
+        # review finding: entries at/below the cursor can never be
+        # consulted again — prune so a long-lived stream's cache stays
+        # bounded by the pending window, not the table's history
+        for v_ in [v_ for v_ in self._adm_cache if v_ <= self._cursor]:
+            del self._adm_cache[v_]
         if self.cdf:
             return self._cdf_partitions(start, end)
         from otus_cpp_11_spark.ops import manifest_format as mf

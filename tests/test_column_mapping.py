@@ -264,3 +264,97 @@ def test_valve_and_rename_compose(spark, table):
     assert got.columns == ["key_id", "tag"]
     assert got.count() == 100
     assert metadata_count(spark, table, strict=True) == 100
+
+
+# ---------------------------------------------------------------------------
+# r10 self-review regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_connector_reads_rename_onto_burned_name(spark, table):
+    """Review finding: a logical column renamed onto a BURNED physical
+    name that still exists in old data files must read correctly
+    through the connector — the executor projects by physical name,
+    never blanket-renames the file's columns (which would produce
+    duplicate names and crash)."""
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    commit_version(spark, _df(spark, 0, 20).coalesce(1), table)
+    commit_drop_column(spark, table, "tag")      # burns physical 'tag'
+    commit_rename_column(spark, table, "k", "tag")  # logical tag -> phys k
+    got = read_version(spark, table)
+    assert got.columns == ["tag"]
+    assert got.agg(F.sum("tag")).first()[0] == sum(range(20))  # k's data
+    register_versioned_table_source(spark)
+    via = spark.read.format("versioned_table").option("path", table).load()
+    assert via.columns == ["tag"]
+    assert via.agg(F.sum("tag")).first()[0] == sum(range(20))
+
+
+def test_valve_purge_conflict_does_not_fail_the_delete(spark, table):
+    """Review finding: the delete has already committed durably when the
+    opportunistic purge runs — a purge losing its race must not raise
+    out of commit_delete (a caller's retry loop would re-run the
+    delete)."""
+    from unittest import mock
+
+    import otus_cpp_11_spark.ops.versioned as V
+
+    commit_version(
+        spark, _df(spark, 0, 100).repartitionByRange(2, "k"), table,
+        stats_cols=["k"],
+    )
+    with mock.patch.object(
+        V, "commit_apply_dvs", side_effect=V.CommitConflict("lost race")
+    ):
+        v = commit_delete(
+            spark, table, "k % 2 = 0", dv_max_fraction=0.6,
+            dv_auto_apply_rows=5,
+        )
+    assert v == 2  # the delete's success is reported
+    assert current_version(spark, table) == 2  # no purge landed
+    from otus_cpp_11_spark.ops.versioned import snapshot_dv_rows
+
+    assert snapshot_dv_rows(spark, table, 2) == 50  # backlog remains
+    # the next over-budget delete heals the whole backlog for real
+    commit_delete(
+        spark, table, "k = 1", dv_max_fraction=0.6, dv_auto_apply_rows=5
+    )
+    assert snapshot_dv_rows(spark, table, current_version(spark, table)) == 0
+
+
+def test_diff_versions_identity_across_rename(spark, table):
+    """Review finding: a metadata-only rename must diff as ZERO changes
+    (a renamed column is the same column), and a renamed KEY column
+    keeps working — consistent with the CDF-neutral rename contract."""
+    from otus_cpp_11_spark.ops.versioned import diff_versions
+
+    commit_version(spark, _df(spark, 0, 30).coalesce(1), table)
+    commit_rename_column(spark, table, "k", "key_id")
+    assert diff_versions(spark, table, 1, 2, keys=["key_id"]).count() == 0
+    # value-column rename: same — and a REAL change still diffs
+    commit_rename_column(spark, table, "tag", "label")
+    assert diff_versions(spark, table, 1, 3, keys=["key_id"]).count() == 0
+    commit_update(spark, table, "key_id = 5", {"label": F.lit("x")})
+    d = diff_versions(spark, table, 1, 4, keys=["key_id"])
+    rows = d.collect()
+    assert len(rows) == 1 and rows[0]["change_type"] == "update"
+
+
+def test_commit_version_refuses_burned_or_colliding_names(spark, table):
+    """Review finding: a full overwrite reusing a burned physical name,
+    or introducing a column that collides with another column's
+    physical name, must refuse loudly (commit_append already did)."""
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), table)
+    commit_drop_column(spark, table, "tag")
+    bad = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("z").alias("tag")
+    )
+    with pytest.raises(ValueError, match="collide"):
+        commit_version(spark, bad, table)
+    commit_rename_column(spark, table, "k", "key_id")
+    bad2 = spark.range(5).select(
+        F.col("id").alias("key_id"), F.col("id").alias("k")
+    )
+    with pytest.raises(ValueError, match="collide"):
+        commit_version(spark, bad2, table)

@@ -157,13 +157,29 @@ def test_unlearned_backward_batch_degrades_then_clamps(spark, table):
     assert len(parts) == 1  # only version 5's single added file
 
 
-def test_genuine_offset_regression_still_raises(spark, table):
-    """A backward batch whose end this reader never produced (corrupted
-    checkpoint) keeps the loud failure."""
+def test_learned_reader_backward_batch_still_raises(spark, table):
+    """A LEARNED reader planned backward is a genuine anomaly (corrupted
+    checkpoint / rebuilt table): the loud failure stays — silent
+    skipping there could lose a rebuilt table's data."""
     _five_version_table(spark, table)
     reader = _VTStreamReader({"path": table, "maxFilesPerTrigger": "1"})
+    reader.commit({"version": 4})  # position confirmed by the engine
     with pytest.raises(ValueError, match="planned backward"):
         reader.partitions({"version": 4}, {"version": 2})
+
+
+def test_fresh_reader_replaying_degraded_wal_entry_degrades_again(spark, table):
+    """r10 review: if a degraded (backward) batch landed in the WAL and
+    the stream stopped, a RESTART replays it on a fresh reader whose
+    position is unlearned — that replay must degrade again (empty batch
+    + floor), not brick the stream on every start."""
+    _five_version_table(spark, table)
+    reader = _VTStreamReader({"path": table, "maxFilesPerTrigger": "1"})
+    parts = reader.partitions({"version": 4}, {"version": 1})  # WAL replay
+    assert parts == []
+    # and the floor keeps versions <= 4 from re-emitting afterwards
+    parts = reader.partitions({"version": 1}, {"version": 5})
+    assert len(parts) == 1
 
 
 def test_current_engine_order_unaffected_by_degrade_path(spark, table):
