@@ -1828,33 +1828,20 @@ def commit_version(
     untouched files without scanning them."""
     cur = current_version(spark, table)
     nxt = (cur or 0) + 1
-    # a full overwrite of a MAPPED table keeps writing physical names
-    # (the mapping is a property of the table, not of one snapshot);
-    # header-only read — the file-list replay is not needed here
-    pheader = parse_commit(spark, table, cur)[0] if cur else {}
-    cmap = manifest_cmap(pheader)
-    if cmap or pheader.get("cmap_burned"):
-        # review finding: a full overwrite introducing a column whose
-        # name collides with another column's physical name (or a
-        # burned one still present in old files) would write duplicate
-        # physical columns / resurrect dead bytes — refuse loudly, the
-        # same guard commit_append(merge_schema) applies
-        burned = set(pheader.get("cmap_burned") or [])
-        phys_names = [_phys(cmap, c) for c in df.columns]
-        dup = len(set(phys_names)) != len(phys_names)
-        reused = [
-            c for c in df.columns if c not in cmap and c in burned
-        ]
-        if dup or reused:
-            raise ValueError(
-                f"commit_version on {table!r}: column(s) "
-                f"{reused or sorted(set(c for c in phys_names if phys_names.count(c) > 1))!r} "
-                "collide with a renamed/dropped column's physical name "
-                "still present in data files; pick another name"
-            )
-    files = _write_data_dir(spark, df, table, nxt, cmap=cmap)
-    stats = _collect_file_stats(spark, table, files, stats_cols or [], cmap=cmap)
-    return _commit(spark, table, nxt, "full", df.schema, files, meta, stats)
+    # a FULL overwrite RESETS the column mapping (r10 review): the new
+    # snapshot references no old files, so there are no dead bytes a
+    # reused name could resurrect — physical names start equal to the
+    # df's logical names again, burned names become reusable, and the
+    # mapping bookkeeping disappears until the next rename/drop. Old
+    # snapshots still time-travel under their own headers' mappings.
+    files = _write_data_dir(spark, df, table, nxt)
+    stats = _collect_file_stats(spark, table, files, stats_cols or [])
+    # cmap/cmap_burned passed EXPLICITLY empty — _commit would otherwise
+    # inherit the parent's mapping, which this overwrite just reset
+    return _commit(
+        spark, table, nxt, "full", df.schema, files, meta, stats,
+        cmap={}, cmap_burned=[],
+    )
 
 
 def _require_same_schema(df: DataFrame, header: dict, table: str, op: str) -> None:
@@ -2402,16 +2389,21 @@ def _commit_retrying(
         dvs_out.update(new_dvs)
         # keep the audited pruning accounting honest on a restage (r7
         # advice: the original op_io counted against the OLD parent):
-        # annotate rather than silently re-publish stale numbers
-        io_key = f"{op}_io"
-        if io_key in hdr_meta:
+        # annotate rather than silently re-publish stale numbers.
+        # r10 review: scan for ANY *_io meta key, not just f"{op}_io" —
+        # apply_dvs/autocompact commit as op "optimize" but record their
+        # accounting under their own keys, which previously restaged
+        # without the annotation.
+        io_keys = [k for k in hdr_meta if k.endswith("_io")]
+        if io_keys:
             hdr_meta = dict(hdr_meta)
-            hdr_meta[io_key] = {
-                **hdr_meta[io_key],
-                "retries": attempt,
-                "restaged_parent": newcur,
-                "restaged_parent_files": len(nfiles),
-            }
+            for io_key in io_keys:
+                hdr_meta[io_key] = {
+                    **hdr_meta[io_key],
+                    "retries": attempt,
+                    "restaged_parent": newcur,
+                    "restaged_parent_files": len(nfiles),
+                }
         target = newcur + 1
 
 
@@ -2895,6 +2887,76 @@ def commit_compaction(
     )
 
 
+def _layout_rewrite_commit(
+    spark: SparkSession,
+    table: str,
+    cur: int,
+    header: dict,
+    prev_files: list[str],
+    selected: list[str],
+    transform,
+    io_key: str,
+    io_extra: dict,
+    meta: dict | None,
+    max_retries: int,
+) -> int:
+    """Shared tail of the unattended layout-maintenance ops
+    (``commit_apply_dvs``, ``commit_autocompact`` — r10 review: two
+    hand-copied tails had already diverged on a bug): read the selected
+    files masked, apply ``transform(df)`` (receives ``__f`` = source
+    path for grouping, must drop it), write, re-record stats over the
+    selected files' stat columns INTERSECTED with the current physical
+    schema (a dropped column's burned stats must not be re-collected
+    from files that no longer have it), and commit as ``optimize``
+    under the OCC retry with the op's own ``{io_key}`` accounting."""
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    cmap = manifest_cmap(header)
+    dvs_map = manifest_dvs(header)
+    sel = set(selected)
+    carried = [f for f in prev_files if f not in sel]
+    df = _read_files_masked(
+        spark, table, schema, selected, dvs_map, path_col="__f", cmap=cmap
+    )
+    out = transform(df)
+    new_files = _write_data_dir(spark, out, table, cur + 1, cmap=cmap)
+    all_stats = manifest_stats(header)
+    live_phys = {_phys(cmap, f.name) for f in schema.fields}
+    stat_cols = sorted(
+        {c for f in selected for c in (all_stats.get(f) or {})} & live_phys
+    )
+    stats = {f: st for f, st in all_stats.items() if f in set(carried)}
+    new_stats = _collect_file_stats(spark, table, new_files, stat_cols)
+    stats.update(new_stats)
+    hdr_meta = dict(meta or {})
+    hdr_meta[io_key] = {
+        "files_before": len(prev_files),
+        "files_selected": len(selected),
+        "files_after": len(carried) + len(new_files),
+        **io_extra,
+    }
+    return _commit_retrying(
+        spark,
+        table,
+        "optimize",
+        schema,
+        touched=sel,
+        rewrite_set=sel,
+        base_dvs={f: dvs_map[f] for f in sel if f in dvs_map},
+        based_files=prev_files,
+        new_files=new_files,
+        new_file_stats=new_stats,
+        new_dvs={},
+        hdr_meta=hdr_meta,
+        files_out=carried + new_files,
+        stats_out=stats,
+        rows_out=manifest_rows(header),
+        dvs_out={f: d for f, d in dvs_map.items() if f not in sel},
+        target=cur + 1,
+        max_retries=max_retries,
+        added_check=None,
+    )
+
+
 def commit_apply_dvs(
     spark: SparkSession,
     table: str,
@@ -2922,50 +2984,23 @@ def commit_apply_dvs(
     selected = [f for f in prev_files if dvs_map.get(f)]
     if not selected:
         return cur
-    schema = StructType.fromJson(json.loads(header["schema"]))
-    sel = set(selected)
-    carried = [f for f in prev_files if f not in sel]
-    cmap = manifest_cmap(header)
-    df = _read_files_masked(
-        spark, table, schema, selected, dvs_map, path_col="__f", cmap=cmap
-    )
-    out = df.repartitionByRange(len(selected), "__f").drop("__f")
-    new_files = _write_data_dir(spark, out, table, cur + 1, cmap=cmap)
-    all_stats = manifest_stats(header)
-    stat_cols = sorted(
-        {c for f in selected for c in (all_stats.get(f) or {})}
-    )
-    stats = {f: s for f, s in all_stats.items() if f in set(carried)}
-    new_stats = _collect_file_stats(spark, table, new_files, stat_cols)
-    stats.update(new_stats)
-    hdr_meta = dict(meta or {})
-    hdr_meta["apply_dvs_io"] = {
-        "files_purged": len(selected),
-        "files_after": len(carried) + len(new_files),
-        "dv_rows_applied": sum(
-            mf.dv_deleted_count(dvs_map[f]) for f in selected
-        ),
-    }
-    return _commit_retrying(
+    return _layout_rewrite_commit(
         spark,
         table,
-        "optimize",
-        schema,
-        touched=sel,
-        rewrite_set=sel,
-        base_dvs={f: dvs_map[f] for f in sel},
-        based_files=prev_files,
-        new_files=new_files,
-        new_file_stats=new_stats,
-        new_dvs={},
-        hdr_meta=hdr_meta,
-        files_out=carried + new_files,
-        stats_out=stats,
-        rows_out=manifest_rows(header),
-        dvs_out={f: d for f, d in dvs_map.items() if f not in sel},
-        target=cur + 1,
-        max_retries=max_retries,
-        added_check=None,
+        cur,
+        header,
+        prev_files,
+        selected,
+        # one output file per input file, rows staying file-grouped
+        lambda df: df.repartitionByRange(len(selected), "__f").drop("__f"),
+        "apply_dvs_io",
+        {
+            "dv_rows_applied": sum(
+                mf.dv_deleted_count(dvs_map[f]) for f in selected
+            )
+        },
+        meta,
+        max_retries,
     )
 
 
@@ -2998,7 +3033,6 @@ def commit_autocompact(
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
     header, prev_files = read_manifest(spark, table, cur)
     rows_map = manifest_rows(header)
-    dvs_map = manifest_dvs(header)
     selected = [
         f
         for f in prev_files
@@ -3006,48 +3040,38 @@ def commit_autocompact(
     ]
     if len(selected) < min_small_files:
         return cur
-    schema = StructType.fromJson(json.loads(header["schema"]))
-    cmap = manifest_cmap(header)
-    sel = set(selected)
-    carried = [f for f in prev_files if f not in sel]
-    df = _read_files_masked(
-        spark, table, schema, selected, dvs_map, cmap=cmap
-    )
-    n = df.count()
-    out = df.coalesce(max(1, -(-n // max_rows_per_file)))
-    new_files = _write_data_dir(spark, out, table, cur + 1, cmap=cmap)
-    all_stats = manifest_stats(header)
-    stat_cols = sorted({c for f in selected for c in (all_stats.get(f) or {})})
-    stats = {f: s for f, s in all_stats.items() if f in set(carried)}
-    new_stats = _collect_file_stats(spark, table, new_files, stat_cols)
-    stats.update(new_stats)
-    hdr_meta = dict(meta or {})
-    hdr_meta["autocompact_io"] = {
-        "files_before": len(prev_files),
-        "files_selected": len(selected),
-        "files_after": len(carried) + len(new_files),
-        "rows": n,
-    }
-    return _commit_retrying(
+    acct = {"rows": 0}
+
+    def pack(df):
+        # exact LIVE count from the masked read (rows_map misses
+        # unrecorded files and counts DV'd rows the mask drops); pack()
+        # runs before the commit accounting is rendered, so the shared
+        # io_extra dict picks the value up
+        nn = df.count()
+        acct["rows"] = nn
+        n_out = max(1, -(-nn // max_rows_per_file))
+        base = df.drop("__f")
+        # r10 review: coalesce can only REDUCE partitions — when the
+        # scan bin-packed the small files into fewer partitions than
+        # the target, a plain coalesce silently violates the per-file
+        # row cap; pay the O(debris) shuffle only in that case
+        parts = base.rdd.getNumPartitions()
+        return (
+            base.coalesce(n_out) if parts >= n_out else base.repartition(n_out)
+        )
+
+    return _layout_rewrite_commit(
         spark,
         table,
-        "optimize",
-        schema,
-        touched=sel,
-        rewrite_set=sel,
-        base_dvs={f: dvs_map[f] for f in sel if f in dvs_map},
-        based_files=prev_files,
-        new_files=new_files,
-        new_file_stats=new_stats,
-        new_dvs={},
-        hdr_meta=hdr_meta,
-        files_out=carried + new_files,
-        stats_out=stats,
-        rows_out=manifest_rows(header),
-        dvs_out={f: d for f, d in dvs_map.items() if f not in sel},
-        target=cur + 1,
-        max_retries=max_retries,
-        added_check=None,
+        cur,
+        header,
+        prev_files,
+        selected,
+        pack,
+        "autocompact_io",
+        acct,
+        meta,
+        max_retries,
     )
 
 
@@ -3091,18 +3115,23 @@ def diff_versions(
     # versions' logical names share a physical name, so a metadata-only
     # rename diffs as zero changes (and a renamed KEY keeps working)
     # instead of a spurious drop+add update for every row.
-    ocmap = manifest_cmap(parse_commit(spark, table, v_old)[0])
-    ncmap = manifest_cmap(parse_commit(spark, table, v_new)[0])
-    if ocmap or ncmap:
+    oheader = parse_commit(spark, table, v_old)[0]
+    nheader = parse_commit(spark, table, v_new)[0]
+    ocmap, ncmap = manifest_cmap(oheader), manifest_cmap(nheader)
+    nburn = set(nheader.get("cmap_burned") or [])
+    if ocmap or ncmap or nburn:
         new_logical_of_phys = {_phys(ncmap, c): c for c in new_df.columns}
-        old_df = old_df.select(
-            *[
-                F.col(c).alias(
-                    new_logical_of_phys.get(_phys(ocmap, c), c)
-                )
-                for c in old_df.columns
-            ]
-        )
+        keep = []
+        for c in old_df.columns:
+            p = _phys(ocmap, c)
+            if p in nburn and p not in new_logical_of_phys:
+                # the column was DROPPED between the versions — a
+                # metadata-only commit, so (like rename, r10 review) it
+                # contributes nothing to the diff; keeping it would also
+                # collide with a column later renamed onto its name
+                continue
+            keep.append(F.col(c).alias(new_logical_of_phys.get(p, c)))
+        old_df = old_df.select(*keep)
     vals = [c for c in new_df.columns if c not in keys]
     vals += [c for c in old_df.columns if c not in keys and c not in vals]
     types = {

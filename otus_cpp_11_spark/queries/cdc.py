@@ -1836,13 +1836,11 @@ def versioned_autocompact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
     )
     tbl = scratch_dir("sg-autoc-") + "/customer_v"
-    n = cust.count()
-    step = -(-n // AUTOCOMPACT_CHUNKS)
+    # chunk by key MODULO (r10 review): a total partition of the key
+    # space whatever its base/gaps — range chunking silently dropped
+    # the max key on 1-based key sets divisible by the chunk count
     chunks = [
-        cust.where(
-            (F.col("c_custkey") >= i * step)
-            & (F.col("c_custkey") < (i + 1) * step)
-        ).coalesce(1)
+        cust.where(F.col("c_custkey") % AUTOCOMPACT_CHUNKS == i).coalesce(1)
         for i in range(AUTOCOMPACT_CHUNKS)
     ]
     commit_version(spark, chunks[0], tbl, stats_cols=["c_custkey"])

@@ -341,20 +341,97 @@ def test_diff_versions_identity_across_rename(spark, table):
     assert len(rows) == 1 and rows[0]["change_type"] == "update"
 
 
-def test_commit_version_refuses_burned_or_colliding_names(spark, table):
-    """Review finding: a full overwrite reusing a burned physical name,
-    or introducing a column that collides with another column's
-    physical name, must refuse loudly (commit_append already did)."""
+def test_commit_version_full_overwrite_resets_mapping(spark, table):
+    """Review finding (second pass): a FULL overwrite references no old
+    files, so no dead bytes can resurrect — instead of refusing burned
+    names forever, the overwrite RESETS the mapping: burned names become
+    reusable, physical = logical again, and old snapshots still
+    time-travel under their own headers' mappings."""
     commit_version(spark, _df(spark, 0, 10).coalesce(1), table)
-    commit_drop_column(spark, table, "tag")
-    bad = spark.range(5).select(
-        F.col("id").alias("k"), F.lit("z").alias("tag")
-    )
-    with pytest.raises(ValueError, match="collide"):
-        commit_version(spark, bad, table)
     commit_rename_column(spark, table, "k", "key_id")
-    bad2 = spark.range(5).select(
-        F.col("id").alias("key_id"), F.col("id").alias("k")
+    commit_drop_column(spark, table, "tag")
+    fresh = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("z").alias("tag")  # reuses BOTH names
     )
-    with pytest.raises(ValueError, match="collide"):
-        commit_version(spark, bad2, table)
+    v = commit_version(spark, fresh, table)
+    hdr, _ = read_manifest(spark, table, v)
+    assert manifest_cmap(hdr) == {}
+    assert hdr.get("cmap_burned") is None
+    got = read_version(spark, table)
+    assert got.columns == ["k", "tag"] and got.count() == 5
+    assert got.agg(F.sum("k")).first()[0] == 10
+    # time travel still serves each old snapshot under its own names
+    assert read_version(spark, table, 1).columns == ["k", "tag"]
+    assert read_version(spark, table, 2).columns == ["key_id", "tag"]
+    assert read_version(spark, table, 3).columns == ["key_id"]
+    # and post-reset appends need no mapping at all
+    commit_append(spark, _df(spark, 100, 105, "w"), table)
+    assert read_version(spark, table).count() == 10
+
+
+def test_diff_versions_across_drop_plus_rename_onto_burned_name(spark, table):
+    """Review finding (second pass, reproduced): drop 'tag' then rename
+    k -> tag made diff_versions alias two old columns to 'tag'
+    (AMBIGUOUS_REFERENCE crash). A dropped column is metadata-only —
+    excluded from the diff like a rename — so this lifecycle diffs as
+    zero changes."""
+    from otus_cpp_11_spark.ops.versioned import diff_versions
+
+    commit_version(spark, _df(spark, 0, 20).coalesce(1), table)
+    commit_drop_column(spark, table, "tag")
+    commit_rename_column(spark, table, "k", "tag")
+    assert diff_versions(spark, table, 1, 3, keys=["tag"]).count() == 0
+    # a real content change after the refactor still diffs
+    commit_delete(spark, table, "tag = 7")
+    d = diff_versions(spark, table, 1, 4, keys=["tag"]).collect()
+    assert len(d) == 1 and d[0]["change_type"] == "delete"
+
+
+def test_autocompact_skips_burned_stat_columns(spark, table):
+    """Review finding (second pass, reproduced): autocompact derived its
+    stat columns from the SELECTED files' carried stats, which can
+    include a dropped column's burned physical name — collecting stats
+    for it over the new files crashed with UNRESOLVED_COLUMN."""
+    from otus_cpp_11_spark.ops.versioned import commit_autocompact
+
+    commit_version(
+        spark, _df(spark, 0, 10).coalesce(1), table, stats_cols=["k", "tag"]
+    )
+    commit_drop_column(spark, table, "tag")
+    commit_append(
+        spark,
+        spark.range(100, 110).select(F.col("id").alias("k")).coalesce(1),
+        table,
+        stats_cols=["k"],
+    )
+    v = commit_autocompact(spark, table, 1000, 1000)
+    assert v == 4
+    got = read_version(spark, table)
+    assert got.columns == ["k"] and got.count() == 20
+    # the live column's stats still collected: pruning works
+    got2, acct = scan_version(spark, table, bounds={"k": (100, 109)})
+    assert got2.count() == 10
+
+
+def test_autocompact_splits_when_scan_underpartitions(spark, table):
+    """Review finding (second pass, reproduced): coalesce cannot
+    INCREASE partitions, so a scan that bin-packed the small files into
+    fewer partitions than ceil(rows/target) silently violated the
+    per-file row cap; the pack now repartitions in that case."""
+    from otus_cpp_11_spark.ops.versioned import commit_autocompact
+
+    commit_version(spark, _df(spark, 0, 4000).coalesce(1), table)
+    commit_append(spark, _df(spark, 10000, 14000).coalesce(1), table)
+    v = commit_autocompact(
+        spark, table, small_file_rows=100_000, max_rows_per_file=1000
+    )
+    hdr, files = read_manifest(spark, table, v)
+    assert hdr["autocompact_io"]["files_after"] == 8  # ceil(8000/1000)
+    assert len(files) == 8
+    import pyarrow.parquet as pq
+
+    per_file = [
+        pq.ParquetFile(f"{table}/{f}").metadata.num_rows for f in files
+    ]
+    assert sum(per_file) == 8000
+    assert max(per_file) <= 1100  # round-robin balance ~ the cap

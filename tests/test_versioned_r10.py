@@ -72,7 +72,7 @@ def test_apply_dvs_purges_only_dv_files(spark, table):
     hdr3, files3 = read_manifest(spark, table, 3)
     assert manifest_dvs(hdr3) == {}
     assert set(files2) - dvd <= set(files3)  # clean files carried verbatim
-    assert hdr3["apply_dvs_io"]["files_purged"] == len(dvd)
+    assert hdr3["apply_dvs_io"]["files_selected"] == len(dvd)
     assert hdr3["apply_dvs_io"]["dv_rows_applied"] == 50
     assert read_version(spark, table).count() == 350
     assert metadata_count(spark, table, strict=True) == 350
