@@ -484,6 +484,17 @@ class _VTStreamReader(DataSourceStreamReader):
         # ops.versioned.read_change_feed for the batch face + contract)
         self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         self.starting = options.get("startingversion")
+        # startingTimestamp — Delta's option of the same name: stream
+        # changes committed strictly AFTER the greatest commit whose
+        # marker mtime <= ts (the marker's atomic-rename instant IS the
+        # commit instant, as in batch timestampAsOf). Mutually exclusive
+        # with startingVersion.
+        self.starting_ts = options.get("startingtimestamp")
+        if self.starting is not None and self.starting_ts is not None:
+            raise ValueError(
+                "versioned_table: startingVersion and startingTimestamp "
+                "are mutually exclusive"
+            )
         # maxFilesPerTrigger — Delta's admission control: cap how many
         # data/change files one micro-batch may plan, so a consumer
         # catching up after downtime drains pending versions in BOUNDED
@@ -561,6 +572,10 @@ class _VTStreamReader(DataSourceStreamReader):
         # Delta's startingVersion: stream changes FROM version N
         # (inclusive) instead of replaying the initial snapshot;
         # "latest" starts past everything committed at stream start.
+        if self.starting_ts is not None:
+            return _vt_version_at_timestamp(
+                self.table, _vt_parse_ts(self.starting_ts)
+            ) or 0
         if self.starting is None:
             return 0
         if str(self.starting).lower() == "latest":
@@ -829,7 +844,9 @@ class VersionedTableDataSource(DataSource):
     Delta-parity options: batch ``versionAsOf`` / ``timestampAsOf``
     (time travel; timestamp resolves through commit-marker mtimes),
     stream ``startingVersion`` (``N`` streams changes from version N
-    inclusive, ``latest`` skips everything already committed),
+    inclusive, ``latest`` skips everything already committed) /
+    ``startingTimestamp`` (changes committed after the instant,
+    resolved through commit-marker mtimes like ``timestampAsOf``),
     ``skipChangeCommits``, and ``maxFilesPerTrigger`` /
     ``maxBytesPerTrigger`` (admission control: bound each micro-batch's
     planned files/bytes at version granularity — see

@@ -263,3 +263,37 @@ def test_byte_cap_suffix_and_invalid_values(spark, table, tmp_path):
     commit_version(spark, _df(spark, 0, 5, "v1"), table)
     with pytest.raises(ValueError, match="maxBytesPerTrigger"):
         _VTStreamReader({"path": table, "maxBytesPerTrigger": "0"})
+
+
+def test_starting_timestamp_streams_only_later_commits(spark, table, tmp_path):
+    """Delta's startingTimestamp: resolve the stream's base through
+    commit-marker mtimes (the same clock batch timestampAsOf uses) —
+    only versions committed after the instant are streamed; mutually
+    exclusive with startingVersion."""
+    import os
+    import time
+
+    from otus_cpp_11_spark.ops import manifest_format as mf
+    from otus_cpp_11_spark.sources import _VTStreamReader
+
+    commit_version(spark, _df(spark, 0, 10, "v1").coalesce(1), table)
+    commit_append(spark, _df(spark, 100, 110, "v2").coalesce(1), table)
+    t_mid = os.path.getmtime(f"{table}/_commits/{mf.marker_name(2)}") + 0.01
+    time.sleep(0.05)
+    commit_append(spark, _df(spark, 200, 210, "v3").coalesce(1), table)
+    commit_append(spark, _df(spark, 300, 310, "v4").coalesce(1), table)
+    register_versioned_table_source(spark)
+    batches = _run_stream(
+        spark, table, tmp_path, "sts", startingTimestamp=str(t_mid)
+    )
+    assert sum(batches) == 20  # v3 + v4 only
+    import pytest
+
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _VTStreamReader(
+            {
+                "path": table,
+                "startingVersion": "2",
+                "startingTimestamp": str(t_mid),
+            }
+        )
