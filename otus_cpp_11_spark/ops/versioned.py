@@ -3019,9 +3019,12 @@ def commit_autocompact(
     ceil(rows / max_rows_per_file) files, carrying every
     adequately-sized file by reference. Unlike ``commit_compaction``
     this needs NO cluster columns — the rewrite is a coalesce
-    (concatenation, zero shuffle: per-micro-batch ingest debris is
-    already roughly time-ordered and stays so), which is what lets an
-    unattended post-append hook run it on ANY table. DV'd small files
+    (concatenation, no shuffle: per-micro-batch ingest debris is
+    already roughly time-ordered and stays so) whenever the masked scan
+    yields at least the target partition count, falling back to an
+    O(debris) repartition when the scan bin-packed below it (coalesce
+    cannot split — r10 review); either way an unattended post-append
+    hook costs O(debris), not O(table). DV'd small files
     apply their deletion vectors in passing (the read is masked). Under
     ``min_small_files`` it is an O(1) no-op returning the current
     version — safe on a schedule; a steady-state per-commit hook does

@@ -1815,10 +1815,10 @@ def versioned_autocompact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction so the post count is the pure bin-packing formula).
     Content is byte-identical across the sweep — the oracle recomputes
     both stages from the raw table and the exact file-count arithmetic,
-    so the hash proves the sweep moved layout and nothing else. Zero
-    shuffle: the rewrite is a coalesce (concatenation), which is what
-    makes an unattended post-ingest hook affordable at every commit —
-    O(debris), not O(table). Reference: the C++ engine writes one file
+    so the hash proves the sweep moved layout and nothing else. The
+    rewrite is a coalesce (concatenation, shuffle-free) when the scan
+    partitions suffice, an O(debris) repartition otherwise — either
+    way an unattended post-ingest hook costs O(debris), not O(table). Reference: the C++ engine writes one file
     per reducer with no maintenance story (src/runner.cpp); lakehouse
     mandate (Delta autoCompact semantics)."""
     from otus_cpp_11_spark.ops.versioned import (
