@@ -418,8 +418,10 @@ def commit_drop_column(
     """``ALTER TABLE ... DROP COLUMN`` as a METADATA-ONLY commit
     (Delta's column-mapping drop): the column leaves the logical schema
     and its physical name is BURNED — the bytes stay in the data files
-    (reads simply never select them; retention-driven rewrites shed
-    them over time, exactly Delta's behavior) and no future column may
+    (reads simply never select them; ANY later layout rewrite —
+    OPTIMIZE, autocompact, apply_dvs — writes touched files without the
+    burned column, shedding the dead bytes, exactly Delta's REORG PURGE
+    behavior; pytest-proven) and no future column may
     reuse the physical name, which would read the dead bytes back.
     Zero data IO; time travel still serves the column at pre-drop
     versions. Constraints referencing the column are refused."""

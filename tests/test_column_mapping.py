@@ -435,3 +435,30 @@ def test_autocompact_splits_when_scan_underpartitions(spark, table):
     ]
     assert sum(per_file) == 8000
     assert max(per_file) <= 1100  # round-robin balance ~ the cap
+
+
+def test_layout_rewrites_shed_dropped_column_bytes(spark, table):
+    """The physical-forget half of DROP COLUMN: the drop itself is
+    metadata-only (dead bytes stay in files), and ANY later layout
+    rewrite — autocompact here, OPTIMIZE/apply_dvs identically — reads
+    the logical schema and therefore writes files WITHOUT the burned
+    column, shedding the dead bytes for the files it touches (Delta's
+    REORG PURGE behavior, for free from the mapping design)."""
+    import pyarrow.parquet as pq
+
+    from otus_cpp_11_spark.ops.versioned import commit_autocompact
+
+    commit_version(spark, _df(spark, 0, 40).coalesce(1), table)
+    commit_append(spark, _df(spark, 100, 140).coalesce(1), table)
+    commit_drop_column(spark, table, "tag")
+    _, files_pre = read_manifest(spark, table, 3)
+    assert all(
+        "tag" in pq.ParquetFile(f"{table}/{f}").schema_arrow.names
+        for f in files_pre
+    )  # metadata-only: dead bytes still physically present
+    v = commit_autocompact(spark, table, 1000, 1000)
+    _, files_post = read_manifest(spark, table, v)
+    for f in files_post:
+        assert "tag" not in pq.ParquetFile(f"{table}/{f}").schema_arrow.names
+    got = read_version(spark, table)
+    assert got.columns == ["k"] and got.count() == 80
