@@ -47,7 +47,15 @@ def _dec_dot(a: Column, b: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Deterministic cosine similarity between two array<float> columns."""
+    """Deterministic cosine similarity between two array<float> columns.
+
+    DATA CONTRACT (r10 review): inputs must have non-zero norm at the
+    fixed-point scale (every |x_i| < ~3e-8 floors the self-dot to 0).
+    A zero-norm vector divides by zero — NULL under Spark's non-ANSI
+    division (sorts LAST in every cosine top-k) but inf/NaN in DuckDB —
+    so such vectors would silently diverge the engines. The synthetic
+    corpus satisfies the contract (unit-scale components); a production
+    ingest should filter or re-scale degenerate embeddings upstream."""
     return _dec_dot(a, b) / (F.sqrt(_dec_dot(a, a)) * F.sqrt(_dec_dot(b, b)))
 
 
@@ -172,14 +180,26 @@ def blocked_cosine_pairs(
 ) -> DataFrame:
     """All same-label ``(vec_a < vec_b)`` pairs with their cosine, hot
     blocks routed through the salt grid (see embedding_near_dup_pairs).
-    Input needs (vec_id, label, embedding)."""
+    Input needs (vec_id, label, embedding). Each row's norm is computed
+    ONCE before the join (r10 review: recomputing both self-dots per
+    PAIR tripled the dominant fixed-point CPU); sqrt of the identical
+    decimal dot is the identical double, so results are bit-unchanged.
+    The up-front hot-block emptiness probe is ONE tiny aggregate that
+    buys the common cold case a plan with ZERO routing stages — a
+    deliberate trade, not an oversight."""
+    e = e.withColumn(
+        "_nrm", F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")))
+    )
 
     def score(joined: DataFrame) -> DataFrame:
         return joined.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+            (
+                _dec_dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a._nrm") * F.col("b._nrm"))
+            ).alias("cosine"),
         )
 
     sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("_bn"))
@@ -208,11 +228,11 @@ def blocked_cosine_pairs(
         cells = F.array(*[F.lit(i) for i in range(num_salts)])
         g = F.pmod(F.hash("vec_id"), F.lit(num_salts))
         left = hotb.select(
-            "label", "vec_id", "embedding", g.alias("_ci"),
+            "label", "vec_id", "embedding", "_nrm", g.alias("_ci"),
             F.explode(cells).alias("_cj"),
         )
         right = hotb.select(
-            "label", "vec_id", "embedding",
+            "label", "vec_id", "embedding", "_nrm",
             F.explode(cells).alias("_ci"), g.alias("_cj"),
         )
         hot_pairs = score(
@@ -613,41 +633,38 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means assignment step (K=8 deterministic seed centroids, exactly
     ``kmeans_assign_update``'s cell structure), then score cosine ONLY
     within each cell — the pair join is blocked by learned cluster id, so
-    the cross product is per-cell, never global. This is the trained-
-    quantizer counterpart of ``embedding_near_dup_pairs`` (which blocks on
-    the given label): at 100 TB the cells come from the same k-means loop,
-    cells partition the table on write, and the within-cell join shuffles
-    each vector exactly once on its cell id. Same fixed-point cosine as
-    every similarity operator, so the oracle hash-matches bit-for-bit."""
+    the cross product is per-cell, never global. r10 review: with only
+    K cells, EVERY cell is a hot block at scale (the old plain self-join
+    capped parallelism at K tasks of (N/K)^2 comparisons each), so the
+    within-cell join now routes through ``blocked_cosine_pairs`` — the
+    same salt-grid split every other pair query uses: a hot cell of B
+    rows becomes S^2 tasks of ~(B/S)^2 comparisons with the
+    exactly-one-cell pair-meeting guarantee, values bit-identical. At
+    100 TB the cells come from the same k-means loop and partition the
+    table on write. Same fixed-point cosine as every similarity
+    operator, so the oracle hash-matches bit-for-bit."""
     e = load_table(spark, sf_dir, "embeddings")
     c = e.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    d2 = (
-        _dec_dot(F.col("embedding"), F.col("embedding"))
-        - 2.0 * _dec_dot(F.col("embedding"), F.col("cv"))
-        + _dec_dot(F.col("cv"), F.col("cv"))
-    )
     assign = (
         e.join(F.broadcast(c))
-        .select("vec_id", "embedding", "cid", d2.alias("d2"))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            _d2(F.col("embedding"), F.col("cv")).alias("d2"),
+        )
         .groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cid", "embedding")).alias("m"))
         .select(
             "vec_id",
-            F.col("m.cid").alias("cid"),
+            F.col("m.cid").alias("label"),
             F.col("m.embedding").alias("embedding"),
         )
     )
-    a, b = assign.alias("a"), assign.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.cid").alias("cell"),
-        cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    pairs = blocked_cosine_pairs(assign).select(
+        "vec_a", "vec_b", F.col("label").alias("cell"), "cosine"
     )
     return pairs.where(F.col("cosine") >= SEMDEDUP_COSINE).orderBy("vec_a", "vec_b")
 
@@ -940,13 +957,29 @@ def _pq_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # PARTITIONED BY the trained-IVF cell: an nprobe probe then
         # dismisses (K - nprobe)/K of the index from the LISTING alone
         # (Spark partition pruning) — the physical layout a real IVF
-        # index has, not just a row filter
+        # index has, not just a row filter. Built in a UNIQUE staging
+        # dir and published by one atomic rename (r10 review: an
+        # in-place overwrite raced concurrent readers of the same
+        # cache — a planned scan read files the overwrite was
+        # deleting); a concurrent builder losing the rename serves the
+        # winner's identical artifact.
+        import uuid
+
+        stage = f"{path}.stage-{uuid.uuid4().hex[:8]}"
         e.select(
             "vec_id",
             "label",
             _ivf_cell_expr(cents).alias("cell"),
             *_pq_code_exprs_slices(trained),
-        ).write.mode("overwrite").partitionBy("cell").parquet(path)
+        ).write.mode("overwrite").partitionBy("cell").parquet(stage)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
     # NOTE: partition discovery types `cell` as int; consumers that emit
     # it cast to bigint themselves (casting here would stack a Project
     # between filter and scan and could defeat partition pruning)
@@ -1710,11 +1743,16 @@ _TRAINED_CACHE: dict[str, object] = {}
 
 
 def _src_token(sf_dir: str, tag: str) -> str:
+    import getpass
     import os
 
     src = os.path.join(sf_dir, "embeddings.parquet")
+    # user-scoped (r10 review): index artifacts live under the SHARED
+    # system temp dir — scoping the cache key by user avoids permission
+    # collisions and cross-user cache poisoning on multi-user hosts
+    user = getpass.getuser()
     return (
-        f"{tag}|{os.path.abspath(src)}|{os.path.getsize(src)}"
+        f"{tag}|{user}|{os.path.abspath(src)}|{os.path.getsize(src)}"
         f"|{os.path.getmtime(src)}"
     )
 

@@ -139,6 +139,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_repeated_spans": "021ae1e34c5c",
     "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_stratified_sample": "5cbbfac47518",
+    "doc_top_terms": "36f7b8dcb415",
     "embedding_gram_upper": "f0e2d768f439",
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
@@ -236,7 +237,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "retrieval_rrf_fusion": "ae89b20c6090",
     "running_user_counts_streamed": "fbca008c058d",
     "scalar_string_math": "ace55f30e0cd",
-    "semantic_dedup_pairs": "98c7aff24981",
     "session_top_paths": "28010065c846",
     "source_score_calibration": "9b24c55b1db8",
     "source_token_fertility": "d1452d0ad04b",
@@ -290,7 +290,7 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
 # Round-10 refill: the oldest-green pins (last green r4: 25 members,
-# r5: 11), queued after the round's 14 new/changed queries (the
+# r5: 10), queued after the round's 15 new/changed queries (the
 # trained-quantizer serving family, the training distortion curves, the
 # DV pressure valve, and the column-mapping lifecycle) so the driver
 # window is exactly 50. Members left DRIVER_VERIFIED per the workflow;
@@ -312,7 +312,6 @@ REVERIFY: frozenset[str] = frozenset({
     "doc_shard_assignment",
     "doc_simhash32",
     "doc_token_stats",
-    "doc_top_terms",
     "events_props_variant",
     "events_tumbling_5min_streamed",
     "exact_dup_groups",
