@@ -85,18 +85,17 @@ def register(
 # shared-helper caveat). Regenerate entries with
 # scripts/gen_verified_hashes.py after promoting a round's greens.
 #
-# Round-10 membership: every green row from rounds 1-9 (the r9 driver
-# report was 50/50 green, bringing cumulative coverage to 221/221), each
-# pinned to the source hash current at promotion time. Round-10 edits
-# remove their entries below — this round that is the trained-quantizer
-# rewiring family (pq_adc_top10, ivf_pq_top5, pq_adc_rerank_top5,
-# pq_code_assignment, pq_encode_arrow, ivf_cosine_top5,
-# pq_index_after_append, pq_recall_trained_vs_init, ivf_trained_recall)
-# plus this round's new queries (see the note near WINDOW_DEFER).
+# Round-11 membership: every green row from rounds 1-10 (the r10 driver
+# report was 50/50 green, bringing cumulative coverage to 226/226), each
+# pinned to the source hash current at promotion time. Round-11 edits
+# remove their entries below — this round that is the residual-encoding
+# IVF-PQ family plus any query rewired to read the versioned PQ index
+# (see the note near WINDOW_DEFER).
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
     "ann_filtered_top5": "acf0825f69bc",
     "ann_truncated_dim_recall": "0980750bee64",
+    "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
     "bm25_stats_streamed": "56ebcc2d8fce",
     "bpe_pair_counts": "d96cbbee11ec",
@@ -109,16 +108,21 @@ DRIVER_VERIFIED: dict[str, str] = {
     "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
+    "corpus_datacard": "4e127f435efa",
     "corpus_datacard_streamed": "0339deef2f6d",
     "corpus_dedup_stats": "3fa9e48f7a71",
+    "cross_modal_doc_features": "1a3d8a0a163a",
+    "customer_cdc_merge": "db72fbdb81d5",
     "customer_monthly_retention": "5005e34e6d54",
     "customer_order_gap_stats": "6d3cb75325f9",
     "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
     "customer_running_spend": "471b2c9922e8",
     "customers_above_avg_balance": "2c2142b03318",
+    "customers_without_orders": "9a01c8532a3d",
     "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
+    "decontam_bloom_prune": "004a9cd16c69",
     "dedup_canonical_by_quality": "48bc5b1ec055",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
@@ -127,6 +131,9 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_bpe_token_ids": "b734428e749a",
     "doc_bpe_token_stats": "a44dac60fb4a",
     "doc_dedup_clusters": "5150a5c0e008",
+    "doc_dsir_weights": "391a5a705947",
+    "doc_fingerprint": "ac4f9cbb8f09",
+    "doc_gopher_rules": "9eb3349e7818",
     "doc_lang_id": "9244112be464",
     "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
@@ -136,9 +143,14 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_priority_sample": "aee1eab452aa",
     "doc_quality_classifier": "496dd16e1f78",
+    "doc_quality_score": "c49088db0448",
     "doc_repeated_spans": "021ae1e34c5c",
+    "doc_repetition_stats": "d70389bb5105",
     "doc_reservoir_sample": "ed8d4fafb39a",
+    "doc_shard_assignment": "b7508cca5e2e",
+    "doc_simhash32": "9a4d28b0fe15",
     "doc_stratified_sample": "5cbbfac47518",
+    "doc_token_stats": "f1fc9c5f44ba",
     "doc_top_terms": "36f7b8dcb415",
     "embedding_gram_upper": "f0e2d768f439",
     "embedding_near_dup_pairs": "fe5ace666bf3",
@@ -156,23 +168,31 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_minute_rollup_streamed": "e74fbcc0b0a8",
     "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
+    "events_props_variant": "31a6172af1b4",
     "events_session_windows": "ee61ffbf866a",
     "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
     "events_tumbling_5min": "f1e4a9109b9d",
+    "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
     "events_versioned_ingest_streamed": "48dd8e3478c1",
+    "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
     "hard_negative_mining": "f06cf1ecd76f",
     "incremental_decontamination": "27228e0f9847",
     "incremental_near_dup": "106378cb3ab8",
     "ips_policy_value": "2c1ea431a372",
+    "ivf_cosine_top5": "22b12ef86586",
+    "ivf_pq_top5": "90a9b3f1b733",
+    "ivf_train_distortion_curve": "aedd0e018199",
+    "ivf_trained_recall": "9c68f8f35575",
     "jaccard_prefix_filter_pairs": "d51e3f2c7999",
     "kmeans_assign_update": "1957709e4ad9",
     "knn_join_lsh_top3": "635fe257dd5a",
     "knn_recall_at_3": "c88e0a7440fb",
     "label_centroids": "03cb7a43743a",
+    "label_whitening_residuals": "156309353abe",
     "lakehouse_compaction_accounting": "52959dcfdac9",
     "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
@@ -184,10 +204,16 @@ DRIVER_VERIFIED: dict[str, str] = {
     "lsh_cosine_top5": "bcbb1c08dc09",
     "lsh_cosine_top5_multiprobe": "8a46b082e0db",
     "minhash_estimate_accuracy": "d049fca2dea7",
+    "multimodal_decode_features": "ba3641b52a2e",
+    "multimodal_frame_sample": "6c3ae1db4d13",
     "nation_richest_customer": "c569db84fd24",
     "nation_set_ops": "ee0a45799605",
     "nation_supplier_left_join": "5d0529977719",
+    "near_dup_containment": "3332e22c712b",
+    "near_dup_edit_distance": "b2229664d09f",
+    "near_dup_pairs_minhash": "9e5069a0a0ba",
     "neyman_allocation": "199b938badbe",
+    "ngram_jaccard_pairs": "1ce24908ed83",
     "order_distinct_aggs": "798ac52398ee",
     "orders_by_month": "3b5d56427f88",
     "orders_cube": "977856a76063",
@@ -200,12 +226,23 @@ DRIVER_VERIFIED: dict[str, str] = {
     "part_price_band_join": "feedac3b7d7c",
     "part_triangle_counts": "3b688cf75576",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
+    "pii_scrub_stats": "7f34c028e2b4",
     "ppm_ahash16": "86dc850ac759",
     "ppm_ahash_near_dup_counts": "2df65b831d36",
     "ppm_decode_features": "9da4f48f676c",
     "ppm_resize_2x2": "6b8205d6c06a",
+    "pq_adc_rerank_top5": "91f668795868",
+    "pq_adc_top10": "bbd7b762bc57",
+    "pq_code_assignment": "fd35dac8a588",
+    "pq_encode_arrow": "66c467eb13a8",
+    "pq_index_after_append": "9f8ad951caae",
+    "pq_recall_trained_vs_init": "5cc84adcedc3",
+    "pq_train_distortion_curve": "9993efb0c9d0",
     "prefix_cache_analysis": "605af3784f13",
+    "prefix_counts_l1": "09a990ed70ba",
+    "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
+    "python_datasource_checksum": "063511ddd858",
     "python_datasource_stream_checksum": "609b3f6c9262",
     "q10_returned_revenue": "a6bbc6cce502",
     "q11_important_stock": "64595b7c314a",
@@ -232,19 +269,25 @@ DRIVER_VERIFIED: dict[str, str] = {
     "quality_gate_kappa": "20583989b400",
     "region_nation_full_outer": "f11eea99322c",
     "region_nation_list": "47ff2923d217",
+    "repeated_span_strip_stats": "b639a37b01e7",
     "retrieval_diversified_top3": "0ae5067ed6f0",
     "retrieval_hybrid_dense_top5": "c6c174497154",
     "retrieval_rrf_fusion": "ae89b20c6090",
     "running_user_counts_streamed": "fbca008c058d",
     "scalar_string_math": "ace55f30e0cd",
+    "semantic_dedup_pairs": "c7b3ec9de102",
     "session_top_paths": "28010065c846",
+    "simhash_near_pairs": "cb3090db559e",
+    "source_mixture_weights": "b323abe853a0",
     "source_score_calibration": "9b24c55b1db8",
     "source_token_fertility": "d1452d0ad04b",
     "sql_api_region_revenue": "c90b46011de4",
+    "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
     "suppliers_with_returns": "7a66c41651f6",
     "term_cms_heavy_hitters": "c42035a2f51d",
     "top3_orders_per_customer": "e381e519d72e",
+    "unique_by_abs": "aec470f57ab8",
     "user_cohort_weekly_retention": "bd3c35154ddb",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
@@ -254,10 +297,14 @@ DRIVER_VERIFIED: dict[str, str] = {
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_resample_1h_ffill": "8c1195e182fb",
     "user_value_scd2": "3be5f39e67c1",
+    "user_value_udaf_sum": "e8f79d7db0ec",
     "user_value_zscore_outliers": "2c6fb32b13af",
+    "versioned_autocompact_ingest": "8bddaf686723",
     "versioned_change_feed": "defcc1758187",
     "versioned_change_feed_streamed": "0921995f28c9",
+    "versioned_column_mapping_lifecycle": "20b0f183bb0e",
     "versioned_dml_lifecycle": "47504a991821",
+    "versioned_dv_pressure_valve": "3b9044c57403",
     "versioned_metadata_count": "1630468efb50",
     "versioned_optimize_roundtrip": "e9ef2e2aa955",
     "versioned_rtbf_deletion_vectors": "68e6e0a9b480",
@@ -270,6 +317,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "wav_decode_features": "c5e596df5226",
     "wav_fingerprint16": "3048e2e0c324",
     "wav_fp_near_dup_counts": "8b3dc099b104",
+    "word_count": "8d6c7475043d",
 }
 
 # Unverified queries that exceed the 50-slot window this round, ordered
@@ -289,51 +337,10 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
-# Round-10 refill: the oldest-green pins (last green r4: 25 members,
-# r5: 10), queued after the round's 15 new/changed queries (the
-# trained-quantizer serving family, the training distortion curves, the
-# DV pressure valve, and the column-mapping lifecycle) so the driver
-# window is exactly 50. Members left DRIVER_VERIFIED per the workflow;
-# their still-valid old pins are restorable if a late addition displaces
-# one (the displacement rule — exercised: the late versioned_autocompact_
-# ingest addition displaced the newest-green member, events_dedup_streamed).
-REVERIFY: frozenset[str] = frozenset({
-    "balanced_doc_sample",
-    "corpus_datacard",
-    "cross_modal_doc_features",
-    "customer_cdc_merge",
-    "customers_without_orders",
-    "decontam_bloom_prune",
-    "doc_dsir_weights",
-    "doc_fingerprint",
-    "doc_gopher_rules",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "doc_shard_assignment",
-    "doc_simhash32",
-    "doc_token_stats",
-    "events_props_variant",
-    "events_tumbling_5min_streamed",
-    "exact_dup_groups",
-    "label_whitening_residuals",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "near_dup_containment",
-    "near_dup_edit_distance",
-    "near_dup_pairs_minhash",
-    "ngram_jaccard_pairs",
-    "pii_scrub_stats",
-    "prefix_counts_l1",
-    "prefix_min_unique_len",
-    "python_datasource_checksum",
-    "repeated_span_strip_stats",
-    "simhash_near_pairs",
-    "source_mixture_weights",
-    "sum_of_squares",
-    "unique_by_abs",
-    "user_value_udaf_sum",
-    "word_count",
-})
+# Round-11 refill happens at round end once this round's new/changed
+# queries are counted (the workflow in gen_verified_hashes.py): queue the
+# oldest-vintage pins first until new/changed + REVERIFY == 50.
+REVERIFY: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:
