@@ -145,7 +145,6 @@ def main():
             best = dt if best is None else min(best, dt)
         return round(best, 3)
 
-    calibration_start = calibrate()
     headline = [(n, q) for n, q in all_queries().items() if q.bench]
     # Measure the heaviest composed plans FIRST: late in a shared-JVM run
     # (~40 prior plan executions) the big multi-pass queries measure 2-3x
@@ -172,61 +171,87 @@ def main():
     ]
     headline.sort(key=lambda nq: (nq[0] not in FIRST, FIRST.index(nq[0]) if nq[0] in FIRST else 0))
 
-    timings: dict[str, float] = {}
-    for name, q in headline:
-        # Untimed warmup of THIS query immediately before its timed run
-        # (see module docstring): compiles + JITs the query's actual
-        # generated kernels on real data volumes. Interleaved (warm, time,
-        # next) rather than two full passes — with a whole pass in
-        # between, heap/codegen locality decays and the timed run re-pays
-        # part of the bring-up (measured 2.7x on q9).
-        try:
-            _materialize(q.fn(spark, sf_dir))
-        except Exception:
-            pass  # a warmup failure must never sink the bench
-        best = None
-        for _ in range(TIMED_RUNS_OVERRIDE.get(name, TIMED_RUNS)):
-            cleanup()  # timed run starts from the same clean state every time
-            # the ContextCleaner processes the unpersist/broadcast/shuffle
-            # deletions asynchronously; without this pause the disk/CPU work
-            # it queued lands inside the NEXT timed window (observed: the
-            # biggest composed plan measuring 2x its standalone warm time
-            # late in the run, exactly when the most prior state was being
-            # reclaimed)
-            time.sleep(1.0)
-            t0 = time.time()
-            df = q.fn(spark, sf_dir)
-            _materialize(df)
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        cleanup()  # untimed: not charged to any query
-    total = round(sum(timings.values()), 3)
-    calibration_end = calibrate()
-    # Contamination flag (r9 verdict item 7): the start/end calibration
-    # kernels measure the MACHINE, not the code — on a quiet host they
-    # agree within noise, and every adjudicated-contaminated run in
-    # rounds 8-9 showed a >1.5x spread (r9: 0.313 vs 0.092 = 3.4x on the
-    # judge's own first rerun). A flagged run should be discarded and
-    # re-run rather than compared; the flag makes that mechanical.
-    ratio = max(calibration_start, calibration_end) / max(
-        1e-9, min(calibration_start, calibration_end)
-    )
-    print(
-        json.dumps(
+    def measure() -> dict:
+        calibration_start = calibrate()
+        timings: dict[str, float] = {}
+        for name, q in headline:
+            # Untimed warmup of THIS query immediately before its timed
+            # run (see module docstring): compiles + JITs the query's
+            # actual generated kernels on real data volumes. Interleaved
+            # (warm, time, next) rather than two full passes — with a
+            # whole pass in between, heap/codegen locality decays and the
+            # timed run re-pays part of the bring-up (measured 2.7x on q9).
+            try:
+                _materialize(q.fn(spark, sf_dir))
+            except Exception:
+                pass  # a warmup failure must never sink the bench
+            best = None
+            for _ in range(TIMED_RUNS_OVERRIDE.get(name, TIMED_RUNS)):
+                cleanup()  # timed run starts from the same clean state
+                # the ContextCleaner processes the unpersist/broadcast/
+                # shuffle deletions asynchronously; without this pause the
+                # disk/CPU work it queued lands inside the NEXT timed
+                # window (observed: the biggest composed plan measuring 2x
+                # its standalone warm time late in the run, exactly when
+                # the most prior state was being reclaimed)
+                time.sleep(1.0)
+                t0 = time.time()
+                df = q.fn(spark, sf_dir)
+                _materialize(df)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            cleanup()  # untimed: not charged to any query
+        calibration_end = calibrate()
+        # Contamination flag (r9 verdict item 7): the start/end
+        # calibration kernels measure the MACHINE, not the code — on a
+        # quiet host they agree within noise, and every adjudicated-
+        # contaminated run in rounds 8-9 showed a >1.5x spread (r9: 0.313
+        # vs 0.092 = 3.4x on the judge's own first rerun).
+        ratio = max(calibration_start, calibration_end) / max(
+            1e-9, min(calibration_start, calibration_end)
+        )
+        return {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "calibration_start_sec": calibration_start,
+            "calibration_end_sec": calibration_end,
+            "calibration_ratio": round(ratio, 3),
+            "contaminated": ratio > CONTAMINATION_RATIO,
+        }
+
+    # Retry policy (r10 verdict item 6 — the r10 driver artifact shipped
+    # contaminated:true, so act on the flag instead of just raising it):
+    # a flagged measurement pass is discarded and the WHOLE pass rerun
+    # once — host steal is bursty, so one retry usually lands on a quiet
+    # window. If both passes flag, emit the cleaner one (still flagged:
+    # the comparison protocol discards it). Every attempt's summary is
+    # kept in "attempts" so a retried artifact is auditable, and the
+    # output stays ONE JSON line.
+    result = measure()
+    attempts = [
+        {
+            "value": result["value"],
+            "calibration_ratio": result["calibration_ratio"],
+            "contaminated": result["contaminated"],
+        }
+    ]
+    if result["contaminated"]:
+        retry = measure()
+        attempts.append(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calibration_start_sec": calibration_start,
-                "calibration_end_sec": calibration_end,
-                "calibration_ratio": round(ratio, 3),
-                "contaminated": ratio > CONTAMINATION_RATIO,
+                "value": retry["value"],
+                "calibration_ratio": retry["calibration_ratio"],
+                "contaminated": retry["contaminated"],
             }
         )
-    )
+        if retry["calibration_ratio"] < result["calibration_ratio"]:
+            result = retry
+    result["attempts"] = attempts
+    print(json.dumps(result))
     spark.stop()
 
 

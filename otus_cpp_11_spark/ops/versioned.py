@@ -843,7 +843,14 @@ def _rewrite_matching_files(
         new_files = _write_data_dir(
             spark, replacement, table, cur + 1, keep_empty=False, cmap=cmap
         )
-    scols = sorted({c for s in prev_stats.values() for c in s})
+    # Intersect carried stats columns with the LIVE physical schema
+    # (same fix as _layout_rewrite_commit): after commit_drop_column the
+    # union of prior stats columns still contains the dropped column's
+    # burned physical name, but the rewritten files no longer carry it,
+    # so collecting stats on it would raise UNRESOLVED_COLUMN and block
+    # RTBF deletes on any table that ever dropped a stats-tracked column.
+    live_phys = {_phys(cmap, f.name) for f in schema.fields}
+    scols = sorted({c for s in prev_stats.values() for c in s} & live_phys)
     stats = {f: s for f, s in prev_stats.items() if f not in rewrite_set}
     stats.update(_collect_file_stats(spark, table, new_files, scols))
     dvs = {f: d for f, d in prev_dvs.items() if f not in rewrite_set}
@@ -1528,7 +1535,12 @@ def _write_checkpoint(
         if not fs.rename(tmp, dest):
             fs.delete(tmp, False)
     except Exception:
-        pass
+        # derived data: reads recompute on miss, so failure costs replay
+        # time, never correctness — but an unexpected failure class
+        # (permissions, quota) degrading replay silently is worth a
+        # breadcrumb (r10 review)
+        log.debug("checkpoint write failed for %s v%d", table, version,
+                  exc_info=True)
 
 
 def _footer_rows(table: str, relpath: str) -> int | None:
@@ -3022,11 +3034,16 @@ def commit_autocompact(
     adequately-sized file by reference. Unlike ``commit_compaction``
     this needs NO cluster columns — the rewrite is a coalesce
     (concatenation, no shuffle: per-micro-batch ingest debris is
-    already roughly time-ordered and stays so) whenever the masked scan
-    yields at least the target partition count, falling back to an
-    O(debris) repartition when the scan bin-packed below it (coalesce
-    cannot split — r10 review); either way an unattended post-append
-    hook costs O(debris), not O(table). DV'd small files
+    already roughly time-ordered and stays so) whenever the masked
+    scan's per-partition counts PROVE every merged output stays under
+    ``max_rows_per_file`` (coalesce groups at most ceil(parts/n_out)
+    parent partitions per output; the sum of the largest that-many
+    counts bounds any file), falling back to an O(debris) repartition
+    when the scan bin-packed below the target (coalesce cannot split —
+    r10 review) or the inputs are skewed enough to breach the cap (r10
+    ADVICE: the cap is strict, not best-effort); either way an
+    unattended post-append hook costs O(debris), not O(table). DV'd
+    small files
     apply their deletion vectors in passing (the read is masked). Under
     ``min_small_files`` it is an O(1) no-op returning the current
     version — safe on a schedule; a steady-state per-commit hook does
@@ -3048,21 +3065,46 @@ def commit_autocompact(
     acct = {"rows": 0}
 
     def pack(df):
-        # exact LIVE count from the masked read (rows_map misses
-        # unrecorded files and counts DV'd rows the mask drops); pack()
-        # runs before the commit accounting is rendered, so the shared
-        # io_extra dict picks the value up
-        nn = df.count()
+        base = df.drop("__f")
+        # Per-partition LIVE counts from the masked read, JVM-side (one
+        # job, partial-agg shuffle of O(parts) rows — replaces the plain
+        # count() this path always paid). rows_map misses unrecorded
+        # files and counts DV'd rows the mask drops, so the exact count
+        # must come from the read; pack() runs before the commit
+        # accounting is rendered, so the shared io_extra dict picks the
+        # value up.
+        per = (
+            base.groupBy(F.spark_partition_id().alias("__p"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        counts = [int(r["__c"]) for r in per]
+        nn = sum(counts)
         acct["rows"] = nn
         n_out = max(1, -(-nn // max_rows_per_file))
-        base = df.drop("__f")
+        parts = base.rdd.getNumPartitions()
         # r10 review: coalesce can only REDUCE partitions — when the
         # scan bin-packed the small files into fewer partitions than
         # the target, a plain coalesce silently violates the per-file
-        # row cap; pay the O(debris) shuffle only in that case
-        parts = base.rdd.getNumPartitions()
+        # row cap; pay the O(debris) shuffle in that case.
+        if parts < n_out:
+            return base.repartition(n_out)
+        # r10 ADVICE: even with parts >= n_out, coalesce merges whole
+        # partitions and cannot split, so skewed inputs (e.g. one file
+        # admitted by small_file_rows > max_rows_per_file) can still
+        # breach the cap. Shuffle-free coalesce groups at most
+        # ceil(parts/n_out) parent partitions per output; the sum of
+        # the largest that-many partition counts upper-bounds any
+        # output file. Coalesce only when that bound proves the cap
+        # holds — otherwise repartition (round-robin, even by
+        # construction). The cap is therefore strict, and the common
+        # evenly-sized-debris case stays shuffle-free.
+        group = -(-parts // n_out)
+        worst = sum(sorted(counts, reverse=True)[:group])
         return (
-            base.coalesce(n_out) if parts >= n_out else base.repartition(n_out)
+            base.coalesce(n_out)
+            if worst <= max_rows_per_file
+            else base.repartition(n_out)
         )
 
     return _layout_rewrite_commit(

@@ -18,6 +18,8 @@ materializes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -940,8 +942,6 @@ def _pq_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     search path, which is the number that matters (the r4 verdict
     flagged encode cost riding the ADC headline as a smell)."""
     import hashlib
-    import os
-    import tempfile
 
     token = _src_token(
         sf_dir,
@@ -949,7 +949,7 @@ def _pq_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"|it{PQ_TRAIN_ITERS}|ivf{IVF_T_K}x{IVF_TRAIN_ITERS}|part-cell",
     )
     digest = hashlib.sha256(token.encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"sg-pq-codes-{digest}")
+    path = os.path.join(_artifact_cache_root(), f"pq-codes-{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         e = load_table(spark, sf_dir, "embeddings")
         trained, _, _, _ = _pq_trained(spark, sf_dir)
@@ -974,10 +974,18 @@ def _pq_stored_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").partitionBy("cell").parquet(stage)
         try:
             os.rename(stage, path)
-        except OSError:
+        except OSError as exc:
+            import errno
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)
+            # lost-the-race is the ONLY swallowed cause: dest already
+            # exists with the winner's identical artifact. Any other
+            # errno (EXDEV cross-device staging, EACCES) re-raises
+            # directly instead of being masked until the _SUCCESS
+            # check (r10 review).
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 raise
     # NOTE: partition discovery types `cell` as int; consumers that emit
@@ -1011,8 +1019,6 @@ def _pq_versioned_index(spark: SparkSession, sf_dir: str) -> str:
     bulk-build time the ingest arrivals did not exist; the append
     re-encodes the delta under the same pinned artifact."""
     import hashlib
-    import os
-    import tempfile
 
     from otus_cpp_11_spark.ops.versioned import (
         commit_append,
@@ -1026,7 +1032,7 @@ def _pq_versioned_index(spark: SparkSession, sf_dir: str) -> str:
         f"|it{PQ_TRAIN_ITERS}|incr{PQ_INGEST_MOD}",
     )
     digest = hashlib.sha256(token.encode()).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"sg-pq-vindex-{digest}")
+    path = os.path.join(_artifact_cache_root(), f"pq-vindex-{digest}")
     e = load_table(spark, sf_dir, "embeddings")
     is_ingest = F.col("vec_id") % PQ_INGEST_MOD == PQ_INGEST_MOD - 1
     cur = current_version(spark, path)
@@ -1742,17 +1748,44 @@ def _pq_train(
 _TRAINED_CACHE: dict[str, object] = {}
 
 
-def _src_token(sf_dir: str, tag: str) -> str:
-    import getpass
-    import os
+def _artifact_cache_root() -> str:
+    """Per-user root for the persistent ANN index artifacts, safe on
+    multi-user hosts (r10 ADVICE: a predictable digest path directly
+    under the world-writable system tempdir can be pre-created by
+    another local user with a forged ``_SUCCESS`` index, silently
+    corrupting served results — key-scoping by username only prevented
+    accidental collisions, not squatting). The root is a per-uid dir
+    created 0700; ownership and permissions are verified on every call
+    so a squatter-created dir is refused loudly instead of trusted. At
+    cluster scale the equivalent is a job-owned artifact prefix with FS
+    ACLs."""
+    import tempfile
 
+    base = os.environ.get("XDG_CACHE_HOME")
+    if base:
+        root = os.path.join(base, "sg-ann-index")
+    else:
+        root = os.path.join(
+            tempfile.gettempdir(), f"sg-ann-index-{os.getuid()}"
+        )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        raise RuntimeError(
+            f"refusing untrusted ANN artifact cache root {root!r}: "
+            f"owned by uid {st.st_uid} with mode {oct(st.st_mode & 0o777)} "
+            f"(want uid {os.getuid()}, no group/other access)"
+        )
+    return root
+
+
+def _src_token(sf_dir: str, tag: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
-    # user-scoped (r10 review): index artifacts live under the SHARED
-    # system temp dir — scoping the cache key by user avoids permission
-    # collisions and cross-user cache poisoning on multi-user hosts
-    user = getpass.getuser()
+    # artifacts live under the 0700 per-uid _artifact_cache_root, so the
+    # key only needs to identify the SOURCE + geometry (size+mtime make
+    # a testdata refresh rebuild instead of serving stale codes)
     return (
-        f"{tag}|{user}|{os.path.abspath(src)}|{os.path.getsize(src)}"
+        f"{tag}|{os.path.abspath(src)}|{os.path.getsize(src)}"
         f"|{os.path.getmtime(src)}"
     )
 

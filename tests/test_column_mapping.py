@@ -462,3 +462,64 @@ def test_layout_rewrites_shed_dropped_column_bytes(spark, table):
         assert "tag" not in pq.ParquetFile(f"{table}/{f}").schema_arrow.names
     got = read_version(spark, table)
     assert got.columns == ["k"] and got.count() == 80
+
+
+def test_predicate_dml_skips_burned_stat_columns(spark, table):
+    """Review finding (r10 ADVICE, high — reproduced): the predicate
+    DELETE/UPDATE rewrite derived its stat columns from the union of ALL
+    carried per-file stats, which after commit_drop_column still names
+    the dropped column's burned physical name; collecting stats for it
+    over the rewritten files crashed with UNRESOLVED_COLUMN, blocking
+    RTBF deletes on any table that ever dropped a stats-tracked column.
+    Same class as the autocompact/_layout_rewrite_commit fix — the DML
+    path was a third hand-copied tail."""
+    commit_version(
+        spark, _df(spark, 0, 10).coalesce(1), table, stats_cols=["k", "tag"]
+    )
+    commit_drop_column(spark, table, "tag")
+    v = commit_delete(spark, table, "k < 5")
+    assert v == 3
+    got = read_version(spark, table)
+    assert got.columns == ["k"] and got.count() == 5
+    # UPDATE through the same rewrite path also survives
+    commit_update(spark, table, "k >= 8", {"k": F.col("k") + 100})
+    assert sorted(r["k"] for r in read_version(spark, table).collect()) == [
+        5, 6, 7, 108, 109,
+    ]
+    # the live column's carried stats still prune
+    _, acct = scan_version(spark, table, bounds={"k": (108, 109)})
+    assert acct["files_scanned"] <= acct["files_total"]
+
+
+def test_autocompact_strict_cap_under_skew(spark, table):
+    """Review finding (r10 ADVICE): with parts >= n_out, coalesce merges
+    whole partitions and cannot split, so one oversized input (admitted
+    because small_file_rows > max_rows_per_file) breached the per-file
+    row cap. The pack now proves the coalesce grouping respects the cap
+    from per-partition counts, else repartitions."""
+    import pyarrow.parquet as pq
+
+    from otus_cpp_11_spark.ops.versioned import commit_autocompact
+
+    commit_version(spark, _df(spark, 0, 3000).coalesce(1), table)
+    commit_append(spark, _df(spark, 10000, 10100).coalesce(1), table)
+    # force the masked scan to one partition per (tiny) file so the
+    # parts >= n_out branch is exercised with a skewed partition
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        v = commit_autocompact(
+            spark, table, small_file_rows=100_000, max_rows_per_file=1000
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
+    hdr, files = read_manifest(spark, table, v)
+    per_file = [
+        pq.ParquetFile(f"{table}/{f}").metadata.num_rows for f in files
+    ]
+    assert sum(per_file) == 3100
+    assert max(per_file) <= 1100  # strict cap (round-robin balance)
+    assert read_version(spark, table).count() == 3100

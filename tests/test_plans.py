@@ -277,7 +277,7 @@ def test_pq_adc_runs_over_stored_codes(spark, plan):
     # materialized codes index, and the per-subvector distance math
     # (zip_with over embedding slices) is absent from the query plan
     p = plan("pq_adc_top10", spark)
-    assert "sg-pq-codes-" in p
+    assert "pq-codes-" in p
     assert "zip_with" not in p
     assert "embedding" not in p  # vectors never touched on the search path
 
@@ -289,7 +289,7 @@ def test_ivf_pq_cell_filter_partition_prunes_codes_scan(spark, plan):
     import re
 
     p = plan("ivf_pq_top5", spark)
-    assert "sg-pq-codes-" in p
+    assert "pq-codes-" in p
     assert re.search(r"PartitionFilters: \[[^\]]*cell", p)
 
 

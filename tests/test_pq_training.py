@@ -171,3 +171,29 @@ def test_served_ivf_probe_uses_trained_centroids(spark):
     probed = set(np.argsort(d2, kind="stable")[:IVF_T_NPROBE].tolist())
     got = all_queries()["ivf_cosine_top5"].fn(spark, SF_DIR).toPandas()
     assert set(got["cell"].astype(int)) <= probed, (set(got["cell"]), probed)
+
+
+def test_artifact_cache_root_refuses_squatted_dir(tmp_path, monkeypatch):
+    """r10 ADVICE: the served-index cache path under the world-writable
+    tempdir was predictable, so another local user could pre-create it
+    with a forged _SUCCESS artifact. The root is now per-uid 0700 and
+    ownership/permissions are verified before any artifact is trusted."""
+    import os
+
+    from otus_cpp_11_spark.queries.similarity import _artifact_cache_root
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    root = _artifact_cache_root()
+    assert root == str(tmp_path / "sg-ann-index")
+    st = os.stat(root)
+    assert st.st_uid == os.getuid()
+    assert not (st.st_mode & 0o077)  # no group/other access
+    # a world/group-accessible root (the squatting channel) is refused
+    os.chmod(root, 0o755)
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="untrusted ANN artifact"):
+            _artifact_cache_root()
+    finally:
+        os.chmod(root, 0o700)
