@@ -184,7 +184,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "incremental_near_dup": "106378cb3ab8",
     "ips_policy_value": "2c1ea431a372",
     "ivf_cosine_top5": "22b12ef86586",
-    "ivf_pq_top5": "90a9b3f1b733",
     "ivf_train_distortion_curve": "aedd0e018199",
     "ivf_trained_recall": "9c68f8f35575",
     "jaccard_prefix_filter_pairs": "d51e3f2c7999",
@@ -231,12 +230,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ppm_ahash_near_dup_counts": "2df65b831d36",
     "ppm_decode_features": "9da4f48f676c",
     "ppm_resize_2x2": "6b8205d6c06a",
-    "pq_adc_rerank_top5": "91f668795868",
-    "pq_adc_top10": "bbd7b762bc57",
-    "pq_code_assignment": "fd35dac8a588",
     "pq_encode_arrow": "66c467eb13a8",
-    "pq_index_after_append": "9f8ad951caae",
-    "pq_recall_trained_vs_init": "5cc84adcedc3",
     "pq_train_distortion_curve": "9993efb0c9d0",
     "prefix_cache_analysis": "605af3784f13",
     "prefix_counts_l1": "09a990ed70ba",

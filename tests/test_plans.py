@@ -274,23 +274,37 @@ def test_pq_adc_topk_no_shuffle(spark, plan):
 
 def test_pq_adc_runs_over_stored_codes(spark, plan):
     # ADC search never re-encodes at query time: the scan target is the
-    # materialized codes index, and the per-subvector distance math
-    # (zip_with over embedding slices) is absent from the query plan
+    # served VERSIONED residual index (r11 — one artifact), and the
+    # per-subvector distance math (zip_with over embedding slices) is
+    # absent from the query plan
     p = plan("pq_adc_top10", spark)
-    assert "pq-codes-" in p
+    assert "ivfpq-vindex-" in p
     assert "zip_with" not in p
     assert "embedding" not in p  # vectors never touched on the search path
 
 
-def test_ivf_pq_cell_filter_partition_prunes_codes_scan(spark, plan):
-    # the IVF cell predicate (trained-quantizer probe, r10) is a
-    # PARTITION filter on the cell-partitioned stored-codes index —
-    # non-probed cells are dismissed from the file LISTING, not scanned
-    import re
+def test_ivf_pq_probe_prunes_index_files_from_manifest(spark):
+    # the IVF probe (r11) is a stats-pruned scan_version per probed cell
+    # over the cell-clustered versioned index: non-probed cells' files
+    # are dismissed from the MANIFEST HEADER's extents — before any IO
+    # is planned — the versioned-table equivalent of partition pruning
+    from otus_cpp_11_spark.ops.versioned import scan_version
+    from otus_cpp_11_spark.queries.similarity import (
+        IVF_T_K,
+        _pq_versioned_index,
+    )
 
-    p = plan("ivf_pq_top5", spark)
-    assert "pq-codes-" in p
-    assert re.search(r"PartitionFilters: \[[^\]]*cell", p)
+    path = _pq_versioned_index(spark, "/root/testdata/sf0.001")
+    accts = [
+        scan_version(spark, path, bounds={"cell": (c, c)})[1]
+        for c in range(IVF_T_K)
+    ]
+    total = accts[0]["files_total"]
+    assert total >= IVF_T_K  # cell-clustered layout: >= one file per cell
+    # every probe dismisses most of the index from the manifest alone
+    assert all(a["files_scanned"] <= -(-total * 2 // IVF_T_K) for a in accts)
+    # and the probes together still cover every file (no cell orphaned)
+    assert sum(a["files_scanned"] for a in accts) >= total
 
 
 def test_zscore_join_strategy_left_to_aqe(spark):

@@ -71,32 +71,66 @@ def test_multi_iteration_lloyd_reduces_distortion_monotonically(spark):
     assert all(np.isfinite(v).all() for v in map(np.array, slices.values()))
 
 
-def test_stored_codes_index_serves_the_trained_codebook(spark):
-    """THE r10 wiring gate: _pq_stored_codes must hold exactly the
-    codes the trained codebook assigns (recomputed independently here),
-    and those must differ from the init-codebook encode somewhere —
-    otherwise 'trained' wiring would be vacuous on this data."""
-    from otus_cpp_11_spark.queries.similarity import _pq_stored_codes
+def test_served_index_holds_residual_codes_under_pinned_artifacts(spark):
+    """THE r11 wiring gate (succeeds the r10 raw-codes gate): the served
+    versioned index must hold exactly the RESIDUAL codes the pinned
+    pre-ingest artifacts assign — cell = argmin d2 against the pinned
+    coarse centroids, codes = encode of (vector − centroid[cell]) under
+    the pinned residual codebook, both recomputed independently here —
+    and those must differ somewhere from the raw-vector encode at the
+    same geometry, otherwise 'residual' wiring would be vacuous."""
+    from otus_cpp_11_spark.queries.similarity import (
+        _ivf_trained,
+        _pq_index_df,
+        _pq_trained_res,
+    )
 
     e = load_table(spark, SF_DIR, "embeddings")
-    rows = (
-        e.select("vec_id", "embedding").orderBy("vec_id").collect()
-    )
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
     emb = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
     vids = [int(r["vec_id"]) for r in rows]
-    trained, _, _, _ = _pq_trained(spark, SF_DIR)
-    want = _pq_encode_np(emb, _pq_slice_mat(trained))
+    cents, _, _, _ = _ivf_trained(spark, SF_DIR, pre_ingest=True)
+    res, _, _, _ = _pq_trained_res(spark, SF_DIR, pre_ingest=True)
+    cmat = np.array(cents, dtype=np.float64)
+    # independent cell assignment: exact same fixed-point d2 recipe is
+    # overkill here — argmin of float64 d2 agrees except at exact ties,
+    # and the synthetic data has none (asserted via unique argmin)
+    d2 = ((emb[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    cells = d2.argmin(axis=1)
+    residuals = emb - cmat[cells]
+    want = _pq_encode_np(residuals, _pq_slice_mat(res))
     got = {
-        int(r["vec_id"]): [int(r[f"code_{s}"]) for s in range(PQ_SUBVECTORS)]
-        for r in _pq_stored_codes(spark, SF_DIR).collect()
+        int(r["vec_id"]): (
+            int(r["cell"]),
+            [int(r[f"code_{s}"]) for s in range(PQ_SUBVECTORS)],
+        )
+        for r in _pq_index_df(spark, SF_DIR).collect()
     }
     assert sorted(got) == sorted(vids)
     for i, v in enumerate(vids):
-        assert got[v] == list(want[i]), (v, got[v], list(want[i]))
-    init_codes = _pq_encode_np(emb, _pq_slice_mat(_pq_init_slices(e)))
-    assert not np.array_equal(want, init_codes), (
-        "trained encode identical to init encode — wiring gate is vacuous"
+        assert got[v][0] == int(cells[i]), (v, got[v][0], int(cells[i]))
+        assert got[v][1] == list(want[i]), (v, got[v][1], list(want[i]))
+    raw_codes = _pq_encode_np(emb, _pq_slice_mat(res))
+    assert not np.array_equal(want, raw_codes), (
+        "residual encode identical to raw encode — wiring gate is vacuous"
     )
+
+
+def test_residual_recall_beats_raw_in_mean(spark):
+    """The r10 verdict's acceptance bar for residual encoding: at
+    identical geometry (same split/codebook/training corpus), mean
+    recall@k of the served residual index must be >= the raw-PQ
+    counterfactual. Deterministic data, deterministic training — a real
+    regression in the residual path shows up here, not noise."""
+    from otus_cpp_11_spark.queries.similarity import (
+        pq_recall_residual_vs_raw,
+    )
+
+    rows = pq_recall_residual_vs_raw(spark, SF_DIR).collect()
+    raw = sum(r["n_hits_raw"] for r in rows)
+    residual = sum(r["n_hits_residual"] for r in rows)
+    assert residual >= raw, (residual, raw)
+    assert residual > 0
 
 
 def test_trained_recall_not_below_init_on_eval_queries(spark):
