@@ -240,6 +240,9 @@ CDF_NEUTRAL_OPS = frozenset(
         # version's mapping, so there is nothing to emit for them
         "rename_column",
         "drop_column",
+        # type widening (r11): metadata-only, no row content — the feed
+        # reads every file under the END version's (wide) schema
+        "widen_column",
     }
 )
 

@@ -412,6 +412,116 @@ def commit_rename_column(
     )
 
 
+def _widens_to(frm, to) -> bool:
+    """True iff a column stored as ``frm`` may be declared ``to`` as a
+    METADATA-ONLY change — Delta's type widening feature (conservative
+    subset): byte→short→int→long along the integral chain,
+    float→double, and decimal precision growth at the same scale. Safe
+    because the snapshot read path imposes the MANIFEST schema on the
+    parquet scan and Spark 4's parquet reader up-converts these at scan
+    (pytest-verified over mixed-width files), so files written before
+    the widening need no rewrite."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    chain = [ByteType, ShortType, IntegerType, LongType]
+    if type(frm) in chain and type(to) in chain:
+        return chain.index(type(frm)) < chain.index(type(to))
+    if isinstance(frm, FloatType) and isinstance(to, DoubleType):
+        return True
+    if isinstance(frm, DecimalType) and isinstance(to, DecimalType):
+        return to.scale == frm.scale and to.precision > frm.precision
+    return False
+
+
+def commit_widen_column(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    new_type,
+    meta: dict | None = None,
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN ... TYPE`` as a METADATA-ONLY
+    commit — Delta's type widening (r10 verdict item 3): the committed
+    schema's column type widens (``_widens_to``: int→long,
+    float→double, decimal precision growth), every data file and stats
+    entry is carried by reference, and zero data bytes move — the first
+    pipeline that upgrades a count column to bigint no longer forces a
+    full rewrite. Readers impose the manifest schema on the scan, so
+    pre-widening files up-convert at read; time travel keeps every
+    snapshot type-correct (versions before the widening read narrow).
+    Narrowings and any other type change are refused loudly."""
+    from pyspark.sql.types import DataType
+
+    if isinstance(new_type, str):
+        parsed = spark.createDataFrame(
+            [], f"`{name}` {new_type}"
+        ).schema.fields[0].dataType
+    elif isinstance(new_type, DataType):
+        parsed = new_type
+    else:
+        raise TypeError(f"commit_widen_column: bad type {new_type!r}")
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    header, files = read_manifest(spark, table, cur)
+    schema = StructType.fromJson(json.loads(header["schema"]))
+    if name not in schema.names:
+        raise ValueError(
+            f"commit_widen_column: no column {name!r} in {table!r} "
+            f"(columns: {schema.names})"
+        )
+    old_type = schema[name].dataType
+    if old_type.simpleString() == parsed.simpleString():
+        return cur  # no-op: already that type, no version churn
+    if not _widens_to(old_type, parsed):
+        raise ValueError(
+            f"commit_widen_column: {old_type.simpleString()} -> "
+            f"{parsed.simpleString()} on {name!r} is not a safe widening "
+            "(metadata-only changes: byte/short/int/long chain, "
+            "float->double, decimal precision growth at equal scale); "
+            "narrowings need an explicit rewrite"
+        )
+    new_schema = StructType(
+        [
+            StructField(
+                f.name,
+                parsed if f.name == name else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+    hdr_meta = dict(meta or {})
+    hdr_meta["widen_column"] = {
+        "column": name,
+        "from": old_type.simpleString(),
+        "to": parsed.simpleString(),
+    }
+    return _commit(
+        spark,
+        table,
+        cur + 1,
+        "widen_column",
+        new_schema,
+        files,
+        hdr_meta,
+        dict(manifest_stats(header)),
+        rows=manifest_rows(header),
+        dvs=dict(manifest_dvs(header)),
+        cmap=dict(manifest_cmap(header)),
+        cmap_burned=list(header.get("cmap_burned") or []),
+    )
+
+
 def commit_drop_column(
     spark: SparkSession, table: str, name: str, meta: dict | None = None
 ) -> int:
@@ -1963,16 +2073,42 @@ def commit_append(
                     )
             have = {f.name: f.dataType for f in df.schema.fields}
             for f in committed.fields:
-                if (
-                    f.name not in have
-                    or have[f.name].simpleString() != f.dataType.simpleString()
-                ):
+                if f.name not in have:
                     raise ValueError(
                         f"commit_append(merge_schema): evolution is ADDITIVE "
                         f"only — committed column {f.name!r} "
                         f"({f.dataType.simpleString()}) must appear unchanged "
                         f"in the appended data"
                     )
+                dt = have[f.name]
+                if dt.simpleString() == f.dataType.simpleString():
+                    continue
+                if _widens_to(f.dataType, dt):
+                    # the appended frame is WIDER: auto-widen the
+                    # committed type (r10 verdict item 3 — Delta's
+                    # mergeSchema type widening). Metadata-only for the
+                    # carried files: reads impose the manifest schema
+                    # and the parquet reader up-converts narrow files.
+                    continue  # df's (wide) field flows into the schema below
+                if _widens_to(dt, f.dataType):
+                    # the appended frame is NARROWER than the table:
+                    # upcast the delta's rows to the committed type
+                    # (exact by _widens_to construction) instead of
+                    # failing a healthy writer that still emits ints
+                    # into a widened bigint column
+                    df = df.withColumn(
+                        f.name, F.col(f.name).cast(f.dataType)
+                    )
+                    continue
+                raise ValueError(
+                    f"commit_append(merge_schema): committed column "
+                    f"{f.name!r} is {f.dataType.simpleString()} but the "
+                    f"appended data has {dt.simpleString()} — only "
+                    "additive columns and safe type WIDENINGS "
+                    "(byte/short/int/long chain, float->double, decimal "
+                    "precision growth) evolve; narrowings and other "
+                    "changes are refused"
+                )
             new_names = [
                 f.name for f in df.schema.fields if f.name not in committed.names
             ]

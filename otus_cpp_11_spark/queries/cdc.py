@@ -1778,6 +1778,142 @@ def versioned_column_mapping_lifecycle(
     )
 
 
+_WIDEN_BIG = 3_000_000_000  # needs int64: only representable post-widening
+
+
+@register(
+    "versioned_type_widening_lifecycle",
+    oracle=f"""
+WITH src AS (
+  SELECT CAST(c_custkey AS INTEGER) AS k,
+         CAST(c_acctbal AS FLOAT) AS v
+  FROM customer
+),
+base AS (
+  SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS ksum FROM src
+),
+v1 AS (
+  SELECT 'snapshot' AS face, 1 AS version, 'int' AS k_type,
+         'float' AS v_type, n AS n_rows, ksum AS key_sum
+  FROM base
+),
+v2 AS (
+  SELECT 'snapshot' AS face, 2 AS version, 'bigint' AS k_type,
+         'float' AS v_type, n AS n_rows, ksum AS key_sum
+  FROM base
+),
+v3 AS (
+  SELECT 'snapshot' AS face, 3 AS version, 'bigint' AS k_type,
+         'double' AS v_type, n + 1 AS n_rows,
+         ksum + {_WIDEN_BIG} AS key_sum
+  FROM base
+),
+cdf AS (
+  SELECT 'cdf' AS face, 3 AS version, 'bigint' AS k_type,
+         'double' AS v_type, CAST(1 AS BIGINT) AS n_rows,
+         CAST({_WIDEN_BIG} AS BIGINT) AS key_sum
+),
+conn AS (
+  SELECT 'connector' AS face, 3 AS version, 'bigint' AS k_type,
+         'double' AS v_type, n + 1 AS n_rows,
+         ksum + {_WIDEN_BIG} AS key_sum
+  FROM base
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+UNION ALL SELECT * FROM cdf UNION ALL SELECT * FROM conn
+ORDER BY version, face
+""",
+)
+def versioned_type_widening_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta type widening end to end (r10 verdict item 3): commit the
+    customer table with an INT key and FLOAT balance, WIDEN the key to
+    bigint as a metadata-only commit (asserted: every data file carried
+    by reference, zero bytes moved), then APPEND a row whose key does
+    not fit int32 with ``merge_schema=True`` — which also AUTO-WIDENS
+    the balance to double from the delta frame's type. Three faces are
+    then proven over the mixed-width files: time-travel snapshots read
+    each version under ITS OWN schema (v1 narrow, v2 wide-key, v3 both
+    wide — dtypes emitted as columns so the oracle pins them), the CDF
+    face serves the append's insert under the END schema while the
+    widening commit itself feeds nothing (CDF-neutral), and the
+    CONNECTOR batch face plans splits from the manifest and reads the
+    narrow files up-converted. The oracle recomputes every face from
+    the raw table. At 100 TB: upgrading a count column to bigint is an
+    O(1)-metadata commit instead of a full rewrite. Reference: the C++
+    engine has no schema story; lakehouse mandate (Delta public
+    type-widening semantics)."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_version,
+        commit_widen_column,
+        read_change_feed,
+        read_manifest,
+        read_version,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("k"),
+        F.col("c_acctbal").cast("float").alias("v"),
+    )
+    tbl = scratch_dir("sg-widen-") + "/customer_v"
+    commit_version(spark, cust.repartitionByRange(2, "k"), tbl,
+                   stats_cols=["k"])
+    _, files1 = read_manifest(spark, tbl, 1)
+    commit_widen_column(spark, tbl, "k", "bigint")
+    _, files2 = read_manifest(spark, tbl, 2)
+    assert files2 == files1, "widening must carry every file by reference"
+    late = spark.createDataFrame([(_WIDEN_BIG, 0.5)], "k bigint, v double")
+    commit_append(spark, late, tbl, merge_schema=True, stats_cols=["k"])
+
+    def snap(version: int) -> DataFrame:
+        df = read_version(spark, tbl, version)
+        types = dict(df.dtypes)
+        return df.agg(
+            F.lit("snapshot").alias("face"),
+            F.lit(version).alias("version"),
+            F.lit(types["k"]).alias("k_type"),
+            F.lit(types["v"]).alias("v_type"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+
+    feed = read_change_feed(spark, tbl, 2, 3)  # the widening feeds nothing
+    ftypes = dict(feed.dtypes)
+    cdf = feed.where(F.col("_change_type") == "insert").agg(
+        F.lit("cdf").alias("face"),
+        F.lit(3).alias("version"),
+        F.lit(ftypes["k"]).alias("k_type"),
+        F.lit(ftypes["v"]).alias("v_type"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )
+    register_versioned_table_source(spark)
+    via = (
+        spark.read.format("versioned_table").option("path", tbl).load()
+    )
+    vtypes = dict(via.dtypes)
+    conn = via.agg(
+        F.lit("connector").alias("face"),
+        F.lit(3).alias("version"),
+        F.lit(vtypes["k"]).alias("k_type"),
+        F.lit(vtypes["v"]).alias("v_type"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )
+    return (
+        snap(1)
+        .unionByName(snap(2))
+        .unionByName(snap(3))
+        .unionByName(cdf)
+        .unionByName(conn)
+        .orderBy("version", "face")
+    )
+
+
 AUTOCOMPACT_CHUNKS = 6  # simulated per-micro-batch ingest commits
 AUTOCOMPACT_TARGET = 100_000  # pack everything into ceil(n/target) files
 

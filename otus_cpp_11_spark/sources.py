@@ -125,7 +125,13 @@ VT_SOURCE_NAME = "versioned_table"
 # into new files, and the loud-failure/skipChangeCommits contract covers
 # it)
 _VT_STREAM_NEUTRAL_OPS = frozenset(
-    {"rename_column", "drop_column", "add_constraint", "drop_constraint"}
+    {
+        "rename_column",
+        "drop_column",
+        "widen_column",
+        "add_constraint",
+        "drop_constraint",
+    }
 )
 
 
@@ -390,16 +396,26 @@ def _vt_read_file(
         # rename of the file's columns (review finding: a file can also
         # hold BURNED physical columns of dropped/renamed fields, and
         # renaming those too would produce duplicate names; physical
-        # names within a file are unique, so this lookup never is)
+        # names within a file are unique, so this lookup never is).
+        # Each column is also CAST to the declared arrow type when the
+        # file's differs (r11 type widening: a pre-widening file stores
+        # int32 under a bigint declaration — Spark's Arrow bridge
+        # rejects the narrow vector outright, and the widening cast is
+        # lossless by _widens_to construction).
         phys = [(cmap or {}).get(n, n) for n in names]
-        if tbl.column_names != names or phys != names:
-            have = set(tbl.column_names)
-            cols = [
-                tbl.column(p)
-                if p in have
-                else pa.nulls(tbl.num_rows, to_arrow_type(f.dataType))
-                for p, f in zip(phys, want.fields)
-            ]
+        have = set(tbl.column_names)
+        cols, casted = [], False
+        for p, f in zip(phys, want.fields):
+            at = to_arrow_type(f.dataType)
+            if p in have:
+                col = tbl.column(p)
+                if col.type != at:
+                    col = col.cast(at)
+                    casted = True
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(tbl.num_rows, at))
+        if tbl.column_names != names or phys != names or casted:
             tbl = pa.Table.from_arrays(cols, names=names)
     yield from tbl.to_batches()
 
