@@ -961,8 +961,11 @@ def _rewrite_matching_files(
     # RTBF deletes on any table that ever dropped a stats-tracked column.
     live_phys = {_phys(cmap, f.name) for f in schema.fields}
     scols = sorted({c for s in prev_stats.values() for c in s} & live_phys)
+    bcols = _carried_bloom_cols(prev_stats, live_phys)
     stats = {f: s for f, s in prev_stats.items() if f not in rewrite_set}
-    stats.update(_collect_file_stats(spark, table, new_files, scols))
+    stats.update(
+        _collect_file_stats(spark, table, new_files, scols, bloom_cols=bcols)
+    )
     dvs = {f: d for f, d in prev_dvs.items() if f not in rewrite_set}
     dvs.update(dv_out)
     hdr_meta = dict(meta or {})
@@ -1367,29 +1370,135 @@ def _stats_safe(v):
     return None
 
 
+# Per-file Bloom filter geometry (r10 verdict item 4 — Delta/Parquet
+# ship Bloom skipping for point lookups on high-cardinality keys that
+# min/max extents cannot dismiss). Positions are collected modulo a
+# WIDE power of two (_BLOOM_POS_MOD) and FOLDED driver-side to each
+# file's own power-of-two size m (~_BLOOM_BITS_PER_KEY bits per
+# observed distinct key, k=4 → ~2% false positives) — folding is exact
+# because m | _BLOOM_POS_MOD, and the stored filter's own byte length
+# carries its m, so files of different sizes coexist in one manifest.
+# A file with more distinct keys than the cap can size for records NO
+# filter (honest "maybe") rather than a saturated one. Correctness is
+# unaffected either way — a Bloom only EXCLUDES provably-absent values.
+_BLOOM_POS_MOD = 1 << 17
+_BLOOM_BITS_PER_KEY = 8
+_BLOOM_MIN_BITS = 1024
+_BLOOM_K = 4
+
+
+def _bloom_pos_expr(c: str, j: int):
+    """JVM-side bit position j for column ``c``: sha2 over
+    ``"{j}|{cast-to-string}"`` — chosen because BOTH engines can compute
+    it bit-identically (Spark's xxhash64 has no dependency-free Python
+    twin): Python's int(hexdigest()[:15], 16) % m equals
+    conv(substring(sha2, 1, 15), 16, 10) % m for every power-of-two m
+    dividing _BLOOM_POS_MOD. NULLs are not indexed (membership for NULL
+    answers 'maybe')."""
+    h = F.sha2(
+        F.concat_ws("|", F.lit(str(j)), F.col(c).cast("string")), 256
+    )
+    return F.when(
+        F.col(c).isNotNull(),
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        % F.lit(_BLOOM_POS_MOD),
+    )
+
+
+def _bloom_hex(pos_sets: list) -> str:
+    """Fold the k collected position sets into a per-file filter sized
+    to the observed distinct count (the largest per-hash set is a
+    collision-light estimate at _BLOOM_POS_MOD width). Returns '' when
+    the file holds too many distinct keys for the cap — no filter beats
+    a saturated one."""
+    n_est = max((len(s or []) for s in pos_sets), default=0)
+    m = _BLOOM_MIN_BITS
+    while m < n_est * _BLOOM_BITS_PER_KEY:
+        m *= 2
+    if m > _BLOOM_POS_MOD:
+        return ""
+    bits = bytearray(m // 8)
+    for s in pos_sets:
+        for p in s or []:
+            p = int(p) % m
+            bits[p // 8] |= 1 << (p % 8)
+    return bits.hex()
+
+
+def _bloom_maybe_contains(hexs: str, value) -> bool:
+    """Driver-side membership against a stored filter — the Python twin
+    of ``_bloom_pos_expr`` (both hash the value's canonical string; the
+    filter's byte length carries its own m). Only int/str values are
+    testable (their str() equals Spark's cast-to-string); anything else
+    answers 'maybe'."""
+    import hashlib
+
+    if not isinstance(value, (int, str)) or isinstance(value, bool):
+        return True
+    bits = bytes.fromhex(hexs)
+    m = len(bits) * 8
+    for j in range(_BLOOM_K):
+        p = (
+            int(hashlib.sha256(f"{j}|{value}".encode()).hexdigest()[:15], 16)
+            % m
+        )
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
+def _carried_bloom_cols(prev_stats: dict, live_phys: set) -> list[str]:
+    """Physical columns whose carried stats include a Bloom filter (the
+    3rd entry element) and that still exist in the live schema — the
+    rewrite paths recompute these for their fresh files so a layout op
+    never silently sheds point-lookup skipping."""
+    return sorted(
+        {
+            c
+            for s in prev_stats.values()
+            for c, e in s.items()
+            if len(e) > 2 and e[2] and c in live_phys
+        }
+    )
+
+
 def _collect_file_stats(
     spark: SparkSession,
     table: str,
     files: list[str],
     cols: list[str],
     cmap: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
-    """Per-file min/max of ``cols`` for freshly written ``files`` — ONE
-    column-pruned scan of the NEW files only (O(delta)), keyed by
-    table-relative path. This is the manifest-stats half of Delta/Iceberg
-    data skipping: collected once at write time, consulted forever after
-    from the manifest header without touching the data."""
-    if not cols or not files:
+    """Per-file min/max of ``cols`` (+ a Bloom filter for
+    ``bloom_cols``) for freshly written ``files`` — ONE column-pruned
+    scan of the NEW files only (O(delta)), keyed by table-relative
+    path. This is the manifest-stats half of Delta/Iceberg data
+    skipping: collected once at write time, consulted forever after
+    from the manifest header without touching the data. A bloom column
+    records ``[min, max, bloom_hex]`` (min/max always ride along);
+    per-file bit-position sets are bounded by _BLOOM_BITS each, so the
+    collect stays manifest-sized."""
+    bloom_cols = bloom_cols or []
+    if (not cols and not bloom_cols) or not files:
         return {}
     # stats are keyed by PHYSICAL column name (the name in the file),
     # so a later rename never has to rewrite them
     cols = [_phys(cmap or {}, c) for c in cols]
+    bcols = [_phys(cmap or {}, c) for c in bloom_cols]
+    cols = cols + [c for c in bcols if c not in cols]
+    bset = set(bcols)
     root = table.rstrip("/")
     df = spark.read.parquet(*[_resolve(root, f) for f in files])
     aggs = []
     for i, c in enumerate(cols):
         aggs.append(F.min(c).alias(f"__mn{i}"))
         aggs.append(F.max(c).alias(f"__mx{i}"))
+        if c in bset:
+            for j in range(_BLOOM_K):
+                aggs.append(
+                    F.collect_set(_bloom_pos_expr(c, j)).alias(f"__bl{i}_{j}")
+                )
     rows = (
         df.select(F.col("_metadata.file_path").alias("__f"), *cols)
         .groupBy("__f")
@@ -1398,17 +1507,29 @@ def _collect_file_stats(
     )
     out = {}
     for r in rows:
-        out[_relativize(r["__f"])] = {
-            c: [_stats_safe(r[f"__mn{i}"]), _stats_safe(r[f"__mx{i}"])]
-            for i, c in enumerate(cols)
-        }
+        entry = {}
+        for i, c in enumerate(cols):
+            e = [_stats_safe(r[f"__mn{i}"]), _stats_safe(r[f"__mx{i}"])]
+            if c in bset:
+                e.append(
+                    _bloom_hex([r[f"__bl{i}_{j}"] for j in range(_BLOOM_K)])
+                )
+            entry[c] = e
+        out[_relativize(r["__f"])] = entry
     return out
 
 
-def _extent_overlaps(file_stats: dict | None, col: str, lo, hi) -> bool:
+def _extent_overlaps(
+    file_stats: dict | None, col: str, lo, hi, bloom: bool = True
+) -> bool:
     """May the file contain a key component in [lo, hi]? Missing or
     unordered stats answer 'maybe' — pruning is only ever an exclusion
-    of provably-disjoint files."""
+    of provably-disjoint files. A POINT bound (lo == hi) additionally
+    consults the column's per-file Bloom filter when one was recorded
+    (r10 verdict item 4): a range check cannot dismiss a
+    high-cardinality key that merely falls inside a file's extent, the
+    Bloom can — unless ``bloom=False`` (the accounting's
+    counterfactual)."""
     if not file_stats:
         return True
     ext = file_stats.get(col)
@@ -1421,22 +1542,31 @@ def _extent_overlaps(file_stats: dict | None, col: str, lo, hi) -> bool:
         or type(ext[0]) is not type(lo)
     ):
         return True
-    return not (ext[1] < lo or ext[0] > hi)
+    if ext[1] < lo or ext[0] > hi:
+        return False
+    if bloom and lo == hi and len(ext) > 2 and ext[2]:
+        return _bloom_maybe_contains(ext[2], lo)
+    return True
 
 
-def _prune_by_bounds(files: list[str], stats: dict, bounds: dict) -> list[str]:
+def _prune_by_bounds(
+    files: list[str], stats: dict, bounds: dict, bloom: bool = True
+) -> list[str]:
     """Manifest-stats tier of file dismissal, shared by ``scan_version``,
     ``commit_upsert`` and predicate DML: keep the files whose recorded
-    extents MAY overlap every ``{col: (lo, hi)}`` bound. Missing stats or
-    bounds keep everything — pruning is only ever an exclusion of
-    provably-disjoint files, never a filter substitute."""
+    extents MAY overlap every ``{col: (lo, hi)}`` bound (point bounds
+    also consult recorded Bloom filters unless ``bloom=False``). Missing
+    stats or bounds keep everything — pruning is only ever an exclusion
+    of provably-disjoint files, never a filter substitute."""
     if not bounds:
         return list(files)
     return [
         f
         for f in files
         if all(
-            _extent_overlaps(stats.get(f), c, _stats_safe(lo), _stats_safe(hi))
+            _extent_overlaps(
+                stats.get(f), c, _stats_safe(lo), _stats_safe(hi), bloom=bloom
+            )
             for c, (lo, hi) in bounds.items()
         )
     ]
@@ -1942,6 +2072,7 @@ def commit_version(
     table: str,
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Full-snapshot commit: write ``df`` completely as the next
     version. The baseline op (first load, wholesale recompute); use
@@ -1949,7 +2080,10 @@ def commit_version(
     unchanged — they reference the unchanged files instead of
     rewriting them. ``stats_cols`` records per-file min/max extents of
     those columns in the manifest, enabling later upserts to prune
-    untouched files without scanning them."""
+    untouched files without scanning them; ``bloom_cols`` additionally
+    records a per-file Bloom filter for point-lookup skipping on
+    high-cardinality int/string keys (Delta's
+    ``delta.bloomFilter.<col>`` — r10 verdict item 4)."""
     cur = current_version(spark, table)
     nxt = (cur or 0) + 1
     # a FULL overwrite RESETS the column mapping (r10 review): the new
@@ -1959,7 +2093,9 @@ def commit_version(
     # mapping bookkeeping disappears until the next rename/drop. Old
     # snapshots still time-travel under their own headers' mappings.
     files = _write_data_dir(spark, df, table, nxt)
-    stats = _collect_file_stats(spark, table, files, stats_cols or [])
+    stats = _collect_file_stats(
+        spark, table, files, stats_cols or [], bloom_cols=bloom_cols
+    )
     # cmap/cmap_burned passed EXPLICITLY empty — _commit would otherwise
     # inherit the parent's mapping, which this overwrite just reset
     return _commit(
@@ -1989,6 +2125,7 @@ def commit_append(
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
     max_retries: int = 0,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append commit: the new version = previous manifest's files BY
     REFERENCE + ``df``'s freshly written files. Bytes written scale with
@@ -2024,7 +2161,8 @@ def commit_append(
             if written is None:
                 written = _write_data_dir(spark, df, table, 1)
                 new_stats = _collect_file_stats(
-                    spark, table, written, stats_cols or []
+                    spark, table, written, stats_cols or [],
+                    bloom_cols=bloom_cols,
                 )
                 schema = df.schema
                 validated = schema.simpleString()
@@ -2137,7 +2275,8 @@ def commit_append(
             pcmap = manifest_cmap(header)
             written = _write_data_dir(spark, df, table, cur + 1, cmap=pcmap)
             new_stats = _collect_file_stats(
-                spark, table, written, stats_cols or [], cmap=pcmap
+                spark, table, written, stats_cols or [], cmap=pcmap,
+                bloom_cols=bloom_cols,
             )
         stats = dict(manifest_stats(header))
         stats.update(new_stats)
@@ -2344,8 +2483,14 @@ def commit_upsert(
         replacement if survivors is None else survivors.unionByName(replacement)
     )
     new_files = _write_data_dir(spark, new_rows, table, cur + 1, cmap=cmap)
+    # carried-bloom recompute: physical names pass through _phys as
+    # identity (they are not logical cmap keys), so mixing them with
+    # the caller's logical scols is safe
+    bcols = _carried_bloom_cols(
+        prev_stats, {_phys(cmap, f.name) for f in schema.fields}
+    )
     new_file_stats = _collect_file_stats(
-        spark, table, new_files, scols, cmap=cmap
+        spark, table, new_files, scols, cmap=cmap, bloom_cols=bcols
     )
     stats = {f: s for f, s in prev_stats.items() if f not in touched}
     stats.update(new_file_stats)
@@ -2782,10 +2927,18 @@ def scan_version(
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
     header, files = read_manifest(spark, table, v)
     schema = StructType.fromJson(json.loads(header["schema"]))
-    sel = _prune_by_bounds(
-        files, manifest_stats(header), _phys_bounds(bounds, manifest_cmap(header))
-    )
-    acct = {"files_total": len(files), "files_scanned": len(sel)}
+    pbounds = _phys_bounds(bounds, manifest_cmap(header))
+    stats = manifest_stats(header)
+    sel = _prune_by_bounds(files, stats, pbounds)
+    # accounting counterfactual: how many of the min/max survivors did
+    # the Bloom tier dismiss? (0 whenever no point bound hit a recorded
+    # filter — the proof hook the Bloom-skipping tests gate on)
+    sel_range = _prune_by_bounds(files, stats, pbounds, bloom=False)
+    acct = {
+        "files_total": len(files),
+        "files_scanned": len(sel),
+        "files_bloom_dismissed": len(sel_range) - len(sel),
+    }
     if not sel:
         return spark.createDataFrame([], schema), acct
     # Through the masked read path, NOT a raw parquet read: a file kept
@@ -3074,8 +3227,13 @@ def _layout_rewrite_commit(
     stat_cols = sorted(
         {c for f in selected for c in (all_stats.get(f) or {})} & live_phys
     )
+    bcols = _carried_bloom_cols(
+        {f: all_stats[f] for f in selected if f in all_stats}, live_phys
+    )
     stats = {f: st for f, st in all_stats.items() if f in set(carried)}
-    new_stats = _collect_file_stats(spark, table, new_files, stat_cols)
+    new_stats = _collect_file_stats(
+        spark, table, new_files, stat_cols, bloom_cols=bcols
+    )
     stats.update(new_stats)
     hdr_meta = dict(meta or {})
     hdr_meta[io_key] = {

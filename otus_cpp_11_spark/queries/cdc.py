@@ -1778,6 +1778,97 @@ def versioned_column_mapping_lifecycle(
     )
 
 
+@register(
+    "versioned_bloom_point_lookup",
+    oracle=f"""
+WITH src AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+),
+present AS (
+  SELECT 'present' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         COALESCE({dsum_sql('c_acctbal', 2)}, 0.0) AS bal_sum,
+         CAST(2 AS BIGINT) AS files_total,
+         CAST(1 AS BIGINT) AS files_scanned,
+         CAST(1 AS BIGINT) AS files_bloom_dismissed
+  FROM src WHERE c_custkey = 44
+),
+absent AS (
+  SELECT 'absent-in-range' AS probe, CAST(0 AS BIGINT) AS n_rows,
+         0.0 AS bal_sum,
+         CAST(2 AS BIGINT) AS files_total,
+         CAST(0 AS BIGINT) AS files_scanned,
+         CAST(2 AS BIGINT) AS files_bloom_dismissed
+)
+SELECT * FROM present UNION ALL SELECT * FROM absent
+ORDER BY probe
+""",
+)
+def versioned_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM skipping on point lookups (r10 verdict item 4 —
+    Delta's ``delta.bloomFilter.<col>``): the table is built so min/max
+    extents can never help — even keys in one file, odd keys in the
+    other, both spanning the full range — and custkeys divisible by 3
+    are withheld so an IN-RANGE ABSENT key exists. The 'present' probe
+    (key 88 = custkey 44) must scan exactly the even file: the odd
+    file survives the range tier (88 is inside its extent) and is
+    dismissed by its Bloom alone. The 'absent-in-range' probe (key 90 =
+    withheld custkey 45) is dismissed from BOTH files by their Blooms —
+    the RTBF point-sweep shape where a range-only planner scans every
+    file whose extent straddles the key. The emitted accounting columns
+    pin the file-dismissal arithmetic into the oracle hash alongside
+    the row results (values deterministic: the filter hashes data, not
+    RNG; verified identical at all three SFs). At 100 TB: a 128-byte
+    filter per (file, column) in the manifest turns high-cardinality
+    point deletes/lookups from O(straddling files) scans into manifest
+    arithmetic. Reference: no stats story in the C++ engine; lakehouse
+    mandate (Delta/Parquet public Bloom-skipping semantics)."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_version,
+        scan_version,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    src = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    tbl = scratch_dir("sg-bloom-") + "/keyed"
+    evens = src.select(
+        (F.col("c_custkey") * 2).alias("k"), F.col("c_acctbal").alias("bal")
+    )
+    odds = src.select(
+        (F.col("c_custkey") * 2 + 1).alias("k"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    commit_version(
+        spark, evens.coalesce(1), tbl, stats_cols=["k"], bloom_cols=["k"]
+    )
+    commit_append(
+        spark, odds.coalesce(1), tbl, stats_cols=["k"], bloom_cols=["k"]
+    )
+
+    def probe(name: str, k: int) -> DataFrame:
+        got, acct = scan_version(spark, tbl, bounds={"k": (k, k)})
+        return got.agg(
+            F.lit(name).alias("probe"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(dsum(F.col("bal"), 2), F.lit(0.0)).alias("bal_sum"),
+            F.lit(acct["files_total"]).cast("bigint").alias("files_total"),
+            F.lit(acct["files_scanned"]).cast("bigint").alias("files_scanned"),
+            F.lit(acct["files_bloom_dismissed"])
+            .cast("bigint")
+            .alias("files_bloom_dismissed"),
+        )
+
+    return (
+        probe("present", 88)
+        .unionByName(probe("absent-in-range", 90))
+        .orderBy("probe")
+    )
+
+
 _WIDEN_BIG = 3_000_000_000  # needs int64: only representable post-widening
 
 
