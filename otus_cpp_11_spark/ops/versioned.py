@@ -216,12 +216,18 @@ def _load_state(spark: SparkSession, table: str, version: int) -> dict:
     """Snapshot state (files / rows / stats / dv) at ``version``,
     reconstructed from the nearest checkpoint plus the delta-encoded
     markers after it (``manifest_format.load_state``). O(state +
-    CHECKPOINT_EVERY marker reads), never O(history)."""
-    return mf.load_state(
-        version,
-        lambda n: _read_commit_text(spark, table, n),
-        _commit_dir_names(spark, table),
-    )
+    CHECKPOINT_EVERY marker reads), never O(history). Marker reads go
+    through transaction resolution (``_resolve_marker_text``): an
+    aborted multi-table claim replays as a no-op; checkpoints pass
+    through raw (they are only ever written for decided history)."""
+
+    def read(n: str) -> str:
+        text = _read_commit_text(spark, table, n)
+        if mf.MARKER_RE.match(n):
+            return _resolve_marker_text(spark, text)
+        return text
+
+    return mf.load_state(version, read, _commit_dir_names(spark, table))
 
 
 def read_manifest(
@@ -249,14 +255,16 @@ def parse_commit(
 ) -> tuple[dict, list[str]]:
     """A single commit marker's OWN (header, body lines) — the commit's
     actions, not the reconstructed snapshot. Raises for an uncommitted
-    version (a staged ``.tmp-*`` or vacuumed marker is not a commit)."""
+    version (a staged ``.tmp-*`` or vacuumed marker is not a commit).
+    Transaction-resolving: an aborted multi-table claim parses as a
+    header-only no-op flagged ``txn_aborted``."""
     try:
         text = _read_commit_text(spark, table, mf.marker_name(version))
     except FileNotFoundError:
         raise FileNotFoundError(
             f"version {version} of {table!r} is not committed"
         ) from None
-    return mf.parse_marker(text)
+    return mf.parse_marker(_resolve_marker_text(spark, text))
 
 
 def version_header(spark: SparkSession, table: str, version: int | None = None) -> dict:
@@ -1602,6 +1610,250 @@ def _files_containing(
     return {by_suffix[_relativize(p)] for p in hit}
 
 
+# ---------------------------------------------------------------------------
+# Multi-table transactions (r10 verdict item 8 — the last lakehouse-parity
+# gap 100 TB pipelines actually use, e.g. corpus + datacard or index + base
+# table committing together). Design, using only the store's one primitive
+# (atomic rename refusing an existing destination):
+#
+#   1. The coordinator stages each table's data and CLAIMS each table's
+#      next version slot through the normal marker rename — the marker's
+#      header carries ``txn: {id, root}``, making it IN-DOUBT rather than
+#      committed. Slot arbitration against concurrent normal writers is
+#      therefore the existing rename race, no new machinery.
+#   2. ONE atomic rename of ``<root>/txn-<id>.final`` (content commit? or
+#      abort?) is the single arbiter — the transaction's commit point.
+#      The coordinator renames "commit"; anyone else may rename "abort";
+#      whoever lands first wins, the loser reads the winner's verdict.
+#   3. Readers RESOLVE in-doubt markers on first observation: poll the
+#      final record briefly (the coordinator's claim→finalize window is
+#      sub-second), then write "abort" — so a crashed coordinator's
+#      half-claimed transaction is decided by the first reader, and a
+#      decided version's content never changes after it was observed
+#      (no retroactive history edits). An ABORTED claim replays as a
+#      no-op marker: the version number exists, carries the parent
+#      snapshot, and its orphaned data files age out via vacuum.
+#
+# Both-or-neither: before the final record exists no table shows the new
+# rows (in-doubt resolves to parent content or abort); after "commit"
+# lands every read of either table sees its slot as committed. A
+# coordinator that loses any slot race or the final-record race aborts
+# the WHOLE transaction and raises CommitConflict.
+# ---------------------------------------------------------------------------
+
+_TXN_INDOUBT_WAIT_SECS = 2.0  # reader grace before force-aborting in-doubt
+_TXN_POLL_SECS = 0.1
+# decided finals are immutable: cache them so history replays do not
+# re-stat the final record once per marker read
+_TXN_FINAL_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _txn_read_final(spark: SparkSession, root: str, txn_id: str) -> str | None:
+    cached = _TXN_FINAL_CACHE.get((root, txn_id))
+    if cached:
+        return cached
+    fs, _ = _hadoop_fs(spark, root)
+    p = _jp(spark, root, f"txn-{txn_id}.final")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    state = json.loads(text)["state"]
+    _TXN_FINAL_CACHE[(root, txn_id)] = state
+    return state
+
+
+def _txn_decide(
+    spark: SparkSession, root: str, txn_id: str, want: str
+) -> str:
+    """Race for the transaction's single arbiter record; returns the
+    state that actually WON (ours or a concurrent resolver's)."""
+    existing = _txn_read_final(spark, root, txn_id)
+    if existing:
+        return existing
+    fs, jroot = _hadoop_fs(spark, root)
+    fs.mkdirs(jroot)
+    tmp = _jp(spark, root, f".tmp-final-{uuid.uuid4().hex}")
+    dest = _jp(spark, root, f"txn-{txn_id}.final")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps({"state": want}).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.rename(tmp, dest):
+        _TXN_FINAL_CACHE[(root, txn_id)] = want
+        return want
+    fs.delete(tmp, False)
+    final = _txn_read_final(spark, root, txn_id)
+    if final is None:
+        raise IOError(
+            f"transaction {txn_id}: final-record rename failed with no "
+            f"winner present under {root!r} — infrastructure fault"
+        )
+    return final
+
+
+def _txn_resolve_as_reader(
+    spark: SparkSession, root: str, txn_id: str
+) -> str:
+    """Reader-side resolution of an in-doubt marker: give the (live)
+    coordinator its sub-second window, then force-abort — observation
+    must DECIDE, or a later commit would retroactively change content
+    this reader already served as absent."""
+    import time
+
+    final = _txn_read_final(spark, root, txn_id)
+    if final:
+        return final
+    deadline = time.monotonic() + _TXN_INDOUBT_WAIT_SECS
+    while time.monotonic() < deadline:
+        time.sleep(_TXN_POLL_SECS)
+        final = _txn_read_final(spark, root, txn_id)
+        if final:
+            return final
+    return _txn_decide(spark, root, txn_id, "abort")
+
+
+def _resolve_marker_text(spark: SparkSession, text: str) -> str:
+    """Transaction-aware view of a raw marker: committed-txn markers
+    pass through; aborted (or force-aborted) ones rewrite to a header-
+    only no-op (fmt-2, zero actions = carry the parent snapshot), so
+    every consumer of the replay — snapshots, scans, CDF, diff — agrees
+    without individually knowing about transactions."""
+    header, _body = mf.parse_marker(text)
+    txn = header.get("txn")
+    if not txn or header.get("txn_aborted"):
+        return text
+    state = _txn_resolve_as_reader(spark, txn["root"], txn["id"])
+    if state == "commit":
+        return text
+    header = dict(header)
+    header["txn_aborted"] = True
+    header["fmt"] = 2
+    header.pop("cdf", None)  # an aborted commit's change files never fed
+    return json.dumps(header, sort_keys=True) + "\n"
+
+
+def commit_transaction(
+    spark: SparkSession,
+    appends: list,
+    txn_root: str,
+    meta: dict | None = None,
+) -> dict[str, int]:
+    """ONE atomic commit across MULTIPLE tables (both-or-neither):
+    ``appends`` is a list of ``(table, df)`` or ``(table, df,
+    stats_cols)`` / ``(table, df, stats_cols, bloom_cols)`` tuples, each
+    appended to its table in the same transaction; ``txn_root`` is the
+    directory holding the transaction's single arbiter record (any
+    shared location writers and readers can reach). Returns
+    ``{table: committed_version}``.
+
+    Scope: APPEND-only (appends never conflict logically, so claiming
+    the version slot is the whole correctness story — the same insight
+    the single-table OCC retry exploits); transactional DML would need
+    cross-table read-set validation and is out of scope. A lost slot
+    race or final-record race aborts the WHOLE transaction (every
+    claimed slot replays as a no-op, staged data ages out via vacuum)
+    and raises CommitConflict. Tables are claimed in sorted order so
+    two transactions over the same tables contend deterministically
+    instead of deadlocking. Crash behavior: before the final record
+    lands the first reader force-aborts the leftovers; after it, every
+    table's claim is already durable — there is no window where one
+    table's rows are committed and another's can be lost."""
+    norm = []
+    seen = set()
+    for item in appends:
+        table, df = item[0], item[1]
+        stats_cols = item[2] if len(item) > 2 else None
+        bloom_cols = item[3] if len(item) > 3 else None
+        if table in seen:
+            raise ValueError(
+                f"commit_transaction: table {table!r} appears twice"
+            )
+        seen.add(table)
+        norm.append((table, df, stats_cols, bloom_cols))
+    norm.sort(key=lambda t: t[0])
+    txn_id = uuid.uuid4().hex
+    txn = {"id": txn_id, "root": txn_root.rstrip("/")}
+    hdr_meta = dict(meta or {})
+    hdr_meta["txn"] = txn
+    versions: dict[str, int] = {}
+    try:
+        # PREPARE: all data writes and stats scans happen BEFORE the
+        # first slot claim, so the in-doubt window (claims → final) is
+        # a handful of marker renames, well inside the readers' grace —
+        # a reader that observes a claim mid-transaction waits out the
+        # finalize instead of force-aborting a healthy coordinator
+        staged = []
+        for table, df, stats_cols, bloom_cols in norm:
+            cur = current_version(spark, table)
+            if cur is None:
+                written = _write_data_dir(spark, df, table, 1)
+                stats = _collect_file_stats(
+                    spark, table, written, stats_cols or [],
+                    bloom_cols=bloom_cols,
+                )
+                staged.append(
+                    (table, 1, df.schema, written, stats, None, None)
+                )
+                continue
+            header, prev_files = read_manifest(spark, table, cur)
+            _require_same_schema(df, header, table, "commit_transaction")
+            committed = StructType.fromJson(json.loads(header["schema"]))
+            pcmap = manifest_cmap(header)
+            written = _write_data_dir(spark, df, table, cur + 1, cmap=pcmap)
+            new_stats = _collect_file_stats(
+                spark, table, written, stats_cols or [], cmap=pcmap,
+                bloom_cols=bloom_cols,
+            )
+            stats = dict(manifest_stats(header))
+            stats.update(new_stats)
+            staged.append(
+                (
+                    table,
+                    cur + 1,
+                    committed,
+                    prev_files + written,
+                    stats,
+                    manifest_rows(header),
+                    dict(manifest_dvs(header)),
+                )
+            )
+        # CLAIM: rapid marker renames, in sorted-table order
+        for table, v, schema, files, stats, rows, dvs in staged:
+            _commit(
+                spark, table, v, "append", schema, files, hdr_meta,
+                stats, rows=rows, dvs=dvs, checkpoint=False,
+            )
+            versions[table] = v
+    except Exception:
+        # abort the whole transaction: already-claimed slots replay as
+        # no-ops the moment the abort record lands (best effort — if we
+        # cannot even write the abort, readers force-abort after grace)
+        try:
+            _txn_decide(spark, txn["root"], txn_id, "abort")
+        except Exception:
+            log.warning(
+                "commit_transaction %s: abort record write failed; "
+                "readers will force-abort after the in-doubt grace",
+                txn_id, exc_info=True,
+            )
+        raise
+    final = _txn_decide(spark, txn["root"], txn_id, "commit")
+    if final != "commit":
+        raise CommitConflict(
+            f"commit_transaction {txn_id}: a concurrent resolver aborted "
+            "the transaction before its final record landed (every "
+            "claimed slot replays as a no-op; retry the transaction)"
+        )
+    return versions
+
+
 def _claim_commit(
     spark: SparkSession, table: str, version: int, content: str
 ) -> None:
@@ -1652,6 +1904,7 @@ def _commit(
     dvs: dict | None = None,
     cmap: dict | None = None,
     cmap_burned: list | None = None,
+    checkpoint: bool = True,
 ) -> int:
     header = {
         "op": op,
@@ -1747,7 +2000,11 @@ def _commit(
     # replay from the nearest checkpoint.
     content = mf.render_marker(header, parent_state, new_state)
     _claim_commit(spark, table, version, content)
-    if version % mf.CHECKPOINT_EVERY == 0:
+    # checkpoint=False: multi-table txn claims are IN-DOUBT until their
+    # final record lands — a checkpoint would freeze the optimistic
+    # state as committed even if the txn aborts (the no-op rewrite only
+    # governs marker replay, never checkpoints)
+    if checkpoint and version % mf.CHECKPOINT_EVERY == 0:
         _write_checkpoint(spark, table, version, new_state)
     return version
 
@@ -3610,6 +3867,8 @@ def read_change_feed(
     parts: list[DataFrame] = []
     for v in range(max(v_from, 1), v_to + 1):
         header, body = parse_commit(spark, table, v)
+        if header.get("txn_aborted"):
+            continue  # an aborted multi-table claim changed nothing
         op = header.get("op")
         cdf = header.get("cdf")
         if cdf is not None:

@@ -155,6 +155,53 @@ def _vt_read_text(table: str, name: str) -> str:
         return f.read()
 
 
+def _vt_resolve_txn_text(text: str) -> str:
+    """The connector's READER-ONLY twin of ops.versioned's transaction
+    resolution: a marker claimed by a multi-table transaction
+    (``txn`` in its header) is committed iff the transaction's final
+    record says so. Committed passes through; aborted rewrites to a
+    header-only no-op; IN-DOUBT polls briefly then fails loudly — this
+    face cannot write the abort record an engine reader would, and
+    silently skipping could permanently drop a version a stream cursor
+    then moves past."""
+    import json as _json
+    import os
+    import time
+
+    from otus_cpp_11_spark.ops import manifest_format as mf
+
+    header, _body = mf.parse_marker(text)
+    txn = header.get("txn")
+    if not txn or header.get("txn_aborted"):
+        return text
+    final_path = f"{txn['root'].rstrip('/')}/txn-{txn['id']}.final"
+
+    def final_state():
+        if not os.path.exists(final_path):
+            return None
+        with open(final_path) as f:
+            return _json.load(f)["state"]
+
+    state = final_state()
+    deadline = time.monotonic() + 2.0
+    while state is None and time.monotonic() < deadline:
+        time.sleep(0.1)
+        state = final_state()
+    if state is None:
+        raise RuntimeError(
+            f"versioned_table: marker claimed by IN-DOUBT transaction "
+            f"{txn['id']!r} (no final record at {final_path!r}); read "
+            "the table through ops.versioned once to resolve it"
+        )
+    if state == "commit":
+        return text
+    header = dict(header)
+    header["txn_aborted"] = True
+    header["fmt"] = 2
+    header.pop("cdf", None)
+    return _json.dumps(header, sort_keys=True) + "\n"
+
+
 def _vt_read_manifest(table: str, version: int):
     """(marker header + reconstructed ``dv`` map, snapshot file list) —
     the connector's plain-FS twin of ``ops.versioned.read_manifest``.
@@ -166,12 +213,16 @@ def _vt_read_manifest(table: str, version: int):
 
     from otus_cpp_11_spark.ops import manifest_format as mf
 
-    header, _ = mf.parse_marker(_vt_read_text(table, mf.marker_name(version)))
+    def read(n: str) -> str:
+        text = _vt_read_text(table, n)
+        if mf.MARKER_RE.match(n):
+            return _vt_resolve_txn_text(text)
+        return text
+
+    header, _ = mf.parse_marker(read(mf.marker_name(version)))
     d = _vt_commits_dir(table)
     names = os.listdir(d) if os.path.isdir(d) else []
-    state = mf.load_state(
-        version, lambda n: _vt_read_text(table, n), names
-    )
+    state = mf.load_state(version, read, names)
     header = dict(header)
     if state["dv"]:
         header["dv"] = state["dv"]
@@ -627,7 +678,7 @@ class _VTStreamReader(DataSourceStreamReader):
         from otus_cpp_11_spark.ops import manifest_format as mf
 
         hdr, body = mf.parse_marker(
-            _vt_read_text(self.table, mf.marker_name(v))
+            _vt_resolve_txn_text(_vt_read_text(self.table, mf.marker_name(v)))
         )
         if self.cdf and hdr.get("cdf") is not None:
             files: list[str] | None = list(hdr["cdf"])
@@ -740,8 +791,12 @@ class _VTStreamReader(DataSourceStreamReader):
         prev: set | None = None
         for v in range(lo + 1, hi + 1):
             hdr, body = mf.parse_marker(
-                _vt_read_text(self.table, mf.marker_name(v))
+                _vt_resolve_txn_text(
+                    _vt_read_text(self.table, mf.marker_name(v))
+                )
             )
+            if v > 1 and hdr.get("txn_aborted"):
+                continue  # aborted multi-table claim: changed nothing
             if v > 1 and hdr.get("op") in _VT_STREAM_NEUTRAL_OPS:
                 # pure-metadata commits (rename/drop column, constraint
                 # add/drop): zero files added, zero rows rewritten — the

@@ -1,0 +1,297 @@
+"""Multi-table transactions (r10 verdict item 8): both-or-neither
+visibility across tables via slot claims through the normal marker
+rename plus ONE atomic final record as the single arbiter; readers
+resolve in-doubt claims (poll, then force-abort), so a crashed
+coordinator can never leave one table committed and the other lost.
+
+Reference parity note: the reference engine has no transactions; this
+closes the last lakehouse-parity gap 100 TB pipelines actually use
+(corpus + datacard, index + base table committing together)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import otus_cpp_11_spark.ops.versioned as V
+from otus_cpp_11_spark.ops.versioned import (
+    CommitConflict,
+    commit_append,
+    commit_transaction,
+    commit_version,
+    current_version,
+    read_change_feed,
+    read_version,
+    version_header,
+)
+
+
+@pytest.fixture()
+def roots(tmp_path):
+    return (
+        str(tmp_path / "corpus"),
+        str(tmp_path / "datacard"),
+        str(tmp_path / "txns"),
+    )
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+@pytest.fixture(autouse=True)
+def _fast_grace(monkeypatch):
+    # readers force-abort in-doubt claims immediately: the tests BELOW
+    # simulate crashed coordinators, and a 2 s poll per observation
+    # would dominate the suite
+    monkeypatch.setattr(V, "_TXN_INDOUBT_WAIT_SECS", 0.0)
+    V._TXN_FINAL_CACHE.clear()
+
+
+def test_happy_path_commits_both(spark, roots):
+    a, b, troot = roots
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
+    commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
+    got = commit_transaction(
+        spark,
+        [(a, _df(spark, 100, 110).coalesce(1)), (b, _df(spark, 100, 103).coalesce(1))],
+        troot,
+    )
+    assert got == {a: 2, b: 2}
+    assert read_version(spark, a).count() == 20
+    assert read_version(spark, b).count() == 8
+    ha = version_header(spark, a, 2)
+    hb = version_header(spark, b, 2)
+    assert ha["txn"]["id"] == hb["txn"]["id"]  # one transaction, two tables
+    # the committed claim feeds its inserts like any append
+    feed = read_change_feed(spark, a, 2, 2)
+    assert feed.count() == 10
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+
+
+def test_first_commit_via_transaction(spark, roots):
+    a, b, troot = roots
+    got = commit_transaction(
+        spark,
+        [(a, _df(spark, 0, 7).coalesce(1)), (b, _df(spark, 0, 3).coalesce(1))],
+        troot,
+    )
+    assert got == {a: 1, b: 1}
+    assert read_version(spark, a).count() == 7
+    assert read_version(spark, b).count() == 3
+
+
+def _crash_before_final(spark, monkeypatch, a, b, troot):
+    """Drive a coordinator that claims BOTH slots and dies before the
+    final record: monkeypatch the decide step to crash on 'commit'."""
+    real = V._txn_decide
+
+    def dying(spark_, root, txn_id, want):
+        if want == "commit":
+            raise RuntimeError("simulated coordinator crash before final")
+        return real(spark_, root, txn_id, want)
+
+    monkeypatch.setattr(V, "_txn_decide", dying)
+    with pytest.raises(RuntimeError, match="simulated coordinator crash"):
+        commit_transaction(
+            spark,
+            [
+                (a, _df(spark, 100, 110).coalesce(1)),
+                (b, _df(spark, 100, 103).coalesce(1)),
+            ],
+            troot,
+        )
+    monkeypatch.setattr(V, "_txn_decide", real)
+
+
+def test_crash_before_final_aborts_both(spark, roots, monkeypatch):
+    """Both slots claimed, coordinator dead, no final record: the FIRST
+    reader of either table force-aborts the transaction; neither table
+    ever shows the new rows, and both keep working."""
+    a, b, troot = roots
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
+    commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
+    _crash_before_final(spark, monkeypatch, a, b, troot)
+    # the dying coordinator wrote an abort on its way out (the except
+    # branch) — wipe it to simulate a HARD crash, then let readers decide
+    import glob
+    import os
+
+    for f in glob.glob(f"{troot}/txn-*.final"):
+        os.remove(f)
+    V._TXN_FINAL_CACHE.clear()
+    # both slots ARE claimed (version number consumed)...
+    assert current_version(spark, a) == 2
+    assert current_version(spark, b) == 2
+    # ...but reading either resolves the txn to ABORT: parent content
+    assert read_version(spark, a).count() == 10
+    assert read_version(spark, b).count() == 5
+    assert version_header(spark, a, 2)["txn_aborted"] is True
+    # the aborted version feeds nothing
+    assert read_change_feed(spark, a, 2, 2).count() == 0
+    # and the tables stay writable: next append takes the next slot
+    commit_append(spark, _df(spark, 200, 205).coalesce(1), a)
+    assert read_version(spark, a).count() == 15
+
+
+def test_resolution_is_decided_once_and_shared(spark, roots, monkeypatch):
+    """One arbiter: after table A's reader force-aborts, table B's
+    reader (and a late coordinator finalize) must see the SAME verdict."""
+    a, b, troot = roots
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
+    commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
+    _crash_before_final(spark, monkeypatch, a, b, troot)
+    import glob
+    import os
+
+    for f in glob.glob(f"{troot}/txn-*.final"):
+        os.remove(f)
+    V._TXN_FINAL_CACHE.clear()
+    txn = version_header(spark, a, 2)["txn"]  # resolves -> abort record
+    assert V._txn_read_final(spark, troot, txn["id"]) == "abort"
+    # a late coordinator trying to finalize now LOSES to the abort
+    assert V._txn_decide(spark, troot, txn["id"], "commit") == "abort"
+    assert read_version(spark, b).count() == 5
+
+
+def test_preaborted_txn_raises_conflict_and_commits_nothing(
+    spark, roots, monkeypatch
+):
+    """A concurrent resolver aborting the txn before its final record
+    lands: the coordinator raises CommitConflict and neither table
+    shows the rows (the claims replay as no-ops)."""
+    import uuid as uuid_mod
+
+    a, b, troot = roots
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
+    commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
+    fixed = "feedfacefeedfacefeedfacefeedface"
+    V._txn_decide(spark, troot, fixed, "abort")  # the concurrent resolver
+
+    calls = {"n": 0}
+    real_uuid4 = uuid_mod.uuid4
+
+    class _Fixed:
+        hex = fixed
+
+    def fake_uuid4():
+        calls["n"] += 1
+        return _Fixed() if calls["n"] == 1 else real_uuid4()
+
+    monkeypatch.setattr(V.uuid, "uuid4", fake_uuid4)
+    with pytest.raises(CommitConflict, match="aborted"):
+        commit_transaction(
+            spark,
+            [
+                (a, _df(spark, 100, 110).coalesce(1)),
+                (b, _df(spark, 100, 103).coalesce(1)),
+            ],
+            troot,
+        )
+    monkeypatch.setattr(V.uuid, "uuid4", real_uuid4)
+    assert read_version(spark, a).count() == 10
+    assert read_version(spark, b).count() == 5
+
+
+def test_slot_conflict_aborts_whole_txn(spark, roots, monkeypatch):
+    """A concurrent normal append steals table B's slot between prepare
+    and claim: the transaction aborts WHOLE — table A (whose slot claim
+    landed first) must not keep its rows."""
+    a, b, troot = roots
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
+    commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
+
+    real_claim = V._claim_commit
+    state = {"stolen": False}
+
+    def stealing_claim(spark_, table, version, content):
+        if table == b and not state["stolen"]:
+            state["stolen"] = True
+            monkeypatch.setattr(V, "_claim_commit", real_claim)
+            commit_append(spark_, _df(spark_, 900, 902).coalesce(1), b)
+            monkeypatch.setattr(V, "_claim_commit", stealing_claim)
+        return real_claim(spark_, table, version, content)
+
+    monkeypatch.setattr(V, "_claim_commit", stealing_claim)
+    with pytest.raises(CommitConflict):
+        commit_transaction(
+            spark,
+            [
+                (a, _df(spark, 100, 110).coalesce(1)),
+                (b, _df(spark, 100, 103).coalesce(1)),
+            ],
+            troot,
+        )
+    monkeypatch.setattr(V, "_claim_commit", real_claim)
+    # neither table shows the txn's rows; B shows the stealer's append
+    assert read_version(spark, a).count() == 10
+    assert sorted(r["k"] for r in read_version(spark, b).collect()) == (
+        list(range(5)) + [900, 901]
+    )
+
+
+def test_connector_faces_respect_txn_state(spark, roots, monkeypatch):
+    """The versioned_table connector (batch + stream) reads a committed
+    txn claim normally, passes over an aborted one, and fails loudly on
+    an in-doubt one (a reader-only face cannot decide)."""
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    a, b, troot = roots
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
+    commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
+    commit_transaction(
+        spark,
+        [(a, _df(spark, 100, 105).coalesce(1)), (b, _df(spark, 100, 102).coalesce(1))],
+        troot,
+    )
+    register_versioned_table_source(spark)
+    via = spark.read.format("versioned_table").option("path", a).load()
+    assert via.count() == 15  # committed claim served
+    # aborted claim: crash a second txn, force-abort, connector skips it
+    _crash_before_final(spark, monkeypatch, a, b, troot)
+    assert read_version(spark, a).count() == 15  # engine reader resolves
+    via2 = spark.read.format("versioned_table").option("path", a).load()
+    assert via2.count() == 15
+    name = "txn_stream_sink"
+    (
+        spark.readStream.format("versioned_table")
+        .option("path", a)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert spark.table(name).count() == 15  # aborted claim streamed nothing
+
+
+def test_connector_fails_loudly_on_in_doubt(spark, roots, monkeypatch):
+    from otus_cpp_11_spark.sources import _vt_read_manifest
+
+    a, b, troot = roots
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
+    commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
+    _crash_before_final(spark, monkeypatch, a, b, troot)
+    import glob
+    import os
+    import time
+
+    for f in glob.glob(f"{troot}/txn-*.final"):
+        os.remove(f)
+    V._TXN_FINAL_CACHE.clear()
+    monkeypatch.setattr(time, "monotonic", time.monotonic)  # keep real
+    # shrink the connector's poll window by pre-expiring: it polls up to
+    # ~2 s then raises — acceptable in one test
+    with pytest.raises(RuntimeError, match="IN-DOUBT"):
+        _vt_read_manifest(a, 2)
+
+
+def test_duplicate_table_rejected(spark, roots):
+    a, _b, troot = roots
+    with pytest.raises(ValueError, match="twice"):
+        commit_transaction(
+            spark,
+            [(a, _df(spark, 0, 1)), (a, _df(spark, 1, 2))],
+            troot,
+        )
