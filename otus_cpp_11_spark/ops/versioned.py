@@ -1725,6 +1725,13 @@ def _resolve_marker_text(spark: SparkSession, text: str) -> str:
     only no-op (fmt-2, zero actions = carry the parent snapshot), so
     every consumer of the replay — snapshots, scans, CDF, diff — agrees
     without individually knowing about transactions."""
+    # fast path: the txn field lives in the header (first line); a
+    # substring probe skips the double JSON parse every non-txn marker
+    # would otherwise pay on every read (bench: multi-version walks like
+    # the change feed parse each marker exactly once again)
+    nl = text.find("\n")
+    if '"txn"' not in (text if nl < 0 else text[:nl]):
+        return text
     header, _body = mf.parse_marker(text)
     txn = header.get("txn")
     if not txn or header.get("txn_aborted"):

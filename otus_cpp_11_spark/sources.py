@@ -170,6 +170,11 @@ def _vt_resolve_txn_text(text: str) -> str:
 
     from otus_cpp_11_spark.ops import manifest_format as mf
 
+    # fast path mirroring ops.versioned._resolve_marker_text: skip the
+    # double parse for every marker not claimed by a transaction
+    nl = text.find("\n")
+    if '"txn"' not in (text if nl < 0 else text[:nl]):
+        return text
     header, _body = mf.parse_marker(text)
     txn = header.get("txn")
     if not txn or header.get("txn_aborted"):
