@@ -1414,8 +1414,8 @@ def _bloom_pos_expr(c: str, j: int):
 
 
 def _bloom_hex(pos_sets: list) -> str:
-    """Fold the k collected position sets into a per-file filter sized
-    to the observed distinct count (the largest per-hash set is a
+    """Fold the k position sets into a per-file filter sized to the
+    observed distinct count (the largest per-hash set is a
     collision-light estimate at _BLOOM_POS_MOD width). Returns '' when
     the file holds too many distinct keys for the cap — no filter beats
     a saturated one."""
@@ -1431,6 +1431,79 @@ def _bloom_hex(pos_sets: list) -> str:
             p = int(p) % m
             bits[p // 8] |= 1 << (p % 8)
     return bits.hex()
+
+
+def _collect_file_blooms(
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    bcols: list[str],
+    root: str,
+) -> dict:
+    """Per-(file, physical column) Bloom filters, with DRIVER STATE
+    STRICTLY BOUNDED: positions aggregate executor-side into 64-bit
+    chunk bitmaps (``shiftleft`` + ``bit_or`` grouped by (file, column,
+    hash, chunk)), so the collect is ≤ files × |bcols| × _BLOOM_K ×
+    (_BLOOM_POS_MOD / 64) longs — ~16 KB per (file, column) worst case —
+    instead of up to _BLOOM_POS_MOD raw positions per hash that a
+    collect_set would ship. One extra column-pruned scan of the NEW
+    files only, paid only when bloom columns are declared."""
+    if not bcols or not files:
+        return {}
+    df = spark.read.parquet(*[_resolve(root, f) for f in files])
+    # shiftleft takes a Python-int shift; a 64-entry power-of-two
+    # literal array makes the bit a column lookup (bit 63 is the signed
+    # long's sign bit — bit_or is bitwise, the driver re-normalizes)
+    pow2 = F.expr(
+        "array("
+        + ",".join(str(1 << b) + "L" for b in range(63))
+        + ",-9223372036854775808L)"
+    )
+    entries = []
+    for i, c in enumerate(bcols):
+        for j in range(_BLOOM_K):
+            pos = _bloom_pos_expr(c, j)
+            entries.append(
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.lit(j).alias("hj"),
+                    (pos / F.lit(64)).cast("long").alias("chunk"),
+                    F.element_at(
+                        pow2, (pos % 64).cast("int") + 1
+                    ).alias("bit"),
+                )
+            )
+    rows = (
+        df.select(
+            F.col("_metadata.file_path").alias("__f"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .where(F.col("e.bit").isNotNull())
+        .groupBy("__f", "e.ci", "e.hj", "e.chunk")
+        .agg(F.bit_or("e.bit").alias("bits"))
+        .collect()  # bounded: files x bcols x K x POS_MOD/64 longs
+    )
+    # reassemble per (file, col, hash) position sets from the chunk
+    # bitmaps — exact: bit index IS the position
+    per: dict[tuple[str, int, int], set] = {}
+    for r in rows:
+        key = (_relativize(r["__f"]), int(r["ci"]), int(r["hj"]))
+        bits = int(r["bits"]) & ((1 << 64) - 1)
+        base = int(r["chunk"]) * 64
+        s = per.setdefault(key, set())
+        while bits:
+            low = bits & -bits
+            s.add(base + low.bit_length() - 1)
+            bits ^= low
+    out: dict[str, dict[str, str]] = {}
+    for f in {k[0] for k in per}:
+        out[f] = {}
+    for f in out:
+        for i, c in enumerate(bcols):
+            out[f][c] = _bloom_hex(
+                [per.get((f, i, j), set()) for j in range(_BLOOM_K)]
+            )
+    return out
 
 
 def _bloom_maybe_contains(hexs: str, value) -> bool:
@@ -1495,35 +1568,29 @@ def _collect_file_stats(
     cols = [_phys(cmap or {}, c) for c in cols]
     bcols = [_phys(cmap or {}, c) for c in bloom_cols]
     cols = cols + [c for c in bcols if c not in cols]
-    bset = set(bcols)
     root = table.rstrip("/")
     df = spark.read.parquet(*[_resolve(root, f) for f in files])
     aggs = []
     for i, c in enumerate(cols):
         aggs.append(F.min(c).alias(f"__mn{i}"))
         aggs.append(F.max(c).alias(f"__mx{i}"))
-        if c in bset:
-            for j in range(_BLOOM_K):
-                aggs.append(
-                    F.collect_set(_bloom_pos_expr(c, j)).alias(f"__bl{i}_{j}")
-                )
     rows = (
         df.select(F.col("_metadata.file_path").alias("__f"), *cols)
         .groupBy("__f")
         .agg(*aggs)
         .collect()  # bounded by the DELTA's file count
     )
+    blooms = _collect_file_blooms(spark, table, files, bcols, root)
     out = {}
     for r in rows:
+        f = _relativize(r["__f"])
         entry = {}
         for i, c in enumerate(cols):
             e = [_stats_safe(r[f"__mn{i}"]), _stats_safe(r[f"__mx{i}"])]
-            if c in bset:
-                e.append(
-                    _bloom_hex([r[f"__bl{i}_{j}"] for j in range(_BLOOM_K)])
-                )
+            if c in set(bcols):
+                e.append(blooms.get(f, {}).get(c, ""))
             entry[c] = e
-        out[_relativize(r["__f"])] = entry
+        out[f] = entry
     return out
 
 
