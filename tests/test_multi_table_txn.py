@@ -295,3 +295,116 @@ def test_duplicate_table_rejected(spark, roots):
             [(a, _df(spark, 0, 1)), (a, _df(spark, 1, 2))],
             troot,
         )
+
+
+_TXN_WORKER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from otus_cpp_11_spark.ops.versioned import CommitConflict, commit_transaction
+
+ta, tb, troot, role, gate = (
+    sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5]
+)
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"txn-{{role}}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+while not os.path.exists(gate):
+    time.sleep(0.05)
+
+def df(lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("tag")
+    )
+
+base = 1000 if role == "x" else 2000
+done = 0
+attempts = 0
+while done < 3 and attempts < 60:
+    attempts += 1
+    lo = base + 10 * done
+    try:
+        commit_transaction(
+            spark,
+            [(ta, df(lo, lo + 10, role).coalesce(1)),
+             (tb, df(lo, lo + 5, role).coalesce(1))],
+            troot,
+        )
+        done += 1
+    except CommitConflict:
+        time.sleep(0.1)  # lost a slot or the arbiter: retry whole txn
+spark.stop()
+print("DONE", role, done, attempts)
+"""
+
+
+def test_two_processes_race_transactions(spark, tmp_path, monkeypatch):
+    """Two SEPARATE Spark sessions race multi-table transactions over
+    the SAME two tables: every committed transaction must be atomic
+    across both tables (each version of A pairs with the same txn's
+    version of B or an aborted no-op in both), and the final state must
+    equal the union of exactly the transactions the workers report as
+    committed — a torn transaction would break the pairing invariant."""
+    import os
+    import subprocess
+    import sys as _sys
+    import time
+
+    import re
+
+    a = str(tmp_path / "A")
+    b = str(tmp_path / "B")
+    troot = str(tmp_path / "txns")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit("base").alias("tag")
+    )
+    commit_version(spark, base.coalesce(1), a)
+    commit_version(spark, base.coalesce(1), b)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "txn_worker.py"
+    script.write_text(_TXN_WORKER.format(repo=repo))
+    gate = str(tmp_path / "go")
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, str(script), a, b, troot, role, gate],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=dict(os.environ),
+        )
+        for role in ("x", "y")
+    ]
+    time.sleep(20)  # both JVMs up: the race is real
+    open(gate, "w").close()
+    committed = {}
+    for p, role in zip(procs, ("x", "y")):
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed: {err.decode()[-2000:]}"
+        m = re.search(rf"DONE {role} (\d+)", out.decode())
+        committed[role] = int(m.group(1))
+    assert committed["x"] == 3 and committed["y"] == 3, committed
+    # atomic pairing: every committed txn added 10 rows to A AND 5 to B
+    ga = read_version(spark, a)
+    gb = read_version(spark, b)
+    for role in ("x", "y"):
+        na = ga.where(F.col("tag") == role).count()
+        nb = gb.where(F.col("tag") == role).count()
+        assert na == committed[role] * 10, (role, na)
+        assert nb == committed[role] * 5, (role, nb)
+    # txn ids pair across tables: committed versions of A and B carry
+    # the SAME id set (both-or-neither held under the race)
+    from otus_cpp_11_spark.ops.versioned import list_versions
+
+    def txn_ids(t):
+        ids = set()
+        for v in list_versions(spark, t):
+            h = version_header(spark, t, v)
+            if h.get("txn") and not h.get("txn_aborted"):
+                ids.add(h["txn"]["id"])
+        return ids
+
+    assert txn_ids(a) == txn_ids(b)
+    assert len(txn_ids(a)) == 6
