@@ -2681,6 +2681,266 @@ def pq_recall_residual_vs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_PQ_NPROBES = (1, 2, 4, 8)  # the curve's probe widths (8 = full probe)
+
+
+@register(
+    "ivf_pq_nprobe_recall_curve",
+    oracle=f"""
+WITH {_ivfpq_index_ctes()},
+qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id >= {PQ_CODEBOOK} AND vec_id < {PQ_CODEBOOK + PQ_RQ_N}
+),
+qres8 AS MATERIALIZED (
+  SELECT q.vec_id AS qid, c.cid AS cell,
+         [CAST(q.embedding[i] AS DOUBLE) - c.cv[i]
+          FOR i IN RANGE(1, {_PQ_FULL + 1})] AS qv
+  FROM embeddings q CROSS JOIN itrained c
+  WHERE q.vec_id >= {PQ_CODEBOOK} AND q.vec_id < {PQ_CODEBOOK + PQ_RQ_N}
+),
+qd8 AS MATERIALIZED (
+  SELECT r.qid, r.cell, t.s, t.code,
+         LIST_SUM([CAST(FLOOR((r.qv[t.s * {PQ_DSUB} + i] - t.cv[i])
+                              * (r.qv[t.s * {PQ_DSUB} + i] - t.cv[i])
+                              * {PQ_SCALE}.0) AS DECIMAL(38,0))
+                   FOR i IN RANGE(1, {PQ_DSUB + 1})]) AS dist
+  FROM qres8 r CROSS JOIN rtrained t
+),
+adcr AS MATERIALIZED (
+  SELECT d.qid, a.vec_id, g.cid AS cell,
+         CAST(SUM(d.dist) AS DECIMAL(38,0)) AS d
+  FROM rpafull a
+  JOIN ga g ON g.vec_id = a.vec_id
+  JOIN qd8 d ON d.cell = g.cid AND d.s = a.s AND d.code = a.code
+  WHERE a.vec_id <> d.qid
+  GROUP BY d.qid, a.vec_id, g.cid
+),
+qprob AS (
+  SELECT vec_id AS qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS crk
+  FROM gd
+  WHERE vec_id >= {PQ_CODEBOOK} AND vec_id < {PQ_CODEBOOK + PQ_RQ_N}
+),
+nps AS (SELECT CAST(UNNEST([{", ".join(str(n) for n in IVF_PQ_NPROBES)}])
+               AS BIGINT) AS nprobe),
+cand AS MATERIALIZED (
+  SELECT n.nprobe, a.qid, a.vec_id, a.d
+  FROM adcr a
+  JOIN qprob p ON p.qid = a.qid AND p.cid = a.cell
+  CROSS JOIN nps n
+  WHERE p.crk <= n.nprobe
+),
+t_res AS (
+  SELECT nprobe, qid, vec_id FROM (
+    SELECT nprobe, qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY nprobe, qid ORDER BY d, vec_id) AS rk
+    FROM cand) z WHERE rk <= {PQ_RQ_K}
+),
+exact AS (
+  SELECT q.qid, v.vec_id,
+         LIST_SUM([CAST(FLOOR((CAST(v.embedding[i] AS DOUBLE)
+                               - CAST(q.qv[i] AS DOUBLE))
+                              * (CAST(v.embedding[i] AS DOUBLE)
+                                 - CAST(q.qv[i] AS DOUBLE))
+                              * {PQ_SCALE}.0) AS DECIMAL(38,0))
+                   FOR i IN RANGE(1, {_PQ_FULL + 1})]) AS d
+  FROM embeddings v JOIN qs q ON v.vec_id <> q.qid
+),
+t_ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rk
+    FROM exact) t WHERE rk <= {PQ_RQ_K}
+),
+hits AS (
+  SELECT r.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM t_res r JOIN t_ex e ON e.qid = r.qid AND e.vec_id = r.vec_id
+  GROUP BY r.nprobe
+),
+cands AS (
+  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM cand GROUP BY nprobe
+)
+SELECT n.nprobe AS nprobe,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+         / {PQ_RQ_N * PQ_RQ_K}.0 AS recall,
+       COALESCE(c.n_candidates, 0) AS n_candidates
+FROM nps n
+LEFT JOIN hits h ON h.nprobe = n.nprobe
+LEFT JOIN cands c ON c.nprobe = n.nprobe
+ORDER BY n.nprobe
+""",
+)
+def ivf_pq_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe/recall TRADEOFF CURVE of the served residual IVF-PQ
+    index — the knob a production ANN deployment actually tunes: for
+    each nprobe in {IVF_PQ_NPROBES}, rank only the candidates inside
+    the query's nprobe nearest cells by residual ADC over the stored
+    index, and measure recall@k against exact ground truth plus the
+    CANDIDATE COUNT actually scanned (the cost axis: n_candidates/corpus
+    is the fraction of the index a probe touches — at 100 TB the probe
+    width divides scan bytes linearly, and this query puts both numbers
+    in one oracle-hashed row per width). Note recall under ADC is NOT
+    guaranteed monotone in nprobe — a wider probe admits approximate
+    distances that can displace true hits from the top-k (observed on
+    this data); what IS monotone is the candidate count, and full probe
+    must equal the pq_recall_residual_vs_raw residual ranking — both
+    pytest-gated. One index scan scores all queries x all widths (the
+    per-cell ADC tables ride as plan literals; candidates filter by a
+    64-row broadcast cell ranking); exact ground truth is one
+    fixed-point relational pass. The oracle recomputes the trainings,
+    the encode, the probes, and every ranking."""
+    from functools import reduce
+
+    from otus_cpp_11_spark.ops.skew import salted_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, _, _, _ = _ivf_trained(spark, sf_dir, pre_ingest=True)
+    res, _, _, _ = _pq_trained_res(spark, sf_dir, pre_ingest=True)
+    qrows = (
+        e.where(
+            (F.col("vec_id") >= PQ_CODEBOOK)
+            & (F.col("vec_id") < PQ_CODEBOOK + PQ_RQ_N)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                for r in qrows
+            ],
+            "qid bigint, qv array<double>",
+        )
+    )
+    # residual ADC of the whole index against every eval query: one
+    # scan, per-(query, cell) tables as plan literals
+    entries = [
+        F.struct(
+            F.lit(int(r["vec_id"])).cast("bigint").alias("qid"),
+            _adc_expr_cells(
+                _pq_res_dtables(
+                    cents, res, [float(x) for x in r["embedding"]]
+                )
+            ).alias("d"),
+        )
+        for r in qrows
+    ]
+    scored = (
+        _pq_index_df(spark, sf_dir)
+        .select("vec_id", "cell", F.explode(F.array(*entries)).alias("x"))
+        .select("vec_id", "cell", F.col("x.qid").alias("qid"),
+                F.col("x.d").alias("d"))
+        .where(F.col("vec_id") != F.col("qid"))
+    )
+    # per-query cell ranking under the pinned centroids (the oracle's
+    # gd/ROW_NUMBER shape) — 64 rows, broadcast
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell bigint, cv array<double>",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cell")
+    rankdf = F.broadcast(
+        qdf.join(cdf)
+        .select("qid", "cell", _d2(F.col("qv"), F.col("cv")).alias("d2"))
+        .select("qid", "cell", F.row_number().over(w).alias("crk"))
+    )
+    ranked = scored.join(rankdf, ["qid", "cell"])
+    # ONE pass materializes every width: each candidate row fans out to
+    # the widths that admit it (explode of a bounded literal array) —
+    # no per-width branch re-scanning the index relation
+    cand = ranked.select(
+        "*",
+        F.explode(
+            F.array(
+                *[F.lit(int(n)).cast("bigint") for n in IVF_PQ_NPROBES]
+            )
+        ).alias("nprobe"),
+    ).where(F.col("crk") <= F.col("nprobe"))
+    t_res = salted_topk(
+        cand,
+        ["nprobe", "qid"],
+        [F.asc("d"), F.col("vec_id")],
+        PQ_RQ_K,
+        salt_on="vec_id",
+    ).select("nprobe", "qid", "vec_id")
+    # exact ground truth: fixed-point relational pass (the _pq_dist
+    # recipe over full vectors)
+    ex = (
+        e.join(qdf)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("qv"),
+                    lambda x, y: _pq_term(x, y),
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda a, b: (a + b).cast("decimal(38,0)"),
+            ).alias("d"),
+        )
+    )
+    t_ex = salted_topk(
+        ex, ["qid"], [F.asc("d"), F.col("vec_id")], PQ_RQ_K, salt_on="vec_id"
+    ).select("qid", "vec_id")
+    hits = (
+        t_res.join(t_ex, ["qid", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # candidate counts from the crk distribution — ONE conditional agg
+    # over the ranked relation (4 sum-if columns, stacked), instead of
+    # re-evaluating the exploded candidate set per width
+    cands = (
+        ranked.agg(
+            *[
+                F.sum((F.col("crk") <= np).cast("long")).alias(f"c{np}")
+                for np in IVF_PQ_NPROBES
+            ]
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(np)).cast("bigint").alias("nprobe"),
+                            F.col(f"c{np}").alias("n_candidates"),
+                        )
+                        for np in IVF_PQ_NPROBES
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.nprobe", "x.n_candidates")
+    )
+    nps = spark.createDataFrame(
+        [(int(n),) for n in IVF_PQ_NPROBES], "nprobe bigint"
+    )
+    return (
+        nps.join(hits, "nprobe", "left")
+        .join(cands, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(PQ_RQ_N * PQ_RQ_K))
+            ).alias("recall"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias(
+                "n_candidates"
+            ),
+        )
+        .orderBy("nprobe")
+    )
+
+
 # --------------------------------------------------------------------------
 # Trained IVF coarse quantizer + recall gate — the IVF symmetry of the
 # PQ training eval: does one Lloyd refinement of the seeded coarse
@@ -3017,6 +3277,7 @@ def pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_pq_top5",
+    bench=True,  # r11: the manifest-pruned probe path is a headline now
     oracle=f"""
 WITH {_ivfpq_index_ctes()},
 {_ivfpq_query_ctes(QUERY_VEC_ID)},

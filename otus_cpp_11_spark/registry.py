@@ -173,6 +173,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
     "lakehouse_compaction_accounting": "52959dcfdac9",
+"latest_event_per_user": "256c7a2b2007",
     "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
@@ -297,7 +298,9 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # widening, Bloom point-lookup skipping, and the multi-table
 # transaction) so the driver window is exactly 50. Members left
 # DRIVER_VERIFIED per the workflow; their still-valid old pins are
-# restorable if a late addition displaces one (the displacement rule).
+# restorable if a late addition displaces one (the displacement rule —
+# exercised: the late ivf_pq_nprobe_recall_curve addition displaced the
+# newest-green member, latest_event_per_user, whose r6 pin returned).
 REVERIFY: frozenset[str] = frozenset({
     "ann_cosine_top10",
     "bpe_token_frequencies",
@@ -319,7 +322,6 @@ REVERIFY: frozenset[str] = frozenset({
     "forget_sweep_accounting",
     "knn_join_lsh_top3",
     "knn_recall_at_3",
-    "latest_event_per_user",
     "leakage_safe_split",
     "lineitem_zorder_cells",
     "minhash_estimate_accuracy",

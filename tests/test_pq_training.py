@@ -231,3 +231,30 @@ def test_artifact_cache_root_refuses_squatted_dir(tmp_path, monkeypatch):
             _artifact_cache_root()
     finally:
         os.chmod(root, 0o700)
+
+
+def test_nprobe_curve_cost_monotone_and_full_probe_identity(spark):
+    """The nprobe curve's guarantees: candidate count strictly grows
+    with probe width (the cost axis), full probe covers the whole
+    corpus minus the query itself, and full-probe hits equal the
+    pq_recall_residual_vs_raw residual ranking (same index, same
+    ranking — the curve's right edge IS that query)."""
+    from otus_cpp_11_spark.queries.similarity import (
+        IVF_PQ_NPROBES,
+        PQ_RQ_N,
+        ivf_pq_nprobe_recall_curve,
+        pq_recall_residual_vs_raw,
+    )
+
+    rows = ivf_pq_nprobe_recall_curve(spark, SF_DIR).collect()
+    assert [r["nprobe"] for r in rows] == sorted(IVF_PQ_NPROBES)
+    cands = [r["n_candidates"] for r in rows]
+    assert cands == sorted(cands) and len(set(cands)) == len(cands)
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert cands[-1] == PQ_RQ_N * (n_corpus - 1)  # full probe, minus self
+    full_hits = rows[-1]["n_hits"]
+    residual_hits = sum(
+        r["n_hits_residual"]
+        for r in pq_recall_residual_vs_raw(spark, SF_DIR).collect()
+    )
+    assert full_hits == residual_hits
