@@ -408,3 +408,43 @@ def test_two_processes_race_transactions(spark, tmp_path, monkeypatch):
 
     assert txn_ids(a) == txn_ids(b)
     assert len(txn_ids(a)) == 6
+
+
+def test_vacuum_reclaims_aborted_txn_data(spark, roots, monkeypatch):
+    """An aborted transaction's staged data files are referenced by no
+    RESOLVED manifest (the claim replays as a no-op), so
+    vacuum(drop_uncommitted=True) reclaims them — aborted transactions
+    cannot leak storage forever."""
+    import glob
+    import os
+
+    from otus_cpp_11_spark.ops.versioned import vacuum_versions
+
+    a, b, troot = roots
+    commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
+    commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
+    _crash_before_final(spark, monkeypatch, a, b, troot)
+    # resolve to abort via a read (the crashed coordinator's abort
+    # record stands in for the reader's force-abort here)
+    assert read_version(spark, a).count() == 10
+
+    def data_files(t):
+        return {
+            p
+            for p in glob.glob(f"{t}/_data/**/*.parquet", recursive=True)
+        }
+
+    # data dirs are c{version:08d}-{token}: the aborted claim staged v2
+    before_a, before_b = data_files(a), data_files(b)
+    assert any("/c00000002-" in p for p in before_a), before_a
+    assert any("/c00000002-" in p for p in before_b), before_b
+    vacuum_versions(spark, a, keep_last=5, drop_uncommitted=True,
+                    uncommitted_grace_s=0.0)
+    vacuum_versions(spark, b, keep_last=5, drop_uncommitted=True,
+                    uncommitted_grace_s=0.0)
+    after_a, after_b = data_files(a), data_files(b)
+    assert not any("/c00000002-" in p for p in after_a), after_a
+    assert not any("/c00000002-" in p for p in after_b), after_b
+    # live content untouched
+    assert read_version(spark, a).count() == 10
+    assert read_version(spark, b).count() == 5
