@@ -2791,8 +2791,6 @@ def ivf_pq_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-row broadcast cell ranking); exact ground truth is one
     fixed-point relational pass. The oracle recomputes the trainings,
     the encode, the probes, and every ranking."""
-    from functools import reduce
-
     from otus_cpp_11_spark.ops.skew import salted_topk
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -125,14 +125,15 @@ VT_SOURCE_NAME = "versioned_table"
 # into new files, and the loud-failure/skipChangeCommits contract covers
 # it)
 _VT_STREAM_NEUTRAL_OPS = frozenset(
-    {
-        "rename_column",
-        "drop_column",
-        "widen_column",
-        "add_constraint",
-        "drop_constraint",
-    }
+    {"rename_column", "drop_column", "add_constraint", "drop_constraint"}
 )
+# widen_column is deliberately NOT stream-neutral (unlike rename/drop,
+# whose physical names are rename-stable): a stream's output schema is
+# pinned at start, and silently passing over a widening would defer the
+# failure to the first appended value that overflows the pinned narrow
+# type — executor-side, mid-batch, far from the cause. Delta fails a
+# readStream on schema change and requires a restart (which adopts the
+# wide schema); we do the same, loudly and at the widening commit.
 
 
 def _vt_commits_dir(table: str) -> str:
@@ -546,6 +547,12 @@ class _VTStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         options = _vt_opts(options)
         self.table = options["path"].rstrip("/")
+        # the stream's OUTPUT schema pins to the table's schema at START
+        # (Spark resolves it once); widenings at or before this version
+        # are already reflected in that schema and stream-neutral, while
+        # a widening committed AFTER it fails the walk loudly (Delta's
+        # readStream-on-schema-change restart contract)
+        self._schema_pin = _vt_current_version(self.table) or 0
         self.skip_change = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
@@ -802,6 +809,18 @@ class _VTStreamReader(DataSourceStreamReader):
             )
             if v > 1 and hdr.get("txn_aborted"):
                 continue  # aborted multi-table claim: changed nothing
+            if v > 1 and hdr.get("op") == "widen_column":
+                if v <= self._schema_pin:
+                    continue  # the pinned schema already includes it
+                raise ValueError(
+                    f"versioned_table stream: version {v} widened column "
+                    f"{hdr.get('widen_column', {}).get('column')!r} "
+                    f"({hdr.get('widen_column', {}).get('from')} -> "
+                    f"{hdr.get('widen_column', {}).get('to')}) AFTER this "
+                    "stream pinned its schema; restart the stream to adopt "
+                    "the widened schema (Delta fails a readStream on schema "
+                    "change the same way)"
+                )
             if v > 1 and hdr.get("op") in _VT_STREAM_NEUTRAL_OPS:
                 # pure-metadata commits (rename/drop column, constraint
                 # add/drop): zero files added, zero rows rewritten — the

@@ -157,3 +157,77 @@ def test_widened_table_stats_pruning_and_dml_survive(spark, table):
     assert acct["files_scanned"] < acct["files_total"]
     commit_delete(spark, table, "k < 50")
     assert read_version(spark, table).count() == 51
+
+
+def test_running_stream_fails_on_midflight_widening(spark, table):
+    """A RUNNING stream (schema pinned narrow at start) must not
+    silently pass over a widening committed mid-flight — the first
+    overflowing wide value would fail executor-side, far from the
+    cause. It errors at the widening commit with a restart instruction
+    (Delta's readStream-on-schema-change behavior)."""
+    import time
+
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    commit_version(spark, _ints(spark, 0, 10).coalesce(1), table)
+    register_versioned_table_source(spark)
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .load()
+        .writeStream.format("memory")
+        .queryName("widen_stream_running")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while spark.table("widen_stream_running").count() < 10:
+            assert time.time() < deadline, "stream never drained v1"
+            time.sleep(0.2)
+        commit_widen_column(spark, table, "k", "bigint")
+        big = 3_000_000_000
+        commit_append(
+            spark,
+            spark.createDataFrame([(big, 1.5)], "k bigint, v float"),
+            table,
+        )
+        while q.exception() is None:
+            assert time.time() < deadline, "stream never hit the widening"
+            time.sleep(0.2)
+        assert "widened column" in str(q.exception())
+        assert "restart the stream" in str(q.exception())
+    finally:
+        q.stop()
+
+
+def test_restarted_stream_adopts_widened_schema(spark, table):
+    """A FRESH stream started after the widening pins the WIDE schema,
+    passes over the (now historical) widening commit as neutral, and
+    drains every row including post-widening wide values."""
+    from otus_cpp_11_spark.sources import register_versioned_table_source
+
+    commit_version(spark, _ints(spark, 0, 10).coalesce(1), table)
+    commit_widen_column(spark, table, "k", "bigint")
+    big = 3_000_000_000
+    commit_append(
+        spark, spark.createDataFrame([(big, 1.5)], "k bigint, v float"), table
+    )
+    register_versioned_table_source(spark)
+    s = (
+        spark.readStream.format("versioned_table")
+        .option("path", table)
+        .load()
+    )
+    assert dict(s.dtypes)["k"] == "bigint"
+    name = "widen_stream_restarted"
+    (
+        s.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.table(name)
+    assert got.count() == 11
+    assert got.agg(F.max("k").alias("m")).first()["m"] == big
