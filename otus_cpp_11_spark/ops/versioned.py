@@ -1451,6 +1451,32 @@ def _collect_file_blooms(
     if not bcols or not files:
         return {}
     df = spark.read.parquet(*[_resolve(root, f) for f in files])
+    # TYPE GATE (self-review r11): membership hashes the value's
+    # canonical string, and only int/string values have one string form
+    # in both the JVM (CAST AS STRING) and the Python probe (str()).
+    # A timestamp's probe value arrives as an ISOFORMAT string while
+    # the filter hashed Spark's cast format — a FALSE-NEGATIVE channel
+    # (wrongly dismissing a file that contains the key), the one error
+    # class a Bloom must never have. Refuse loudly at collection.
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    ok = (ByteType, ShortType, IntegerType, LongType, StringType)
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in bcols:
+        dt = by_name.get(c)
+        if dt is not None and not isinstance(dt, ok):
+            raise ValueError(
+                f"bloom_cols: column {c!r} is {dt.simpleString()}; Bloom "
+                "skipping supports int/string key columns only (the "
+                "membership hash needs one canonical string form in both "
+                "engines)"
+            )
     # shiftleft takes a Python-int shift; a 64-entry power-of-two
     # literal array makes the bit a column lookup (bit 63 is the signed
     # long's sign bit — bit_or is bitwise, the driver re-normalizes)
@@ -1595,16 +1621,17 @@ def _collect_file_stats(
 
 
 def _extent_overlaps(
-    file_stats: dict | None, col: str, lo, hi, bloom: bool = True
+    file_stats: dict | None, col: str, lo, hi, bloom_value=None
 ) -> bool:
     """May the file contain a key component in [lo, hi]? Missing or
     unordered stats answer 'maybe' — pruning is only ever an exclusion
-    of provably-disjoint files. A POINT bound (lo == hi) additionally
-    consults the column's per-file Bloom filter when one was recorded
-    (r10 verdict item 4): a range check cannot dismiss a
+    of provably-disjoint files. When ``bloom_value`` is given (a RAW
+    int/string point-bound value — never a ``_stats_safe`` rendering,
+    whose isoformat strings would hash differently from the collection
+    side and false-negative), the column's per-file Bloom filter is
+    consulted too (r10 verdict item 4): a range check cannot dismiss a
     high-cardinality key that merely falls inside a file's extent, the
-    Bloom can — unless ``bloom=False`` (the accounting's
-    counterfactual)."""
+    Bloom can."""
     if not file_stats:
         return True
     ext = file_stats.get(col)
@@ -1619,9 +1646,22 @@ def _extent_overlaps(
         return True
     if ext[1] < lo or ext[0] > hi:
         return False
-    if bloom and lo == hi and len(ext) > 2 and ext[2]:
-        return _bloom_maybe_contains(ext[2], lo)
+    if bloom_value is not None and len(ext) > 2 and ext[2]:
+        return _bloom_maybe_contains(ext[2], bloom_value)
     return True
+
+
+def _bloom_probe_value(lo, hi):
+    """The value a point bound may probe Bloom filters with: the RAW
+    int/string (str() == Spark's cast-to-string for exactly these), or
+    None when the bound is a range, NULL-ish, bool, or any type whose
+    canonical string differs between engines (timestamps arrive here
+    as isoformat — see the collection-side type gate)."""
+    if lo is None or hi is None or lo != hi:
+        return None
+    if isinstance(lo, bool) or not isinstance(lo, (int, str)):
+        return None
+    return lo
 
 
 def _prune_by_bounds(
@@ -1629,10 +1669,11 @@ def _prune_by_bounds(
 ) -> list[str]:
     """Manifest-stats tier of file dismissal, shared by ``scan_version``,
     ``commit_upsert`` and predicate DML: keep the files whose recorded
-    extents MAY overlap every ``{col: (lo, hi)}`` bound (point bounds
-    also consult recorded Bloom filters unless ``bloom=False``). Missing
-    stats or bounds keep everything — pruning is only ever an exclusion
-    of provably-disjoint files, never a filter substitute."""
+    extents MAY overlap every ``{col: (lo, hi)}`` bound (int/string
+    point bounds also consult recorded Bloom filters unless
+    ``bloom=False``). Missing stats or bounds keep everything — pruning
+    is only ever an exclusion of provably-disjoint files, never a
+    filter substitute."""
     if not bounds:
         return list(files)
     return [
@@ -1640,7 +1681,11 @@ def _prune_by_bounds(
         for f in files
         if all(
             _extent_overlaps(
-                stats.get(f), c, _stats_safe(lo), _stats_safe(hi), bloom=bloom
+                stats.get(f),
+                c,
+                _stats_safe(lo),
+                _stats_safe(hi),
+                bloom_value=_bloom_probe_value(lo, hi) if bloom else None,
             )
             for c, (lo, hi) in bounds.items()
         )

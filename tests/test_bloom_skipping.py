@@ -106,3 +106,39 @@ def test_rtbf_point_delete_then_lookup_and_bloom_carried(spark, table):
     assert got.count() == 0
     got2, _ = scan_version(spark, table, bounds={"k": (44, 44)})
     assert got2.count() == 1
+
+
+def test_bloom_cols_refuse_unsupported_types(spark, table):
+    """Self-review (r11): Bloom membership hashes the value's canonical
+    string, which only int/string share between the JVM cast and the
+    Python probe — a timestamp would hash Spark's cast format at
+    collection but arrive as an isoformat string at probe time, the
+    false-NEGATIVE channel a Bloom must never have. Collection refuses
+    anything else loudly."""
+    d = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("ts"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    with pytest.raises(ValueError, match="int/string key columns only"):
+        commit_version(
+            spark, d.coalesce(1), table, stats_cols=["ts"], bloom_cols=["ts"]
+        )
+    with pytest.raises(ValueError, match="int/string key columns only"):
+        commit_version(
+            spark, d.coalesce(1), table, stats_cols=["x"], bloom_cols=["x"]
+        )
+
+
+def test_non_probeable_point_bounds_never_consult_bloom():
+    """Probe-side belt-and-braces for stats that predate the type gate:
+    bools, floats, ranges, and NULL bounds answer 'maybe' instead of
+    hashing a value whose string form could differ between engines."""
+    from otus_cpp_11_spark.ops.versioned import _bloom_probe_value
+
+    assert _bloom_probe_value(42, 42) == 42
+    assert _bloom_probe_value("a", "a") == "a"
+    assert _bloom_probe_value(42, 43) is None  # range
+    assert _bloom_probe_value(None, 42) is None
+    assert _bloom_probe_value(True, True) is None  # bool
+    assert _bloom_probe_value(1.5, 1.5) is None  # float
