@@ -1887,10 +1887,10 @@ def commit_transaction(
     norm = []
     seen = set()
     for item in appends:
-        table, df = item[0], item[1]
+        table, df = item[0].rstrip("/"), item[1]
         stats_cols = item[2] if len(item) > 2 else None
         bloom_cols = item[3] if len(item) > 3 else None
-        if table in seen:
+        if table in seen:  # compared post-normalization: '/t' == '/t/'
             raise ValueError(
                 f"commit_transaction: table {table!r} appears twice"
             )
@@ -1900,7 +1900,6 @@ def commit_transaction(
     txn_id = uuid.uuid4().hex
     txn = {"id": txn_id, "root": txn_root.rstrip("/")}
     hdr_meta = dict(meta or {})
-    hdr_meta["txn"] = txn
     versions: dict[str, int] = {}
     try:
         # PREPARE: all data writes and stats scans happen BEFORE the
@@ -1922,6 +1921,7 @@ def commit_transaction(
                 )
                 continue
             header, prev_files = read_manifest(spark, table, cur)
+            df = _upcast_narrow_writer(df, header)
             _require_same_schema(df, header, table, "commit_transaction")
             committed = StructType.fromJson(json.loads(header["schema"]))
             pcmap = manifest_cmap(header)
@@ -1947,7 +1947,7 @@ def commit_transaction(
         for table, v, schema, files, stats, rows, dvs in staged:
             _commit(
                 spark, table, v, "append", schema, files, hdr_meta,
-                stats, rows=rows, dvs=dvs, checkpoint=False,
+                stats, rows=rows, dvs=dvs, checkpoint=False, txn=txn,
             )
             versions[table] = v
     except Exception:
@@ -2024,12 +2024,15 @@ def _commit(
     cmap: dict | None = None,
     cmap_burned: list | None = None,
     checkpoint: bool = True,
+    txn: dict | None = None,
 ) -> int:
     header = {
         "op": op,
         "parent": version - 1 if version > 1 else None,
         "schema": schema.json(),
     }
+    if txn:
+        header["txn"] = txn  # commit_transaction's claim marking ONLY
     # CHECK constraints: inherit the parent's set unless explicitly
     # overridden (add/drop/clone), and enforce them on the commit's NEW
     # files only — O(delta), because every carried file was validated by
@@ -2112,6 +2115,18 @@ def _commit(
         "dv": {f: d for f, d in (dvs or {}).items() if f in referenced and d},
     }
     if meta:
+        spoof = {"txn", "txn_aborted"} & set(meta)
+        if spoof:
+            # the transaction fields drive marker RESOLUTION (a spoofed
+            # 'txn' would make readers consult an attacker-chosen final
+            # record; a spoofed 'txn_aborted' would no-op a real commit)
+            # — only commit_transaction may set them, via hdr_meta it
+            # builds itself
+            raise ValueError(
+                f"commit meta must not set reserved transaction "
+                f"field(s) {sorted(spoof)}; use commit_transaction for "
+                "multi-table atomicity"
+            )
         header.update(meta)
     # Delta-encoded marker (manifest_format): remove/add actions vs. the
     # parent snapshot — commit METADATA bytes are O(delta), matching the
@@ -2493,6 +2508,26 @@ def _require_same_schema(df: DataFrame, header: dict, table: str, op: str) -> No
         )
 
 
+def _upcast_narrow_writer(df: DataFrame, header: dict) -> DataFrame:
+    """A writer still emitting the pre-widening NARROW type into a
+    widened table is healthy (r11 type widening): upcast exactly the
+    columns where the frame's type safely widens to the committed one
+    (lossless by ``_widens_to`` construction) so the strict schema check
+    that follows passes. Everything else — extra/missing columns,
+    narrowings, unrelated changes — is left for that check to refuse."""
+    committed = StructType.fromJson(json.loads(header["schema"]))
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for f in committed.fields:
+        dt = have.get(f.name)
+        if (
+            dt is not None
+            and dt.simpleString() != f.dataType.simpleString()
+            and _widens_to(dt, f.dataType)
+        ):
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df
+
+
 def commit_append(
     spark: SparkSession,
     df: DataFrame,
@@ -2785,6 +2820,7 @@ def commit_upsert(
             added_check=_upsert_added_check(spark, table, df, keys),
         )
     header, prev_files = read_manifest(spark, table, cur)
+    df = _upcast_narrow_writer(df, header)  # widened table, narrow frame
     inserts = df.where(not_tombstone).drop(delete_col) if delete_col else df
     _require_same_schema(inserts, header, table, "commit_upsert")
     schema = StructType.fromJson(json.loads(header["schema"]))

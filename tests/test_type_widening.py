@@ -231,3 +231,52 @@ def test_restarted_stream_adopts_widened_schema(spark, table):
     got = spark.table(name)
     assert got.count() == 11
     assert got.agg(F.max("k").alias("m")).first()["m"] == big
+
+
+def test_upsert_and_transaction_accept_narrow_writer(spark, table, tmp_path):
+    """MERGE and multi-table transactions on a widened table accept a
+    writer still emitting the narrow type (rows upcast losslessly);
+    unrelated schema drift stays refused."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_transaction,
+        commit_upsert,
+    )
+
+    commit_version(
+        spark, _ints(spark, 0, 10).coalesce(1), table, stats_cols=["k"]
+    )
+    commit_widen_column(spark, table, "k", "bigint")
+    commit_upsert(spark, _ints(spark, 5, 12).coalesce(1), table, keys=["k"])
+    got = read_version(spark, table)
+    assert dict(got.dtypes)["k"] == "bigint" and got.count() == 12
+    other = str(tmp_path / "other")
+    commit_version(spark, _ints(spark, 0, 3).coalesce(1), other)
+    commit_transaction(
+        spark,
+        [(table, _ints(spark, 100, 102).coalesce(1)),
+         (other, _ints(spark, 100, 102).coalesce(1))],
+        str(tmp_path / "txns"),
+    )
+    assert read_version(spark, table).count() == 14
+    assert read_version(spark, other).count() == 5
+    bad = spark.createDataFrame([("x", 1.0)], "k string, v float")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        commit_upsert(spark, bad, table, keys=["k"])
+
+
+def test_meta_cannot_spoof_transaction_fields(spark, table):
+    """Header meta flows into the marker verbatim, and 'txn' /
+    'txn_aborted' drive marker RESOLUTION — a spoofed value would point
+    readers at an attacker-chosen final record or silently no-op a real
+    commit. Only commit_transaction may set them."""
+    with pytest.raises(ValueError, match="reserved transaction"):
+        commit_version(
+            spark, _ints(spark, 0, 3).coalesce(1), table,
+            meta={"txn": {"id": "x", "root": "/tmp"}},
+        )
+    commit_version(spark, _ints(spark, 0, 3).coalesce(1), table)
+    with pytest.raises(ValueError, match="reserved transaction"):
+        commit_append(
+            spark, _ints(spark, 3, 6).coalesce(1), table,
+            meta={"txn_aborted": True},
+        )
