@@ -223,8 +223,11 @@ def _load_state(spark: SparkSession, table: str, version: int) -> dict:
 
     def read(n: str) -> str:
         text = _read_commit_text(spark, table, n)
-        if mf.MARKER_RE.match(n):
-            return _resolve_marker_text(spark, text)
+        m = mf.MARKER_RE.match(n)
+        if m:
+            return _resolve_marker_text(
+                spark, text, table=table, version=int(m.group(1))
+            )
         return text
 
     return mf.load_state(version, read, _commit_dir_names(spark, table))
@@ -264,7 +267,9 @@ def parse_commit(
         raise FileNotFoundError(
             f"version {version} of {table!r} is not committed"
         ) from None
-    return mf.parse_marker(_resolve_marker_text(spark, text))
+    return mf.parse_marker(
+        _resolve_marker_text(spark, text, table=table, version=version)
+    )
 
 
 def version_header(spark: SparkSession, table: str, version: int | None = None) -> dict:
@@ -1755,9 +1760,86 @@ def _files_containing(
 
 _TXN_INDOUBT_WAIT_SECS = 2.0  # reader grace before force-aborting in-doubt
 _TXN_POLL_SECS = 0.1
+# After this age an in-doubt claim is never force-aborted: a final record
+# could by then have been written AND lost (txn-root cleanup), and a
+# silent abort would retroactively no-op a committed version — the edit
+# the design forbids. Readers fail loudly instead; the operator restores
+# the final record or seals the verdict table-side by hand. Fresh
+# crashed-coordinator claims (the normal case) are hours younger.
+_TXN_FORCE_ABORT_HORIZON_SECS = 24 * 3600.0
 # decided finals are immutable: cache them so history replays do not
-# re-stat the final record once per marker read
+# re-stat the final record once per marker read; bounded so a long-lived
+# session touching many transactions cannot grow it without limit
+_TXN_CACHE_MAX = 4096
 _TXN_FINAL_CACHE: dict[tuple[str, str], str] = {}
+# table-side seals, keyed (table, version) — same immutability argument
+_TXN_SEAL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _txn_cache_put(cache: dict, key, state: str) -> None:
+    if len(cache) >= _TXN_CACHE_MAX:
+        cache.pop(next(iter(cache)))  # FIFO eviction; entries re-read cheaply
+    cache[key] = state
+
+
+def _txn_seal_name(version: int) -> str:
+    return f"{version:08d}.txnseal"
+
+
+def _txn_read_seal(
+    spark: SparkSession, table: str, version: int, txn_id: str
+) -> str | None:
+    """Table-side durable verdict for a txn-claimed version, if sealed.
+    The seal travels WITH the table (same ``_commits`` dir), so a cold
+    replay never depends on the transaction root once any resolver —
+    coordinator or first reader — has observed the decided final record
+    (r11 advice: a cleaned txn root must not rewrite committed history
+    to a no-op). The seal records its transaction id; a mismatch (a
+    leftover from a rebuilt table at the same path) is ignored."""
+    cached = _TXN_SEAL_CACHE.get((table, version, txn_id))
+    if cached:
+        return cached
+    try:
+        text = _read_commit_text(spark, table, _txn_seal_name(version))
+    except FileNotFoundError:
+        return None
+    doc = json.loads(text)
+    if doc.get("txn") != txn_id:
+        return None
+    state = doc["state"]
+    _txn_cache_put(_TXN_SEAL_CACHE, (table, version, txn_id), state)
+    return state
+
+
+def _txn_write_seal(
+    spark: SparkSession, table: str, version: int, txn_id: str, state: str
+) -> None:
+    """Durably seal a DECIDED verdict beside the claim marker. Verdicts
+    are immutable once the final-record race is won, so concurrent
+    sealers write identical content — a lost rename (seal already
+    present) needs no handling, and any failure is non-fatal (the final
+    record still resolves; sealing is durability hardening)."""
+    try:
+        fs, _ = _hadoop_fs(spark, table)
+        tmp = _jp(spark, table, _COMMITS, f".tmp-seal-{uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(
+                bytearray(
+                    json.dumps({"state": state, "txn": txn_id}).encode("utf-8")
+                )
+            )
+        finally:
+            out.close()
+        if not fs.rename(tmp, _jp(spark, table, _COMMITS, _txn_seal_name(version))):
+            fs.delete(tmp, False)
+        _txn_cache_put(_TXN_SEAL_CACHE, (table, version, txn_id), state)
+    except Exception:
+        log.warning(
+            "txn seal write failed for %s v%d (verdict %s); the "
+            "transaction-root final record remains the authority",
+            table, version, state, exc_info=True,
+        )
 
 
 def _txn_read_final(spark: SparkSession, root: str, txn_id: str) -> str | None:
@@ -1776,7 +1858,7 @@ def _txn_read_final(spark: SparkSession, root: str, txn_id: str) -> str | None:
     finally:
         stream.close()
     state = json.loads(text)["state"]
-    _TXN_FINAL_CACHE[(root, txn_id)] = state
+    _txn_cache_put(_TXN_FINAL_CACHE, (root, txn_id), state)
     return state
 
 
@@ -1798,7 +1880,7 @@ def _txn_decide(
     finally:
         out.close()
     if fs.rename(tmp, dest):
-        _TXN_FINAL_CACHE[(root, txn_id)] = want
+        _txn_cache_put(_TXN_FINAL_CACHE, (root, txn_id), want)
         return want
     fs.delete(tmp, False)
     final = _txn_read_final(spark, root, txn_id)
@@ -1811,12 +1893,19 @@ def _txn_decide(
 
 
 def _txn_resolve_as_reader(
-    spark: SparkSession, root: str, txn_id: str
+    spark: SparkSession,
+    root: str,
+    txn_id: str,
+    claim_age_s: float | None = None,
 ) -> str:
     """Reader-side resolution of an in-doubt marker: give the (live)
     coordinator its sub-second window, then force-abort — observation
     must DECIDE, or a later commit would retroactively change content
-    this reader already served as absent."""
+    this reader already served as absent. Claims older than the
+    retention horizon are NEVER force-aborted (``claim_age_s`` from the
+    marker's mtime): by then the absence of a final record is as likely
+    txn-root cleanup as a coordinator crash, and aborting would silently
+    no-op possibly-committed history — fail loudly instead."""
     import time
 
     final = _txn_read_final(spark, root, txn_id)
@@ -1828,15 +1917,31 @@ def _txn_resolve_as_reader(
         final = _txn_read_final(spark, root, txn_id)
         if final:
             return final
+    if claim_age_s is not None and claim_age_s > _TXN_FORCE_ABORT_HORIZON_SECS:
+        raise IOError(
+            f"transaction {txn_id}: claim is {claim_age_s / 3600.0:.1f} h old "
+            f"with no final record under {root!r} and no table-side seal — "
+            "past the force-abort horizon this is indistinguishable from a "
+            "cleaned transaction root; restore the final record or seal the "
+            "verdict manually instead of letting a reader rewrite history"
+        )
     return _txn_decide(spark, root, txn_id, "abort")
 
 
-def _resolve_marker_text(spark: SparkSession, text: str) -> str:
+def _resolve_marker_text(
+    spark: SparkSession,
+    text: str,
+    table: str | None = None,
+    version: int | None = None,
+) -> str:
     """Transaction-aware view of a raw marker: committed-txn markers
     pass through; aborted (or force-aborted) ones rewrite to a header-
     only no-op (fmt-2, zero actions = carry the parent snapshot), so
     every consumer of the replay — snapshots, scans, CDF, diff — agrees
-    without individually knowing about transactions."""
+    without individually knowing about transactions. When the caller
+    knows (table, version), a table-side SEAL is consulted first and
+    written on first resolution, so a decided verdict survives
+    transaction-root cleanup (r11 advice)."""
     # fast path: the txn field lives in the header (first line); a
     # substring probe skips the double JSON parse every non-txn marker
     # would otherwise pay on every read (bench: multi-version walks like
@@ -1848,7 +1953,29 @@ def _resolve_marker_text(spark: SparkSession, text: str) -> str:
     txn = header.get("txn")
     if not txn or header.get("txn_aborted"):
         return text
-    state = _txn_resolve_as_reader(spark, txn["root"], txn["id"])
+    state = None
+    sealed = False
+    if table is not None and version is not None:
+        state = _txn_read_seal(spark, table, version, txn["id"])
+        sealed = state is not None
+    if state is None:
+        claim_age_s = None
+        if table is not None and version is not None:
+            try:
+                import time
+
+                fs, _ = _hadoop_fs(spark, table)
+                st = fs.getFileStatus(
+                    _jp(spark, table, _COMMITS, mf.marker_name(version))
+                )
+                claim_age_s = time.time() - st.getModificationTime() / 1000.0
+            except Exception:
+                claim_age_s = None  # unstat-able marker: keep legacy behavior
+        state = _txn_resolve_as_reader(
+            spark, txn["root"], txn["id"], claim_age_s=claim_age_s
+        )
+    if not sealed and table is not None and version is not None:
+        _txn_write_seal(spark, table, version, txn["id"], state)
     if state == "commit":
         return text
     header = dict(header)
@@ -1955,7 +2082,9 @@ def commit_transaction(
         # no-ops the moment the abort record lands (best effort — if we
         # cannot even write the abort, readers force-abort after grace)
         try:
-            _txn_decide(spark, txn["root"], txn_id, "abort")
+            verdict = _txn_decide(spark, txn["root"], txn_id, "abort")
+            for table, v in versions.items():
+                _txn_write_seal(spark, table, v, txn_id, verdict)
         except Exception:
             log.warning(
                 "commit_transaction %s: abort record write failed; "
@@ -1970,6 +2099,12 @@ def commit_transaction(
             "the transaction before its final record landed (every "
             "claimed slot replays as a no-op; retry the transaction)"
         )
+    # seal the verdict table-side immediately: each table's visibility
+    # then never depends on the transaction root again (best-effort —
+    # any reader also seals on first resolution, and the final record
+    # stays authoritative until a seal lands)
+    for table, v in versions.items():
+        _txn_write_seal(spark, table, v, txn_id, "commit")
     return versions
 
 
@@ -3243,10 +3378,19 @@ def vacuum_versions(
             removed.append(v)
             dropped_refs |= drop_refs_by_v[v]
             # a checkpoint at a dropped version is dead weight (replay
-            # always starts from the newer horizon checkpoint)
+            # always starts from the newer horizon checkpoint); so is a
+            # txn seal — the verdict it preserved is baked into the
+            # horizon checkpoint's state
             ck = _jp(spark, table, _COMMITS, mf.ckpt_name(v))
             if fs.exists(ck):
                 fs.delete(ck, False)
+            seal = _jp(spark, table, _COMMITS, _txn_seal_name(v))
+            if fs.exists(seal):
+                fs.delete(seal, False)
+            for k in [
+                k for k in _TXN_SEAL_CACHE if k[0] == table and k[1] == v
+            ]:
+                del _TXN_SEAL_CACHE[k]
         else:
             # Marker survived (transient IO fault / permissions): v is
             # STILL committed, so its files must be protected exactly like

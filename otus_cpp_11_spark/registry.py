@@ -92,12 +92,14 @@ def register(
 # IVF-PQ family plus any query rewired to read the versioned PQ index
 # (see the note near WINDOW_DEFER).
 DRIVER_VERIFIED: dict[str, str] = {
+    "ann_cosine_top10": "216042f41a73",
     "ann_filtered_top5": "acf0825f69bc",
     "ann_truncated_dim_recall": "0980750bee64",
     "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
     "bm25_stats_streamed": "56ebcc2d8fce",
     "bpe_pair_counts": "d96cbbee11ec",
+    "bpe_token_frequencies": "b5ff23ca929c",
     "budgeted_mixture_selection": "bfe3e84837f5",
     "cdc_change_data_feed": "c877eea61ea1",
     "cdf_incremental_state_counts": "44b34b2886e4",
@@ -111,16 +113,23 @@ DRIVER_VERIFIED: dict[str, str] = {
     "corpus_dedup_stats": "3fa9e48f7a71",
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
+    "customer_monthly_retention": "5005e34e6d54",
     "customer_order_gap_stats": "6d3cb75325f9",
+    "customer_order_window_family": "e056a8223d4c",
     "customer_rfm_quartiles": "6b43762ac3f2",
+    "customer_running_spend": "471b2c9922e8",
+    "customers_above_avg_balance": "2c2142b03318",
     "customers_without_orders": "9a01c8532a3d",
     "daily_active_users_7d": "9355cc7481e4",
+    "daily_open_shipments": "e3385cf3d8ee",
     "decontam_bloom_prune": "004a9cd16c69",
+    "dedup_canonical_by_quality": "48bc5b1ec055",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
     "doc_bm25_top5": "124ad5bae99a",
     "doc_bpe_roundtrip": "b33acb08e4ca",
     "doc_bpe_token_ids": "b734428e749a",
+    "doc_bpe_token_stats": "a44dac60fb4a",
     "doc_dedup_clusters": "5150a5c0e008",
     "doc_dsir_weights": "391a5a705947",
     "doc_fingerprint": "ac4f9cbb8f09",
@@ -129,6 +138,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
     "doc_pack_bins": "640fc7df9845",
+    "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
     "doc_priority_sample": "aee1eab452aa",
@@ -141,48 +151,64 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_simhash32": "9a4d28b0fe15",
     "doc_stratified_sample": "5cbbfac47518",
     "doc_token_stats": "f1fc9c5f44ba",
+    "doc_top_terms": "36f7b8dcb415",
     "embedding_gram_upper": "f0e2d768f439",
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
     "embedding_power_iteration": "ace381c5764a",
+    "embedding_quantization": "f5bb24cd0b57",
     "embedding_random_projection": "149313e23aa4",
     "eval_bootstrap_ci": "8c11b34fbbf5",
     "event_type_transitions": "5d5953723362",
     "event_value_mad": "a8aa5b034a6c",
+    "events_dedup_streamed": "b83a47cdb13a",
+    "events_enriched_streamed": "db52a8e8f0af",
     "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
     "events_minute_rollup_streamed": "e74fbcc0b0a8",
     "events_multires_rollup": "9500a9fc4621",
+    "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
     "events_session_windows": "ee61ffbf866a",
+    "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min": "9f43a94d569f",
+    "events_sliding_10min_5min_streamed": "ee09d3535501",
     "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
     "events_versioned_ingest_streamed": "48dd8e3478c1",
     "exact_dup_groups": "8902aa321cb1",
+    "forget_sweep_accounting": "6fb00d148c74",
     "hard_negative_mining": "f06cf1ecd76f",
     "incremental_decontamination": "27228e0f9847",
     "incremental_near_dup": "106378cb3ab8",
     "ips_policy_value": "2c1ea431a372",
     "ivf_cosine_top5": "22b12ef86586",
+    "ivf_pq_nprobe_recall_curve": "988f9a56fbe8",
+    "ivf_pq_top5": "64e8668b12ca",
     "ivf_train_distortion_curve": "aedd0e018199",
     "ivf_trained_recall": "9c68f8f35575",
     "jaccard_prefix_filter_pairs": "d51e3f2c7999",
     "kmeans_assign_update": "1957709e4ad9",
+    "knn_join_lsh_top3": "635fe257dd5a",
+    "knn_recall_at_3": "c88e0a7440fb",
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
     "lakehouse_compaction_accounting": "52959dcfdac9",
-"latest_event_per_user": "256c7a2b2007",
+    "latest_event_per_user": "256c7a2b2007",
+    "leakage_safe_split": "be57faff60a0",
     "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
     "lineitem_qty_histogram": "5ad92f95736c",
+    "lineitem_zorder_cells": "ed3ff23d2c3b",
     "lsh_cosine_top5": "bcbb1c08dc09",
     "lsh_cosine_top5_multiprobe": "8a46b082e0db",
+    "minhash_estimate_accuracy": "d049fca2dea7",
     "multimodal_decode_features": "ba3641b52a2e",
     "multimodal_frame_sample": "6c3ae1db4d13",
     "nation_richest_customer": "c569db84fd24",
+    "nation_set_ops": "ee0a45799605",
     "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
@@ -192,22 +218,34 @@ DRIVER_VERIFIED: dict[str, str] = {
     "order_distinct_aggs": "798ac52398ee",
     "orders_by_month": "3b5d56427f88",
     "orders_cube": "977856a76063",
+    "orders_grouping_sets": "7c2a2fcda67b",
     "orders_price_percentiles": "00142ef3899e",
     "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
+    "orderstatus_pivot": "051fd9dd302a",
     "part_pagerank_fixedpoint": "5a1d412dfb43",
     "part_price_band_join": "feedac3b7d7c",
     "part_triangle_counts": "3b688cf75576",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
+    "ppm_ahash16": "86dc850ac759",
+    "ppm_ahash_near_dup_counts": "2df65b831d36",
+    "ppm_decode_features": "9da4f48f676c",
     "ppm_resize_2x2": "6b8205d6c06a",
+    "pq_adc_rerank_top5": "1d1634e4512e",
+    "pq_adc_top10": "27caeef29150",
+    "pq_code_assignment": "a4f618f62b9e",
     "pq_encode_arrow": "66c467eb13a8",
+    "pq_index_after_append": "8736ff9d3bcd",
+    "pq_recall_residual_vs_raw": "b8c1bc13ab1f",
+    "pq_recall_trained_vs_init": "93c707e470ec",
     "pq_train_distortion_curve": "9993efb0c9d0",
     "prefix_cache_analysis": "605af3784f13",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
+    "python_datasource_stream_checksum": "609b3f6c9262",
     "q10_returned_revenue": "a6bbc6cce502",
     "q11_important_stock": "64595b7c314a",
     "q12_priority_shipping": "d4cca0b4c80f",
@@ -237,6 +275,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "retrieval_diversified_top3": "0ae5067ed6f0",
     "retrieval_hybrid_dense_top5": "c6c174497154",
     "retrieval_rrf_fusion": "ae89b20c6090",
+    "running_user_counts_streamed": "fbca008c058d",
     "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "c7b3ec9de102",
     "session_top_paths": "28010065c846",
@@ -248,30 +287,41 @@ DRIVER_VERIFIED: dict[str, str] = {
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
     "suppliers_with_returns": "7a66c41651f6",
+    "term_cms_heavy_hitters": "c42035a2f51d",
     "top3_orders_per_customer": "e381e519d72e",
     "unique_by_abs": "aec470f57ab8",
     "user_cohort_weekly_retention": "bd3c35154ddb",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
     "user_state_cdc_streamed": "d761b9bc71db",
+    "user_state_scd2": "a7229906f4e7",
     "user_state_scd2_streamed": "2abfd0b54841",
     "user_value_moving_avg": "7afcd06d0608",
     "user_value_resample_1h_ffill": "8c1195e182fb",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
+    "user_value_zscore_outliers": "2c6fb32b13af",
     "versioned_autocompact_ingest": "8bddaf686723",
+    "versioned_bloom_point_lookup": "00b13ab26072",
     "versioned_change_feed": "defcc1758187",
     "versioned_change_feed_streamed": "0921995f28c9",
     "versioned_column_mapping_lifecycle": "20b0f183bb0e",
     "versioned_dml_lifecycle": "47504a991821",
     "versioned_dv_pressure_valve": "3b9044c57403",
     "versioned_metadata_count": "1630468efb50",
+    "versioned_multi_table_txn": "876ad353392b",
     "versioned_optimize_roundtrip": "e9ef2e2aa955",
     "versioned_rtbf_deletion_vectors": "68e6e0a9b480",
     "versioned_scan_skipping": "ce505e83611c",
     "versioned_schema_evolution": "6402afe3d77a",
     "versioned_stream_rollup": "825692b63304",
+    "versioned_type_widening_lifecycle": "0016168db600",
+    "view_purchase_left_outer_streamed": "f8e79f71ba33",
     "view_purchase_within_6h": "ceb393bc123c",
+    "view_purchase_within_6h_streamed": "fa86e1f70ded",
+    "wav_decode_features": "c5e596df5226",
+    "wav_fingerprint16": "3048e2e0c324",
+    "wav_fp_near_dup_counts": "8b3dc099b104",
     "word_count": "8d6c7475043d",
 }
 
@@ -292,56 +342,11 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
-# Round-11 refill: the oldest-green pins (last green r5: 27 members,
-# r6: 13), queued after the round's 10 new/changed queries (the
-# residual IVF-PQ family now served from the versioned index, type
-# widening, Bloom point-lookup skipping, and the multi-table
-# transaction) so the driver window is exactly 50. Members left
-# DRIVER_VERIFIED per the workflow; their still-valid old pins are
-# restorable if a late addition displaces one (the displacement rule —
-# exercised: the late ivf_pq_nprobe_recall_curve addition displaced the
-# newest-green member, latest_event_per_user, whose r6 pin returned).
-REVERIFY: frozenset[str] = frozenset({
-    "ann_cosine_top10",
-    "bpe_token_frequencies",
-    "customer_monthly_retention",
-    "customer_order_window_family",
-    "customer_running_spend",
-    "customers_above_avg_balance",
-    "daily_open_shipments",
-    "dedup_canonical_by_quality",
-    "doc_bpe_token_stats",
-    "doc_pack_bins_bpe",
-    "doc_top_terms",
-    "embedding_quantization",
-    "events_dedup_streamed",
-    "events_enriched_streamed",
-    "events_pit_enrich",
-    "events_session_windows_streamed",
-    "events_sliding_10min_5min_streamed",
-    "forget_sweep_accounting",
-    "knn_join_lsh_top3",
-    "knn_recall_at_3",
-    "leakage_safe_split",
-    "lineitem_zorder_cells",
-    "minhash_estimate_accuracy",
-    "nation_set_ops",
-    "orders_grouping_sets",
-    "orderstatus_pivot",
-    "ppm_ahash16",
-    "ppm_ahash_near_dup_counts",
-    "ppm_decode_features",
-    "python_datasource_stream_checksum",
-    "running_user_counts_streamed",
-    "term_cms_heavy_hitters",
-    "user_state_scd2",
-    "user_value_zscore_outliers",
-    "view_purchase_left_outer_streamed",
-    "view_purchase_within_6h_streamed",
-    "wav_decode_features",
-    "wav_fingerprint16",
-    "wav_fp_near_dup_counts",
-})
+# Round-12 state: the 50 r11 greens are promoted above (cumulative
+# 231/231); REVERIFY refills at round end once round-12's own new
+# queries are counted, so new/changed operators never lose a window
+# slot to a routine re-verification and the window stays exactly 50.
+REVERIFY: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:

@@ -156,7 +156,9 @@ def _vt_read_text(table: str, name: str) -> str:
         return f.read()
 
 
-def _vt_resolve_txn_text(text: str) -> str:
+def _vt_resolve_txn_text(
+    text: str, table: str | None = None, version: int | None = None
+) -> str:
     """The connector's READER-ONLY twin of ops.versioned's transaction
     resolution: a marker claimed by a multi-table transaction
     (``txn`` in its header) is committed iff the transaction's final
@@ -164,7 +166,10 @@ def _vt_resolve_txn_text(text: str) -> str:
     header-only no-op; IN-DOUBT polls briefly then fails loudly — this
     face cannot write the abort record an engine reader would, and
     silently skipping could permanently drop a version a stream cursor
-    then moves past."""
+    then moves past. A table-side seal (``<version>.txnseal``, written
+    by the coordinator or an engine reader's first resolution) is
+    consulted BEFORE the transaction root, so a cleaned root never
+    strands or rewrites decided history on this face either."""
     import json as _json
     import os
     import time
@@ -180,6 +185,14 @@ def _vt_resolve_txn_text(text: str) -> str:
     txn = header.get("txn")
     if not txn or header.get("txn_aborted"):
         return text
+    state = None
+    if table is not None and version is not None:
+        seal_path = f"{_vt_commits_dir(table)}/{version:08d}.txnseal"
+        if os.path.exists(seal_path):
+            with open(seal_path) as f:
+                doc = _json.load(f)
+            if doc.get("txn") == txn["id"]:
+                state = doc["state"]
     final_path = f"{txn['root'].rstrip('/')}/txn-{txn['id']}.final"
 
     def final_state():
@@ -188,11 +201,12 @@ def _vt_resolve_txn_text(text: str) -> str:
         with open(final_path) as f:
             return _json.load(f)["state"]
 
-    state = final_state()
-    deadline = time.monotonic() + 2.0
-    while state is None and time.monotonic() < deadline:
-        time.sleep(0.1)
+    if state is None:
         state = final_state()
+        deadline = time.monotonic() + 2.0
+        while state is None and time.monotonic() < deadline:
+            time.sleep(0.1)
+            state = final_state()
     if state is None:
         raise RuntimeError(
             f"versioned_table: marker claimed by IN-DOUBT transaction "
@@ -221,8 +235,9 @@ def _vt_read_manifest(table: str, version: int):
 
     def read(n: str) -> str:
         text = _vt_read_text(table, n)
-        if mf.MARKER_RE.match(n):
-            return _vt_resolve_txn_text(text)
+        m = mf.MARKER_RE.match(n)
+        if m:
+            return _vt_resolve_txn_text(text, table, int(m.group(1)))
         return text
 
     header, _ = mf.parse_marker(read(mf.marker_name(version)))
@@ -690,7 +705,9 @@ class _VTStreamReader(DataSourceStreamReader):
         from otus_cpp_11_spark.ops import manifest_format as mf
 
         hdr, body = mf.parse_marker(
-            _vt_resolve_txn_text(_vt_read_text(self.table, mf.marker_name(v)))
+            _vt_resolve_txn_text(
+                _vt_read_text(self.table, mf.marker_name(v)), self.table, v
+            )
         )
         if self.cdf and hdr.get("cdf") is not None:
             files: list[str] | None = list(hdr["cdf"])
@@ -804,7 +821,9 @@ class _VTStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             hdr, body = mf.parse_marker(
                 _vt_resolve_txn_text(
-                    _vt_read_text(self.table, mf.marker_name(v))
+                    _vt_read_text(self.table, mf.marker_name(v)),
+                    self.table,
+                    v,
                 )
             )
             if v > 1 and hdr.get("txn_aborted"):
@@ -880,10 +899,35 @@ class _VTStreamReader(DataSourceStreamReader):
             lo = min(self._floor, hi)
         parts: list[_VTFile] = []
         for v in range(lo + 1, hi + 1):
+            # resolve multi-table txn claims exactly like the row-stream
+            # walk: an aborted claim's staged files must NOT feed as
+            # inserts (both-or-neither), and vacuum may already have
+            # reclaimed them (r11 advice, high)
             hdr, body = mf.parse_marker(
-                _vt_read_text(self.table, mf.marker_name(v))
+                _vt_resolve_txn_text(
+                    _vt_read_text(self.table, mf.marker_name(v)),
+                    self.table,
+                    v,
+                )
             )
+            if v > 1 and hdr.get("txn_aborted"):
+                continue  # aborted multi-table claim: changed nothing
             op = hdr.get("op")
+            if v > 1 and op == "widen_column" and v > self._schema_pin:
+                # same loud gate as the row stream: the feed's schema is
+                # pinned at start; silently passing a later widening
+                # defers the failure to an executor-side Arrow overflow
+                # mid-batch, far from the cause (r11 advice, medium)
+                raise ValueError(
+                    f"versioned_table readChangeFeed: version {v} widened "
+                    f"column "
+                    f"{hdr.get('widen_column', {}).get('column')!r} "
+                    f"({hdr.get('widen_column', {}).get('from')} -> "
+                    f"{hdr.get('widen_column', {}).get('to')}) AFTER this "
+                    "stream pinned its schema; restart the stream to adopt "
+                    "the widened schema (Delta fails a readStream on "
+                    "schema change the same way)"
+                )
             cdf = hdr.get("cdf")
             vconst = [("_commit_version", v, "int64")]
             if cdf is not None:

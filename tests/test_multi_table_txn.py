@@ -46,6 +46,25 @@ def _fast_grace(monkeypatch):
     # would dominate the suite
     monkeypatch.setattr(V, "_TXN_INDOUBT_WAIT_SECS", 0.0)
     V._TXN_FINAL_CACHE.clear()
+    V._TXN_SEAL_CACHE.clear()
+
+
+def _wipe_txn_artifacts(troot, *tables):
+    """Simulate a HARD coordinator crash after the claims: no final
+    record survives AND no table-side seal was written (the r12 seal is
+    written on the coordinator's graceful abort path, which a hard
+    crash skips). Clears the in-process caches too, so resolution
+    restarts from durable state only."""
+    import glob
+    import os
+
+    for f in glob.glob(f"{troot}/txn-*.final"):
+        os.remove(f)
+    for t in tables:
+        for f in glob.glob(f"{t}/_commits/*.txnseal"):
+            os.remove(f)
+    V._TXN_FINAL_CACHE.clear()
+    V._TXN_SEAL_CACHE.clear()
 
 
 def test_happy_path_commits_both(spark, roots):
@@ -112,14 +131,10 @@ def test_crash_before_final_aborts_both(spark, roots, monkeypatch):
     commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
     commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
     _crash_before_final(spark, monkeypatch, a, b, troot)
-    # the dying coordinator wrote an abort on its way out (the except
-    # branch) — wipe it to simulate a HARD crash, then let readers decide
-    import glob
-    import os
-
-    for f in glob.glob(f"{troot}/txn-*.final"):
-        os.remove(f)
-    V._TXN_FINAL_CACHE.clear()
+    # the dying coordinator wrote an abort (and seals) on its way out
+    # (the except branch) — wipe them to simulate a HARD crash, then
+    # let readers decide
+    _wipe_txn_artifacts(troot, a, b)
     # both slots ARE claimed (version number consumed)...
     assert current_version(spark, a) == 2
     assert current_version(spark, b) == 2
@@ -141,12 +156,7 @@ def test_resolution_is_decided_once_and_shared(spark, roots, monkeypatch):
     commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
     commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
     _crash_before_final(spark, monkeypatch, a, b, troot)
-    import glob
-    import os
-
-    for f in glob.glob(f"{troot}/txn-*.final"):
-        os.remove(f)
-    V._TXN_FINAL_CACHE.clear()
+    _wipe_txn_artifacts(troot, a, b)
     txn = version_header(spark, a, 2)["txn"]  # resolves -> abort record
     assert V._txn_read_final(spark, troot, txn["id"]) == "abort"
     # a late coordinator trying to finalize now LOSES to the abort
@@ -273,13 +283,9 @@ def test_connector_fails_loudly_on_in_doubt(spark, roots, monkeypatch):
     commit_version(spark, _df(spark, 0, 10).coalesce(1), a)
     commit_version(spark, _df(spark, 0, 5).coalesce(1), b)
     _crash_before_final(spark, monkeypatch, a, b, troot)
-    import glob
-    import os
     import time
 
-    for f in glob.glob(f"{troot}/txn-*.final"):
-        os.remove(f)
-    V._TXN_FINAL_CACHE.clear()
+    _wipe_txn_artifacts(troot, a, b)
     monkeypatch.setattr(time, "monotonic", time.monotonic)  # keep real
     # shrink the connector's poll window by pre-expiring: it polls up to
     # ~2 s then raises — acceptable in one test
