@@ -3458,6 +3458,334 @@ def pq_index_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BATCH k-NN join through the SERVED residual IVF-PQ index (r11 verdict item
+# 1): N queries answered in ONE relational plan — per-query nprobe cell
+# assignment via a broadcast centroid join, per-(query, cell) ADC distance
+# tables built IN-PLAN (not as driver literals: N queries × K cells of
+# literals would put the query set on the driver), candidates joined on
+# cell, ADC shortlist, exact rerank of ONLY the shortlist. The production
+# batch-retrieval shape (RAG backfills, SemDeDup): per-query driver round
+# trips are zero; the one driver collect is the DISTINCT probed-cell set
+# (≤ K rows, independent of query count) so each probed cell stays a
+# stats-pruned scan_version against the manifest header.
+
+KNN_IVFPQ_NPROBE = IVF_T_NPROBE
+KNN_IVFPQ_SHORTLIST = 20
+
+_KNN_IVFPQ_CTES = f"""kq AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {KNN_QUERY_MOD} = 0),
+kprobe AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM gd WHERE vec_id % {KNN_QUERY_MOD} = 0) z
+  WHERE rk <= {KNN_IVFPQ_NPROBE}),
+kqres AS MATERIALIZED (
+  SELECT p.query_id, p.cell,
+         [CAST(q.qv[i] AS DOUBLE) - c.cv[i]
+          FOR i IN RANGE(1, {_PQ_FULL + 1})] AS rv
+  FROM kprobe p JOIN kq q ON q.query_id = p.query_id
+  JOIN itrained c ON c.cid = p.cell),
+kqd AS MATERIALIZED (
+  SELECT r.query_id, r.cell, t.s, t.code,
+         LIST_SUM([CAST(FLOOR((r.rv[t.s * {PQ_DSUB} + i] - t.cv[i])
+                              * (r.rv[t.s * {PQ_DSUB} + i] - t.cv[i])
+                              * {PQ_SCALE}.0) AS DECIMAL(38,0))
+                   FOR i IN RANGE(1, {PQ_DSUB + 1})]) AS dist
+  FROM kqres r CROSS JOIN rtrained t),
+kadc AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id, CAST(SUM(d.dist) AS BIGINT) AS adc_units
+  FROM rpafull a
+  JOIN ga g ON g.vec_id = a.vec_id
+  JOIN kprobe p ON p.cell = g.cid
+  JOIN kqd d ON d.query_id = p.query_id AND d.cell = g.cid
+            AND d.s = a.s AND d.code = a.code
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id),
+kshort AS MATERIALIZED (
+  SELECT query_id, vec_id, adc_units FROM (
+    SELECT query_id, vec_id, adc_units,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_units, vec_id) AS srk
+    FROM kadc) z WHERE srk <= {KNN_IVFPQ_SHORTLIST}),
+krer AS MATERIALIZED (
+  SELECT s.query_id, s.vec_id AS neighbor_id, e.label AS neighbor_label,
+         s.adc_units,
+         {_dot_sql("e.embedding", "q.qv")} /
+         (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) AS cosine
+  FROM kshort s JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN kq q ON q.query_id = s.query_id),
+kranked AS (
+  SELECT query_id, neighbor_id, neighbor_label, adc_units, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM krer)"""
+
+
+def _knn_ivfpq_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, neighbor_label, adc_units, cosine, rnk ≤
+    {KNN_TOPK}) for the whole query set through the served index — the
+    shared engine of ``knn_join_ivfpq_topk`` and the recall gate.
+
+    Plan shape, stage by stage (all one lazy plan):
+    1. probe assignment: query set × K broadcast centroid rows, exact
+       fixed-point d2, per-query window keeps nprobe cells — the corpus
+       is never touched;
+    2. per-(query, cell) ADC tables: the query's residual against the
+       S×CODEBOOK broadcast codebook rows, pivoted to ONE
+       array<array<bigint>> row per (query, cell) — N·nprobe rows total,
+       built executor-side (the single-query path's driver-literal
+       tables do not scale to query SETS);
+    3. candidates: the versioned index (files for non-probed cells
+       dismissed from the manifest header; the distinct probed-cell
+       collect is ≤ K rows, query-count-independent) joined to the
+       broadcast table rows on cell — ADC is then element_at lookups on
+       the STORED codes, zero float math, zero vector movement;
+    4. shortlist + exact rerank: per-query ADC top-{KNN_IVFPQ_SHORTLIST}
+       (window on the small candidate relation), then exact fixed-point
+       cosine on full vectors for ONLY shortlisted pairs (a vec_id
+       equi-join back to the corpus — at 100 TB the full-precision
+       vectors are touched k'·N times, never |corpus|·N).
+
+    The oracle (``_KNN_IVFPQ_CTES``) recomputes both trainings, the
+    whole-corpus encode, and every stage above from scratch."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, _, _, _ = _ivf_trained(spark, sf_dir, pre_ingest=True)
+    slices, _, _, _ = _pq_trained_res(spark, sf_dir, pre_ingest=True)
+    q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell bigint, cv array<double>",
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("d2", "cell")
+    qprobe = (
+        q.join(cdf)
+        .select(
+            "query_id", "qv", "cell", "cv",
+            _d2(F.col("qv"), F.col("cv")).alias("d2"),
+        )
+        .select(
+            "query_id", "qv", "cell", "cv",
+            F.row_number().over(wprobe).alias("rk"),
+        )
+        .where(F.col("rk") <= KNN_IVFPQ_NPROBE)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("qv"), F.col("cv"), lambda x, c: x.cast("double") - c
+            ).alias("rv"),
+        )
+    )
+    cb = F.broadcast(
+        spark.createDataFrame(
+            [
+                (s, c, slices[(s, c)])
+                for s in range(PQ_SUBVECTORS)
+                for c in range(PQ_CODEBOOK)
+            ],
+            "s int, code int, ccv array<double>",
+        )
+    )
+    sub = F.slice(F.col("rv"), F.col("s") * PQ_DSUB + 1, PQ_DSUB)
+    dist = F.aggregate(
+        F.zip_with(sub, F.col("ccv"), _pq_term),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, p: (acc + p).cast("decimal(38,0)"),
+    )
+    qd = qprobe.join(cb).select(
+        "query_id", "cell", "s", "code", dist.alias("dist")
+    )
+    tabs = F.array(
+        *[
+            F.array(
+                *[
+                    F.max(
+                        F.when(
+                            (F.col("s") == s) & (F.col("code") == c),
+                            F.col("dist"),
+                        )
+                    ).cast("long")
+                    for c in range(PQ_CODEBOOK)
+                ]
+            )
+            for s in range(PQ_SUBVECTORS)
+        ]
+    )
+    qdt = qd.groupBy("query_id", "cell").agg(tabs.alias("tabs"))
+    # the ONE driver collect: the distinct probed-cell set (≤ K ints,
+    # independent of query count) so each probed cell is a stats-pruned
+    # scan_version — manifest-header file dismissal, as in ivf_pq_top5
+    probed = sorted(
+        int(r["cell"]) for r in qprobe.select("cell").distinct().collect()
+    )
+    idx = _pq_index_cells(spark, sf_dir, probed)
+    joined = idx.join(F.broadcast(qdt), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = None
+    for s in range(PQ_SUBVECTORS):
+        term = F.element_at(
+            F.element_at(F.col("tabs"), s + 1),
+            (F.col(f"code_{s}") + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neighbor_label"),
+        adc.alias("adc_units"),
+    )
+    wshort = Window.partitionBy("query_id").orderBy("adc_units", "vec_id")
+    short = (
+        scored.select("*", F.row_number().over(wshort).alias("srk"))
+        .where(F.col("srk") <= KNN_IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id", "neighbor_label", "adc_units")
+    )
+    rer = (
+        short.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_label",
+            "adc_units",
+            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+    )
+    wfin = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return rer.select("*", F.row_number().over(wfin).alias("rnk")).where(
+        F.col("rnk") <= KNN_TOPK
+    )
+
+
+@register(
+    "knn_join_ivfpq_topk",
+    bench=True,
+    oracle=f"""
+WITH {_ivfpq_index_ctes()},
+{_KNN_IVFPQ_CTES}
+SELECT query_id, rnk, neighbor_id, neighbor_label, adc_units, cosine
+FROM kranked WHERE rnk <= {KNN_TOPK}
+ORDER BY query_id, rnk
+""",
+)
+def knn_join_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join THROUGH the served residual IVF-PQ index — the
+    graduation of ``knn_join_lsh_top3`` from sign-LSH over raw vectors
+    to the production index (r11 verdict item 1): every query of the
+    set is assigned its {KNN_IVFPQ_NPROBE} nprobe cells by a broadcast
+    centroid join, candidates come from the versioned index restricted
+    to probed cells (manifest-header file dismissal on the
+    cell-clustered layout), ranking is residual-ADC on the STORED
+    2-byte codes via per-(query, cell) distance tables built in-plan,
+    and only the per-query shortlist of {KNN_IVFPQ_SHORTLIST} is
+    exact-reranked on full vectors. ONE plan answers N queries — no
+    per-query driver round trips (the single bounded collect is the
+    distinct probed-cell set, ≤ K rows regardless of query count).
+
+    At 100 TB: the index side scans nprobe/K of 2-byte codes instead of
+    raw vectors; the query side is broadcast-sized by construction
+    (sampled probes / arriving batches); the exact math touches
+    shortlist·N vectors, never corpus·N. The oracle recomputes the
+    coarse training, residual PQ training, whole-corpus encode, probe
+    assignment, ADC tables, shortlist and rerank end to end."""
+    return _knn_ivfpq_ranked(spark, sf_dir).select(
+        "query_id",
+        "rnk",
+        "neighbor_id",
+        "neighbor_label",
+        "adc_units",
+        "cosine",
+    ).orderBy("query_id", "rnk")
+
+
+@register(
+    "knn_ivfpq_recall_at_3",
+    oracle=f"""
+WITH {_ivfpq_index_ctes()},
+{_KNN_IVFPQ_CTES},
+kexact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             {_dot_sql("e.embedding", "q.qv")} /
+             (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) DESC,
+             e.vec_id) AS rnk
+    FROM embeddings e, kq q WHERE e.vec_id <> q.query_id) z
+  WHERE rnk <= {KNN_TOPK})
+SELECT x.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM kexact x
+LEFT JOIN (SELECT query_id, neighbor_id FROM kranked
+           WHERE rnk <= {KNN_TOPK}) l
+  ON l.query_id = x.query_id AND l.neighbor_id = x.vec_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+""",
+)
+def knn_ivfpq_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{KNN_TOPK} of the batch IVF-PQ k-NN join against the
+    exact brute-force top-{KNN_TOPK} per query — the quality gate that
+    rides with ``knn_join_ivfpq_topk`` exactly as ``knn_recall_at_3``
+    rides with the LSH join. The exact side scores the (bounded,
+    broadcast) query set against the whole corpus in one narrow pass;
+    the approximate side is the served-index pipeline verbatim (shared
+    helper). Recall is n_overlap over the query's EXACT top-k row count
+    so the metric stays recall-of-achievable. At 100 TB this runs
+    periodically over a sampled probe set to regression-gate index
+    drift (centroid staleness after appends, nprobe sizing) — the same
+    sample-probe pattern as the sketch accuracy gates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = e.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nid")
+    exact_top = (
+        q.crossJoin(cand)
+        .where(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nid",
+            cosine_sim(F.col("cv"), F.col("qv")).alias("cosine"),
+        )
+        .select("query_id", "nid", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= KNN_TOPK)
+        .select("query_id", "nid")
+    )
+    ivf_top = _knn_ivfpq_ranked(spark, sf_dir).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    return (
+        exact_top.join(
+            ivf_top,
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("nid") == F.col("l_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("l_nid").alias("n_overlap"),
+            (F.count("l_nid").cast("double") / F.count(F.lit(1))).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "pq_train_distortion_curve",
     oracle=f"""
