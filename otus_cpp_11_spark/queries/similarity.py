@@ -1028,6 +1028,146 @@ def _pq_versioned_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _fmt_d(v: float) -> str:
+    """Exact-round-trip double literal for generated Spark SQL: repr()
+    is the shortest decimal that parses back to the same IEEE double,
+    and string→double casting is correctly rounded — so the parsed plan
+    literal is bit-identical to ``F.lit(float(v))``."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+_SCALE_D = f"CAST({_SCALE} AS DOUBLE)"
+_PQ_SCALE_D = f"CAST({PQ_SCALE} AS DOUBLE)"
+
+
+def _dot_lit_sql(col: str, lit_arr: list[float]) -> str:
+    """``_dec_dot(col, literal array)`` as ONE Spark-SQL string — the
+    same fixed-point recipe (floor of per-element double products,
+    exact decimal sum, divide back in double), built for the JVM parser
+    instead of as thousands of py4j Column constructions (~1 ms to
+    parse vs seconds to construct — the ``_adc_expr_cells`` measurement,
+    and the reason the per-micro-batch encode uses SQL strings)."""
+    arr = "array(" + ",".join(_fmt_d(v) for v in lit_arr) + ")"
+    return (
+        f"(CAST(aggregate(zip_with({col}, {arr}, (x, y) -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {_SCALE_D}) "
+        f"AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0)), "
+        f"(acc, p) -> CAST(acc + p AS DECIMAL(38,0))) AS DOUBLE) "
+        f"/ {_SCALE_D})"
+    )
+
+
+def _dot_lit_py(a: list[float]) -> float:
+    """Driver-side twin of ``_dec_dot(lit, lit)`` — identical IEEE ops
+    (double multiply, scale, floor, exact integer sum, correctly-rounded
+    int→double, double divide), so a centroid's self-dot can ride as one
+    precomputed literal instead of a 64-element expression."""
+    import math
+
+    total = sum(math.floor(x * x * float(_SCALE)) for x in a)
+    return float(total) / float(_SCALE)
+
+
+def _cell_expr_sql(cents: list[list[float]]) -> str:
+    """``_ivf_cell_expr`` as one SQL string: least-of-structs over the K
+    exact d2 expansions (dot(e,e) − 2·dot(e,c) + dot(c,c)), cid
+    tie-break; dot(c,c) is a precomputed driver literal (same IEEE
+    math)."""
+    dee = _dot_lit_sql("embedding", [])  # placeholder, replaced below
+    # dot(e, e) has no literal side — inline the self-zip form once
+    dee = (
+        f"(CAST(aggregate(zip_with(embedding, embedding, (x, y) -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {_SCALE_D}) "
+        f"AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0)), "
+        f"(acc, p) -> CAST(acc + p AS DECIMAL(38,0))) AS DOUBLE) "
+        f"/ {_SCALE_D})"
+    )
+    structs = ",".join(
+        f"named_struct('d2', ({dee} - 2.0D * {_dot_lit_sql('embedding', c)}"
+        f" + {_fmt_d(_dot_lit_py(c))}), 'cid', CAST({i} AS BIGINT))"
+        for i, c in enumerate(cents)
+    )
+    return f"least({structs}).cid"
+
+
+def _residual_expr_sql(cents: list[list[float]]) -> str:
+    """The residual (vector − centroid[cell]) as one SQL string over a
+    frame that already carries ``cell`` — ``_residual_frame``'s
+    zip_with, parser-built."""
+    cmat = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_fmt_d(v) for v in c) + ")" for c in cents
+        )
+        + ")"
+    )
+    return (
+        f"zip_with(embedding, element_at({cmat}, CAST(cell + 1 AS INT)), "
+        f"(x, c) -> CAST(x AS DOUBLE) - c)"
+    )
+
+
+def _code_exprs_sql(slices: dict[tuple[int, int], list[float]]) -> list[str]:
+    """``_pq_code_exprs_slices`` as SQL strings (one per subvector):
+    least-of-structs argmin over the codebook, each distance the exact
+    fixed-point squared L2 of the embedding slice vs a literal codebook
+    slice."""
+    out = []
+    for s in range(PQ_SUBVECTORS):
+        sub = f"slice(embedding, {s * PQ_DSUB + 1}, {PQ_DSUB})"
+        structs = []
+        for c in range(PQ_CODEBOOK):
+            arr = "array(" + ",".join(_fmt_d(v) for v in slices[(s, c)]) + ")"
+            dist = (
+                f"aggregate(zip_with({sub}, {arr}, (x, y) -> "
+                f"CAST(FLOOR((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)"
+                f" * {_PQ_SCALE_D}) AS DECIMAL(38,0))), "
+                f"CAST(0 AS DECIMAL(38,0)), "
+                f"(acc, p) -> CAST(acc + p AS DECIMAL(38,0)))"
+            )
+            structs.append(
+                f"named_struct('d', {dist}, 'code', CAST({c} AS BIGINT))"
+            )
+        out.append(f"least({','.join(structs)}).code AS code_{s}")
+    return out
+
+
+def encode_ivfpq(
+    rows: DataFrame,
+    cents: list[list[float]],
+    slices: dict[tuple[int, int], list[float]],
+) -> DataFrame:
+    """Encode raw (vec_id, label, embedding) rows into served-index rows
+    (vec_id, label, cell, code_0..{PQ_SUBVECTORS - 1}) under PINNED
+    artifacts — the one encode every index face shares: assign the
+    nearest pinned coarse centroid, PQ-quantize the residual against the
+    pinned residual codebook, cluster the output on (cell, vec_id) so
+    per-file stats give nprobe probes manifest-header file dismissal.
+    Pure relational expressions (artifacts ride as plan literals, no
+    UDF), batch/stream polymorphic — the streaming maintainer
+    (``streaming.incremental_ann_index``) encodes each micro-batch with
+    exactly this expression, which is what makes maintained-index ==
+    from-scratch-rebuild an exact oracle identity.
+
+    The expression tree is built as SQL STRINGS parsed JVM-side: the
+    Column-API equivalents (``_residual_frame`` +
+    ``_pq_code_exprs_slices``) cost ~8 s of py4j round trips to
+    CONSTRUCT per call (measured; execution is ~0.6 s) — tolerable for
+    a once-per-build bulk encode, fatal for a per-micro-batch
+    maintainer. ``tests/test_knn_ivfpq.py`` pins SQL-encode ==
+    Column-encode row-for-row; the ``ann_index_streamed`` oracle pins
+    both against a from-scratch DuckDB rebuild."""
+    with_cell = rows.selectExpr(
+        "vec_id", "label", f"{_cell_expr_sql(cents)} AS cell", "embedding"
+    )
+    residual = with_cell.selectExpr(
+        "vec_id", "label", "cell", f"{_residual_expr_sql(cents)} AS embedding"
+    )
+    return residual.selectExpr(
+        "vec_id", "label", "cell", *_code_exprs_sql(slices)
+    ).repartitionByRange(IVF_T_K, "cell", "vec_id")
+
+
 def _pq_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest snapshot of the served residual index (full-probe reads)."""
     from otus_cpp_11_spark.ops.versioned import read_version
@@ -3453,6 +3593,71 @@ def pq_index_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise("bulk")
             .alias("arrival"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "ann_index_streamed",
+    oracle=f"""
+WITH {_ivfpq_index_ctes()}
+SELECT c.vec_id, g.cid AS cell, c.code_0, c.code_1, c.code_2, c.code_3,
+       CASE WHEN c.vec_id % {PQ_INGEST_MOD} = {PQ_INGEST_MOD - 1}
+            THEN 'ingest' ELSE 'bulk' END AS arrival
+FROM rcodes c JOIN ga g ON g.vec_id = c.vec_id
+ORDER BY c.vec_id
+""",
+)
+def ann_index_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming maintainer for the DENSE index, driver-
+    visible (r11 verdict item 3): bulk-build version 1 of a fresh
+    IVF-PQ index over the pre-ingest corpus, then replay the ingest
+    arrivals as a FILE STREAM (three parquet files, one micro-batch
+    each under maxFilesPerTrigger=1) through
+    ``streaming.incremental_ann_index``, which encodes every batch
+    under the PINNED bulk-build artifacts and appends it as a new index
+    version. The oracle is the from-scratch FULL REBUILD over the whole
+    corpus (both trainings recomputed, every vector assigned and
+    re-encoded), so a hash match certifies the exact identity
+    'streamed-maintained index == rebuild' — however ingestion was
+    micro-batched. This completes the ingest story whose sparse half is
+    ``bm25_stats_streamed``: BOTH retrieval indexes are now maintained
+    as the corpus lands, each micro-batch one O(batch) encode + one
+    atomic manifest rename, with exactly-once via the batch id in the
+    commit header."""
+    from otus_cpp_11_spark.ops.versioned import commit_version, read_version
+    from otus_cpp_11_spark.session import scratch_dir
+    from otus_cpp_11_spark.streaming import incremental_ann_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, _, _, _ = _ivf_trained(spark, sf_dir, pre_ingest=True)
+    slices, _, _, _ = _pq_trained_res(spark, sf_dir, pre_ingest=True)
+    is_ingest = F.col("vec_id") % PQ_INGEST_MOD == PQ_INGEST_MOD - 1
+    root = scratch_dir("sg-annidx-")
+    index = f"{root}/index"
+    commit_version(
+        spark,
+        encode_ivfpq(e.where(~is_ingest), cents, slices),
+        index,
+        stats_cols=["cell", "vec_id"],
+        meta={"stage": "bulk-build"},
+    )
+    arrivals = f"{root}/arrivals"
+    e.where(is_ingest).repartition(3).write.parquet(arrivals)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{arrivals[:-1]}[{arrivals[-1]}]")
+    )
+    incremental_ann_index(stream, index, cents, slices).awaitTermination()
+    return (
+        read_version(spark, index)
+        .select(
+            "vec_id",
+            "cell",
+            *[f"code_{s}" for s in range(PQ_SUBVECTORS)],
+            F.when(is_ingest, "ingest").otherwise("bulk").alias("arrival"),
         )
         .orderBy("vec_id")
     )

@@ -790,6 +790,83 @@ def append_stream_to_versioned(
     )
 
 
+def incremental_ann_index(
+    vectors_stream: DataFrame,
+    index_path: str,
+    cents: list[list[float]],
+    slices: dict[tuple[int, int], list[float]],
+    checkpoint: str | None = None,
+    keep_versions: int | None = None,
+):
+    """Streaming maintainer for the DENSE retrieval index (r11 verdict
+    item 3 — the sparse half, ``incremental_bm25_stats``, has maintained
+    its side since r9): encode each micro-batch of arriving vectors
+    under the PINNED artifacts (coarse centroids + residual codebook,
+    both trained at bulk-build time) and ``commit_append`` the encoded
+    rows to the versioned IVF-PQ index. The encode is
+    ``queries.similarity.encode_ivfpq`` — the exact expression the bulk
+    build uses — so maintained-index == from-scratch-rebuild is an exact
+    identity the ``ann_index_streamed`` oracle checks value-for-value.
+
+    Exactly-once is the commit-header trick every versioned maintainer
+    uses: the batch id rides in the append's header, so data + manifest
+    + batch id publish in ONE atomic rename; a foreachBatch retry of a
+    committed batch txn-scans the header chain and no-ops. The index
+    usually PRE-EXISTS (bulk build v1 carries no batch id), so unlike
+    the fresh-sink scaffold the no-checkpoint guard here is 'no sink
+    batch has ever landed' — resuming ingest requires the persistent
+    checkpoint it started with.
+
+    Scale: per batch one O(batch) encode (artifacts are plan literals —
+    no shuffle beyond the (cell, vec_id) range-cluster that keeps probe
+    pruning tight) + one manifest rename; probes against the maintained
+    index stay stats-pruned per cell. Artifacts stay PINNED by design:
+    retraining reassigns cells and invalidates stored codes, so a
+    centroid refresh is a new bulk build (a new index version lineage),
+    never a maintainer step — the same contract as
+    ``_pq_versioned_index``'s append path."""
+    from otus_cpp_11_spark.ops.versioned import commit_append, vacuum_versions
+
+    spark = vectors_stream.sparkSession
+    if checkpoint is None:
+        if _latest_batch_id(spark, index_path) is not None:
+            raise ValueError(
+                f"index {index_path!r} already has maintainer commits but "
+                "no persistent checkpoint was given: a fresh checkpoint "
+                "restarts batch ids at 0, so the header marker cannot tell "
+                "a retry from a re-run (arrivals would be dropped or "
+                "double-encoded). Pass the checkpoint ingest started with."
+            )
+        checkpoint = scratch_dir("sg-ckpt-")
+
+    def encode_append(batch_df: DataFrame, batch_id: int) -> None:
+        from otus_cpp_11_spark.queries.similarity import encode_ivfpq
+
+        bspark = batch_df.sparkSession
+        applied = _latest_batch_id(bspark, index_path)
+        if applied is not None and applied >= batch_id:
+            return  # retry of an already-committed batch: no-op
+        if batch_df.isEmpty():
+            return
+        commit_append(
+            bspark,
+            encode_ivfpq(batch_df, cents, slices),
+            index_path,
+            meta={"batch_id": batch_id},
+            stats_cols=["cell", "vec_id"],
+            max_retries=2,
+        )
+        if keep_versions is not None:
+            vacuum_versions(bspark, index_path, keep_last=keep_versions)
+
+    return (
+        vectors_stream.writeStream.foreachBatch(encode_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_scd2_history(
     events_stream: DataFrame,
     hist_path: str,
