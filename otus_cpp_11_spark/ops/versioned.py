@@ -838,6 +838,7 @@ def _rewrite_matching_files(
     dv_max_fraction: float | None = None,
     change_rows=None,
     max_retries: int = 0,
+    stage_to: dict | None = None,
 ) -> int:
     """Shared engine of predicate DML (``commit_delete`` /
     ``commit_update``): find the files that physically CONTAIN a row
@@ -864,7 +865,18 @@ def _rewrite_matching_files(
     ``commit_compaction`` physically applies DVs (its rewrite reads
     masked), which is also the GDPR note's physical-forget step —
     until then the bytes remain in the file, exactly like a
-    pre-vacuum rewritten version."""
+    pre-vacuum rewritten version.
+
+    ``stage_to`` (r12, transactional DML): when given, everything is
+    STAGED — files written, DVs recorded, stats collected — but nothing
+    is committed; the ``_commit`` kwargs land in the dict and the
+    would-be version is returned. ``commit_transaction`` uses this to
+    prepare every table's delete BEFORE the first slot claim, keeping
+    the transaction's in-doubt window to a handful of marker renames.
+    A no-match no-op leaves the dict EMPTY (nothing to claim). The slot
+    claim itself then carries the OCC guarantee a lone delete gets from
+    ``_claim_commit``: any interleaved commit takes the slot first and
+    aborts the whole transaction."""
     cur = current_version(spark, table)
     if cur is None:
         raise FileNotFoundError(f"versioned table {table!r} has no commits")
@@ -1008,6 +1020,18 @@ def _rewrite_matching_files(
             prefix="cdf",
             cmap=cmap,
         )
+    if stage_to is not None:
+        stage_to.update(
+            op=op,
+            schema=schema,
+            files=carried + new_files,
+            meta=hdr_meta,
+            stats=stats,
+            rows=prev_rows,
+            dvs=dvs,
+            version=cur + 1,
+        )
+        return cur + 1
     return _commit_retrying(
         spark,
         table,
@@ -1990,6 +2014,7 @@ def commit_transaction(
     appends: list,
     txn_root: str,
     meta: dict | None = None,
+    deletes: list | None = None,
 ) -> dict[str, int]:
     """ONE atomic commit across MULTIPLE tables (both-or-neither):
     ``appends`` is a list of ``(table, df)`` or ``(table, df,
@@ -1999,18 +2024,33 @@ def commit_transaction(
     shared location writers and readers can reach). Returns
     ``{table: committed_version}``.
 
-    Scope: APPEND-only (appends never conflict logically, so claiming
-    the version slot is the whole correctness story — the same insight
-    the single-table OCC retry exploits); transactional DML would need
-    cross-table read-set validation and is out of scope. A lost slot
-    race or final-record race aborts the WHOLE transaction (every
-    claimed slot replays as a no-op, staged data ages out via vacuum)
-    and raises CommitConflict. Tables are claimed in sorted order so
-    two transactions over the same tables contend deterministically
-    instead of deadlocking. Crash behavior: before the final record
-    lands the first reader force-aborts the leftovers; after it, every
-    table's claim is already durable — there is no window where one
-    table's rows are committed and another's can be lost."""
+    ``deletes`` (r12, the RTBF shape: forget a user in the base table
+    AND the served ANN index both-or-neither) is a list of ``(table,
+    condition)`` / ``(table, condition, bounds)`` / ``(table,
+    condition, bounds, dv_max_fraction)`` tuples, each a predicate
+    DELETE staged in the PREPARE phase (``_rewrite_matching_files``
+    ``stage_to`` mode: touched-file discovery, DV recording or
+    rewrites, stats — everything but the marker) and claimed with the
+    appends. The slot claim IS the delete's OCC validation: the staging
+    computed against version V claims slot V+1 through the same
+    create-once rename every writer races, so an interleaved commit
+    takes the slot first and aborts the WHOLE transaction — no weaker
+    than a lone ``commit_delete`` with ``max_retries=0``. A no-match
+    delete claims nothing for its table (reported at its current
+    version). Change feeds and the DV pressure valve are out of txn
+    scope (run ``commit_apply_dvs`` separately).
+
+    Appends never conflict logically, so claiming the version slot is
+    the whole correctness story — the same insight the single-table OCC
+    retry exploits. A lost slot race or final-record race aborts the
+    WHOLE transaction (every claimed slot replays as a no-op, staged
+    data ages out via vacuum) and raises CommitConflict. Tables are
+    claimed in sorted order so two transactions over the same tables
+    contend deterministically instead of deadlocking. Crash behavior:
+    before the final record lands the first reader force-aborts the
+    leftovers; after it, every table's claim is already durable — there
+    is no window where one table's rows are committed and another's can
+    be lost."""
     norm = []
     seen = set()
     for item in appends:
@@ -2024,6 +2064,18 @@ def commit_transaction(
         seen.add(table)
         norm.append((table, df, stats_cols, bloom_cols))
     norm.sort(key=lambda t: t[0])
+    del_norm = []
+    for item in deletes or []:
+        table, cond = item[0].rstrip("/"), item[1]
+        bounds = item[2] if len(item) > 2 else None
+        dvf = item[3] if len(item) > 3 else None
+        if table in seen:
+            raise ValueError(
+                f"commit_transaction: table {table!r} appears twice"
+            )
+        seen.add(table)
+        del_norm.append((table, cond, bounds, dvf))
+    del_norm.sort(key=lambda t: t[0])
     txn_id = uuid.uuid4().hex
     txn = {"id": txn_id, "root": txn_root.rstrip("/")}
     hdr_meta = dict(meta or {})
@@ -2070,12 +2122,51 @@ def commit_transaction(
                     dict(manifest_dvs(header)),
                 )
             )
-        # CLAIM: rapid marker renames, in sorted-table order
-        for table, v, schema, files, stats, rows, dvs in staged:
-            _commit(
-                spark, table, v, "append", schema, files, hdr_meta,
-                stats, rows=rows, dvs=dvs, checkpoint=False, txn=txn,
+        # PREPARE (deletes): stage touched-file discovery, DVs/rewrites
+        # and stats now; the marker claim happens with the appends'
+        def _del_rewrite(df, cond):
+            return df.where(~F.coalesce(cond, F.lit(False)))
+
+        del_staged = []
+        for table, cond, bounds, dvf in del_norm:
+            st: dict = {}
+            v = _rewrite_matching_files(
+                spark, table, cond, _del_rewrite, "delete", bounds,
+                hdr_meta, dv_max_fraction=dvf, stage_to=st,
             )
+            if st:
+                del_staged.append((table, st))
+            else:
+                versions[table] = v  # no-match no-op: nothing to claim
+        # CLAIM: rapid marker renames, in sorted-table order over both
+        # shapes (appends and staged deletes contend deterministically)
+        claims = [
+            (
+                table,
+                lambda t=table, v=v, schema=schema, files=files,
+                stats=stats, rows=rows, dvs=dvs: _commit(
+                    spark, t, v, "append", schema, files, hdr_meta,
+                    stats, rows=rows, dvs=dvs, checkpoint=False, txn=txn,
+                ),
+                v,
+            )
+            for table, v, schema, files, stats, rows, dvs in staged
+        ] + [
+            (
+                table,
+                lambda t=table, st=st: _commit(
+                    spark, t, st["version"], st["op"], st["schema"],
+                    st["files"], st["meta"], st["stats"],
+                    rows=st["rows"], dvs=st["dvs"],
+                    checkpoint=False, txn=txn,
+                ),
+                st["version"],
+            )
+            for table, st in del_staged
+        ]
+        claims.sort(key=lambda c: c[0])
+        for table, claim, v in claims:
+            claim()
             versions[table] = v
     except Exception:
         # abort the whole transaction: already-claimed slots replay as

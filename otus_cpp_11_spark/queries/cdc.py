@@ -1902,6 +1902,117 @@ def versioned_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FORGET_VEC_IDS = (7, 123, 321, 404)  # present at every SF (vec_id 0..499+)
+_FORGET_IDS_SQL = ", ".join(str(i) for i in FORGET_VEC_IDS)
+
+
+@register(
+    "rtbf_forget_base_and_index_txn",
+    oracle=f"""
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+       WHERE vec_id IN ({_FORGET_IDS_SQL})),
+t(table_name) AS (VALUES ('corpus'), ('ivfpq_index'))
+SELECT t.table_name,
+       tot.n AS rows_before,
+       nf.n AS n_forget,
+       tot.n - nf.n AS rows_after,
+       CAST(0 AS BIGINT) AS forgotten_remaining,
+       CAST(TRUE AS BOOLEAN) AS txn_paired
+FROM t, tot, nf
+ORDER BY table_name
+""",
+)
+def rtbf_forget_base_and_index_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTBF ACROSS THE SERVED ANN INDEX (r11 verdict item 4 — the gap
+    where a forgotten user's embedding survived inside the index after
+    the base-table sweep): delete the forgotten vec_ids from the raw
+    corpus table AND the residual IVF-PQ index built over it in ONE
+    ``commit_transaction`` — both-or-neither, so no observable state has
+    the base row erased while the index still serves its vector (or
+    vice versa). The deletes take the DV path (O(deleted rows) metadata,
+    no file rewrites) staged entirely before the first slot claim;
+    both claim headers carry the same txn id (asserted in-code).
+
+    The emitted accounting is the compliance evidence: per table, the
+    pre-txn row count (time travel to v1 — retention note: vacuum past
+    the delete + compact to physically forget), the forget-set size
+    found pre-txn, the post-txn count, and ``forgotten_remaining`` —
+    measured by per-key Bloom-assisted ``scan_version`` point lookups
+    against the POST-delete snapshot (the oracle pins it to the 0 the
+    sweep must produce; a torn or spared delete would hash-mismatch).
+    At 100 TB: each point sweep touches O(actually-containing files)
+    via per-file Blooms on vec_id, the index delete touches O(forgotten
+    vectors) of metadata, and the atomicity needs no lock service —
+    crash-injection pytests (tests/test_rtbf_txn.py) cover a
+    coordinator dying between the two claims."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_transaction,
+        commit_version,
+        read_version,
+        scan_version,
+        version_header,
+    )
+    from otus_cpp_11_spark.queries.similarity import (
+        _ivf_trained,
+        _pq_trained_res,
+        encode_ivfpq,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = scratch_dir("sg-rtbf-")
+    corpus, index, troot = base + "/corpus", base + "/index", base + "/txns"
+    cents, _, _, _ = _ivf_trained(spark, sf_dir, pre_ingest=True)
+    slices, _, _, _ = _pq_trained_res(spark, sf_dir, pre_ingest=True)
+    commit_version(
+        spark,
+        e.repartitionByRange(4, "vec_id"),
+        corpus,
+        stats_cols=["vec_id"],
+        bloom_cols=["vec_id"],
+    )
+    commit_version(
+        spark,
+        encode_ivfpq(e, cents, slices),
+        index,
+        stats_cols=["cell", "vec_id"],
+        bloom_cols=["vec_id"],
+    )
+    cond = f"vec_id IN ({_FORGET_IDS_SQL})"
+    bounds = {"vec_id": (min(FORGET_VEC_IDS), max(FORGET_VEC_IDS))}
+    versions = commit_transaction(
+        spark,
+        [],
+        troot,
+        deletes=[(corpus, cond, bounds, 0.5), (index, cond, bounds, 0.5)],
+    )
+    assert versions == {corpus: 2, index: 2}
+    paired = (
+        version_header(spark, corpus, 2)["txn"]["id"]
+        == version_header(spark, index, 2)["txn"]["id"]
+    )
+    rows = []
+    for name, tbl in (("corpus", corpus), ("ivfpq_index", index)):
+        before = read_version(spark, tbl, 1).count()
+        n_forget = (
+            read_version(spark, tbl, 1)
+            .where(F.col("vec_id").isin(*FORGET_VEC_IDS))
+            .count()
+        )
+        after = read_version(spark, tbl, 2).count()
+        remaining = 0
+        for i in FORGET_VEC_IDS:  # Bloom-assisted point sweeps, post-txn
+            df, _acct = scan_version(spark, tbl, bounds={"vec_id": (i, i)})
+            remaining += df.where(F.col("vec_id") == i).count()
+        rows.append((name, before, n_forget, after, remaining, bool(paired)))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, rows_before bigint, n_forget bigint, "
+        "rows_after bigint, forgotten_remaining bigint, txn_paired boolean",
+    ).orderBy("table_name")
+
+
 @register(
     "versioned_bloom_point_lookup",
     oracle=f"""
