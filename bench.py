@@ -53,12 +53,22 @@ from otus_cpp_11_spark.session import get_spark  # noqa: E402
 
 TIMED_RUNS = 2  # min over repeated timed runs (see module docstring)
 
-# A run whose start/end calibration kernels disagree by more than this
-# ratio was taken on a machine with bursty host steal — annotate it as
-# contaminated in the JSON so the comparison protocol discards it
-# (threshold from the r8/r9 adjudications: every contaminated run showed
-# >1.5x spread, every quiet run < 1.2x).
+# Two-tier calibration policy (r11 verdict item 7 — the r11 driver
+# artifact PASSED at ratio 1.487, 0.013 under the old single gate, yet
+# its timings were uniformly ~1.3x both clean runs; a borderline pass is
+# still a degraded machine):
+#   ratio > 1.5  -> contaminated: HARD flag; the run retries once and a
+#                   still-flagged artifact is discarded by the
+#                   comparison protocol (every adjudicated-contaminated
+#                   run in r8-r9 exceeded it, every quiet run < 1.2).
+#   ratio > 1.25 -> degraded: ADVISORY; the run also retries once (a
+#                   quiet window usually exists), and if both attempts
+#                   sit in the band the cleaner one is emitted with
+#                   degraded: true so the reader knows the absolute
+#                   numbers carry machine inflation even though the
+#                   artifact is admissible.
 CONTAMINATION_RATIO = 1.5
+DEGRADED_RATIO = 1.25
 
 
 def _materialize(df):
@@ -221,31 +231,34 @@ def main():
             "calibration_end_sec": calibration_end,
             "calibration_ratio": round(ratio, 3),
             "contaminated": ratio > CONTAMINATION_RATIO,
+            "degraded": ratio > DEGRADED_RATIO,
         }
 
-    # Retry policy (r10 verdict item 6 — the r10 driver artifact shipped
-    # contaminated:true, so act on the flag instead of just raising it):
-    # a flagged measurement pass is discarded and the WHOLE pass rerun
-    # once — host steal is bursty, so one retry usually lands on a quiet
-    # window. If both passes flag, emit the cleaner one (still flagged:
-    # the comparison protocol discards it). Every attempt's summary is
-    # kept in "attempts" so a retried artifact is auditable, and the
-    # output stays ONE JSON line.
+    # Retry policy (r10 verdict item 6, widened per r11 item 7): a pass
+    # flagged at EITHER tier is rerun once — host steal is bursty, so
+    # one retry usually lands on a quiet window. The cleaner attempt is
+    # emitted; a still-contaminated artifact is discarded by the
+    # comparison protocol, a still-degraded one is admissible but
+    # carries the advisory. Every attempt's summary is kept in
+    # "attempts" so a retried artifact is auditable, and the output
+    # stays ONE JSON line.
     result = measure()
     attempts = [
         {
             "value": result["value"],
             "calibration_ratio": result["calibration_ratio"],
             "contaminated": result["contaminated"],
+            "degraded": result["degraded"],
         }
     ]
-    if result["contaminated"]:
+    if result["degraded"]:  # contaminated implies degraded
         retry = measure()
         attempts.append(
             {
                 "value": retry["value"],
                 "calibration_ratio": retry["calibration_ratio"],
                 "contaminated": retry["contaminated"],
+                "degraded": retry["degraded"],
             }
         )
         if retry["calibration_ratio"] < result["calibration_ratio"]:

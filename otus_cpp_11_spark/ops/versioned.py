@@ -160,23 +160,23 @@ def _resolve(root: str, f: str) -> str:
 def current_version(spark: SparkSession, table: str) -> int | None:
     """The committed version number (max commit marker), or None for a
     table with no commits. Staged ``.tmp-*`` files are not commits."""
-    fs, _ = _hadoop_fs(spark, table)
-    cdir = _jp(spark, table, _COMMITS)
-    if not fs.exists(cdir):
-        return None
-    best = None
-    for st in fs.listStatus(cdir):
-        m = _MARKER.match(st.getPath().getName())
-        if m:
-            v = int(m.group(1))
-            best = v if best is None or v > best else best
-    return best
+    vs = list_versions(spark, table)
+    return vs[-1] if vs else None
 
 
 def list_versions(spark: SparkSession, table: str) -> list[int]:
     """All COMMITTED versions (the time-travel horizon). Uncommitted
     leftovers are data dirs no manifest references — see
-    ``vacuum_versions(drop_uncommitted=True)``."""
+    ``vacuum_versions(drop_uncommitted=True)``. Local tables list via
+    plain ``os.listdir`` (see ``_local_path``); object stores keep the
+    Hadoop route."""
+    local = _local_path(table)
+    if local is not None:
+        try:
+            names = os.listdir(f"{local.rstrip('/')}/{_COMMITS}")
+        except FileNotFoundError:
+            return []
+        return sorted(int(m.group(1)) for n in names if (m := _MARKER.match(n)))
     fs, _ = _hadoop_fs(spark, table)
     cdir = _jp(spark, table, _COMMITS)
     if not fs.exists(cdir):
@@ -189,10 +189,34 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
     return sorted(out)
 
 
+def _local_path(path: str) -> str | None:
+    """Plain-filesystem path of ``path`` when it lives on the LOCAL FS
+    (bare path or ``file:`` scheme), else None. Gates Python-IO fast
+    paths past the py4j Hadoop gateway for driver-side METADATA reads:
+    one gatewayed marker read costs ~9 ms of socket round trips vs
+    ~50 µs for ``open()`` (measured in the r12 commit-path profile —
+    the dominant term of versioned_dml_lifecycle's growth). Object-store
+    paths keep the Hadoop route; the protocol is unchanged either way."""
+    if "://" not in path:
+        return path
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    return None
+
+
 def _read_commit_text(spark: SparkSession, table: str, name: str) -> str:
     """Raw text of a ``_commits``-dir file (marker or checkpoint);
     FileNotFoundError when absent — the exception ``mf.load_state``'s
     replay contract keys on."""
+    local = _local_path(table)
+    if local is not None:
+        try:
+            with open(f"{local.rstrip('/')}/{_COMMITS}/{name}") as f:
+                return f.read()
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{table!r}: no commit-dir file {name!r}"
+            ) from None
     fs, _ = _hadoop_fs(spark, table)
     p = _jp(spark, table, _COMMITS, name)
     if not fs.exists(p):
@@ -205,6 +229,12 @@ def _read_commit_text(spark: SparkSession, table: str, name: str) -> str:
 
 
 def _commit_dir_names(spark: SparkSession, table: str) -> list[str]:
+    local = _local_path(table)
+    if local is not None:
+        try:
+            return os.listdir(f"{local.rstrip('/')}/{_COMMITS}")
+        except FileNotFoundError:
+            return []
     fs, _ = _hadoop_fs(spark, table)
     cdir = _jp(spark, table, _COMMITS)
     if not fs.exists(cdir):
@@ -2197,6 +2227,80 @@ def commit_transaction(
     for table, v in versions.items():
         _txn_write_seal(spark, table, v, txn_id, "commit")
     return versions
+
+
+def read_transaction(
+    spark: SparkSession,
+    tables: list[str],
+    at: dict[str, int] | None = None,
+) -> dict[str, int]:
+    """Resolve a TRANSACTION-CONSISTENT version per table (r11 verdict
+    item 8, the read half of multi-table atomicity): ``commit_transaction``
+    makes writes both-or-neither, but a reader that resolves each
+    table's current version independently can still interleave with a
+    landing transaction — observe table A at a version that excludes
+    transaction U while observing table B at one that includes it. This
+    helper returns ``{table: version}`` such that for EVERY transaction
+    spanning two or more of the requested tables, either all of its
+    claims are included or none are; read each table with
+    ``read_version(spark, t, versions[t])``.
+
+    Algorithm: snapshot each table's current version (or the caller's
+    ``at`` pins), map every committed txn claim in each table's history
+    to its (txn, table, version), then lower versions to a fixpoint —
+    any transaction included by one table and excluded by another has
+    its including tables dropped below the claim. Versions only
+    decrease, so the loop terminates; the result is the LATEST
+    consistent vector at or below the starting points (the same
+    downward resolution a snapshot-isolation read timestamp performs).
+    Claims still in-doubt resolve through the normal reader path first
+    (``version_header`` forces the decision), so the fixpoint only ever
+    sees decided history.
+
+    Scale: one marker-header read per (table, version) in the history
+    window — headers are one-line reads (local fast path), and a
+    production deployment bounds the walk with the retention horizon
+    (vacuumed versions cannot be chosen anyway)."""
+    names = [t.rstrip("/") for t in tables]
+    if len(set(names)) != len(names):
+        raise ValueError("read_transaction: duplicate table in read set")
+    chosen: dict[str, int] = {}
+    for t in names:
+        v = (at or {}).get(t) or (at or {}).get(t + "/") or current_version(spark, t)
+        if v is None:
+            raise FileNotFoundError(f"versioned table {t!r} has no commits")
+        chosen[t] = v
+    # committed multi-table claims across each table's FULL history —
+    # not capped at the starting points: a claim above one table's pin
+    # is exactly what proves another table's inclusion partial
+    claims: dict[str, dict[str, int]] = {}
+    for t in names:
+        for v in list_versions(spark, t):
+            h = version_header(spark, t, v)
+            txn = h.get("txn")
+            if txn and not h.get("txn_aborted"):
+                claims.setdefault(txn["id"], {})[t] = v
+    changed = True
+    while changed:
+        changed = False
+        for parts in claims.values():
+            if len(parts) < 2:
+                continue  # spans one requested table: trivially consistent
+            included = {t: chosen[t] >= v for t, v in parts.items()}
+            if all(included.values()) or not any(included.values()):
+                continue
+            for t, v in parts.items():
+                if chosen[t] >= v:
+                    chosen[t] = v - 1
+                    if chosen[t] < 1:
+                        raise ValueError(
+                            f"read_transaction: no consistent snapshot at or "
+                            f"below the requested versions includes table "
+                            f"{t!r} (a spanning transaction claimed its "
+                            "version 1)"
+                        )
+                    changed = True
+    return chosen
 
 
 def _claim_commit(
