@@ -2229,6 +2229,46 @@ def commit_transaction(
     return versions
 
 
+def vacuum_txn_records(
+    spark: SparkSession,
+    txn_root: str,
+    older_than_s: float | None = None,
+) -> list[str]:
+    """Retention sweep for the transaction root (r11 advice: it grew
+    unboundedly): delete final records older than ``older_than_s``
+    (default: the force-abort horizon). Safe by the seal design — the
+    coordinator seals every claim table-side at decide time and any
+    reader seals on first resolution, so a final record past the
+    horizon is normally redundant; if a claim somehow reached the
+    horizon UNSEALED, its reader fails loudly (``_txn_resolve_as_reader``
+    horizon refusal) instead of silently aborting — an operator
+    restores the record or seals by hand, never a retroactive history
+    edit. Returns the deleted record names."""
+    import time
+
+    if older_than_s is None:
+        older_than_s = _TXN_FORCE_ABORT_HORIZON_SECS
+    fs, jroot = _hadoop_fs(spark, txn_root)
+    if not fs.exists(jroot):
+        return []
+    cutoff_ms = (time.time() - older_than_s) * 1000.0
+    removed = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if (
+            name.startswith("txn-")
+            and name.endswith(".final")
+            and st.getModificationTime() <= cutoff_ms
+            and fs.delete(st.getPath(), False)
+        ):
+            removed.append(name)
+            _TXN_FINAL_CACHE.pop(
+                (txn_root.rstrip("/"), name[len("txn-"):-len(".final")]),
+                None,
+            )
+    return removed
+
+
 def read_transaction(
     spark: SparkSession,
     tables: list[str],

@@ -170,6 +170,27 @@ def test_force_abort_refused_past_horizon(spark, roots, monkeypatch):
     assert read_version(spark, a).count() == 10  # aborted -> parent content
 
 
+def test_vacuum_txn_records_respects_retention(spark, roots, monkeypatch):
+    """Old final records sweep out (seals carry the verdict); young ones
+    survive; a post-sweep cold replay still reads committed."""
+    from otus_cpp_11_spark.ops.versioned import vacuum_txn_records
+
+    a, b, troot = roots
+    _commit_both(spark, a, b, troot)
+    finals = glob.glob(f"{troot}/txn-*.final")
+    assert finals
+    assert vacuum_txn_records(spark, troot, older_than_s=3600.0) == []
+    old = time.time() - 7200.0
+    for f in finals:
+        os.utime(f, (old, old))
+    removed = vacuum_txn_records(spark, troot, older_than_s=3600.0)
+    assert len(removed) == len(finals)
+    assert not glob.glob(f"{troot}/txn-*.final")
+    _clear_caches()
+    assert read_version(spark, a).count() == 20  # seal carries the verdict
+    assert version_header(spark, a, 2).get("txn_aborted") is None
+
+
 def _abort_claim(spark, monkeypatch, a, b, troot):
     """Claim both slots then hard-crash the coordinator; resolve the
     claim to ABORT through an engine read (which also seals it)."""
