@@ -100,11 +100,9 @@ DRIVER_VERIFIED: dict[str, str] = {
     "bm25_stats_streamed": "56ebcc2d8fce",
     "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
-    "budgeted_mixture_selection": "bfe3e84837f5",
     "cdc_change_data_feed": "c877eea61ea1",
     "cdf_incremental_state_counts": "44b34b2886e4",
     "cdf_netting_across_versions": "ca8de7bf1a5e",
-    "copurchase_association_rules": "77b285b9c575",
     "copurchase_part_pairs": "86f91ab99906",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
@@ -127,8 +125,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
     "doc_bm25_top5": "124ad5bae99a",
-    "doc_bpe_roundtrip": "b33acb08e4ca",
-    "doc_bpe_token_ids": "b734428e749a",
     "doc_bpe_token_stats": "a44dac60fb4a",
     "doc_dedup_clusters": "5150a5c0e008",
     "doc_dsir_weights": "391a5a705947",
@@ -141,7 +137,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
-    "doc_priority_sample": "aee1eab452aa",
     "doc_quality_classifier": "496dd16e1f78",
     "doc_quality_score": "c49088db0448",
     "doc_repeated_spans": "021ae1e34c5c",
@@ -155,15 +150,9 @@ DRIVER_VERIFIED: dict[str, str] = {
     "embedding_gram_upper": "f0e2d768f439",
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
-    "embedding_power_iteration": "ace381c5764a",
     "embedding_quantization": "f5bb24cd0b57",
-    "embedding_random_projection": "149313e23aa4",
-    "eval_bootstrap_ci": "8c11b34fbbf5",
-    "event_type_transitions": "5d5953723362",
-    "event_value_mad": "a8aa5b034a6c",
     "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
-    "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
     "events_minute_rollup_streamed": "e74fbcc0b0a8",
     "events_multires_rollup": "9500a9fc4621",
@@ -179,10 +168,8 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_versioned_ingest_streamed": "48dd8e3478c1",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
-    "hard_negative_mining": "f06cf1ecd76f",
     "incremental_decontamination": "27228e0f9847",
     "incremental_near_dup": "106378cb3ab8",
-    "ips_policy_value": "2c1ea431a372",
     "ivf_cosine_top5": "22b12ef86586",
     "ivf_pq_nprobe_recall_curve": "988f9a56fbe8",
     "ivf_pq_top5": "64e8668b12ca",
@@ -195,7 +182,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
     "lakehouse_compaction_accounting": "52959dcfdac9",
-    "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
     "lineitem_measures_unpivot": "858016643174",
     "lineitem_price_qty_corr": "46672c6c7ad5",
@@ -209,29 +195,22 @@ DRIVER_VERIFIED: dict[str, str] = {
     "multimodal_frame_sample": "6c3ae1db4d13",
     "nation_richest_customer": "c569db84fd24",
     "nation_set_ops": "ee0a45799605",
-    "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
     "neyman_allocation": "199b938badbe",
     "ngram_jaccard_pairs": "1ce24908ed83",
-    "order_distinct_aggs": "798ac52398ee",
-    "orders_by_month": "3b5d56427f88",
-    "orders_cube": "977856a76063",
     "orders_grouping_sets": "7c2a2fcda67b",
     "orders_price_percentiles": "00142ef3899e",
-    "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
     "part_pagerank_fixedpoint": "5a1d412dfb43",
     "part_price_band_join": "feedac3b7d7c",
     "part_triangle_counts": "3b688cf75576",
-    "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_ahash16": "86dc850ac759",
     "ppm_ahash_near_dup_counts": "2df65b831d36",
     "ppm_decode_features": "9da4f48f676c",
-    "ppm_resize_2x2": "6b8205d6c06a",
     "pq_adc_rerank_top5": "1d1634e4512e",
     "pq_adc_top10": "27caeef29150",
     "pq_code_assignment": "a4f618f62b9e",
@@ -246,49 +225,26 @@ DRIVER_VERIFIED: dict[str, str] = {
     "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
     "python_datasource_stream_checksum": "609b3f6c9262",
-    "q10_returned_revenue": "a6bbc6cce502",
-    "q11_important_stock": "64595b7c314a",
     "q12_priority_shipping": "d4cca0b4c80f",
     "q13_customer_distribution": "18c33d02b9f8",
-    "q14_promo_revenue": "a04be26f867a",
-    "q15_top_supplier": "524038b306d8",
-    "q16_part_supplier_relation": "7946efac9fb7",
-    "q17_small_quantity_revenue": "a002d7d89770",
-    "q18_large_orders": "29249878f196",
-    "q19_discounted_revenue": "f468835c3b3d",
-    "q1_pricing_summary": "3560e363e9ed",
-    "q20_potential_promotion": "26aa152b0b15",
-    "q21_waiting_supplier": "8eb51526a69e",
     "q22_global_sales_opportunity": "b6a092e119de",
-    "q2_min_cost_supplier": "9b562eef7ff0",
-    "q3_shipping_priority": "fd99cfaeace7",
     "q4_order_priority": "df07a6d2b909",
-    "q5_local_supplier_volume": "a6c0b0f534c0",
     "q6_forecast_revenue": "91e2e7229798",
-    "q7_nation_volume": "71bb2f5a3869",
-    "q8_market_share": "defa2dff53c1",
-    "q9_product_profit": "f67a4359d652",
     "quality_gate_kappa": "20583989b400",
-    "region_nation_full_outer": "f11eea99322c",
-    "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
     "retrieval_diversified_top3": "0ae5067ed6f0",
     "retrieval_hybrid_dense_top5": "c6c174497154",
     "retrieval_rrf_fusion": "ae89b20c6090",
     "running_user_counts_streamed": "fbca008c058d",
-    "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "c7b3ec9de102",
     "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
     "source_score_calibration": "9b24c55b1db8",
-    "source_token_fertility": "d1452d0ad04b",
     "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
-    "suppliers_with_returns": "7a66c41651f6",
     "term_cms_heavy_hitters": "c42035a2f51d",
-    "top3_orders_per_customer": "e381e519d72e",
     "unique_by_abs": "aec470f57ab8",
     "user_cohort_weekly_retention": "bd3c35154ddb",
     "user_event_sessions": "2789bd95a888",
@@ -342,11 +298,59 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
-# Round-12 state: the 50 r11 greens are promoted above (cumulative
-# 231/231); REVERIFY refills at round end once round-12's own new
-# queries are counted, so new/changed operators never lose a window
-# slot to a routine re-verification and the window stays exactly 50.
-REVERIFY: frozenset[str] = frozenset()
+# Round-12 refill: the 44 oldest-green pins (last green r6: 31, r7: 13),
+# queued after the round's 6 new queries (batch IVF-PQ retrieval +
+# recall gate, streamed dense-index maintainer, transactional RTBF, the
+# OPQ decision probe, and the ANN lifecycle pipeline) so the driver
+# window is exactly 50. Members left DRIVER_VERIFIED per the workflow;
+# their still-valid old pins are restorable if a late addition displaces
+# one (the displacement rule).
+REVERIFY: frozenset[str] = frozenset({
+    "budgeted_mixture_selection",
+    "copurchase_association_rules",
+    "doc_bpe_roundtrip",
+    "doc_bpe_token_ids",
+    "doc_priority_sample",
+    "embedding_power_iteration",
+    "embedding_random_projection",
+    "eval_bootstrap_ci",
+    "event_type_transitions",
+    "event_value_mad",
+    "events_hourly_profile",
+    "hard_negative_mining",
+    "ips_policy_value",
+    "latest_event_per_user",
+    "nation_supplier_left_join",
+    "order_distinct_aggs",
+    "orders_by_month",
+    "orders_cube",
+    "orders_rollup",
+    "parts_larger_than_brand_avg",
+    "ppm_resize_2x2",
+    "q10_returned_revenue",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_relation",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "region_nation_full_outer",
+    "region_nation_list",
+    "scalar_string_math",
+    "source_token_fertility",
+    "suppliers_with_returns",
+    "top3_orders_per_customer",
+})
 
 
 def all_queries() -> dict[str, Query]:
