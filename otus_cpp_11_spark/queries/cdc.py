@@ -1902,6 +1902,118 @@ def versioned_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txn_consistent_read",
+    oracle=f"""
+WITH half1 AS (SELECT doc_id, source, n_chars FROM documents
+               WHERE doc_id % 2 = 0),
+alln AS (SELECT doc_id, source, n_chars FROM documents),
+s1 AS (
+  SELECT 'resolved-current' AS stage,
+         CAST(2 AS BIGINT) AS v_corpus, CAST(2 AS BIGINT) AS v_datacard,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM alln) AS corpus_docs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM alln) AS datacard_docs,
+         (SELECT CAST(SUM(n_chars) AS BIGINT) FROM alln) AS corpus_chars,
+         (SELECT CAST(SUM(n_chars) AS BIGINT) FROM alln) AS datacard_chars
+),
+s2 AS (
+  SELECT 'repaired-pin' AS stage,
+         CAST(1 AS BIGINT) AS v_corpus, CAST(1 AS BIGINT) AS v_datacard,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM half1) AS corpus_docs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM half1) AS datacard_docs,
+         (SELECT CAST(SUM(n_chars) AS BIGINT) FROM half1) AS corpus_chars,
+         (SELECT CAST(SUM(n_chars) AS BIGINT) FROM half1) AS datacard_chars
+)
+SELECT stage, v_corpus, v_datacard, corpus_docs, datacard_docs,
+       corpus_chars, datacard_chars,
+       corpus_docs = datacard_docs AND corpus_chars = datacard_chars
+         AS consistent
+FROM s1
+UNION ALL
+SELECT stage, v_corpus, v_datacard, corpus_docs, datacard_docs,
+       corpus_chars, datacard_chars,
+       corpus_docs = datacard_docs AND corpus_chars = datacard_chars
+FROM s2
+ORDER BY stage DESC
+""",
+)
+def txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ half of multi-table atomicity, driver-gated (r11
+    verdict item 8): ``commit_transaction`` makes corpus + datacard
+    writes both-or-neither, and ``read_transaction`` resolves a version
+    VECTOR where every spanning transaction is included on all tables
+    or none. Two observed stages: (a) resolved at current — the vector
+    includes the transaction on both tables and the datacard's totals
+    equal the corpus's; (b) a deliberately TORN pin (corpus at the
+    txn-including version, datacard pinned before it) — the resolver
+    lowers the corpus below the claim, and the emitted totals prove the
+    repaired vector is again consistent. A resolver that let the torn
+    pin through would emit corpus_docs != datacard_docs and
+    hash-mismatch. Versions ride in the output (2,2 then 1,1 — the
+    oracle pins the resolution itself, not just the row counts)."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_transaction,
+        commit_version,
+        read_transaction,
+        read_version,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    base = scratch_dir("sg-txnread-")
+    corpus, card, troot = base + "/corpus", base + "/datacard", base + "/txns"
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    def card_of(d: DataFrame) -> DataFrame:
+        return d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+
+    commit_version(spark, half1.coalesce(1), corpus, stats_cols=["doc_id"])
+    commit_version(spark, card_of(half1).coalesce(1), card)
+    commit_transaction(
+        spark,
+        [(corpus, half2.coalesce(1), ["doc_id"]),
+         (card, card_of(half2).coalesce(1))],
+        troot,
+    )
+
+    def stage(name: str, vec: dict) -> DataFrame:
+        c = read_version(spark, corpus, vec[corpus]).agg(
+            F.count(F.lit(1)).alias("corpus_docs"),
+            F.sum("n_chars").alias("corpus_chars"),
+        )
+        d = read_version(spark, card, vec[card]).agg(
+            F.sum("n_docs").alias("datacard_docs"),
+            F.sum("n_chars").alias("datacard_chars"),
+        )
+        return c.join(d).select(
+            F.lit(name).alias("stage"),
+            F.lit(vec[corpus]).cast("bigint").alias("v_corpus"),
+            F.lit(vec[card]).cast("bigint").alias("v_datacard"),
+            "corpus_docs",
+            "datacard_docs",
+            "corpus_chars",
+            "datacard_chars",
+            (
+                (F.col("corpus_docs") == F.col("datacard_docs"))
+                & (F.col("corpus_chars") == F.col("datacard_chars"))
+            ).alias("consistent"),
+        )
+
+    current = read_transaction(spark, [corpus, card])
+    repaired = read_transaction(spark, [corpus, card], at={corpus: 2, card: 1})
+    return (
+        stage("resolved-current", current)
+        .unionByName(stage("repaired-pin", repaired))
+        .orderBy(F.desc("stage"))
+    )
+
+
 FORGET_VEC_IDS = (7, 123, 321, 404)  # present at every SF (vec_id 0..499+)
 _FORGET_IDS_SQL = ", ".join(str(i) for i in FORGET_VEC_IDS)
 

@@ -170,6 +170,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "forget_sweep_accounting": "6fb00d148c74",
     "incremental_decontamination": "27228e0f9847",
     "incremental_near_dup": "106378cb3ab8",
+    "ips_policy_value": "2c1ea431a372",
     "ivf_cosine_top5": "22b12ef86586",
     "ivf_pq_nprobe_recall_curve": "988f9a56fbe8",
     "ivf_pq_top5": "64e8668b12ca",
@@ -304,7 +305,9 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # OPQ decision probe, and the ANN lifecycle pipeline) so the driver
 # window is exactly 50. Members left DRIVER_VERIFIED per the workflow;
 # their still-valid old pins are restorable if a late addition displaces
-# one (the displacement rule).
+# one (the displacement rule — exercised again this round: the late
+# txn_consistent_read addition displaced ips_policy_value, whose r7
+# pin returned).
 REVERIFY: frozenset[str] = frozenset({
     "budgeted_mixture_selection",
     "copurchase_association_rules",
@@ -318,7 +321,6 @@ REVERIFY: frozenset[str] = frozenset({
     "event_value_mad",
     "events_hourly_profile",
     "hard_negative_mining",
-    "ips_policy_value",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",
