@@ -30,12 +30,18 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
-# FileSystem handles keyed by (session, scheme://authority): Hadoop
-# already caches them JVM-side, but every getFileSystem() call still
-# pays two py4j round trips (~ms each) — and the versioned commit path
-# asks for one per marker read (r11 verdict nit: versioned_dml_lifecycle
-# grew with per-commit metadata work; this is part of the constant)
-_FS_CACHE: dict[tuple[int, str], object] = {}
+# FileSystem handles keyed per live session (weakly — a stopped session's
+# entry dies with the object, so a recycled id() can never alias a dead
+# gateway; review finding) then by scheme://authority: Hadoop already
+# caches them JVM-side, but every getFileSystem() call still pays two
+# py4j round trips (~ms each) — and the versioned commit path asks for
+# one per marker read (r11 verdict nit: versioned_dml_lifecycle grew
+# with per-commit metadata work; this is part of the constant)
+import weakref
+
+_FS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _fs_key(path: str) -> str:
@@ -48,13 +54,15 @@ def _fs_key(path: str) -> str:
 
 def _hadoop_fs(spark: SparkSession, path: str):
     jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    key = (id(spark), _fs_key(path))
-    fs = _FS_CACHE.get(key)
+    per = _FS_CACHE.get(spark)
+    if per is None:
+        per = _FS_CACHE[spark] = {}
+    key = _fs_key(path)
+    fs = per.get(key)
     if fs is None:
-        if len(_FS_CACHE) >= 64:
-            _FS_CACHE.pop(next(iter(_FS_CACHE)))
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        _FS_CACHE[key] = fs
+        if len(per) >= 64:
+            per.pop(next(iter(per)))
+        fs = per[key] = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, jpath
 
 

@@ -73,6 +73,7 @@ import logging
 import os
 import re
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -170,7 +171,7 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
     ``vacuum_versions(drop_uncommitted=True)``. Local tables list via
     plain ``os.listdir`` (see ``_local_path``); object stores keep the
     Hadoop route."""
-    local = _local_path(table)
+    local = _local_path(table, spark)
     if local is not None:
         try:
             names = os.listdir(f"{local.rstrip('/')}/{_COMMITS}")
@@ -189,26 +190,59 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
     return sorted(out)
 
 
-def _local_path(path: str) -> str | None:
-    """Plain-filesystem path of ``path`` when it lives on the LOCAL FS
-    (bare path or ``file:`` scheme), else None. Gates Python-IO fast
-    paths past the py4j Hadoop gateway for driver-side METADATA reads:
-    one gatewayed marker read costs ~9 ms of socket round trips vs
-    ~50 µs for ``open()`` (measured in the r12 commit-path profile —
-    the dominant term of versioned_dml_lifecycle's growth). Object-store
-    paths keep the Hadoop route; the protocol is unchanged either way."""
-    if "://" not in path:
-        return path
-    if path.startswith("file://"):
-        return path[len("file://"):]
-    return None
+_DEFAULT_FS_LOCAL: "weakref.WeakKeyDictionary[SparkSession, bool]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _default_fs_is_local(spark: SparkSession) -> bool:
+    """Whether scheme-less paths resolve to the LOCAL filesystem for
+    this session (``fs.defaultFS``) — consulted once per live session
+    (weak-keyed, so a recycled object id can never alias a dead
+    gateway's answer)."""
+    cached = _DEFAULT_FS_LOCAL.get(spark)
+    if cached is None:
+        default = (
+            spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+            or "file:///"
+        )
+        cached = _DEFAULT_FS_LOCAL[spark] = default.startswith("file:")
+    return cached
+
+
+def _local_path(path: str, spark: SparkSession | None = None) -> str | None:
+    """Plain-filesystem path of ``path`` when it lives on the LOCAL FS,
+    else None. Gates Python-IO fast paths past the py4j Hadoop gateway
+    for driver-side METADATA reads: one gatewayed marker read costs
+    ~9 ms of socket round trips vs ~50 µs for ``open()`` (measured in
+    the r12 commit-path profile — the dominant term of
+    versioned_dml_lifecycle's growth). Handled forms (review finding):
+    ``file:`` URIs in all three Hadoop spellings (``file:/x``,
+    ``file:///x``, ``file://host/x`` — the last only for an empty or
+    localhost authority); scheme-less paths count as local only when
+    the session's ``fs.defaultFS`` is (the sandbox default) — on an
+    HDFS/S3-defaulted cluster they keep the Hadoop route. Any other
+    scheme: None."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        if rest.startswith("//"):
+            auth, sep, p = rest[2:].partition("/")
+            if auth not in ("", "localhost"):
+                return None
+            return "/" + p if sep else "/"
+        return rest
+    if "://" in path:
+        return None
+    if spark is not None and not _default_fs_is_local(spark):
+        return None
+    return path
 
 
 def _read_commit_text(spark: SparkSession, table: str, name: str) -> str:
     """Raw text of a ``_commits``-dir file (marker or checkpoint);
     FileNotFoundError when absent — the exception ``mf.load_state``'s
     replay contract keys on."""
-    local = _local_path(table)
+    local = _local_path(table, spark)
     if local is not None:
         try:
             with open(f"{local.rstrip('/')}/{_COMMITS}/{name}") as f:
@@ -229,7 +263,7 @@ def _read_commit_text(spark: SparkSession, table: str, name: str) -> str:
 
 
 def _commit_dir_names(spark: SparkSession, table: str) -> list[str]:
-    local = _local_path(table)
+    local = _local_path(table, spark)
     if local is not None:
         try:
             return os.listdir(f"{local.rstrip('/')}/{_COMMITS}")
@@ -1826,8 +1860,9 @@ _TXN_FORCE_ABORT_HORIZON_SECS = 24 * 3600.0
 # session touching many transactions cannot grow it without limit
 _TXN_CACHE_MAX = 4096
 _TXN_FINAL_CACHE: dict[tuple[str, str], str] = {}
-# table-side seals, keyed (table, version) — same immutability argument
-_TXN_SEAL_CACHE: dict[tuple[str, int], str] = {}
+# table-side seals, keyed (table, version, txn_id) — the txn id guards
+# against a rebuilt table at the same path; same immutability argument
+_TXN_SEAL_CACHE: dict[tuple[str, int, str], str] = {}
 
 
 def _txn_cache_put(cache: dict, key, state: str) -> None:
@@ -1959,25 +1994,40 @@ def _txn_resolve_as_reader(
     retention horizon are NEVER force-aborted (``claim_age_s`` from the
     marker's mtime): by then the absence of a final record is as likely
     txn-root cleanup as a coordinator crash, and aborting would silently
-    no-op possibly-committed history — fail loudly instead."""
+    no-op possibly-committed history — fail loudly instead, BEFORE
+    burning the grace poll on a record that cannot appear. An UNKNOWN
+    age (marker stat failed) is fail-closed the same way: force-abort
+    needs positive evidence the claim is fresh (review finding — a
+    transient stat error must not re-open the history-rewrite channel
+    the horizon exists to close)."""
     import time
 
     final = _txn_read_final(spark, root, txn_id)
     if final:
         return final
-    deadline = time.monotonic() + _TXN_INDOUBT_WAIT_SECS
-    while time.monotonic() < deadline:
-        time.sleep(_TXN_POLL_SECS)
-        final = _txn_read_final(spark, root, txn_id)
-        if final:
-            return final
-    if claim_age_s is not None and claim_age_s > _TXN_FORCE_ABORT_HORIZON_SECS:
+    past_horizon = (
+        claim_age_s is not None and claim_age_s > _TXN_FORCE_ABORT_HORIZON_SECS
+    )
+    if past_horizon:
         raise IOError(
             f"transaction {txn_id}: claim is {claim_age_s / 3600.0:.1f} h old "
             f"with no final record under {root!r} and no table-side seal — "
             "past the force-abort horizon this is indistinguishable from a "
             "cleaned transaction root; restore the final record or seal the "
             "verdict manually instead of letting a reader rewrite history"
+        )
+    deadline = time.monotonic() + _TXN_INDOUBT_WAIT_SECS
+    while time.monotonic() < deadline:
+        time.sleep(_TXN_POLL_SECS)
+        final = _txn_read_final(spark, root, txn_id)
+        if final:
+            return final
+    if claim_age_s is None:
+        raise IOError(
+            f"transaction {txn_id}: in-doubt claim with UNKNOWN age (marker "
+            f"stat failed) and no final record under {root!r} — refusing to "
+            "force-abort without positive evidence the claim is fresh; "
+            "retry the read, or resolve the transaction manually"
         )
     return _txn_decide(spark, root, txn_id, "abort")
 
@@ -2109,7 +2159,8 @@ def commit_transaction(
     txn_id = uuid.uuid4().hex
     txn = {"id": txn_id, "root": txn_root.rstrip("/")}
     hdr_meta = dict(meta or {})
-    versions: dict[str, int] = {}
+    versions: dict[str, int] = {}  # slots CLAIMED by this txn (sealable)
+    unclaimed: dict[str, int] = {}  # no-match no-ops: reported, never sealed
     try:
         # PREPARE: all data writes and stats scans happen BEFORE the
         # first slot claim, so the in-doubt window (claims → final) is
@@ -2167,7 +2218,12 @@ def commit_transaction(
             if st:
                 del_staged.append((table, st))
             else:
-                versions[table] = v  # no-match no-op: nothing to claim
+                # no-match no-op: nothing to claim — reported at the
+                # current version but NEVER sealed (review finding: that
+                # version belongs to whatever commit made it; writing
+                # this txn's seal there would permanently occupy the
+                # one-shot seal slot of the real owner)
+                unclaimed[table] = v
         # CLAIM: rapid marker renames, in sorted-table order over both
         # shapes (appends and staged deletes contend deterministically)
         claims = [
@@ -2226,7 +2282,7 @@ def commit_transaction(
     # stays authoritative until a seal lands)
     for table, v in versions.items():
         _txn_write_seal(spark, table, v, txn_id, "commit")
-    return versions
+    return {**versions, **unclaimed}
 
 
 def vacuum_txn_records(

@@ -2099,7 +2099,10 @@ def rtbf_forget_base_and_index_txn(spark: SparkSession, sf_dir: str) -> DataFram
         troot,
         deletes=[(corpus, cond, bounds, 0.5), (index, cond, bounds, 0.5)],
     )
-    assert versions == {corpus: 2, index: 2}
+    if versions != {corpus: 2, index: 2}:  # not assert: must survive -O
+        raise RuntimeError(
+            f"rtbf txn landed on unexpected versions {versions}"
+        )
     paired = (
         version_header(spark, corpus, 2)["txn"]["id"]
         == version_header(spark, index, 2)["txn"]["id"]

@@ -1073,7 +1073,6 @@ def _cell_expr_sql(cents: list[list[float]]) -> str:
     exact d2 expansions (dot(e,e) − 2·dot(e,c) + dot(c,c)), cid
     tie-break; dot(c,c) is a precomputed driver literal (same IEEE
     math)."""
-    dee = _dot_lit_sql("embedding", [])  # placeholder, replaced below
     # dot(e, e) has no literal side — inline the self-zip form once
     dee = (
         f"(CAST(aggregate(zip_with(embedding, embedding, (x, y) -> "

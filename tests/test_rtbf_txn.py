@@ -194,6 +194,55 @@ def test_noop_delete_claims_nothing(spark, tables):
     assert read_version(spark, index).count() == 98
 
 
+def test_noop_delete_never_seals_foreign_version(spark, tables, monkeypatch):
+    """Review finding (r12): a no-match delete reports the table at its
+    CURRENT version — which some other transaction may own. Sealing it
+    would permanently occupy that version's one-shot seal slot with the
+    wrong txn id. The no-op table must get NO seal from this txn; the
+    real owner's verdict must still seal on first resolution."""
+    import glob
+
+    base, index, troot = tables
+    # txn B commits v2 on base+index but its seal writes are lost
+    real_seal = V._txn_write_seal
+    monkeypatch.setattr(V, "_txn_write_seal", lambda *a, **k: None)
+    commit_transaction(
+        spark,
+        [(base, spark.range(500, 502).select(
+            F.col("id").alias("vec_id"), (F.col("id") % 8).alias("cell")
+        ).coalesce(1)),
+         (index, spark.range(500, 502).select(
+            F.col("id").alias("vec_id"), (F.col("id") % 8).alias("cell")
+         ).coalesce(1))],
+        troot,
+    )
+    monkeypatch.setattr(V, "_txn_write_seal", real_seal)
+    assert not glob.glob(f"{base}/_commits/*.txnseal")
+    # txn A: delete matching NOTHING on base, real delete on index
+    got = commit_transaction(
+        spark, [], troot,
+        deletes=[(base, "vec_id = 99999", None, 0.5),
+                 (index, FORGET, None, 0.5)],
+    )
+    assert got[base] == 2  # reported at current (B's version), unclaimed
+    # A must not have sealed base v2 (B's slot); B still seals on read
+    seals = glob.glob(f"{base}/_commits/00000002.txnseal")
+    if seals:
+        import json
+
+        doc = json.load(open(seals[0]))
+        b_txn = version_header(spark, base, 2)["txn"]["id"]
+        assert doc["txn"] == b_txn, "foreign txn squatted the seal slot"
+    V._TXN_SEAL_CACHE.clear()
+    V._TXN_FINAL_CACHE.clear()
+    assert read_version(spark, base).count() == 102  # resolves + seals B
+    import json
+
+    doc = json.load(open(f"{base}/_commits/00000002.txnseal"))
+    assert doc["txn"] == version_header(spark, base, 2)["txn"]["id"]
+    assert doc["state"] == "commit"
+
+
 def test_vacuum_reclaims_aborted_txn_delete_staging(
     spark, tables, monkeypatch
 ):
