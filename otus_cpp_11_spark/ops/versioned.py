@@ -2095,6 +2095,7 @@ def commit_transaction(
     txn_root: str,
     meta: dict | None = None,
     deletes: list | None = None,
+    upserts: list | None = None,
 ) -> dict[str, int]:
     """ONE atomic commit across MULTIPLE tables (both-or-neither):
     ``appends`` is a list of ``(table, df)`` or ``(table, df,
@@ -2119,6 +2120,14 @@ def commit_transaction(
     delete claims nothing for its table (reported at its current
     version). Change feeds and the DV pressure valve are out of txn
     scope (run ``commit_apply_dvs`` separately).
+
+    ``upserts`` (r12, the CDC-apply shape: update a row in the base
+    table and re-encode its vector in the served index atomically) is a
+    list of ``(table, df, keys)`` / ``(table, df, keys, delete_col)``
+    tuples, each a keyed MERGE staged in PREPARE (``commit_upsert``
+    ``stage_to`` mode) and claimed with everything else — the same slot
+    claim = OCC validation argument as the deletes. ``merge_fn`` /
+    ``change_feed`` stay out of txn scope.
 
     Appends never conflict logically, so claiming the version slot is
     the whole correctness story — the same insight the single-table OCC
@@ -2156,6 +2165,17 @@ def commit_transaction(
         seen.add(table)
         del_norm.append((table, cond, bounds, dvf))
     del_norm.sort(key=lambda t: t[0])
+    ups_norm = []
+    for item in upserts or []:
+        table, udf, ukeys = item[0].rstrip("/"), item[1], item[2]
+        delete_col = item[3] if len(item) > 3 else None
+        if table in seen:
+            raise ValueError(
+                f"commit_transaction: table {table!r} appears twice"
+            )
+        seen.add(table)
+        ups_norm.append((table, udf, ukeys, delete_col))
+    ups_norm.sort(key=lambda t: t[0])
     txn_id = uuid.uuid4().hex
     txn = {"id": txn_id, "root": txn_root.rstrip("/")}
     hdr_meta = dict(meta or {})
@@ -2224,8 +2244,18 @@ def commit_transaction(
                 # this txn's seal there would permanently occupy the
                 # one-shot seal slot of the real owner)
                 unclaimed[table] = v
-        # CLAIM: rapid marker renames, in sorted-table order over both
-        # shapes (appends and staged deletes contend deterministically)
+        # PREPARE (upserts): same staging contract as the deletes
+        ups_staged = []
+        for table, udf, ukeys, delete_col in ups_norm:
+            st_u: dict = {}
+            commit_upsert(
+                spark, udf, table, ukeys, delete_col=delete_col,
+                meta=hdr_meta, stage_to=st_u,
+            )
+            ups_staged.append((table, st_u))
+        # CLAIM: rapid marker renames, in sorted-table order over all
+        # shapes (appends, staged deletes and staged upserts contend
+        # deterministically)
         claims = [
             (
                 table,
@@ -2248,7 +2278,7 @@ def commit_transaction(
                 ),
                 st["version"],
             )
-            for table, st in del_staged
+            for table, st in del_staged + ups_staged
         ]
         claims.sort(key=lambda c: c[0])
         for table, claim, v in claims:
@@ -3147,6 +3177,7 @@ def commit_upsert(
     stats_cols: list[str] | None = None,
     max_retries: int = 0,
     change_feed: bool = False,
+    stage_to: dict | None = None,
 ) -> int:
     """Keyed MERGE commit with file-level pruning — the Delta ``MERGE
     INTO`` shape: rows of ``df`` replace the stored rows with matching
@@ -3224,6 +3255,13 @@ def commit_upsert(
             )
         files = _write_data_dir(spark, inserts, table, 1)
         stats = _collect_file_stats(spark, table, files, scols)
+        if stage_to is not None:  # txn staging: see _rewrite_matching_files
+            stage_to.update(
+                op="upsert", schema=inserts.schema, files=files,
+                meta=dict(meta or {}), stats=stats, rows=None, dvs=None,
+                version=1,
+            )
+            return 1
         return _commit_retrying(
             spark,
             table,
@@ -3383,6 +3421,23 @@ def commit_upsert(
             spark, changes, table, cur + 1, keep_empty=False, prefix="cdf",
             cmap=cmap,
         )
+    if stage_to is not None:
+        # txn staging (r12): everything written, nothing committed —
+        # commit_transaction claims the slot; the claim's create-once
+        # rename is the same OCC guarantee a lone merge has at
+        # max_retries=0 (an interleaved commit takes the slot first and
+        # aborts the whole transaction)
+        stage_to.update(
+            op="upsert",
+            schema=schema,
+            files=untouched + new_files,
+            meta=hdr_meta,
+            stats=stats,
+            rows=manifest_rows(header),
+            dvs={f: d for f, d in prev_dvs.items() if f not in touched},
+            version=cur + 1,
+        )
+        return cur + 1
     return _commit_retrying(
         spark,
         table,

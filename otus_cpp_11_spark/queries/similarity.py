@@ -4136,6 +4136,117 @@ def ann_lifecycle_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UPD_VEC_IDS = (11, 222)  # present at every SF
+_UPD_IDS_SQL = ", ".join(str(i) for i in UPD_VEC_IDS)
+_IVF_N = IVF_TRAIN_ITERS
+
+
+@register(
+    "ann_index_cdc_upsert_txn",
+    oracle=f"""
+WITH isrc AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+ {_PQ_PRE_WHERE}),
+{_ivf_trained_ctes(src="isrc")},
+rsrcpre AS MATERIALIZED
+ ({_residual_src_sql('isrc', f'ia{_IVF_N}', 'itrained')}),
+{_pq_trained_ctes(src="rsrcpre", prefix="r")},
+emod AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN vec_id IN ({_UPD_IDS_SQL})
+              THEN [CAST(-x AS FLOAT) FOR x IN embedding]
+              ELSE embedding END AS embedding
+  FROM embeddings),
+{_ivf_assign_ctes("emod", "itrained")},
+rall AS MATERIALIZED ({_residual_src_sql('emod', 'ga', 'itrained')}),
+rpdfull AS MATERIALIZED ({_pq_dist_vs_cb_sql('rall', 'rtrained')}),
+rpafull AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+    FROM rpdfull) z WHERE rk = 1),
+rcodes AS MATERIALIZED (SELECT vec_id, {_PQ_CODE_COLS} FROM rpafull
+ GROUP BY vec_id)
+SELECT c.vec_id, g.cid AS cell, c.code_0, c.code_1, c.code_2, c.code_3,
+       c.vec_id IN ({_UPD_IDS_SQL}) AS updated
+FROM rcodes c JOIN ga g ON g.vec_id = c.vec_id
+ORDER BY c.vec_id
+""",
+)
+def ann_index_cdc_upsert_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-APPLY across base table + served index, atomically (the
+    transactional-MERGE shape ``commit_transaction(upserts=...)``
+    exists for): a change batch flips the sign of two vectors'
+    embeddings; ONE transaction upserts the raw rows into the corpus
+    table AND their re-encoded (cell, codes) rows into the IVF-PQ index
+    — both-or-neither, so no observable state serves a stale vector
+    under a fresh base row or vice versa. Re-encoding uses the PINNED
+    bulk-build artifacts (an update can change a vector's coarse cell;
+    the upsert moves its index row between cells by key). The oracle
+    recomputes both trainings on the ORIGINAL pre-ingest corpus, then
+    assigns and encodes the MODIFIED corpus from scratch — the emitted
+    rows are the ENTIRE post-CDC index, so a missed re-encode, a stale
+    cell, or a torn transaction all hash-mismatch. Sign-flip is exact
+    in float, so both engines compute identical updated vectors."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_transaction,
+        commit_version,
+        read_version,
+        version_header,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents, _, _, _ = _ivf_trained(spark, sf_dir, pre_ingest=True)
+    slices, _, _, _ = _pq_trained_res(spark, sf_dir, pre_ingest=True)
+    root = scratch_dir("sg-anncdc-")
+    corpus, index, troot = f"{root}/corpus", f"{root}/index", f"{root}/txns"
+    commit_version(
+        spark,
+        e.repartitionByRange(4, "vec_id"),
+        corpus,
+        stats_cols=["vec_id"],
+    )
+    commit_version(
+        spark,
+        encode_ivfpq(e, cents, slices),
+        index,
+        stats_cols=["cell", "vec_id"],
+    )
+    upd = e.where(F.col("vec_id").isin(*UPD_VEC_IDS)).select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    )
+    versions = commit_transaction(
+        spark,
+        [],
+        troot,
+        upserts=[
+            (corpus, upd, ["vec_id"]),
+            (index, encode_ivfpq(upd, cents, slices), ["vec_id"]),
+        ],
+    )
+    if versions != {corpus: 2, index: 2}:  # not assert: must survive -O
+        raise RuntimeError(f"cdc txn landed on unexpected {versions}")
+    if (
+        version_header(spark, corpus, 2)["txn"]["id"]
+        != version_header(spark, index, 2)["txn"]["id"]
+    ):
+        raise RuntimeError("upsert claims not paired under one txn")
+    return (
+        read_version(spark, index)
+        .select(
+            "vec_id",
+            "cell",
+            *[f"code_{s}" for s in range(PQ_SUBVECTORS)],
+            F.col("vec_id").isin(*UPD_VEC_IDS).alias("updated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "knn_ivfpq_recall_at_3",
     oracle=f"""

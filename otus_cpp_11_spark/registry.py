@@ -168,6 +168,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_versioned_ingest_streamed": "48dd8e3478c1",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
+    "hard_negative_mining": "f06cf1ecd76f",
     "incremental_decontamination": "27228e0f9847",
     "incremental_near_dup": "106378cb3ab8",
     "ips_policy_value": "2c1ea431a372",
@@ -306,8 +307,9 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # window is exactly 50. Members left DRIVER_VERIFIED per the workflow;
 # their still-valid old pins are restorable if a late addition displaces
 # one (the displacement rule — exercised again this round: the late
-# txn_consistent_read addition displaced ips_policy_value, whose r7
-# pin returned).
+# txn_consistent_read addition displaced ips_policy_value and the
+# ann_index_cdc_upsert_txn addition displaced hard_negative_mining,
+# whose r7 pins returned).
 REVERIFY: frozenset[str] = frozenset({
     "budgeted_mixture_selection",
     "copurchase_association_rules",
@@ -320,7 +322,6 @@ REVERIFY: frozenset[str] = frozenset({
     "event_type_transitions",
     "event_value_mad",
     "events_hourly_profile",
-    "hard_negative_mining",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",

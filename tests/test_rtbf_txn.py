@@ -194,6 +194,52 @@ def test_noop_delete_claims_nothing(spark, tables):
     assert read_version(spark, index).count() == 98
 
 
+def test_txn_upsert_both_or_neither(spark, tables, monkeypatch):
+    """Transactional MERGE (r12): one txn upserts both tables; a
+    coordinator dying between the two claims leaves BOTH unchanged."""
+    base, index, troot = tables
+    delta = spark.createDataFrame(
+        [(3, 99, False), (7, 0, True)], "vec_id long, cell long, dead boolean"
+    )
+    got = commit_transaction(
+        spark, [], troot,
+        upserts=[(base, delta, ["vec_id"], "dead"),
+                 (index, delta, ["vec_id"], "dead")],
+    )
+    assert got == {base: 2, index: 2}
+    for t in (base, index):
+        d = {r["vec_id"]: r["cell"] for r in read_version(spark, t).collect()}
+        assert d[3] == 99 and 7 not in d and len(d) == 99
+    assert (
+        version_header(spark, base, 2)["txn"]["id"]
+        == version_header(spark, index, 2)["txn"]["id"]
+    )
+    # crash between the two upsert claims: neither table changes
+    real = V._claim_commit
+    state = {"n": 0}
+
+    def dying(s_, t_, v_, c_):
+        state["n"] += 1
+        if state["n"] == 2:
+            raise RuntimeError("boom")
+        return real(s_, t_, v_, c_)
+
+    monkeypatch.setattr(V, "_claim_commit", dying)
+    delta2 = spark.createDataFrame(
+        [(4, 77, False)], "vec_id long, cell long, dead boolean"
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        commit_transaction(
+            spark, [], troot,
+            upserts=[(base, delta2, ["vec_id"], "dead"),
+                     (index, delta2, ["vec_id"], "dead")],
+        )
+    monkeypatch.setattr(V, "_claim_commit", real)
+    for t in (base, index):
+        d = {r["vec_id"]: r["cell"] for r in read_version(spark, t).collect()}
+        assert d[4] == 4 % 8 and d[3] == 99  # crash txn aborted; first kept
+
+
 def test_noop_delete_never_seals_foreign_version(spark, tables, monkeypatch):
     """Review finding (r12): a no-match delete reports the table at its
     CURRENT version — which some other transaction may own. Sealing it
