@@ -3939,21 +3939,22 @@ def _knn_ivfpq_ranked(
     qd = qprobe.join(cb).select(
         "query_id", "cell", "s", "code", dist.alias("dist")
     )
-    tabs = F.array(
-        *[
-            F.array(
-                *[
-                    F.max(
-                        F.when(
-                            (F.col("s") == s) & (F.col("code") == c),
-                            F.col("dist"),
-                        )
-                    ).cast("long")
-                    for c in range(PQ_CODEBOOK)
-                ]
+    # one JVM-parsed expression: the 64 conditional-max aggregates cost
+    # ~1 s of py4j Column construction per call as F.max/F.when trees
+    # (profiled) vs ~1 ms through the parser — same move as the encode
+    tabs = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                f"CAST(max(CASE WHEN s = {s} AND code = {c} "
+                f"THEN dist END) AS BIGINT)"
+                for c in range(PQ_CODEBOOK)
             )
+            + ")"
             for s in range(PQ_SUBVECTORS)
-        ]
+        )
+        + ")"
     )
     qdt = qd.groupBy("query_id", "cell").agg(tabs.alias("tabs"))
     # the ONE driver collect: the distinct probed-cell set (≤ K ints,
