@@ -800,6 +800,72 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BLAST_MAX_HOPS = 4
+BLAST_N_SEEDS = 3
+
+_BLAST_RECURSION_SQL = f"""
+uedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM near_pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM near_pairs
+),
+seeds AS (
+  SELECT DISTINCT s AS id FROM uedges ORDER BY id LIMIT {BLAST_N_SEEDS}
+),
+reach(seed_id, id, hop) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION ALL
+  SELECT DISTINCT r.seed_id, e.d, r.hop + 1
+  FROM reach r JOIN uedges e ON e.s = r.id
+  WHERE r.hop < {BLAST_MAX_HOPS}
+)
+SELECT seed_id, id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hops
+FROM reach
+GROUP BY seed_id, id
+ORDER BY seed_id, doc_id"""
+
+
+@register(
+    "dup_blast_radius",
+    oracle=f"""
+WITH RECURSIVE {_NEAR_PAIRS_CTES},{_BLAST_RECURSION_SQL}
+""",
+)
+def dup_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination blast radius by NATIVE recursive SQL: BFS hop
+    distance from seed documents through the verified near-dup graph,
+    bounded at {BLAST_MAX_HOPS} hops — the quarantine sweep a curation
+    pipeline runs when a document is found contaminated (benchmark
+    leakage, PII, licence): everything within a few near-dup hops is
+    suspect even when not directly similar to the seed (A~B~C chains,
+    the same transitivity ``doc_dedup_clusters`` exploits). Spark 4.1
+    executes the ``WITH RECURSIVE`` itself (UnionLoop), so the SAME SQL
+    text runs on both engines — this row is also a cross-engine check
+    on the recursion machinery that ``doc_dedup_clusters``'s oracle has
+    always used one-sidedly.
+
+    Recursion discipline (what makes UNION ALL recursion terminate and
+    scale): the working table carries (seed_id, node, hop); each level
+    is ONE frontier-sized join against the edge list plus a per-step
+    DISTINCT, so the level never exceeds seeds × nodes rows no matter
+    how many walks exist; the hop bound caps the number of rounds. At
+    100 TB the edge list is the (already bounded) LSH-verified pair
+    set, each round is an AQE-planned shuffle join sized by the
+    FRONTIER (the blast radius, not the corpus), and {BLAST_MAX_HOPS}
+    rounds is the whole cost — the full-closure alternative stays
+    ``ops.graph.connected_components`` (label propagation), which this
+    query's min-hop output refines with distance. Reference parity:
+    extension mandate (dedup/curation battery)."""
+    pairs = near_dup_pairs_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("sg_blast_near_pairs")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _BLAST_RECURSION_SQL.lstrip().replace(
+            "FROM near_pairs", "FROM sg_blast_near_pairs"
+        )
+    )
+
+
 @register(
     "near_dup_edit_distance",
     oracle=f"""

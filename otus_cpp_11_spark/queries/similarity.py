@@ -3860,11 +3860,18 @@ kranked AS (
 
 
 def _knn_ivfpq_ranked(
-    spark: SparkSession, sf_dir: str, index_path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, neighbor_label, adc_units, cosine, rnk ≤
     {KNN_TOPK}) for the whole query set through the served index — the
-    shared engine of ``knn_join_ivfpq_topk`` and the recall gate.
+    shared engine of ``knn_join_ivfpq_topk``, the filtered variant
+    (``allowed`` = one-column ``vec_id`` eligibility relation,
+    semi-joined against candidates BEFORE the ADC shortlist so every
+    shortlist slot goes to an eligible vector — the pre-filter side of
+    the trap ``ann_filtered_top5`` documents), and the recall gates.
 
     Plan shape, stage by stage (all one lazy plan):
     1. probe assignment: query set × K broadcast centroid rows, exact
@@ -3964,6 +3971,12 @@ def _knn_ivfpq_ranked(
         int(r["cell"]) for r in qprobe.select("cell").distinct().collect()
     )
     idx = _pq_index_cells(spark, sf_dir, probed, path=index_path)
+    if allowed is not None:
+        # pre-filter: eligibility semi-join on the 2-byte-code candidate
+        # rows BEFORE ADC ranking (AQE broadcasts a selective id set), so
+        # the shortlist is drawn from eligible vectors only — never
+        # "top-k then filter", which starves selective predicates
+        idx = idx.join(allowed.select("vec_id"), "vec_id", "left_semi")
     joined = idx.join(F.broadcast(qdt), "cell").where(
         F.col("vec_id") != F.col("query_id")
     )
@@ -4306,6 +4319,150 @@ def knn_ivfpq_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "nid")
     )
     ivf_top = _knn_ivfpq_ranked(spark, sf_dir).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    return (
+        exact_top.join(
+            ivf_top,
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("nid") == F.col("l_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("l_nid").alias("n_overlap"),
+            (F.count("l_nid").cast("double") / F.count(F.lit(1))).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+_KNN_ELIGIBLE_SQL = (
+    f" AND a.vec_id IN (SELECT doc_id FROM documents WHERE {ANN_FILTER_SQL})"
+)
+
+
+def _knn_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-eligibility relation of the filtered batch
+    retrieval: document ids passing the relational predicate, renamed to
+    the vector key (the corpus convention ``doc_id == vec_id``). Only
+    ``doc_id`` + the predicate columns are read at the parquet scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(ANN_FILTER_SQL).select(F.col("doc_id").alias("vec_id"))
+
+
+@register(
+    "knn_join_ivfpq_filtered",
+    oracle=f"""
+WITH {_ivfpq_index_ctes()},
+{_knn_ivfpq_ctes(_KNN_ELIGIBLE_SQL)}
+SELECT query_id, rnk, neighbor_id, neighbor_label, adc_units, cosine
+FROM kranked WHERE rnk <= {KNN_TOPK}
+ORDER BY query_id, rnk
+""",
+)
+def knn_join_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED batch retrieval through the served residual
+    IVF-PQ index — ``ann_filtered_top5``'s production shape graduated to
+    the index exactly as ``knn_join_lsh_top3`` graduated to
+    ``knn_join_ivfpq_topk``: every query of the set gets its top-k among
+    ONLY the vectors whose document passes the relational predicate
+    (source + length here; licence, tenant, date in practice). The
+    load-bearing order of operations is PRE-filtering at the candidate
+    stage: the eligible-id set semi-joins the index's 2-byte-code rows
+    BEFORE ADC ranking, so all {KNN_IVFPQ_SHORTLIST} shortlist slots and
+    the exact rerank go to eligible vectors — filtering AFTER the
+    shortlist would return < k (or zero) rows for any selective
+    predicate because ineligible near neighbors squat the shortlist
+    (the vector-DB "filtered search" trap, demonstrated concretely by
+    the pytest).
+
+    At 100 TB: predicate selectivity and cell pruning MULTIPLY — the
+    scan reads nprobe/K of the index files (manifest-header dismissal),
+    the semi-join drops ineligible candidates before any distance math
+    (AQE broadcasts the id set when the predicate is selective), and
+    full vectors are touched only for the eligible shortlist. The
+    oracle recomputes trainings, encode, probe assignment, eligibility,
+    ADC, shortlist and rerank end to end."""
+    return (
+        _knn_ivfpq_ranked(spark, sf_dir, allowed=_knn_allowed(spark, sf_dir))
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            "neighbor_label",
+            "adc_units",
+            "cosine",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "knn_ivfpq_filtered_recall",
+    oracle=f"""
+WITH {_ivfpq_index_ctes()},
+{_knn_ivfpq_ctes(_KNN_ELIGIBLE_SQL)},
+kexact_f AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             {_dot_sql("e.embedding", "q.qv")} /
+             (SQRT({_dot_sql("e.embedding", "e.embedding")}) * SQRT({_dot_sql("q.qv", "q.qv")})) DESC,
+             e.vec_id) AS rnk
+    FROM embeddings e
+    JOIN (SELECT doc_id FROM documents WHERE {ANN_FILTER_SQL}) al
+      ON al.doc_id = e.vec_id, kq q
+    WHERE e.vec_id <> q.query_id) z
+  WHERE rnk <= {KNN_TOPK})
+SELECT x.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM kexact_f x
+LEFT JOIN (SELECT query_id, neighbor_id FROM kranked
+           WHERE rnk <= {KNN_TOPK}) l
+  ON l.query_id = x.query_id AND l.neighbor_id = x.vec_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+""",
+)
+def knn_ivfpq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{KNN_TOPK} of the FILTERED batch retrieval against the
+    exact filtered brute force — the quality gate that rides with
+    ``knn_join_ivfpq_filtered``. Filtered recall is the metric that
+    exposes under-probing: a selective predicate thins each probed
+    cell's eligible population, so recall here regression-gates whether
+    nprobe/shortlist sizing still holds once eligibility multiplies in
+    (vector DBs over-probe or over-fetch for exactly this reason; at
+    100 TB this runs over a sampled probe set alongside
+    ``knn_ivfpq_recall_at_3`` and the DIFFERENCE between the two curves
+    is the predicate's recall cost). Ground truth pre-filters the same
+    predicate then ranks exactly — both sides are eligible-only, so the
+    metric isolates index approximation, not filter disagreement."""
+    e = load_table(spark, sf_dir, "embeddings")
+    allowed = _knn_allowed(spark, sf_dir)
+    q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = e.join(allowed, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nid")
+    exact_top = (
+        q.crossJoin(cand)
+        .where(F.col("nid") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nid",
+            cosine_sim(F.col("cv"), F.col("qv")).alias("cosine"),
+        )
+        .select("query_id", "nid", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= KNN_TOPK)
+        .select("query_id", "nid")
+    )
+    ivf_top = _knn_ivfpq_ranked(spark, sf_dir, allowed=allowed).select(
         F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
     )
     return (

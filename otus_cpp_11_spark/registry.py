@@ -151,8 +151,11 @@ DRIVER_VERIFIED: dict[str, str] = {
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
     "embedding_quantization": "f5bb24cd0b57",
+    "event_type_transitions": "5d5953723362",
+    "event_value_mad": "a8aa5b034a6c",
     "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
+    "events_hourly_profile": "08fe54a7b8b8",
     "events_json_props": "fd96cba6cc74",
     "events_minute_rollup_streamed": "e74fbcc0b0a8",
     "events_multires_rollup": "9500a9fc4621",
@@ -309,7 +312,11 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # one (the displacement rule — exercised again this round: the late
 # txn_consistent_read addition displaced ips_policy_value and the
 # ann_index_cdc_upsert_txn addition displaced hard_negative_mining,
-# whose r7 pins returned).
+# whose r7 pins returned; the filtered-IVFPQ pair
+# (knn_join_ivfpq_filtered + knn_ivfpq_filtered_recall) and
+# dup_blast_radius then displaced event_type_transitions,
+# event_value_mad and events_hourly_profile — youngest vintage (r7)
+# first, hash-verified unchanged before their pins returned).
 REVERIFY: frozenset[str] = frozenset({
     "budgeted_mixture_selection",
     "copurchase_association_rules",
@@ -319,9 +326,6 @@ REVERIFY: frozenset[str] = frozenset({
     "embedding_power_iteration",
     "embedding_random_projection",
     "eval_bootstrap_ci",
-    "event_type_transitions",
-    "event_value_mad",
-    "events_hourly_profile",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",
