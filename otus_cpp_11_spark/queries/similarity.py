@@ -4483,6 +4483,167 @@ def knn_ivfpq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQ8_UNIT_SCALE = 10**6  # fixed-point digits for per-element units
+SQ8_K = 5  # recall@5
+
+_SQ8_UX = f"""ux AS MATERIALIZED (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {SQ8_UNIT_SCALE}.0) AS BIGINT)
+          FOR i IN RANGE(1, {_PQ_FULL + 1})] AS xu
+  FROM embeddings),
+sq8dimx AS (
+  SELECT u.i AS dim, u.v
+  FROM (SELECT UNNEST([{{'i': i, 'v': xu[i]}}
+                       FOR i IN RANGE(1, {_PQ_FULL + 1})]) AS u
+        FROM ux) z),
+sq8mm AS (
+  SELECT LIST(mnu ORDER BY dim) AS mns, LIST(rngu ORDER BY dim) AS rngs
+  FROM (SELECT dim, MIN(v) AS mnu,
+               GREATEST(MAX(v) - MIN(v), 1) AS rngu
+        FROM sq8dimx GROUP BY dim) g),
+sq8codes AS MATERIALIZED (
+  SELECT u.vec_id,
+         [LEAST(255, GREATEST(0, ((u.xu[i] - m.mns[i]) * 255) // m.rngs[i]))
+          FOR i IN RANGE(1, {_PQ_FULL + 1})] AS qa,
+         u.xu
+  FROM ux u, sq8mm m),
+sq8qs AS (SELECT vec_id AS query_id, qa AS qqa, xu AS qxu
+          FROM sq8codes WHERE vec_id % {KNN_QUERY_MOD} = 0)"""
+
+
+@register(
+    "sq8_retrieval_recall",
+    oracle=f"""
+WITH {_SQ8_UX},
+sq8rank AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             LIST_SUM([(c.qa[i] - q.qqa[i]) * (c.qa[i] - q.qqa[i])
+                       FOR i IN RANGE(1, {_PQ_FULL + 1})]),
+             c.vec_id) AS rnk
+    FROM sq8codes c, sq8qs q WHERE c.vec_id <> q.query_id) z
+  WHERE rnk <= {SQ8_K}),
+sq8exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             LIST_SUM([(c.xu[i] - q.qxu[i]) * (c.xu[i] - q.qxu[i])
+                       FOR i IN RANGE(1, {_PQ_FULL + 1})]),
+             c.vec_id) AS rnk
+    FROM sq8codes c, sq8qs q WHERE c.vec_id <> q.query_id) z
+  WHERE rnk <= {SQ8_K})
+SELECT x.query_id,
+       CAST(COUNT(l.vec_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(l.vec_id) AS DOUBLE) / COUNT(*) AS recall
+FROM sq8exact x
+LEFT JOIN sq8rank l
+  ON l.query_id = x.query_id AND l.vec_id = x.vec_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+""",
+)
+def sq8_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval recall@{SQ8_K} under trained 8-bit SCALAR quantization
+    (FAISS ``IndexScalarQuantizer`` QT_8bit semantics): per-DIMENSION
+    min/max trained over the corpus, every vector quantized to
+    {_PQ_FULL} one-byte codes, candidates ranked by symmetric
+    quantized L2, scored against the exact fixed-point L2 top-{SQ8_K}.
+    This row completes the quantization menagerie's decision telemetry:
+    ``embedding_quantization`` measures SQ8's RECONSTRUCTION error,
+    this measures what retrieval actually pays — and its recall at
+    {_PQ_FULL} bytes/vector vs the residual IVF-PQ gates at 2
+    bytes/vector is the compression/recall tradeoff a deployment reads
+    before choosing an index (SQ8: no codebook training, no probe
+    misses, 32× bigger codes; IVF-PQ: 2 bytes + cell pruning, recall
+    bounded by nprobe).
+
+    Everything is exact integers end to end — fixed-point units
+    (floor(x·1e6)), integer-division quantization with a clamped
+    [0,255] range, integer squared distances — so both engines rank
+    identically with the vec_id tiebreak; the per-dim min/max training
+    is recomputed from scratch by the oracle. Plan: training is one
+    posexplode + 64-group aggregate (single corpus pass); the trained
+    bounds ride back as ONE array literal (64 ints — the bounded
+    driver collect the centroid pattern established); quantization is
+    a narrow map; the rank stage is the same broadcast
+    query-set × corpus shape every recall gate here uses (at 100 TB the
+    gate runs over a sampled probe set; the INDEX answering production
+    queries is the IVF-PQ path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ux = e.selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * "
+        f"{SQ8_UNIT_SCALE}.0) AS BIGINT)) AS xu",
+    )
+    dims = ux.select(F.posexplode("xu").alias("dim", "v"))
+    mm = (
+        dims.groupBy("dim")
+        .agg(F.min("v").alias("mnu"), F.greatest(
+            F.max("v") - F.min("v"), F.lit(1).cast("bigint")
+        ).alias("rngu"))
+        .orderBy("dim")
+        .collect()
+    )  # bounded: exactly {_PQ_FULL} rows (the centroid-literal pattern)
+    mns = "array(" + ",".join(str(r["mnu"]) + "L" for r in mm) + ")"
+    rngs = "array(" + ",".join(str(r["rngu"]) + "L" for r in mm) + ")"
+    codes = ux.selectExpr(
+        "vec_id",
+        f"transform(xu, (x, i) -> CAST(LEAST(255, GREATEST(0, "
+        f"((x - element_at({mns}, i + 1)) * 255) DIV "
+        f"element_at({rngs}, i + 1))) AS BIGINT)) AS qa",
+        "xu",
+    )
+    qs = codes.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qa").alias("qqa"),
+        F.col("xu").alias("qxu"),
+    )
+
+    def _isum(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+
+    paired = codes.join(F.broadcast(qs)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w8 = Window.partitionBy("query_id").orderBy("d8", "vec_id")
+    sq8_top = (
+        paired.select("query_id", "vec_id", _isum("qa", "qqa").alias("d8"))
+        .select("query_id", "vec_id", F.row_number().over(w8).alias("rnk"))
+        .where(F.col("rnk") <= SQ8_K)
+        .select("query_id", "vec_id")
+    )
+    wx = Window.partitionBy("query_id").orderBy("dx", "vec_id")
+    exact_top = (
+        paired.select("query_id", "vec_id", _isum("xu", "qxu").alias("dx"))
+        .select("query_id", "vec_id", F.row_number().over(wx).alias("rnk"))
+        .where(F.col("rnk") <= SQ8_K)
+        .select(
+            F.col("query_id").alias("x_qid"), F.col("vec_id").alias("x_vid")
+        )
+    )
+    return (
+        exact_top.join(
+            sq8_top,
+            (F.col("x_qid") == F.col("query_id"))
+            & (F.col("x_vid") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy(F.col("x_qid").alias("query_id"))
+        .agg(
+            F.count("vec_id").alias("n_overlap"),
+            (F.count("vec_id").cast("double") / F.count(F.lit(1))).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "pq_train_distortion_curve",
     oracle=f"""

