@@ -34,11 +34,14 @@ from pyspark.sql import functions as F
 
 from otus_cpp_11_spark.catalog import load_table
 from otus_cpp_11_spark.queries.dedup import (
+    BLAST_MAX_HOPS,
     SHINGLE_WORDS,
+    _NEAR_PAIRS_CTES,
     _NORM_SQL,
     _normalized,
     _word_shingles,
     _word_shingles_raw,
+    near_dup_pairs_minhash,
 )
 from otus_cpp_11_spark.registry import register
 
@@ -134,6 +137,77 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_shared_ngrams") >= DECON_MIN_SHARED)
         .orderBy("doc_id")
+    )
+
+
+_QUARANTINE_RECURSION_SQL = f"""
+uedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM near_pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM near_pairs
+),
+qreach(id, hop) AS (
+  SELECT doc_id, 0 FROM flagged
+  UNION ALL
+  SELECT DISTINCT e.d, r.hop + 1
+  FROM qreach r JOIN uedges e ON e.s = r.id
+  WHERE r.hop < {BLAST_MAX_HOPS}
+)
+SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hops
+FROM qreach
+GROUP BY id
+ORDER BY doc_id"""
+
+
+@register(
+    "quarantine_blast_sweep",
+    oracle=f"""
+WITH RECURSIVE {_NEAR_PAIRS_CTES},
+dshingles AS ({_shingles_sql(DECON_NGRAM)}),
+deval AS (
+  SELECT doc_id AS eval_doc_id, shingle FROM dshingles
+  WHERE doc_id % {EVAL_MOD} = 0
+),
+flagged AS (
+  SELECT c.doc_id
+  FROM dshingles c JOIN deval e USING (shingle)
+  WHERE c.doc_id % {EVAL_MOD} <> 0
+  GROUP BY c.doc_id
+  HAVING COUNT(DISTINCT shingle) >= {DECON_MIN_SHARED}
+),{_QUARANTINE_RECURSION_SQL}
+""",
+)
+def quarantine_blast_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production quarantine sweep, composed end to end: seeds are
+    the decontamination hits (corpus docs sharing >= {DECON_MIN_SHARED}
+    word-{DECON_NGRAM}-grams with the held-out benchmark slice —
+    ``benchmark_decontamination`` verbatim), and the sweep expands them
+    through the LSH-verified near-dup graph to everything within
+    {BLAST_MAX_HOPS} hops, because a contaminated document's near
+    duplicates (and THEIR near duplicates) carry the same leaked
+    content even when their own n-gram overlap with the benchmark
+    falls under the flagging threshold — the well-known decontam gap
+    that paraphrased or truncated copies slip through. Output is
+    (doc_id, min hop): hop 0 = directly flagged, hop k = quarantined by
+    graph proximity; a training run drops them all.
+
+    Same execution discipline as ``dup_blast_radius`` (Spark runs the
+    WITH RECURSIVE natively; per-step DISTINCT + hop bound make
+    UNION ALL recursion terminate with frontier-sized levels), but the
+    seed relation is now a real upstream operator instead of a
+    convention — the recursion composes with any flagging query. At
+    100 TB: decontam's broadcast eval index and the LSH pair
+    verification are the corpus-sized costs (both already benched);
+    the sweep itself touches only the contamination neighborhood."""
+    flagged = benchmark_decontamination(spark, sf_dir).select("doc_id")
+    pairs = near_dup_pairs_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    flagged.createOrReplaceTempView("sg_quarantine_seeds")
+    pairs.createOrReplaceTempView("sg_quarantine_pairs")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _QUARANTINE_RECURSION_SQL.lstrip()
+        .replace("FROM near_pairs", "FROM sg_quarantine_pairs")
+        .replace("FROM flagged", "FROM sg_quarantine_seeds")
     )
 
 

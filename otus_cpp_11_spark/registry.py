@@ -151,6 +151,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
     "embedding_quantization": "f5bb24cd0b57",
+    "embedding_random_projection": "149313e23aa4",
     "eval_bootstrap_ci": "8c11b34fbbf5",
     "event_type_transitions": "5d5953723362",
     "event_value_mad": "a8aa5b034a6c",
@@ -316,8 +317,9 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # whose r7 pins returned; the filtered-IVFPQ pair
 # (knn_join_ivfpq_filtered + knn_ivfpq_filtered_recall) and
 # dup_blast_radius then displaced event_type_transitions,
-# event_value_mad and events_hourly_profile, and sq8_retrieval_recall
-# displaced eval_bootstrap_ci — youngest vintage (r7) first,
+# event_value_mad and events_hourly_profile, sq8_retrieval_recall
+# displaced eval_bootstrap_ci, and quarantine_blast_sweep displaced
+# embedding_random_projection — youngest vintage (r7) first,
 # hash-verified unchanged before their pins returned).
 REVERIFY: frozenset[str] = frozenset({
     "budgeted_mixture_selection",
@@ -326,7 +328,6 @@ REVERIFY: frozenset[str] = frozenset({
     "doc_bpe_token_ids",
     "doc_priority_sample",
     "embedding_power_iteration",
-    "embedding_random_projection",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",

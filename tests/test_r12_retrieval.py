@@ -163,3 +163,48 @@ def test_sq8_codes_in_range_and_recall_well_formed(spark):
     for r in rows:
         assert 0 <= r["n_overlap"] <= SQ8_K
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_quarantine_sweep_composes_decontam_and_bfs(spark):
+    """quarantine_blast_sweep == BFS from the decontamination hits:
+    hop-0 rows are exactly the flagged set, and every row's hop equals
+    the driver-side multi-source BFS distance through the near-dup
+    graph (isolated flagged docs quarantine themselves at hop 0)."""
+    from otus_cpp_11_spark.queries.curation import (
+        benchmark_decontamination,
+        quarantine_blast_sweep,
+    )
+
+    flagged = {
+        r["doc_id"]
+        for r in benchmark_decontamination(spark, SF_DIR)
+        .select("doc_id")
+        .collect()
+    }
+    assert flagged, "fixture has no decontamination hits"
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs_minhash(spark, SF_DIR)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    dist = {s: 0 for s in flagged}
+    frontier = deque(flagged)
+    while frontier:
+        u = frontier.popleft()
+        if dist[u] >= BLAST_MAX_HOPS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                frontier.append(v)
+    got = {
+        r["doc_id"]: r["hops"]
+        for r in quarantine_blast_sweep(spark, SF_DIR).collect()
+    }
+    assert got == dist
+    assert {d for d, h in got.items() if h == 0} == flagged
