@@ -4355,6 +4355,7 @@ def _knn_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_join_ivfpq_filtered",
+    bench=True,
     oracle=f"""
 WITH {_ivfpq_index_ctes()},
 {_knn_ivfpq_ctes(_KNN_ELIGIBLE_SQL)}

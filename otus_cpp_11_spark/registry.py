@@ -150,6 +150,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "embedding_gram_upper": "f0e2d768f439",
     "embedding_near_dup_pairs": "fe5ace666bf3",
     "embedding_norms_by_label": "b079260add86",
+    "embedding_power_iteration": "ace381c5764a",
     "embedding_quantization": "f5bb24cd0b57",
     "embedding_random_projection": "149313e23aa4",
     "eval_bootstrap_ci": "8c11b34fbbf5",
@@ -182,7 +183,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ivf_pq_top5": "64e8668b12ca",
     "ivf_train_distortion_curve": "aedd0e018199",
     "ivf_trained_recall": "9c68f8f35575",
-    "jaccard_prefix_filter_pairs": "d51e3f2c7999",
     "kmeans_assign_update": "1957709e4ad9",
     "knn_join_lsh_top3": "635fe257dd5a",
     "knn_recall_at_3": "c88e0a7440fb",
@@ -318,8 +318,11 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # (knn_join_ivfpq_filtered + knn_ivfpq_filtered_recall) and
 # dup_blast_radius then displaced event_type_transitions,
 # event_value_mad and events_hourly_profile, sq8_retrieval_recall
-# displaced eval_bootstrap_ci, and quarantine_blast_sweep displaced
-# embedding_random_projection — youngest vintage (r7) first,
+# displaced eval_bootstrap_ci, quarantine_blast_sweep displaced
+# embedding_random_projection, and the jaccard_prefix_filter_pairs
+# plan rework (pin dropped per the changed-code rule; output proven
+# byte-identical by A/B, but the driver re-certifies) displaced
+# embedding_power_iteration — youngest vintage (r7) first,
 # hash-verified unchanged before their pins returned).
 REVERIFY: frozenset[str] = frozenset({
     "budgeted_mixture_selection",
@@ -327,7 +330,6 @@ REVERIFY: frozenset[str] = frozenset({
     "doc_bpe_roundtrip",
     "doc_bpe_token_ids",
     "doc_priority_sample",
-    "embedding_power_iteration",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",
