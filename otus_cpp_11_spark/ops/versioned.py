@@ -758,26 +758,40 @@ def drop_constraint(
 
 def version_at_timestamp(spark: SparkSession, table: str, ts) -> int:
     """Latest version committed at or before ``ts`` — Delta's
-    ``TIMESTAMP AS OF`` resolution: the commit marker's modification
-    time IS the commit instant (data + manifest publish in its one
-    atomic rename). ``ts`` is epoch seconds (int/float) or a
-    ``datetime``. Raises if the earliest commit is newer."""
+    ``TIMESTAMP AS OF`` resolution, IN-COMMIT-TIMESTAMP first (r12,
+    Delta's inCommitTimestamps): a marker's own ``commit_ts`` header
+    field is the commit instant, written monotone by ``_commit``'s
+    parent clamp, so time travel survives file copies / backups /
+    restores that perturb mtimes. Markers from before the feature fall
+    back to their modification time (the old rule: the marker's atomic
+    rename IS the commit instant). Resolution walks versions NEWEST
+    first and returns the first one at-or-before the target — with
+    monotone timestamps that is exactly the latest qualifying version,
+    and the walk reads only the markers NEWER than the target (one
+    header line each; ts=now reads one). ``ts`` is epoch seconds
+    (int/float) or a ``datetime``. Raises if the earliest commit is
+    newer."""
     epoch = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
     fs, _ = _hadoop_fs(spark, table)
     cdir = _jp(spark, table, _COMMITS)
-    best = None
+    mtimes: dict[int, float] = {}
     if fs.exists(cdir):
         for st in fs.listStatus(cdir):
             m = _MARKER.match(st.getPath().getName())
-            if m and st.getModificationTime() / 1000.0 <= epoch:
-                v = int(m.group(1))
-                best = v if best is None or v > best else best
-    if best is None:
-        raise FileNotFoundError(
-            f"versioned table {table!r} has no commit at or before "
-            f"timestamp {ts!r} (earliest commit is newer, or no commits)"
-        )
-    return best
+            if m:
+                mtimes[int(m.group(1))] = st.getModificationTime() / 1000.0
+    for v in sorted(mtimes, reverse=True):
+        try:
+            cts = parse_commit(spark, table, v)[0].get("commit_ts")
+        except FileNotFoundError:
+            cts = None
+        eff = float(cts) if cts is not None else mtimes[v]
+        if eff <= epoch:
+            return v
+    raise FileNotFoundError(
+        f"versioned table {table!r} has no commit at or before "
+        f"timestamp {ts!r} (earliest commit is newer, or no commits)"
+    )
 
 
 def clone_version(
@@ -1380,7 +1394,8 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
     are open-ended). Driver-side work is ONE incremental marker replay
     across the whole retained history (``_iter_states``), not a
     from-scratch snapshot reconstruction per version."""
-    known = {"op", "parent", "schema", "stats", "rows", "dv", "fmt"}
+    known = {"op", "parent", "schema", "stats", "rows", "dv", "fmt",
+             "commit_ts"}
     metrics_keys = (
         "upsert_io",
         "optimize_io",
@@ -1406,6 +1421,9 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
                 v,
                 header["op"],
                 header.get("parent"),
+                float(header["commit_ts"])
+                if header.get("commit_ts") is not None
+                else None,  # pre-feature markers: instant = marker mtime
                 len(files),
                 sum(rows[f] - mf.dv_deleted_count(dvs.get(f)) for f in files)
                 if all(f in rows for f in files)
@@ -1416,8 +1434,8 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
         )
     return spark.createDataFrame(
         sorted(recs, reverse=True),
-        "version int, op string, parent int, n_files int, n_rows long, "
-        "operation_metrics string, meta string",
+        "version int, op string, parent int, commit_ts double, "
+        "n_files int, n_rows long, operation_metrics string, meta string",
     )
 
 
@@ -2505,6 +2523,20 @@ def _commit(
         pheader = {}
         inherited, prev_set = {}, set()
         parent_state = mf.empty_state()
+    # in-commit timestamp (Delta's inCommitTimestamps): the commit
+    # instant lives IN the marker, so TIMESTAMP AS OF survives file
+    # copies / backups / restores that perturb mtimes. Monotone by a
+    # write-side clamp against the parent (Delta's rule): the parent
+    # header is already in hand, so this is free. OCC keeps the clamp
+    # sound — a writer that loses its slot re-runs _commit against the
+    # NEW parent, and a multi-table claim that finds its slot taken
+    # aborts the whole transaction, so every surviving marker was
+    # clamped against its actual parent.
+    import time as _time
+
+    header["commit_ts"] = round(
+        max(_time.time(), float(pheader.get("commit_ts") or 0.0) + 0.001), 3
+    )
     # column mapping: inherited verbatim unless the commit changes it
     # (rename/drop pass explicit maps; clone/restore pass the source
     # version's) — every header carries the mapping its snapshot reads

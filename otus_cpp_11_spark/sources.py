@@ -289,22 +289,38 @@ def _vt_resolve(table: str, f: str) -> str:
 
 
 def _vt_version_at_timestamp(table: str, ts: float):
-    """Latest version whose commit marker mtime <= ts — Delta's
-    TIMESTAMP AS OF resolution (the marker's creation instant IS the
-    commit instant: data + manifest publish in its one atomic rename).
-    None if no commit is that old."""
+    """Latest version committed at or before ``ts`` — the connector's
+    twin of ``ops.versioned.version_at_timestamp``: IN-COMMIT timestamp
+    (the marker's own monotone ``commit_ts`` header field) first, so
+    time travel survives mtime-perturbing copies; markers from before
+    the feature fall back to their mtime (the old atomic-rename-instant
+    rule). Newest-first walk, first hit wins — only markers newer than
+    the target are read (one header line each). The raw header is
+    enough even for a multi-table txn claim (its ``commit_ts`` was
+    clamped at staging and an aborted claim still holds its slot), so
+    no txn resolution is needed here. None if no commit is that old."""
+    import json as _json
     import os
     import re as _re
 
     d = _vt_commits_dir(table)
     if not os.path.isdir(d):
         return None
-    best = None
-    for n in os.listdir(d):
-        if _re.fullmatch(r"\d{8}", n) and os.path.getmtime(f"{d}/{n}") <= ts:
-            v = int(n)
-            best = v if best is None or v > best else best
-    return best
+    versions = sorted(
+        (int(n) for n in os.listdir(d) if _re.fullmatch(r"\d{8}", n)),
+        reverse=True,
+    )
+    for v in versions:
+        p = f"{d}/{v:08d}"
+        try:
+            with open(p) as fh:
+                cts = _json.loads(fh.readline()).get("commit_ts")
+        except (OSError, ValueError):
+            cts = None
+        eff = float(cts) if cts is not None else os.path.getmtime(p)
+        if eff <= ts:
+            return v
+    return None
 
 
 def _vt_parse_ts(raw: str) -> float:
