@@ -4482,11 +4482,46 @@ def _added_files(
     return [f for f in body if f not in prev]
 
 
+def version_at_or_after_timestamp(spark: SparkSession, table: str, ts) -> int:
+    """EARLIEST version committed at or after ``ts`` — the resolution
+    rule Delta gives CDF's ``startingTimestamp`` (an inclusive LOWER
+    bound on the feed, so it rounds the other way than
+    ``version_at_timestamp``). In-commit ``commit_ts`` first, mtime
+    fallback for pre-feature markers; the ascending walk reads only
+    markers OLDER than the target before the first hit. Raises if every
+    commit predates ``ts`` (Delta errors identically — the feed would
+    be empty and silently so)."""
+    epoch = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+    fs, _ = _hadoop_fs(spark, table)
+    cdir = _jp(spark, table, _COMMITS)
+    mtimes: dict[int, float] = {}
+    if fs.exists(cdir):
+        for st in fs.listStatus(cdir):
+            m = _MARKER.match(st.getPath().getName())
+            if m:
+                mtimes[int(m.group(1))] = st.getModificationTime() / 1000.0
+    for v in sorted(mtimes):
+        try:
+            cts = parse_commit(spark, table, v)[0].get("commit_ts")
+        except FileNotFoundError:
+            cts = None
+        eff = float(cts) if cts is not None else mtimes[v]
+        if eff >= epoch:
+            return v
+    raise FileNotFoundError(
+        f"versioned table {table!r} has no commit at or after timestamp "
+        f"{ts!r} (every commit is older, or no commits)"
+    )
+
+
 def read_change_feed(
     spark: SparkSession,
     table: str,
-    v_from: int,
+    v_from: int | None = None,
     v_to: int | None = None,
+    *,
+    ts_from=None,
+    ts_to=None,
 ) -> DataFrame:
     """Delta's ``table_changes`` / ``readChangeFeed`` BATCH face: the
     row-level change feed across committed versions ``[v_from, v_to]``,
@@ -4512,7 +4547,27 @@ def read_change_feed(
     Rows align to the END version's schema (older rows NULL-pad evolved
     columns). At 100 TB the work is proportional to the changes in
     range, never table size — the property that makes CDF the correct
-    incremental-consumer contract."""
+    incremental-consumer contract.
+
+    Timestamp bounds (r12, Delta's CDF startingTimestamp /
+    endingTimestamp): ``ts_from`` resolves to the EARLIEST version
+    committed at or after the instant (the feed's inclusive lower
+    bound rounds up — ``version_at_or_after_timestamp``), ``ts_to`` to
+    the latest at-or-before (``version_at_timestamp``); both ride on
+    in-commit timestamps, so the bounds survive mtime perturbation.
+    Each is mutually exclusive with its version twin."""
+    if (v_from is None) == (ts_from is None):
+        raise ValueError(
+            "read_change_feed: exactly one of v_from / ts_from is required"
+        )
+    if v_to is not None and ts_to is not None:
+        raise ValueError(
+            "read_change_feed: v_to and ts_to are mutually exclusive"
+        )
+    if ts_from is not None:
+        v_from = version_at_or_after_timestamp(spark, table, ts_from)
+    if ts_to is not None:
+        v_to = version_at_timestamp(spark, table, ts_to)
     v_to = v_to if v_to is not None else current_version(spark, table)
     if v_to is None:
         raise FileNotFoundError(f"versioned table {table!r} has no commits")

@@ -136,3 +136,41 @@ def test_history_exposes_commit_ts_and_meta_unpolluted(spark, tmp_path):
     assert h[1]["commit_ts"] < h[0]["commit_ts"]
     # commit_ts is a first-class column, NOT leaked into the meta JSON
     assert json.loads(h[0]["meta"]) == {"batch": 7}
+
+
+def test_cdf_timestamp_bounds(spark, tmp_path):
+    """CDF timestamp bounds round like Delta's: ts_from rounds UP to
+    the first commit at or after (inclusive lower bound), ts_to rounds
+    DOWN to the last commit at or before — both via in-commit
+    timestamps, proven by backdating every marker mtime."""
+    from otus_cpp_11_spark.ops.versioned import (
+        read_change_feed,
+        version_at_or_after_timestamp,
+    )
+
+    tbl = str(tmp_path / "t")
+    commit_version(spark, _mk(spark, 0, 10), tbl)
+    t1 = version_header(spark, tbl, 1)["commit_ts"]
+    time.sleep(0.4)
+    commit_append(spark, _mk(spark, 10, 20), tbl)
+    time.sleep(0.4)
+    commit_append(spark, _mk(spark, 20, 30), tbl)
+    t3 = version_header(spark, tbl, 3)["commit_ts"]
+    for p in _markers(tbl):
+        os.utime(p, (1000.0, 1000.0))
+    assert version_at_or_after_timestamp(spark, tbl, t1 + 0.1) == 2
+    feed = read_change_feed(spark, tbl, ts_from=t1 + 0.1).collect()
+    assert {r["_commit_version"] for r in feed} == {2, 3}
+    assert len(feed) == 20 and all(
+        r["_change_type"] == "insert" for r in feed
+    )
+    mid = read_change_feed(
+        spark, tbl, ts_from=t1 + 0.1, ts_to=t3 - 0.1
+    ).collect()
+    assert {r["_commit_version"] for r in mid} == {2}
+    with pytest.raises(FileNotFoundError, match="at or after"):
+        read_change_feed(spark, tbl, ts_from=time.time() + 60)
+    with pytest.raises(ValueError, match="exactly one"):
+        read_change_feed(spark, tbl, 1, ts_from=t1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_change_feed(spark, tbl, 1, v_to=2, ts_to=t3)
