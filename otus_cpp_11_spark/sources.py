@@ -323,6 +323,34 @@ def _vt_version_at_timestamp(table: str, ts: float):
     return None
 
 
+def _vt_version_at_or_after_timestamp(table: str, ts: float):
+    """EARLIEST version committed at or after ``ts`` — the round-UP
+    twin (Delta's rule for CDF startingTimestamp and the STREAMING
+    source's startingTimestamp, both inclusive lower bounds). In-commit
+    ``commit_ts`` first, mtime fallback; ascending walk, first hit.
+    None when every commit predates ``ts``."""
+    import json as _json
+    import os
+    import re as _re
+
+    d = _vt_commits_dir(table)
+    if not os.path.isdir(d):
+        return None
+    for v in sorted(
+        int(n) for n in os.listdir(d) if _re.fullmatch(r"\d{8}", n)
+    ):
+        p = f"{d}/{v:08d}"
+        try:
+            with open(p) as fh:
+                cts = _json.loads(fh.readline()).get("commit_ts")
+        except (OSError, ValueError):
+            cts = None
+        eff = float(cts) if cts is not None else os.path.getmtime(p)
+        if eff >= ts:
+            return v
+    return None
+
+
 def _vt_parse_ts(raw: str) -> float:
     """Epoch seconds from an option value: numeric epoch or ISO-8601."""
     try:
@@ -683,9 +711,17 @@ class _VTStreamReader(DataSourceStreamReader):
         # (inclusive) instead of replaying the initial snapshot;
         # "latest" starts past everything committed at stream start.
         if self.starting_ts is not None:
-            return _vt_version_at_timestamp(
-                self.table, _vt_parse_ts(self.starting_ts)
-            ) or 0
+            # Delta's startingTimestamp streams changes committed AT or
+            # after the instant (inclusive — the same round-UP rule as
+            # CDF's ts_from), so the base is the version BEFORE the
+            # first qualifying commit; when every commit predates the
+            # instant, the stream tails future commits only. In-commit
+            # timestamps first (mtime fallback), like every other face.
+            ts = _vt_parse_ts(self.starting_ts)
+            v = _vt_version_at_or_after_timestamp(self.table, ts)
+            if v is not None:
+                return v - 1
+            return _vt_current_version(self.table) or 0
         if self.starting is None:
             return 0
         if str(self.starting).lower() == "latest":

@@ -174,3 +174,30 @@ def test_cdf_timestamp_bounds(spark, tmp_path):
         read_change_feed(spark, tbl, 1, ts_from=t1)
     with pytest.raises(ValueError, match="mutually exclusive"):
         read_change_feed(spark, tbl, 1, v_to=2, ts_to=t3)
+
+
+def test_stream_starting_timestamp_rounds_up_inclusive(spark, tmp_path):
+    """The STREAM's startingTimestamp is an inclusive lower bound
+    (Delta's rule): a commit landing exactly AT the instant is
+    streamed, resolved through in-commit timestamps (mtimes backdated
+    to prove it); an instant past every commit tails future commits
+    only."""
+    from otus_cpp_11_spark.sources import _VTStreamReader
+
+    tbl = str(tmp_path / "t")
+    commit_version(spark, _mk(spark, 0, 10), tbl)
+    commit_append(spark, _mk(spark, 10, 20), tbl)
+    t2 = version_header(spark, tbl, 2)["commit_ts"]
+    commit_append(spark, _mk(spark, 20, 30), tbl)
+    for p in _markers(tbl):
+        os.utime(p, (1000.0, 1000.0))
+    r = _VTStreamReader({"path": tbl, "startingTimestamp": str(t2)})
+    assert r.initialOffset() == {"version": 1}  # base 1 -> v2 INCLUDED
+    r2 = _VTStreamReader(
+        {"path": tbl, "startingTimestamp": str(t2 + 0.0005)}
+    )
+    assert r2.initialOffset() == {"version": 2}  # strictly after t2
+    r3 = _VTStreamReader(
+        {"path": tbl, "startingTimestamp": str(time.time() + 3600)}
+    )
+    assert r3.initialOffset() == {"version": 3}  # tail future only
