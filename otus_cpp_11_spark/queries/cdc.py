@@ -1903,6 +1903,96 @@ def versioned_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_timestamp_round_trip",
+    oracle="""
+WITH c AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n0,
+         CAST(COUNT(*) FILTER (WHERE doc_id % 3 <= 1) AS BIGINT) AS n01,
+         CAST(COUNT(*) AS BIGINT) AS nall
+  FROM documents
+)
+SELECT CAST(1 AS BIGINT) AS version, n0 AS n_rows_at_instant,
+       TRUE AS round_trip, TRUE AS connector_agrees,
+       TRUE AS strictly_between
+FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), n01, TRUE, TRUE, TRUE FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), nall, TRUE, TRUE, TRUE FROM c
+ORDER BY version
+""",
+)
+def versioned_timestamp_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-COMMIT TIMESTAMPS, driver-gated (Delta's inCommitTimestamps):
+    three versions of a documents slice commit to a scratch table,
+    every marker's mtime is then BACKDATED to 1970 — the copy/restore
+    perturbation that collapses mtime-based time travel to 'everything
+    is newest' — and the row pins, per version: (a) the snapshot ROW
+    COUNT read back at the version's own recorded instant (real data —
+    the oracle recomputes it from the documents table: the %3 ingest
+    slices); (b) TIMESTAMP AS OF round-trip — both rounding directions
+    resolve the instant to exactly its version; (c) the connector's
+    plain-FS resolvers agree with the engine's; (d) an instant strictly
+    BETWEEN two commits resolves down to the earlier and up to the
+    later (the write-side monotone clamp guarantees >= 1 ms spacing, so
+    +0.4 ms sits strictly between), with the last version's round-up
+    correctly exhausting. A hash match certifies the whole timestamp
+    face ignores mtimes whenever headers carry the instant."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_version,
+        read_version,
+        version_at_or_after_timestamp,
+        version_at_timestamp,
+        version_header,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+    from otus_cpp_11_spark.sources import (
+        _vt_version_at_or_after_timestamp,
+        _vt_version_at_timestamp,
+    )
+
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tbl = scratch_dir("sg-ict-") + "/t"
+    commit_version(spark, d.where(F.col("doc_id") % 3 == 0), tbl)
+    commit_append(spark, d.where(F.col("doc_id") % 3 == 1), tbl)
+    commit_append(spark, d.where(F.col("doc_id") % 3 == 2), tbl)
+    cdir = f"{tbl}/_commits"
+    for n in os.listdir(cdir):
+        os.utime(f"{cdir}/{n}", (1000.0, 1000.0))
+    rows = []
+    for v in (1, 2, 3):
+        cts = version_header(spark, tbl, v)["commit_ts"]
+        n_rows = read_version(spark, tbl, timestamp=cts).count()
+        round_trip = (
+            version_at_timestamp(spark, tbl, cts) == v
+            and version_at_or_after_timestamp(spark, tbl, cts) == v
+        )
+        connector = (
+            _vt_version_at_timestamp(tbl, cts) == v
+            and _vt_version_at_or_after_timestamp(tbl, cts) == v
+        )
+        mid = cts + 0.0004  # < the 1 ms clamp: strictly between commits
+        down_ok = version_at_timestamp(spark, tbl, mid) == v
+        if v < 3:
+            up_ok = version_at_or_after_timestamp(spark, tbl, mid) == v + 1
+        else:
+            try:
+                version_at_or_after_timestamp(spark, tbl, mid)
+                up_ok = False  # past the last commit: must exhaust
+            except FileNotFoundError:
+                up_ok = True
+        rows.append((v, n_rows, round_trip, connector, down_ok and up_ok))
+    return spark.createDataFrame(
+        rows,
+        "version bigint, n_rows_at_instant bigint, round_trip boolean, "
+        "connector_agrees boolean, strictly_between boolean",
+    ).orderBy("version")
+
+
+@register(
     "txn_consistent_read",
     oracle=f"""
 WITH half1 AS (SELECT doc_id, source, n_chars FROM documents

@@ -137,6 +137,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
+    "doc_priority_sample": "aee1eab452aa",
     "doc_quality_classifier": "496dd16e1f78",
     "doc_quality_score": "c49088db0448",
     "doc_repeated_spans": "021ae1e34c5c",
@@ -319,17 +320,17 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # dup_blast_radius then displaced event_type_transitions,
 # event_value_mad and events_hourly_profile, sq8_retrieval_recall
 # displaced eval_bootstrap_ci, quarantine_blast_sweep displaced
-# embedding_random_projection, and the jaccard_prefix_filter_pairs
+# embedding_random_projection, the jaccard_prefix_filter_pairs
 # plan rework (pin dropped per the changed-code rule; output proven
 # byte-identical by A/B, but the driver re-certifies) displaced
-# embedding_power_iteration — youngest vintage (r7) first,
+# embedding_power_iteration, and versioned_timestamp_round_trip
+# displaced doc_priority_sample — youngest vintage (r7) first,
 # hash-verified unchanged before their pins returned).
 REVERIFY: frozenset[str] = frozenset({
     "budgeted_mixture_selection",
     "copurchase_association_rules",
     "doc_bpe_roundtrip",
     "doc_bpe_token_ids",
-    "doc_priority_sample",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",
