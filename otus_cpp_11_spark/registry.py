@@ -85,12 +85,13 @@ def register(
 # shared-helper caveat). Regenerate entries with
 # scripts/gen_verified_hashes.py after promoting a round's greens.
 #
-# Round-11 membership: every green row from rounds 1-10 (the r10 driver
-# report was 50/50 green, bringing cumulative coverage to 226/226), each
-# pinned to the source hash current at promotion time. Round-11 edits
-# remove their entries below — this round that is the residual-encoding
-# IVF-PQ family plus any query rewired to read the versioned PQ index
-# (see the note near WINDOW_DEFER).
+# Round-12 membership: every green row from rounds 1-11 (the r11 driver
+# report was 50/50 green, bringing cumulative coverage to 231/231), each
+# pinned to the source hash current at promotion time, minus the
+# round-12 REVERIFY queue and one round-12 edit: the
+# jaccard_prefix_filter_pairs plan rework dropped its pin per the
+# changed-code rule (output A/B-proven byte-identical at 3 SFs, ~25%
+# faster; the driver re-certifies it this round).
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
     "ann_filtered_top5": "acf0825f69bc",
