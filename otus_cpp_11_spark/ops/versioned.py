@@ -3898,6 +3898,7 @@ def commit_compaction(
     small_file_rows: int | None = None,
     zorder: bool = False,
     max_retries: int = 0,
+    where_bounds: dict | None = None,
 ) -> int:
     """OPTIMIZE as a COMMIT: rewrite the selected files' data into
     ceil(rows / max_rows_per_file) files range-clustered on
@@ -3947,17 +3948,37 @@ def commit_compaction(
     header, prev_files = read_manifest(spark, table, cur)
     schema = StructType.fromJson(json.loads(header["schema"]))
     dvs_map = manifest_dvs(header)
+    # OPTIMIZE ... WHERE (Delta): ``where_bounds`` ({col: (lo, hi)},
+    # the scan_version bounds shape) scopes the rewrite to files whose
+    # recorded extents MAY overlap — the 100 TB pattern of compacting
+    # only the hot ingest range on a schedule instead of churning the
+    # whole table. Generalized from Delta's partition-column predicate
+    # to manifest stats ranges: a file with no recorded stats is
+    # conservatively IN scope (it might hold matching rows; its rewrite
+    # also records the missing stats). Files out of scope are carried
+    # by reference untouched — including DV'd ones, whose physical
+    # apply waits for a sweep that scopes them.
+    scope = prev_files
+    if where_bounds is not None:
+        scope = _prune_by_bounds(
+            prev_files,
+            manifest_stats(header),
+            _phys_bounds(where_bounds, manifest_cmap(header)),
+            bloom=False,
+        )
+    if where_bounds is not None and not scope:
+        return cur  # nothing in the predicate's range: scheduled no-op
     if small_file_rows is None:
-        selected = list(prev_files)
+        selected = list(scope)
     else:
         rows_map = manifest_rows(header)
-        # DV-carrying files are ALWAYS selected regardless of size —
-        # compaction is what physically applies deletion vectors (Delta
-        # OPTIMIZE does the same), restoring full-file reads and
-        # physically forgetting the deleted bytes
+        # DV-carrying files (in scope) are ALWAYS selected regardless
+        # of size — compaction is what physically applies deletion
+        # vectors (Delta OPTIMIZE does the same), restoring full-file
+        # reads and physically forgetting the deleted bytes
         selected = [
             f
-            for f in prev_files
+            for f in scope
             if f not in rows_map or rows_map[f] < small_file_rows or f in dvs_map
         ]
         if (
