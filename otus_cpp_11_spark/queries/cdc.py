@@ -2445,6 +2445,114 @@ def versioned_type_widening_lifecycle(
     )
 
 
+OPTWHERE_HOT_CHUNKS = 4  # hot-range ingest debris files
+OPTWHERE_TARGET = 1_000_000  # pack target: the whole hot range fits one file
+
+
+@register(
+    "versioned_optimize_where",
+    oracle=f"""
+WITH k AS (
+  SELECT CAST(MAX(o_orderkey) / 2 AS BIGINT) AS split FROM orders
+),
+hot AS (
+  SELECT o.* FROM orders o, k WHERE o.o_orderkey >= k.split
+),
+pre AS (
+  SELECT 'pre' AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+         (SELECT {dsum_sql('o_totalprice', 2)} FROM orders) AS total_price,
+         CAST({OPTWHERE_HOT_CHUNKS + 1} AS BIGINT) AS n_files,
+         CAST({OPTWHERE_HOT_CHUNKS + 1} AS BIGINT) AS n_carried
+),
+post AS (
+  SELECT 'post' AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+         (SELECT {dsum_sql('o_totalprice', 2)} FROM orders) AS total_price,
+         CAST(1 AS BIGINT)
+           + (SELECT CAST(CEIL(COUNT(*) / {OPTWHERE_TARGET}.0) AS BIGINT)
+              FROM hot) AS n_files,
+         CAST(1 AS BIGINT) AS n_carried
+)
+SELECT * FROM post UNION ALL SELECT * FROM pre
+ORDER BY stage
+""",
+)
+def versioned_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... WHERE, end to end (Delta's predicate-scoped
+    compaction, generalized to manifest-stats ranges): orders lands as
+    one COLD file (keys below the median split) plus
+    {OPTWHERE_HOT_CHUNKS} hot-range ingest-debris files, then ONE
+    ``commit_compaction(where_bounds=...)`` scoped to the hot key range
+    packs ONLY the hot files — the cold file is out of the predicate's
+    extents and carried by reference byte-untouched (asserted against
+    the manifests in-flight; its survival is also pinned in the
+    ``n_carried`` column). Content is byte-identical across the sweep —
+    the oracle recomputes both stages from the raw table plus the exact
+    file arithmetic (1 carried + ceil(hot/target) packed), so the hash
+    proves the scoped rewrite moved layout and nothing else. This is
+    the scheduled-compaction pattern at 100 TB: the sweep's cost tracks
+    the debris inside the hot ingest range, never the cold bulk of the
+    table. Reference: lakehouse mandate (Delta OPTIMIZE WHERE)."""
+    from otus_cpp_11_spark.ops.versioned import (
+        commit_append,
+        commit_compaction,
+        commit_version,
+        read_manifest,
+        read_version,
+    )
+    from otus_cpp_11_spark.session import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]  # bounded: one row
+    split = int(mx) // 2
+    tbl = scratch_dir("sg-optw-") + "/orders_v"
+    commit_version(
+        spark,
+        o.where(F.col("o_orderkey") < split).coalesce(1),
+        tbl,
+        stats_cols=["o_orderkey"],
+    )
+    for i in range(OPTWHERE_HOT_CHUNKS):
+        commit_append(
+            spark,
+            o.where(
+                (F.col("o_orderkey") >= split)
+                & (F.col("o_orderkey") % OPTWHERE_HOT_CHUNKS == i)
+            ).coalesce(1),
+            tbl,
+            stats_cols=["o_orderkey"],
+        )
+    pre_v = OPTWHERE_HOT_CHUNKS + 1
+    _, pre_files = read_manifest(spark, tbl, pre_v)
+    v = commit_compaction(
+        spark,
+        tbl,
+        max_rows_per_file=OPTWHERE_TARGET,
+        cluster_cols=["o_orderkey"],
+        where_bounds={"o_orderkey": (split, int(mx))},
+    )
+    assert v == pre_v + 1
+    _, post_files = read_manifest(spark, tbl, v)
+    carried = [f for f in post_files if f in set(pre_files)]
+    assert len(carried) == 1, carried  # the cold file, by reference
+
+    def snap(version: int, stage: str, nf: int, nc: int) -> DataFrame:
+        return read_version(spark, tbl, version).agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+            F.lit(nf).cast("bigint").alias("n_files"),
+            F.lit(nc).cast("bigint").alias("n_carried"),
+        )
+
+    return (
+        snap(v, "post", len(post_files), len(carried))
+        .unionByName(snap(pre_v, "pre", len(pre_files), len(pre_files)))
+        .orderBy("stage")
+    )
+
+
 AUTOCOMPACT_CHUNKS = 6  # simulated per-micro-batch ingest commits
 AUTOCOMPACT_TARGET = 100_000  # pack everything into ceil(n/target) files
 

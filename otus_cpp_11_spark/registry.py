@@ -126,6 +126,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
     "doc_bm25_top5": "124ad5bae99a",
+    "doc_bpe_token_ids": "b734428e749a",
     "doc_bpe_token_stats": "a44dac60fb4a",
     "doc_dedup_clusters": "5150a5c0e008",
     "doc_dsir_weights": "391a5a705947",
@@ -324,14 +325,14 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # embedding_random_projection, the jaccard_prefix_filter_pairs
 # plan rework (pin dropped per the changed-code rule; output proven
 # byte-identical by A/B, but the driver re-certifies) displaced
-# embedding_power_iteration, and versioned_timestamp_round_trip
-# displaced doc_priority_sample — youngest vintage (r7) first,
-# hash-verified unchanged before their pins returned).
+# embedding_power_iteration, versioned_timestamp_round_trip displaced
+# doc_priority_sample, and versioned_optimize_where displaced
+# doc_bpe_token_ids — youngest vintage (r7) first, hash-verified
+# unchanged before their pins returned).
 REVERIFY: frozenset[str] = frozenset({
     "budgeted_mixture_selection",
     "copurchase_association_rules",
     "doc_bpe_roundtrip",
-    "doc_bpe_token_ids",
     "latest_event_per_user",
     "nation_supplier_left_join",
     "order_distinct_aggs",
