@@ -308,11 +308,15 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
-# Round-12 refill: the 44 oldest-green pins (last green r6: 31, r7: 13),
-# queued after the round's 6 new queries (batch IVF-PQ retrieval +
-# recall gate, streamed dense-index maintainer, transactional RTBF, the
-# OPQ decision probe, and the ANN lifecycle pipeline) so the driver
-# window is exactly 50. Members left DRIVER_VERIFIED per the workflow;
+# Round-12 refill: initially the 44 oldest-green pins (last green r6:
+# 31, r7: 13) queued after the round's first 6 new queries (batch
+# IVF-PQ retrieval + recall gate, streamed dense-index maintainer,
+# transactional RTBF, the OPQ decision probe, and the ANN lifecycle
+# pipeline); mid-round additions (filtered IVF-PQ pair, blast radius,
+# quarantine sweep, SQ8 recall, timestamp round-trip, OPTIMIZE WHERE,
+# txn MERGE, consistent read) and the PPJoin rework each displaced one
+# member per the rule below, leaving 34 re-verifications + 16
+# new/changed = exactly 50. Members left DRIVER_VERIFIED per the workflow;
 # their still-valid old pins are restorable if a late addition displaces
 # one (the displacement rule — exercised again this round: the late
 # txn_consistent_read addition displaced ips_policy_value and the
