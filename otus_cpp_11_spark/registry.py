@@ -85,26 +85,26 @@ def register(
 # shared-helper caveat). Regenerate entries with
 # scripts/gen_verified_hashes.py after promoting a round's greens.
 #
-# Round-12 membership: every green row from rounds 1-11 (the r11 driver
-# report was 50/50 green, bringing cumulative coverage to 231/231), each
+# Round-13 membership: every green row from rounds 1-12 (the r12 driver
+# report was 50/50 green, bringing cumulative coverage to 246/246), each
 # pinned to the source hash current at promotion time, minus the
-# round-12 REVERIFY queue and one round-12 edit: the
-# jaccard_prefix_filter_pairs plan rework dropped its pin per the
-# changed-code rule (output A/B-proven byte-identical at 3 SFs, ~25%
-# faster; the driver re-certifies it this round).
+# round-13 REVERIFY queue (the 50 oldest-vintage pins: all 28 last green
+# in r7 plus the 22 alphabetically-first of the 28 last green in r8).
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
-    "ann_filtered_top5": "acf0825f69bc",
-    "ann_truncated_dim_recall": "0980750bee64",
+    "ann_index_cdc_upsert_txn": "e8211bd47942",
+    "ann_index_streamed": "1c99211dd9d1",
+    "ann_lifecycle_pipeline": "5da83cc9c156",
     "balanced_doc_sample": "e369f0894200",
     "benchmark_decontamination": "7a996f13be83",
     "bm25_stats_streamed": "56ebcc2d8fce",
     "bpe_pair_counts": "d96cbbee11ec",
     "bpe_token_frequencies": "b5ff23ca929c",
+    "budgeted_mixture_selection": "bfe3e84837f5",
     "cdc_change_data_feed": "c877eea61ea1",
     "cdf_incremental_state_counts": "44b34b2886e4",
     "cdf_netting_across_versions": "ca8de7bf1a5e",
-    "copurchase_part_pairs": "86f91ab99906",
+    "copurchase_association_rules": "77b285b9c575",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
@@ -113,114 +113,92 @@ DRIVER_VERIFIED: dict[str, str] = {
     "cross_modal_doc_features": "1a3d8a0a163a",
     "customer_cdc_merge": "db72fbdb81d5",
     "customer_monthly_retention": "5005e34e6d54",
-    "customer_order_gap_stats": "6d3cb75325f9",
     "customer_order_window_family": "e056a8223d4c",
-    "customer_rfm_quartiles": "6b43762ac3f2",
     "customer_running_spend": "471b2c9922e8",
     "customers_above_avg_balance": "2c2142b03318",
     "customers_without_orders": "9a01c8532a3d",
-    "daily_active_users_7d": "9355cc7481e4",
     "daily_open_shipments": "e3385cf3d8ee",
     "decontam_bloom_prune": "004a9cd16c69",
     "dedup_canonical_by_quality": "48bc5b1ec055",
     "doc_arrow_byte_stats": "48790875d2b1",
     "doc_bigram_surprisal": "101994b12e10",
-    "doc_bm25_top5": "124ad5bae99a",
-    "doc_bpe_token_ids": "b734428e749a",
+    "doc_bpe_roundtrip": "b33acb08e4ca",
     "doc_bpe_token_stats": "a44dac60fb4a",
     "doc_dedup_clusters": "5150a5c0e008",
     "doc_dsir_weights": "391a5a705947",
     "doc_fingerprint": "ac4f9cbb8f09",
     "doc_gopher_rules": "9eb3349e7818",
     "doc_lang_id": "9244112be464",
-    "doc_leading_tokens": "60f3d6d44749",
     "doc_novelty_score": "5c60ea70b6ed",
-    "doc_pack_bins": "640fc7df9845",
     "doc_pack_bins_bpe": "6405f8931987",
     "doc_passage_chunks": "2d16d9cda11b",
     "doc_passage_chunks_udtf": "3bf8387a5432",
-    "doc_priority_sample": "aee1eab452aa",
     "doc_quality_classifier": "496dd16e1f78",
     "doc_quality_score": "c49088db0448",
     "doc_repeated_spans": "021ae1e34c5c",
     "doc_repetition_stats": "d70389bb5105",
-    "doc_reservoir_sample": "ed8d4fafb39a",
     "doc_shard_assignment": "b7508cca5e2e",
     "doc_simhash32": "9a4d28b0fe15",
-    "doc_stratified_sample": "5cbbfac47518",
     "doc_token_stats": "f1fc9c5f44ba",
     "doc_top_terms": "36f7b8dcb415",
-    "embedding_gram_upper": "f0e2d768f439",
-    "embedding_near_dup_pairs": "fe5ace666bf3",
-    "embedding_norms_by_label": "b079260add86",
-    "embedding_power_iteration": "ace381c5764a",
+    "dup_blast_radius": "d5affb8c7838",
     "embedding_quantization": "f5bb24cd0b57",
-    "embedding_random_projection": "149313e23aa4",
-    "eval_bootstrap_ci": "8c11b34fbbf5",
-    "event_type_transitions": "5d5953723362",
-    "event_value_mad": "a8aa5b034a6c",
     "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
-    "events_hourly_profile": "08fe54a7b8b8",
-    "events_json_props": "fd96cba6cc74",
     "events_minute_rollup_streamed": "e74fbcc0b0a8",
-    "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
-    "events_session_windows": "ee61ffbf866a",
     "events_session_windows_streamed": "08f0e60d5c18",
-    "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
-    "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
-    "events_user_sketches": "70afbca65e63",
     "events_versioned_ingest_streamed": "48dd8e3478c1",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
-    "hard_negative_mining": "f06cf1ecd76f",
     "incremental_decontamination": "27228e0f9847",
     "incremental_near_dup": "106378cb3ab8",
-    "ips_policy_value": "2c1ea431a372",
     "ivf_cosine_top5": "22b12ef86586",
     "ivf_pq_nprobe_recall_curve": "988f9a56fbe8",
     "ivf_pq_top5": "64e8668b12ca",
     "ivf_train_distortion_curve": "aedd0e018199",
     "ivf_trained_recall": "9c68f8f35575",
-    "kmeans_assign_update": "1957709e4ad9",
+    "jaccard_prefix_filter_pairs": "ebd40cba2f18",
+    "knn_ivfpq_filtered_recall": "1e8c0a56d0f9",
+    "knn_ivfpq_recall_at_3": "30926ba066e9",
+    "knn_join_ivfpq_filtered": "4a77d034a883",
+    "knn_join_ivfpq_topk": "253a749c420d",
     "knn_join_lsh_top3": "635fe257dd5a",
     "knn_recall_at_3": "c88e0a7440fb",
-    "label_centroids": "03cb7a43743a",
     "label_whitening_residuals": "156309353abe",
-    "lakehouse_compaction_accounting": "52959dcfdac9",
+    "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
-    "lineitem_measures_unpivot": "858016643174",
-    "lineitem_price_qty_corr": "46672c6c7ad5",
     "lineitem_profile": "be479a6b9360",
     "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
-    "lsh_cosine_top5": "bcbb1c08dc09",
-    "lsh_cosine_top5_multiprobe": "8a46b082e0db",
     "minhash_estimate_accuracy": "d049fca2dea7",
     "multimodal_decode_features": "ba3641b52a2e",
     "multimodal_frame_sample": "6c3ae1db4d13",
-    "nation_richest_customer": "c569db84fd24",
     "nation_set_ops": "ee0a45799605",
+    "nation_supplier_left_join": "5d0529977719",
     "near_dup_containment": "3332e22c712b",
     "near_dup_edit_distance": "b2229664d09f",
     "near_dup_pairs_minhash": "9e5069a0a0ba",
-    "neyman_allocation": "199b938badbe",
     "ngram_jaccard_pairs": "1ce24908ed83",
+    "opq_rotation_gain_probe": "4f1a35f07e52",
+    "order_distinct_aggs": "798ac52398ee",
+    "orders_by_month": "3b5d56427f88",
+    "orders_cube": "977856a76063",
     "orders_grouping_sets": "7c2a2fcda67b",
-    "orders_price_percentiles": "00142ef3899e",
+    "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
     "part_pagerank_fixedpoint": "5a1d412dfb43",
     "part_price_band_join": "feedac3b7d7c",
-    "part_triangle_counts": "3b688cf75576",
+    "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
     "ppm_ahash16": "86dc850ac759",
     "ppm_ahash_near_dup_counts": "2df65b831d36",
     "ppm_decode_features": "9da4f48f676c",
+    "ppm_resize_2x2": "6b8205d6c06a",
     "pq_adc_rerank_top5": "1d1634e4512e",
     "pq_adc_top10": "27caeef29150",
     "pq_code_assignment": "a4f618f62b9e",
@@ -229,40 +207,58 @@ DRIVER_VERIFIED: dict[str, str] = {
     "pq_recall_residual_vs_raw": "b8c1bc13ab1f",
     "pq_recall_trained_vs_init": "93c707e470ec",
     "pq_train_distortion_curve": "9993efb0c9d0",
-    "prefix_cache_analysis": "605af3784f13",
     "prefix_counts_l1": "09a990ed70ba",
     "prefix_min_unique_len": "576b6d406c65",
     "purchase_prior_click_asof": "369dcfcd828a",
     "python_datasource_checksum": "063511ddd858",
     "python_datasource_stream_checksum": "609b3f6c9262",
-    "q12_priority_shipping": "d4cca0b4c80f",
-    "q13_customer_distribution": "18c33d02b9f8",
-    "q22_global_sales_opportunity": "b6a092e119de",
-    "q4_order_priority": "df07a6d2b909",
-    "q6_forecast_revenue": "91e2e7229798",
+    "q10_returned_revenue": "a6bbc6cce502",
+    "q11_important_stock": "64595b7c314a",
+    "q14_promo_revenue": "a04be26f867a",
+    "q15_top_supplier": "524038b306d8",
+    "q16_part_supplier_relation": "7946efac9fb7",
+    "q17_small_quantity_revenue": "a002d7d89770",
+    "q18_large_orders": "29249878f196",
+    "q19_discounted_revenue": "f468835c3b3d",
+    "q1_pricing_summary": "3560e363e9ed",
+    "q20_potential_promotion": "26aa152b0b15",
+    "q21_waiting_supplier": "8eb51526a69e",
+    "q2_min_cost_supplier": "9b562eef7ff0",
+    "q3_shipping_priority": "fd99cfaeace7",
+    "q5_local_supplier_volume": "a6c0b0f534c0",
+    "q7_nation_volume": "71bb2f5a3869",
+    "q8_market_share": "defa2dff53c1",
+    "q9_product_profit": "f67a4359d652",
     "quality_gate_kappa": "20583989b400",
+    "quarantine_blast_sweep": "f7fabf298490",
+    "region_nation_full_outer": "f11eea99322c",
+    "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
     "retrieval_diversified_top3": "0ae5067ed6f0",
     "retrieval_hybrid_dense_top5": "c6c174497154",
     "retrieval_rrf_fusion": "ae89b20c6090",
+    "rtbf_forget_base_and_index_txn": "5dd34dbc7551",
     "running_user_counts_streamed": "fbca008c058d",
+    "scalar_string_math": "ace55f30e0cd",
     "semantic_dedup_pairs": "c7b3ec9de102",
     "session_top_paths": "28010065c846",
     "simhash_near_pairs": "cb3090db559e",
     "source_mixture_weights": "b323abe853a0",
-    "source_score_calibration": "9b24c55b1db8",
+    "source_token_fertility": "d1452d0ad04b",
+    "sq8_retrieval_recall": "4d2237e9b638",
     "sql_api_region_revenue": "c90b46011de4",
     "sum_of_squares": "be018e408243",
     "supplier_lead_time_stats": "1fe1c74caabd",
+    "suppliers_with_returns": "7a66c41651f6",
     "term_cms_heavy_hitters": "c42035a2f51d",
+    "top3_orders_per_customer": "e381e519d72e",
+    "txn_consistent_read": "8bbe9a022f9a",
     "unique_by_abs": "aec470f57ab8",
-    "user_cohort_weekly_retention": "bd3c35154ddb",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
     "user_state_cdc_streamed": "d761b9bc71db",
     "user_state_scd2": "a7229906f4e7",
     "user_state_scd2_streamed": "2abfd0b54841",
-    "user_value_moving_avg": "7afcd06d0608",
     "user_value_resample_1h_ffill": "8c1195e182fb",
     "user_value_scd2": "3be5f39e67c1",
     "user_value_udaf_sum": "e8f79d7db0ec",
@@ -277,10 +273,12 @@ DRIVER_VERIFIED: dict[str, str] = {
     "versioned_metadata_count": "1630468efb50",
     "versioned_multi_table_txn": "876ad353392b",
     "versioned_optimize_roundtrip": "e9ef2e2aa955",
+    "versioned_optimize_where": "d7fb531f5688",
     "versioned_rtbf_deletion_vectors": "68e6e0a9b480",
     "versioned_scan_skipping": "ce505e83611c",
     "versioned_schema_evolution": "6402afe3d77a",
     "versioned_stream_rollup": "825692b63304",
+    "versioned_timestamp_round_trip": "e56b8c5151c0",
     "versioned_type_widening_lifecycle": "0016168db600",
     "view_purchase_left_outer_streamed": "f8e79f71ba33",
     "view_purchase_within_6h": "ceb393bc123c",
@@ -308,66 +306,63 @@ WINDOW_DEFER: frozenset[str] = frozenset()
 # a mid-round operator addition displaces them (keeping the window at
 # exactly 50). Refilled at round end once the round's own edits are
 # counted — see scripts/gen_verified_hashes.py workflow.
-# Round-12 refill: initially the 44 oldest-green pins (last green r6:
-# 31, r7: 13) queued after the round's first 6 new queries (batch
-# IVF-PQ retrieval + recall gate, streamed dense-index maintainer,
-# transactional RTBF, the OPQ decision probe, and the ANN lifecycle
-# pipeline); mid-round additions (filtered IVF-PQ pair, blast radius,
-# quarantine sweep, SQ8 recall, timestamp round-trip, OPTIMIZE WHERE,
-# txn MERGE, consistent read) and the PPJoin rework each displaced one
-# member per the rule below, leaving 34 re-verifications + 16
-# new/changed = exactly 50. Members left DRIVER_VERIFIED per the workflow;
-# their still-valid old pins are restorable if a late addition displaces
-# one (the displacement rule — exercised again this round: the late
-# txn_consistent_read addition displaced ips_policy_value and the
-# ann_index_cdc_upsert_txn addition displaced hard_negative_mining,
-# whose r7 pins returned; the filtered-IVFPQ pair
-# (knn_join_ivfpq_filtered + knn_ivfpq_filtered_recall) and
-# dup_blast_radius then displaced event_type_transitions,
-# event_value_mad and events_hourly_profile, sq8_retrieval_recall
-# displaced eval_bootstrap_ci, quarantine_blast_sweep displaced
-# embedding_random_projection, the jaccard_prefix_filter_pairs
-# plan rework (pin dropped per the changed-code rule; output proven
-# byte-identical by A/B, but the driver re-certifies) displaced
-# embedding_power_iteration, versioned_timestamp_round_trip displaced
-# doc_priority_sample, and versioned_optimize_where displaced
-# doc_bpe_token_ids — youngest vintage (r7) first, hash-verified
-# unchanged before their pins returned).
+# Round-13 refill: the 50 oldest-green pins (all 28 last green in r7 +
+# the 22 alphabetically-first of the 28 last green in r8), queued after
+# the round's new/changed queries. As round-13 operators land, each new
+# or changed query displaces the youngest-vintage REVERIFY member
+# (alphabetically last within r8 first), whose still-valid old pin
+# returns — keeping the window at exactly 50 per the rule above.
 REVERIFY: frozenset[str] = frozenset({
-    "budgeted_mixture_selection",
-    "copurchase_association_rules",
-    "doc_bpe_roundtrip",
-    "latest_event_per_user",
-    "nation_supplier_left_join",
-    "order_distinct_aggs",
-    "orders_by_month",
-    "orders_cube",
-    "orders_rollup",
-    "parts_larger_than_brand_avg",
-    "ppm_resize_2x2",
-    "q10_returned_revenue",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_relation",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "region_nation_full_outer",
-    "region_nation_list",
-    "scalar_string_math",
-    "source_token_fertility",
-    "suppliers_with_returns",
-    "top3_orders_per_customer",
+    "ann_filtered_top5",
+    "ann_truncated_dim_recall",
+    "copurchase_part_pairs",
+    "customer_order_gap_stats",
+    "customer_rfm_quartiles",
+    "daily_active_users_7d",
+    "doc_bm25_top5",
+    "doc_bpe_token_ids",
+    "doc_leading_tokens",
+    "doc_pack_bins",
+    "doc_priority_sample",
+    "doc_reservoir_sample",
+    "doc_stratified_sample",
+    "embedding_gram_upper",
+    "embedding_near_dup_pairs",
+    "embedding_norms_by_label",
+    "embedding_power_iteration",
+    "embedding_random_projection",
+    "eval_bootstrap_ci",
+    "event_type_transitions",
+    "event_value_mad",
+    "events_hourly_profile",
+    "events_json_props",
+    "events_multires_rollup",
+    "events_session_windows",
+    "events_sliding_10min_5min",
+    "events_tumbling_5min",
+    "events_user_sketches",
+    "hard_negative_mining",
+    "ips_policy_value",
+    "kmeans_assign_update",
+    "label_centroids",
+    "lakehouse_compaction_accounting",
+    "lineitem_measures_unpivot",
+    "lineitem_price_qty_corr",
+    "lsh_cosine_top5",
+    "lsh_cosine_top5_multiprobe",
+    "nation_richest_customer",
+    "neyman_allocation",
+    "orders_price_percentiles",
+    "part_triangle_counts",
+    "prefix_cache_analysis",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "source_score_calibration",
+    "user_cohort_weekly_retention",
+    "user_value_moving_avg",
 })
 
 
