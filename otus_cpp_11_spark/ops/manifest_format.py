@@ -74,7 +74,12 @@ def ckpt_name(version: int) -> str:
 
 
 def empty_state() -> dict:
-    return {"files": [], "rows": {}, "stats": {}, "dv": {}}
+    # "txns": committed multi-table-claim index {txn_id: claimed version}
+    # accumulated during replay (r12 verdict item 2: the consistent-read
+    # resolver anchors on it instead of walking full history). None =
+    # unknown — replay anchored on a legacy checkpoint that predates the
+    # index; the next checkpoint writer heals it with a one-time walk.
+    return {"files": [], "rows": {}, "stats": {}, "dv": {}, "txns": {}}
 
 
 def _entry(state: dict, f: str) -> tuple:
@@ -87,12 +92,19 @@ def parse_marker(text: str) -> tuple[dict, list[str]]:
     return json.loads(lines[0]), lines[1:]
 
 
-def apply_marker(state: dict, header: dict, body: list[str]) -> None:
+def apply_marker(
+    state: dict, header: dict, body: list[str], version: int | None = None
+) -> None:
     """Mutate ``state`` to the snapshot AFTER this commit. Format-2
     bodies replay remove/add actions in line order (an add of an
     already-present path overwrites its metadata in place — how a DV
     attaches without perturbing manifest order); format-1 bodies replace
     the state wholesale (the marker IS the full snapshot).
+
+    ``version`` is the marker's version number (it lives in the
+    filename, not the header) — needed only to maintain the
+    ``state["txns"]`` claim index; callers that replay without it
+    (none in-tree) degrade that index to unknown rather than wrong.
 
     During replay ``state["files"]`` is held as an insertion-ordered
     dict (keys = paths): a rewrite-heavy marker (big OPTIMIZE) removes
@@ -103,6 +115,18 @@ def apply_marker(state: dict, header: dict, body: list[str]) -> None:
     if not isinstance(files, dict):
         files = dict.fromkeys(files)
         state["files"] = files
+    if "ckpt" in header:
+        # checkpoint anchor: its claim index (if recorded) IS the
+        # committed-claim set at the checkpoint version; a legacy
+        # checkpoint without one leaves the index unknown
+        state["txns"] = dict(header["txns"]) if "txns" in header else None
+    elif state.get("txns") is not None:
+        txn = header.get("txn")
+        if txn and not header.get("txn_aborted"):
+            if version is None:
+                state["txns"] = None  # claim seen but unversioned: unknown
+            else:
+                state["txns"][txn["id"]] = version
     if header.get("fmt") == 2:
         for ln in body:
             act = json.loads(ln)
@@ -152,7 +176,7 @@ def load_state(
     for cv in sorted(ckpts, reverse=True):
         try:
             header, body = parse_marker(read(ckpt_name(cv)))
-            apply_marker(state, header, body)
+            apply_marker(state, header, body, version=cv)
             start = cv
             break
         except Exception:
@@ -171,7 +195,7 @@ def load_state(
                 f"{marker_name(v)} is missing (vacuumed past retention?) "
                 "and no later checkpoint covers it"
             ) from None
-        apply_marker(state, header, body)
+        apply_marker(state, header, body, version=v)
     state["files"] = list(state["files"])
     return state
 
@@ -252,7 +276,13 @@ CDF_FIELDS = (("_change_type", "string"), ("_commit_version", "long"))
 
 
 def render_checkpoint(version: int, state: dict) -> str:
-    lines = [json.dumps({"fmt": 2, "ckpt": version})]
+    head: dict = {"fmt": 2, "ckpt": version}
+    if state.get("txns") is not None:
+        # committed-claim index at this version: the consistent-read
+        # resolver anchors here instead of walking pre-checkpoint
+        # markers (which vacuum may have dropped)
+        head["txns"] = state["txns"]
+    lines = [json.dumps(head, sort_keys=True)]
     lines.extend(render_add(f, state) for f in state["files"])
     return "\n".join(lines) + "\n"
 

@@ -262,6 +262,29 @@ def _read_commit_text(spark: SparkSession, table: str, name: str) -> str:
         stream.close()
 
 
+def _read_commit_header_raw(
+    spark: SparkSession, table: str, name: str
+) -> dict:
+    """RAW first-line header of a ``_commits``-dir file — no body read,
+    no transaction resolution. For probes that only need header-line
+    fields a claim cannot falsify (``commit_ts``, a checkpoint's
+    ``ckpt``/``txns``); anything consulting ``txn``/``txn_aborted``
+    must go through ``parse_commit``, which resolves claims. On local
+    stores this reads one line of one file; on remote stores it falls
+    back to the full fetch (the header parse still only sees line 1)."""
+    local = _local_path(table, spark)
+    if local is not None:
+        try:
+            with open(f"{local.rstrip('/')}/{_COMMITS}/{name}") as f:
+                return json.loads(f.readline())
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{table!r}: no commit-dir file {name!r}"
+            ) from None
+    text = _read_commit_text(spark, table, name)
+    return json.loads(text.splitlines()[0])
+
+
 def _commit_dir_names(spark: SparkSession, table: str) -> list[str]:
     local = _local_path(table, spark)
     if local is not None:
@@ -361,7 +384,9 @@ def read_version(
 ) -> DataFrame:
     """Read the current (or an explicitly pinned — time travel) snapshot
     through its manifest; ``timestamp`` (epoch seconds or datetime) is
-    Delta's TIMESTAMP AS OF, resolved through commit-marker mtimes. The
+    Delta's TIMESTAMP AS OF, resolved in-commit-timestamp-first (the
+    marker's own monotone ``commit_ts`` header field; pre-feature
+    markers fall back to their mtime — see ``version_at_timestamp``). The
     returned DataFrame is bound to an IMMUTABLE file list: later commits
     add new files and new manifests, never touching these, so a running
     query cannot be disturbed. The schema comes from the manifest
@@ -782,7 +807,13 @@ def version_at_timestamp(spark: SparkSession, table: str, ts) -> int:
                 mtimes[int(m.group(1))] = st.getModificationTime() / 1000.0
     for v in sorted(mtimes, reverse=True):
         try:
-            cts = parse_commit(spark, table, v)[0].get("commit_ts")
+            # raw first-line read (r12 advice): commit_ts lives on the
+            # header line and a txn claim cannot falsify it — an aborted
+            # claim is still a version (a no-op snapshot equal to its
+            # parent), so resolution is not needed to pick a version
+            cts = _read_commit_header_raw(
+                spark, table, mf.marker_name(v)
+            ).get("commit_ts")
         except FileNotFoundError:
             cts = None
         eff = float(cts) if cts is not None else mtimes[v]
@@ -1375,7 +1406,7 @@ def _iter_states(spark: SparkSession, table: str, versions: list[int]):
             try:
                 for step in range(at + 1, v + 1):
                     header, body = parse_commit(spark, table, step)
-                    mf.apply_marker(state, header, body)
+                    mf.apply_marker(state, header, body, version=step)
             except FileNotFoundError:
                 state = None  # hole in the chain: re-anchor below
         if state is None:
@@ -2373,6 +2404,54 @@ def vacuum_txn_records(
     return removed
 
 
+def committed_txn_claims(spark: SparkSession, table: str) -> dict[str, int]:
+    """``{txn_id: claimed version}`` for every COMMITTED multi-table
+    claim in the table's history, in O(claims + markers since the last
+    checkpoint) reads — never O(history) (r12 verdict item 2).
+
+    Anchor: the newest checkpoint at-or-below the current version whose
+    header carries the ``txns`` claim index (one raw first-line read —
+    checkpoints are decided history, no resolution needed); markers
+    after the anchor are read through ``version_header``, which RESOLVES
+    claims, so an in-doubt claim decides before it is counted and an
+    aborted one is skipped. A legacy checkpoint without the index is
+    skipped in favor of an older indexed one or a full walk; the next
+    checkpoint write heals the lineage (``_write_checkpoint``).
+
+    The checkpoint anchor also makes the claim set VACUUM-PROOF: claims
+    whose markers were dropped past the retention horizon survive in
+    the horizon checkpoint's index, where a marker walk would silently
+    lose them."""
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"versioned table {table!r} has no commits")
+    start, claims = 0, {}
+    ckpts = sorted(
+        (
+            int(m.group(1))
+            for n in _commit_dir_names(spark, table)
+            if (m := mf.CKPT_RE.match(n)) and int(m.group(1)) <= cur
+        ),
+        reverse=True,
+    )
+    for cv in ckpts:
+        try:
+            head = _read_commit_header_raw(spark, table, mf.ckpt_name(cv))
+        except Exception:
+            continue  # torn/missing checkpoint: derived data, fall back
+        if "txns" in head:
+            start, claims = cv, dict(head["txns"])
+            break
+    for v in list_versions(spark, table):
+        if v <= start:
+            continue
+        h = version_header(spark, table, v)
+        txn = h.get("txn")
+        if txn and not h.get("txn_aborted"):
+            claims[txn["id"]] = v
+    return claims
+
+
 def read_transaction(
     spark: SparkSession,
     tables: list[str],
@@ -2401,10 +2480,12 @@ def read_transaction(
     (``version_header`` forces the decision), so the fixpoint only ever
     sees decided history.
 
-    Scale: one marker-header read per (table, version) in the history
-    window — headers are one-line reads (local fast path), and a
-    production deployment bounds the walk with the retention horizon
-    (vacuumed versions cannot be chosen anyway)."""
+    Scale: per table, the claim set anchors on the newest checkpoint's
+    ``txns`` index (``committed_txn_claims``) — O(tables + claims +
+    markers since each table's checkpoint), bounded by the checkpoint
+    interval like snapshot replay, never O(history). The index also
+    survives vacuum: claims below the retention horizon live in the
+    horizon checkpoint, which a marker walk could no longer see."""
     names = [t.rstrip("/") for t in tables]
     if len(set(names)) != len(names):
         raise ValueError("read_transaction: duplicate table in read set")
@@ -2419,11 +2500,8 @@ def read_transaction(
     # is exactly what proves another table's inclusion partial
     claims: dict[str, dict[str, int]] = {}
     for t in names:
-        for v in list_versions(spark, t):
-            h = version_header(spark, t, v)
-            txn = h.get("txn")
-            if txn and not h.get("txn_aborted"):
-                claims.setdefault(txn["id"], {})[t] = v
+        for txn_id, v in committed_txn_claims(spark, t).items():
+            claims.setdefault(txn_id, {})[t] = v
     changed = True
     while changed:
         changed = False
@@ -2534,8 +2612,32 @@ def _commit(
     # clamped against its actual parent.
     import time as _time
 
+    pts = pheader.get("commit_ts")
+    if pts is None and version > 1:
+        # pre-feature parent (r12 advice): clamp against its EFFECTIVE
+        # instant — the marker mtime readers fall back to — so the first
+        # post-feature commit on a mixed history stays monotone with the
+        # instants resolution actually compares, even under clock skew
+        try:
+            local = _local_path(table, spark)
+            if local is not None:
+                pts = os.path.getmtime(
+                    f"{local.rstrip('/')}/{_COMMITS}/"
+                    f"{mf.marker_name(version - 1)}"
+                )
+            else:
+                fs, _ = _hadoop_fs(spark, table)
+                pts = (
+                    fs.getFileStatus(
+                        _jp(spark, table, _COMMITS,
+                            mf.marker_name(version - 1))
+                    ).getModificationTime()
+                    / 1000.0
+                )
+        except Exception:
+            pts = None  # unreadable parent marker: fall back to wall clock
     header["commit_ts"] = round(
-        max(_time.time(), float(pheader.get("commit_ts") or 0.0) + 0.001), 3
+        max(_time.time(), float(pts or 0.0) + 0.001), 3
     )
     # column mapping: inherited verbatim unless the commit changes it
     # (rename/drop pass explicit maps; clone/restore pass the source
@@ -2601,6 +2703,16 @@ def _commit(
         "rows": complete,
         "stats": {f: s for f, s in (stats or {}).items() if f in referenced},
         "dv": {f: d for f, d in (dvs or {}).items() if f in referenced and d},
+        # committed-claim index carried forward for the checkpoint this
+        # commit may write. A txn commit's OWN claim is excluded: it is
+        # in-doubt until the final record lands (and such commits pass
+        # checkpoint=False anyway) — later checkpoints pick it up
+        # through replay, by which time resolution has decided it.
+        "txns": (
+            dict(parent_state["txns"])
+            if parent_state.get("txns") is not None
+            else None
+        ),
     }
     if meta:
         spoof = {"txn", "txn_aborted"} & set(meta)
@@ -2639,7 +2751,23 @@ def _write_checkpoint(
     drop old markers, but it is derived data, so a failure here (crash,
     race, IO fault) costs replay time, never correctness. Racing
     writers of the SAME version render identical content, so whichever
-    rename lands is right."""
+    rename lands is right.
+
+    When the state's committed-claim index is unknown (replay anchored
+    on a legacy checkpoint written before the index existed), ONE
+    O(history) walk rebuilds it here — every later checkpoint then
+    carries it forward for free, so the heal happens at most once per
+    legacy lineage."""
+    if state.get("txns") is None:
+        claims: dict[str, int] = {}
+        for v in list_versions(spark, table):
+            if v > version:
+                break
+            h = version_header(spark, table, v)
+            txn = h.get("txn")
+            if txn and not h.get("txn_aborted"):
+                claims[txn["id"]] = v
+        state = dict(state, txns=claims)
     fs, _ = _hadoop_fs(spark, table)
     tmp = _jp(spark, table, _COMMITS, f".tmp-ckpt-{uuid.uuid4().hex}")
     dest = _jp(spark, table, _COMMITS, mf.ckpt_name(version))

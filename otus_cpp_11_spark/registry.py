@@ -162,6 +162,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ivf_train_distortion_curve": "aedd0e018199",
     "ivf_trained_recall": "9c68f8f35575",
     "jaccard_prefix_filter_pairs": "ebd40cba2f18",
+    "kmeans_assign_update": "1957709e4ad9",
     "knn_ivfpq_filtered_recall": "1e8c0a56d0f9",
     "knn_ivfpq_recall_at_3": "30926ba066e9",
     "knn_join_ivfpq_filtered": "4a77d034a883",
@@ -171,6 +172,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "label_whitening_residuals": "156309353abe",
     "latest_event_per_user": "256c7a2b2007",
     "leakage_safe_split": "be57faff60a0",
+    "lineitem_measures_unpivot": "858016643174",
     "lineitem_profile": "be479a6b9360",
     "lineitem_qty_histogram": "5ad92f95736c",
     "lineitem_zorder_cells": "ed3ff23d2c3b",
@@ -252,7 +254,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "suppliers_with_returns": "7a66c41651f6",
     "term_cms_heavy_hitters": "c42035a2f51d",
     "top3_orders_per_customer": "e381e519d72e",
-    "txn_consistent_read": "8bbe9a022f9a",
     "unique_by_abs": "aec470f57ab8",
     "user_event_sessions": "2789bd95a888",
     "user_funnel_conversion": "fe16d90615f6",
@@ -278,7 +279,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "versioned_scan_skipping": "ce505e83611c",
     "versioned_schema_evolution": "6402afe3d77a",
     "versioned_stream_rollup": "825692b63304",
-    "versioned_timestamp_round_trip": "e56b8c5151c0",
     "versioned_type_widening_lifecycle": "0016168db600",
     "view_purchase_left_outer_streamed": "f8e79f71ba33",
     "view_purchase_within_6h": "ceb393bc123c",
@@ -343,10 +343,8 @@ REVERIFY: frozenset[str] = frozenset({
     "events_user_sketches",
     "hard_negative_mining",
     "ips_policy_value",
-    "kmeans_assign_update",
     "label_centroids",
     "lakehouse_compaction_accounting",
-    "lineitem_measures_unpivot",
     "lineitem_price_qty_corr",
     "lsh_cosine_top5",
     "lsh_cosine_top5_multiprobe",
