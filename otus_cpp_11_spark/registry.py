@@ -151,6 +151,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
     "events_tumbling_5min_streamed": "a108f91ed90b",
+    "events_user_sketches": "70afbca65e63",
     "events_versioned_ingest_streamed": "48dd8e3478c1",
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
@@ -340,7 +341,6 @@ REVERIFY: frozenset[str] = frozenset({
     "events_session_windows",
     "events_sliding_10min_5min",
     "events_tumbling_5min",
-    "events_user_sketches",
     "hard_negative_mining",
     "ips_policy_value",
     "label_centroids",
