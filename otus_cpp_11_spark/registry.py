@@ -149,7 +149,9 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
     "events_session_windows_streamed": "08f0e60d5c18",
+    "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
+    "events_tumbling_5min": "f1e4a9109b9d",
     "events_tumbling_5min_streamed": "a108f91ed90b",
     "events_user_sketches": "70afbca65e63",
     "events_versioned_ingest_streamed": "48dd8e3478c1",
@@ -339,8 +341,6 @@ REVERIFY: frozenset[str] = frozenset({
     "events_json_props",
     "events_multires_rollup",
     "events_session_windows",
-    "events_sliding_10min_5min",
-    "events_tumbling_5min",
     "hard_negative_mining",
     "ips_policy_value",
     "label_centroids",
