@@ -1711,6 +1711,55 @@ def _carried_bloom_cols(prev_stats: dict, live_phys: set) -> list[str]:
     )
 
 
+def _footer_stats(
+    table: str, files: list[str], cols: list[str]
+) -> dict | None:
+    """Per-file min/max of ``cols`` from the parquet FOOTERS — pure
+    metadata IO, zero Spark jobs (r12 verdict item 6: each DML step
+    paid a whole stats-scan job whose answer the footers already
+    hold). Restricted to columns whose physical type is plain
+    INT32/INT64/FLOAT/DOUBLE with no value-transforming logical type:
+    for those, footer statistics are the exact min/max Spark's
+    aggregate would compute (parquet may truncate BYTE_ARRAY stats to
+    bounds, so strings keep the scan). Returns None whenever any file,
+    column, or row group lacks usable exact stats — the caller falls
+    back to the scan, so this is only ever a faster path to the SAME
+    values."""
+    import pyarrow.parquet as pq
+
+    root = table.rstrip("/")
+    out: dict = {}
+    for f in files:
+        try:
+            md = pq.ParquetFile(_resolve(root, f)).metadata
+        except Exception:
+            return None
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        entry = {}
+        for c in cols:
+            i = names.get(c)
+            if i is None:
+                return None
+            sc = md.schema.column(i)
+            if sc.physical_type not in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+                return None
+            lt = str(sc.logical_type.type).upper()
+            if lt not in ("NONE", "INT"):
+                return None  # decimal/date/timestamp: values transform
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if mn is None:
+                return None  # zero row groups: let the scan decide
+            entry[c] = [_stats_safe(mn), _stats_safe(mx)]
+        out[_relativize(_resolve(root, f))] = entry
+    return out
+
+
 def _collect_file_stats(
     spark: SparkSession,
     table: str,
@@ -1737,6 +1786,13 @@ def _collect_file_stats(
     bcols = [_phys(cmap or {}, c) for c in bloom_cols]
     cols = cols + [c for c in bcols if c not in cols]
     root = table.rstrip("/")
+    if not bcols and _local_path(table, spark) is not None:
+        # numeric-column fast path: exact min/max straight from the
+        # parquet footers, zero Spark jobs; None -> fall through to the
+        # scan (strings, decimals, missing stats, remote store)
+        fs = _footer_stats(table, files, cols)
+        if fs is not None:
+            return fs
     df = spark.read.parquet(*[_resolve(root, f) for f in files])
     aggs = []
     for i, c in enumerate(cols):
