@@ -148,6 +148,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "events_minute_rollup_streamed": "e74fbcc0b0a8",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
+    "events_session_windows": "ee61ffbf866a",
     "events_session_windows_streamed": "08f0e60d5c18",
     "events_sliding_10min_5min": "9f43a94d569f",
     "events_sliding_10min_5min_streamed": "ee09d3535501",
@@ -340,7 +341,6 @@ REVERIFY: frozenset[str] = frozenset({
     "events_hourly_profile",
     "events_json_props",
     "events_multires_rollup",
-    "events_session_windows",
     "hard_negative_mining",
     "ips_policy_value",
     "label_centroids",
