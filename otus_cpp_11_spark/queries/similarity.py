@@ -5127,7 +5127,7 @@ def _ann_router(spark: SparkSession, sf_dir: str) -> str:
         sf_dir,
         f"annrouter|{PQ_SUBVECTORS}x{PQ_CODEBOOK}@{PQ_SCALE}"
         f"|it{PQ_TRAIN_ITERS}|ivf{IVF_T_K}x{IVF_TRAIN_ITERS}"
-        f"|incr{PQ_INGEST_MOD}",
+        f"|incr{PQ_INGEST_MOD}|green{GREEN_TRAIN_ITERS}",
     )
     digest = hashlib.sha256(token.encode()).hexdigest()[:16]
     rpath = os.path.join(_artifact_cache_root(), f"ann-router-{digest}")
