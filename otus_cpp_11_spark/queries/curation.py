@@ -38,10 +38,12 @@ from otus_cpp_11_spark.queries.dedup import (
     SHINGLE_WORDS,
     _NEAR_PAIRS_CTES,
     _NORM_SQL,
+    _cache,
     _normalized,
     _word_shingles,
     _word_shingles_raw,
     near_dup_pairs_minhash,
+    release_dedup_caches,
 )
 from otus_cpp_11_spark.registry import register
 
@@ -1090,8 +1092,22 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that makes DSIR tractable where a learned classifier needs
     a training loop. Feature hashing uses the same two-nibble md5
     arithmetic as doc_shard_assignment so both engines bucket
-    identically."""
+    identically.
+
+    r13 optimization (guide §2.3/§2.4): the exploded+md5-bucketed
+    feature relation used to feed BOTH the distribution aggregate and
+    the per-doc scoring join as separate subtrees, so the corpus-sized
+    explode and one md5 per feature ran twice
+    (plans/r13/doc_dsir_weights_before.txt: two scan→explode chains).
+    Features are now collapsed to per-doc bucket COUNTS — (doc_id,
+    lang, b, cnt), ≤ {DSIR_BUCKETS} rows per doc, partially aggregated
+    map-side — in ONE pass, cached for the call (single-generation
+    dedup cache); the distribution is Σ cnt per bucket and the per-doc
+    score is Σ cnt·r, exact integer sums that commute with the
+    per-feature formulation bit-for-bit, which the unchanged oracle
+    re-proves."""
     d = load_table(spark, sf_dir, "documents")
+    release_dedup_caches()  # evict the previous call's generation
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     base = d.select("doc_id", "lang", toks.alias("t"))
     feats = base.select(
@@ -1102,17 +1118,27 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         % DSIR_BUCKETS
     )
     bucketed = feats.select("doc_id", "lang", bucket.alias("b"))
-    dist = bucketed.groupBy("b").agg(
-        F.count(F.lit(1)).alias("raw_n"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("tgt_n"),
+    pdb = _cache(
+        bucketed.groupBy("doc_id", "lang", "b").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    dist = pdb.groupBy("b").agg(
+        F.sum("cnt").alias("raw_n"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
+        ).alias("tgt_n"),
     )
     ratio = dist.select(
         "b", F.expr(f"({DSIR_UNIT} * (tgt_n + 1)) div (raw_n + 1)").alias("r")
     )
     per_doc = (
-        bucketed.join(ratio, "b")
+        pdb.join(ratio, "b")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("r").alias("dsir_units"))
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("r")).alias("dsir_units"),
+        )
     )
     return (
         d.select("doc_id")

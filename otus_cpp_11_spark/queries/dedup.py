@@ -1206,7 +1206,19 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify shape) instead of re-exploding both sides through a
     (pair × shingle) join — the explode path shuffled every candidate's
     full shingle multiset twice; the array path ships each doc's set
-    once via two vec-id equi-joins."""
+    once via two vec-id equi-joins.
+
+    r13 optimization (guide §2.4 — remove duplicated subtrees feeding a
+    self-join): the PREFIX relation (freq aggregate + sizes aggregate +
+    two joins + per-doc window) and the SETS relation (per-doc
+    collect_list) each feed BOTH sides of a self-join, and Catalyst
+    plans self-joined subtrees twice — the r12 plan ran the whole
+    freq/sizes/window chain and the collect_list aggregate twice each
+    (plans/r13/jaccard_prefix_filter_pairs_before.txt, operators 10-33
+    vs 34-59 and 68-70 vs 77-79). Both now join the single-generation
+    dedup cache, so each heavy subtree executes once per call; output
+    is unchanged (same relation read twice instead of computed twice)
+    and the oracle re-proves it."""
     d = load_table(spark, sf_dir, "documents")
     release_dedup_caches()  # evict the previous call's generation
     sh = _cache(_word_shingles(d, SHINGLE_WORDS))
@@ -1222,9 +1234,11 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    prefix = pos.where(
-        F.col("pos") <= F.expr("n - ((n + 1) div 2) + 1")
-    ).select("doc_id", "shingle", "n")
+    prefix = _cache(
+        pos.where(F.col("pos") <= F.expr("n - ((n + 1) div 2) + 1")).select(
+            "doc_id", "shingle", "n"
+        )
+    )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cands = (
         pa.join(
@@ -1239,8 +1253,10 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("s"), F.count(F.lit(1)).alias("n")
+    sets = _cache(
+        sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("s"), F.count(F.lit(1)).alias("n")
+        )
     )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),

