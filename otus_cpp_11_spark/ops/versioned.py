@@ -2992,7 +2992,19 @@ def _read_files_masked(
     is the manifest key that matches across clones' absolute paths.
     ``path_col`` / ``idx_col`` optionally keep the physical file path /
     in-file row position as columns for callers doing touched-file
-    discovery or DV construction."""
+    discovery or DV construction.
+
+    r13 optimization (guide §2.3 — don't join rows that can't match):
+    files WITHOUT a deletion vector take a plain scan and only the
+    DV'd files' rows pay the mask (the per-row suffix construction and
+    the anti-join); the two branches union after the identical logical
+    projection. Before, every row of every file flowed through the
+    anti-join even when one file in a thousand carried a DV — at scale
+    the mask is now O(rows in DV'd files), not O(table rows). Pure
+    relational split: clean-scan rows have no masked positions by
+    definition, and every downstream comparison in this engine is
+    order-independent by the fixed-point determinism discipline, so
+    union order cannot change any result."""
     root = table.rstrip("/")
     if not files:
         df = spark.createDataFrame([], schema)
@@ -3002,17 +3014,39 @@ def _read_files_masked(
         return df
     cmap = cmap or {}
     reader = spark.read.schema(_physical_schema(schema, cmap))
-    df = reader.parquet(*[_resolve(root, f) for f in files])
     # logical projection, applied LAST: _metadata refs below need the
     # scan relation, and the mask math is name-agnostic
     cols = [F.col(_phys(cmap, f.name)).alias(f.name) for f in schema.fields]
     live = {f: dvs[f] for f in files if dvs.get(f)}
-    if not live and path_col is None and idx_col is None:
-        return df.select(*cols)
-    df = df.withColumn("__vt_path", F.col("_metadata.file_path")).withColumn(
-        "__vt_idx", F.col("_metadata.row_index")
-    )
+    need_meta = path_col is not None or idx_col is not None
+    if not live and not need_meta:
+        return reader.parquet(
+            *[_resolve(root, f) for f in files]
+        ).select(*cols)
+    keep = list(cols)
+    if path_col:
+        keep.append(F.col("__vt_path").alias(path_col))
+    if idx_col:
+        keep.append(F.col("__vt_idx").alias(idx_col))
+
+    def _with_meta(scan: DataFrame) -> DataFrame:
+        return scan.withColumn(
+            "__vt_path", F.col("_metadata.file_path")
+        ).withColumn("__vt_idx", F.col("_metadata.row_index"))
+
+    clean = [f for f in files if f not in live]
+    parts: list[DataFrame] = []
+    if clean:
+        cdf = reader.parquet(*[_resolve(root, f) for f in clean])
+        parts.append(
+            (_with_meta(cdf) if need_meta else cdf).select(
+                *(keep if need_meta else cols)
+            )
+        )
     if live:
+        df = _with_meta(
+            reader.parquet(*[_resolve(root, f) for f in live])
+        )
         suffix_of = lambda f: _relativize(_resolve(root, f))  # noqa: E731
         rels: list[DataFrame] = []
         inline = [
@@ -3088,12 +3122,11 @@ def _read_files_masked(
                 F.substring_index(F.col("__vt_path"), f"/{_DATA}/", -1),
             ),
         ).join(dv_df, ["__vt_suffix", "__vt_idx"], "left_anti")
-    keep = list(cols)
-    if path_col:
-        keep.append(F.col("__vt_path").alias(path_col))
-    if idx_col:
-        keep.append(F.col("__vt_idx").alias(idx_col))
-    return df.select(*keep)
+        parts.append(df.select(*keep))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def metadata_count(
