@@ -3914,14 +3914,20 @@ def _knn_ivfpq_ranked(
     the trap ``ann_filtered_top5`` documents), and the recall gates.
 
     Plan shape, stage by stage (all one lazy plan):
-    1. probe assignment: query set × K broadcast centroid rows, exact
-       fixed-point d2, per-query window keeps nprobe cells — the corpus
-       is never touched;
+    1. probe assignment: each query row evaluates its K exact
+       fixed-point d2 scores against the centroid LITERALS in one
+       sorted-struct-array expression and keeps nprobe cells — a pure
+       map-side projection, no centroid join, no per-query window, no
+       Exchange; the corpus is never touched (r13: this replaced a
+       broadcast-centroid join + row_number window);
     2. per-(query, cell) ADC tables: the query's residual against the
-       S×CODEBOOK broadcast codebook rows, pivoted to ONE
-       array<array<bigint>> row per (query, cell) — N·nprobe rows total,
-       built executor-side (the single-query path's driver-literal
-       tables do not scale to query SETS);
+       S×CODEBOOK codebook LITERALS as one generated
+       array<array<bigint>> expression per (query, cell) — N·nprobe
+       rows total, computed executor-side in the same projection (r13:
+       this replaced a codebook join + 64-conditional-max pivot and its
+       Exchange; per-query driver-literal tables still would not scale
+       to query SETS — the codebook literals are corpus-level constants,
+       query-count-independent);
     3. candidates: the versioned index (files for non-probed cells
        dismissed from the manifest header; the distinct probed-cell
        collect is ≤ K rows, query-count-independent) joined to the
@@ -3948,69 +3954,96 @@ def _knn_ivfpq_ranked(
     q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-            "cell bigint, cv array<double>",
+
+    # r13 optimization (guide §2.4 — remove shuffles outright): probe
+    # assignment and the per-(query, cell) ADC tables are MAP-SIDE
+    # expressions over the query rows. The centroids and the codebook
+    # are driver-side trained artifacts (bounded: K x dim and S x C x
+    # dsub literals — corpus-independent), so the K d2 scores per query
+    # ride as one sorted-struct-array expression (replacing the
+    # broadcast-centroid join + per-query row_number window and its
+    # Exchange) and each probed cell's S x C distance table is one
+    # generated array expression over the residual (replacing the
+    # codebook join + the 64-conditional-max pivot aggregate and its
+    # Exchange). Everything is built as ONE JVM-parsed expression string
+    # (the encode-path move: ~ms through the parser vs ~1 s of py4j
+    # Column construction per call). The arithmetic templates mirror
+    # _dec_dot/_d2/_pq_term operation for operation (same casts, same
+    # left-to-right decimal accumulation), so every d2, residual and
+    # table entry is bit-identical to the joined formulation — the
+    # oracle re-proves it.
+    def _arr(vals: list[float]) -> str:
+        return (
+            "array("
+            + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+            + ")"
         )
+
+    def _dot_expr(a: str, b: str) -> str:
+        # _dec_dot as SQL: floor(x*y*1e15) per element as decimal(38,0),
+        # left-fold sum, cast double, / 1e15
+        return (
+            f"(CAST(aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1.0E15) "
+            f"AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0)), "
+            f"(acc, p) -> CAST(acc + p AS DECIMAL(38,0))) AS DOUBLE) / 1.0E15)"
+        )
+
+    d2s = [
+        f"({_dot_expr('qv', 'qv')} - 2.0D * {_dot_expr('qv', _arr(c))}"
+        f" + {_dot_expr(_arr(c), _arr(c))})"
+        for c in cents
+    ]
+    probe_sql = (
+        "slice(array_sort(array("
+        + ",".join(
+            f"named_struct('d2', {d}, 'cell', CAST({i} AS BIGINT))"
+            for i, d in enumerate(d2s)
+        )
+        + f")), 1, {KNN_IVFPQ_NPROBE})"
     )
-    wprobe = Window.partitionBy("query_id").orderBy("d2", "cell")
+    cmat = "array(" + ",".join(_arr(c) for c in cents) + ")"
     qprobe = (
-        q.join(cdf)
-        .select(
-            "query_id", "qv", "cell", "cv",
-            _d2(F.col("qv"), F.col("cv")).alias("d2"),
+        q.select(
+            "query_id", "qv", F.expr(f"explode({probe_sql})").alias("pc")
         )
-        .select(
-            "query_id", "qv", "cell", "cv",
-            F.row_number().over(wprobe).alias("rk"),
-        )
-        .where(F.col("rk") <= KNN_IVFPQ_NPROBE)
         .select(
             "query_id",
-            "cell",
-            F.zip_with(
-                F.col("qv"), F.col("cv"), lambda x, c: x.cast("double") - c
+            F.col("pc.cell").alias("cell"),
+            F.expr(
+                f"zip_with(qv, element_at({cmat}, CAST(pc.cell + 1 AS INT)),"
+                " (x, c) -> CAST(x AS DOUBLE) - c)"
             ).alias("rv"),
         )
     )
-    cb = F.broadcast(
-        spark.createDataFrame(
-            [
-                (s, c, slices[(s, c)])
-                for s in range(PQ_SUBVECTORS)
-                for c in range(PQ_CODEBOOK)
-            ],
-            "s int, code int, ccv array<double>",
+
+    def _pq_dist_sql(s: int, c: int) -> str:
+        # _pq_term folded over one subvector slice against a literal
+        # codebook slice; the pivot's final CAST ... AS BIGINT kept
+        return (
+            f"CAST(aggregate(zip_with(slice(rv, {s * PQ_DSUB + 1}, "
+            f"{PQ_DSUB}), {_arr(slices[(s, c)])}, (x, y) -> "
+            f"CAST(FLOOR((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)"
+            f" * {float(PQ_SCALE)!r}D) AS DECIMAL(38,0))), "
+            f"CAST(0 AS DECIMAL(38,0)), "
+            f"(acc, p) -> CAST(acc + p AS DECIMAL(38,0))) AS BIGINT)"
         )
-    )
-    sub = F.slice(F.col("rv"), F.col("s") * PQ_DSUB + 1, PQ_DSUB)
-    dist = F.aggregate(
-        F.zip_with(sub, F.col("ccv"), _pq_term),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, p: (acc + p).cast("decimal(38,0)"),
-    )
-    qd = qprobe.join(cb).select(
-        "query_id", "cell", "s", "code", dist.alias("dist")
-    )
-    # one JVM-parsed expression: the 64 conditional-max aggregates cost
-    # ~1 s of py4j Column construction per call as F.max/F.when trees
-    # (profiled) vs ~1 ms through the parser — same move as the encode
-    tabs = F.expr(
+
+    tabs_sql = (
         "array("
         + ",".join(
             "array("
             + ",".join(
-                f"CAST(max(CASE WHEN s = {s} AND code = {c} "
-                f"THEN dist END) AS BIGINT)"
-                for c in range(PQ_CODEBOOK)
+                _pq_dist_sql(s, c) for c in range(PQ_CODEBOOK)
             )
             + ")"
             for s in range(PQ_SUBVECTORS)
         )
         + ")"
     )
-    qdt = qd.groupBy("query_id", "cell").agg(tabs.alias("tabs"))
+    qdt = qprobe.select(
+        "query_id", "cell", F.expr(tabs_sql).alias("tabs")
+    )
     # the ONE driver collect: the distinct probed-cell set (≤ K ints,
     # independent of query count) so each probed cell is a stats-pruned
     # scan_version — manifest-header file dismissal, as in ivf_pq_top5
