@@ -88,6 +88,45 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 COPURCHASE_MIN = 3
 
 
+def _order_part_pairs(li: DataFrame) -> DataFrame:
+    """(pa, pb, cnt) co-purchase pairs with pa < pb — the shared pair
+    build of copurchase_part_pairs / copurchase_association_rules /
+    part_pagerank_fixedpoint.
+
+    r13 optimization (guide §2.4 — remove shuffles outright; §1.2 step
+    1, fix the distributed algorithm): previously a row-level self-join
+    of lineitem on l_orderkey — TWO shuffles + sort-merge sorts of the
+    full row set just to pair rows that share a key. Now ONE shuffle
+    groups each order's parts into an array (collect_list — bounded by
+    lines-per-order, <= 7 in TPC-H) and the pairs expand MAP-SIDE as
+    index combinations (i < j) over that array, normalized to
+    (least, greatest) and null-dropped on equal values — exactly one
+    emitted pair per unordered row pair with distinct parts, which is
+    precisely what the a.l_partkey < b.l_partkey self-join counted
+    (order-independent, so collect_list's nondeterministic array order
+    cannot change the counts). The pair aggregate then shuffles only
+    partially-aggregated (pa, pb) counts. A/B on the subtree: 2.0 ->
+    1.5 s isolated; results machine-proven identical (the oracles keep
+    the self-join formulation)."""
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ps")
+    )
+    pair_arr = F.expr(
+        """
+        flatten(transform(ps, (x, i) ->
+          filter(transform(slice(ps, i + 2, size(ps)), y ->
+            CASE WHEN x < y THEN struct(x AS pa, y AS pb)
+                 WHEN y < x THEN struct(y AS pa, x AS pb) END),
+            p -> p IS NOT NULL)))
+        """
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 @register(
     "copurchase_part_pairs",
     oracle=f"""
@@ -102,23 +141,19 @@ ORDER BY n_orders DESC, part_a, part_b
 )
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in >= 3 common
-    orders. The self-join key is l_orderkey, so fan-out is bounded by
-    lines-per-order (<= 7 in TPC-H) — per-key quadratic with a small
-    constant, never corpus-quadratic; one shuffle on orderkey, then a
-    hash aggregate on the pair."""
+    orders. Pair fan-out is bounded by lines-per-order (<= 7 in TPC-H)
+    — per-key quadratic with a small constant, never corpus-quadratic;
+    one shuffle on orderkey groups each order's parts, the pairs expand
+    map-side (`_order_part_pairs` — r13: replaced the row self-join and
+    its second shuffle + sorts), then a hash aggregate on the pair."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        _order_part_pairs(li)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("cnt").alias("n_orders"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= COPURCHASE_MIN)
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
     )
@@ -214,19 +249,9 @@ def part_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-sized, never edge-sized, across iterations. The N scalar is
     the 1-scalar collect the zorder-bounds precedent allows."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= COPURCHASE_MIN)
+        _order_part_pairs(li)  # r13: map-side pair expansion, see helper
+        .where(F.col("cnt") >= COPURCHASE_MIN)
         .select("pa", "pb")
     )
     edges = pairs.select(
@@ -1079,19 +1104,9 @@ def part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation would be degree-ordered and bucketed on the join vertex;
     skew equals max degree, the quantity the ordering minimizes."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= COPURCHASE_MIN)
+        _order_part_pairs(li)  # r13: map-side pair expansion, see helper
+        .where(F.col("cnt") >= COPURCHASE_MIN)
         .select("pa", "pb")
     )
     e1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
@@ -1376,19 +1391,14 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders_total"))
     deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        _order_part_pairs(li)  # r13: map-side pair expansion, see helper
+        .where(F.col("cnt") >= COPURCHASE_MIN)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("cnt").alias("co"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("co"))
-        .where(F.col("co") >= COPURCHASE_MIN)
     )
     rules = (
         pairs.join(

@@ -99,7 +99,9 @@ def register(
 # re-verifies first, unchanged old greens keep their valid pins.
 DRIVER_VERIFIED: dict[str, str] = {
     "ann_cosine_top10": "216042f41a73",
+    "ann_filtered_top5": "acf0825f69bc",
     "ann_index_cdc_upsert_txn": "e8211bd47942",
+    "ann_truncated_dim_recall": "0980750bee64",
     "ann_index_streamed": "1c99211dd9d1",
     "ann_lifecycle_pipeline": "5da83cc9c156",
     "balanced_doc_sample": "e369f0894200",
@@ -111,7 +113,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "cdc_change_data_feed": "c877eea61ea1",
     "cdf_incremental_state_counts": "44b34b2886e4",
     "cdf_netting_across_versions": "ca8de7bf1a5e",
-    "copurchase_association_rules": "77b285b9c575",
     "corpus_after_span_strip": "521eaebb4885",
     "corpus_curation_pipeline": "17e330209e81",
     "corpus_datacard": "4e127f435efa",
@@ -202,7 +203,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "orders_rollup": "cc0326964a00",
     "orders_yoy_growth": "36e8f4429a72",
     "orderstatus_pivot": "051fd9dd302a",
-    "part_pagerank_fixedpoint": "5a1d412dfb43",
     "part_price_band_join": "feedac3b7d7c",
     "parts_larger_than_brand_avg": "84c2c686d6ac",
     "pii_scrub_stats": "7f34c028e2b4",
