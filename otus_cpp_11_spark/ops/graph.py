@@ -81,7 +81,15 @@ def connected_components(
         schema = StructType(
             [StructField("id", id_type), StructField("component", id_type)]
         )
-        return e.sparkSession.createDataFrame(labeled, schema)
+        # r13: createDataFrame over a local list plans as Scan ExistingRDD
+        # with NO size stats, so a downstream join against the corpus
+        # picked SortMergeJoin — shuffling + sorting the corpus side to
+        # meet a driver-local relation (corpus_curation_pipeline paid an
+        # Exchange+Sort of its whole scored relation for this). The
+        # driver path is bounded by DRIVER_CC_MAX_EDGES by construction,
+        # so the broadcast hint is always safe HERE; the distributed
+        # path below stays unhinted (labels are corpus-sized).
+        return F.broadcast(e.sparkSession.createDataFrame(labeled, schema))
 
     sym = (
         e.select(F.col(src).alias("s"), F.col(dst).alias("d"))
