@@ -89,6 +89,30 @@ def get_spark(
         # batches back. Micros round-trip Spark -> parquet -> pyarrow ->
         # Spark losslessly; they are also what Delta/Iceberg mandate.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # r13 (guide §2.4/§1.2): both filter-inference rules copy DERIVED-
+        # column expressions into scan-adjacent Filters. For this engine's
+        # text/vector queries those columns are the expensive part (word-
+        # shingle zip_with chains, LSH hyperplane aggregates), so the
+        # "free" inferred predicate re-evaluates the whole chain once per
+        # row in the scan stage — serially on single-row-group local
+        # files (the spread() pushdown hole), and as pure duplicate
+        # compute at any scale (the Project recomputes it post-exchange;
+        # nearly no rows are actually pruned: docs with <k words / null
+        # keys are rare-to-impossible here by construction). Exclusion is
+        # semantics-preserving (both rules only ADD redundant filters) —
+        # A/B floors and plan diffs in OPTIMIZATION_r13.md; overridable
+        # per deployment via SPARK_GRAFT_EXCLUDED_RULES for lakes where
+        # null-key pruning at the scan outweighs duplicated projection.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            os.environ.get(
+                "SPARK_GRAFT_EXCLUDED_RULES",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate,"
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromConstraints",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
