@@ -438,8 +438,16 @@ def _lsh_candidate_pair_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from one md5 per shingle (see the _SIGS_SQL comment)."""
     d = load_table(spark, sf_dir, "documents")
     release_dedup_caches()  # evict the previous call's generation
-    sets = _cache(
-        _word_shingle_arrays(d, SHINGLE_WORDS).where(F.size("shingle_set") > 0)
+    # r13: filter AFTER the cache pin, not inside the fill — pushdown
+    # inlines a pre-cache `where(size(shingle_set) > 0)` below the
+    # spread() exchange, re-evaluating the whole normalize+zip_with+
+    # array_distinct chain per row in the single-partition scan stage
+    # (plans/r13/near_dup_pairs_minhash_noinfer.txt ops 7/13). On the
+    # cached column the same predicate is one size() per materialized
+    # row; contents differ only by empty-set docs, which produce no
+    # bands and join no candidates.
+    sets = _cache(_word_shingle_arrays(d, SHINGLE_WORDS)).where(
+        F.size("shingle_set") > 0
     )
     bands = _cache(_minhash_bands(sets))
 
@@ -1030,8 +1038,11 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-join splits them."""
     d = load_table(spark, sf_dir, "documents")
     release_dedup_caches()
-    sets = _cache(
-        _word_shingle_arrays(d, SHINGLE_WORDS).where(F.size("shingle_set") > 0)
+    # r13: filter on the CACHED column (see _lsh_candidate_pair_sets) —
+    # a pre-cache where() is pushed below the spread() exchange and
+    # re-runs the shingle chain serially in the scan stage.
+    sets = _cache(_word_shingle_arrays(d, SHINGLE_WORDS)).where(
+        F.size("shingle_set") > 0
     )
     bands = _cache(_minhash_bands(sets))
     is_inc = F.col("doc_id") % INCREMENTAL_MOD == INCREMENTAL_REM

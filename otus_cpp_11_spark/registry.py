@@ -166,7 +166,11 @@ DRIVER_VERIFIED: dict[str, str] = {
     "exact_dup_groups": "8902aa321cb1",
     "forget_sweep_accounting": "6fb00d148c74",
     "incremental_decontamination": "27228e0f9847",
-    "incremental_near_dup": "106378cb3ab8",
+    # incremental_near_dup unpinned r13: cache-pinned-column filter
+    # placement changed its source (results oracle-proven identical);
+    # customer_order_gap_stats (oldest eligible REVERIFY member, hash
+    # still equal to its last driver-green pin) returns in its place.
+    "customer_order_gap_stats": "6d3cb75325f9",
     "ivf_cosine_top5": "22b12ef86586",
     "ivf_pq_nprobe_recall_curve": "988f9a56fbe8",
     "ivf_pq_top5": "64e8668b12ca",
