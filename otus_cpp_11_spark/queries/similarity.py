@@ -92,14 +92,31 @@ def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     global top-k with a total tie-break. The per-partition top-k merge means
     no full sort and no shuffle of the embedding column."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    # r13 (guide §2.3): the query norm is a per-query constant — computing
+    # it in the 1-row broadcast side instead of inside the per-row cosine
+    # drops a third of the corpus pass's decimal folds (3 -> 2 per row;
+    # the doc-side dot and norm are genuinely per-row). Operand order of
+    # dot/(doc_norm * q_norm) matches cosine_sim, so values are
+    # bit-identical (oracle unchanged, re-proven).
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
     scored = (
         e.where(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+            (
+                _dec_dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(
+                        _dec_dot(F.col("embedding"), F.col("embedding"))
+                    )
+                    * F.col("qn")
+                )
+            ).alias("cosine"),
         )
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(TOPK)
@@ -1311,16 +1328,24 @@ def knn_join_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole join is linear in corpus size at fixed bucket occupancy —
     never all-pairs."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r13 (guide §2.3 — per-side constants computed per side, not per
+    # pair): cosine_sim(cv, qv) ran THREE 64-element decimal folds per
+    # candidate pair; the two norms are per-side and move into each
+    # side's projection BELOW the bucket join, leaving one fold per
+    # pair. dot/(cn*qn) keeps cosine_sim's operand order, so every
+    # double is bit-identical (oracle text unchanged, re-proven).
     q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         _bucket_col(F.col("embedding")).alias("qbucket"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     cand = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("cv"),
         _bucket_col(F.col("embedding")).alias("bucket"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
     )
     scored = (
         q.join(
@@ -1332,7 +1357,10 @@ def knn_join_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            cosine_sim(F.col("cv"), F.col("qv")).alias("cosine"),
+            (
+                _dec_dot(F.col("cv"), F.col("qv"))
+                / (F.col("cn") * F.col("qn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")

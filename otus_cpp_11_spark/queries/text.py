@@ -904,23 +904,49 @@ def retrieval_hybrid_dense_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/PQ rankers (pq_adc_top10, ivf_pq_top5) swap in behind the same
     pool interface when the corpus outgrows brute force — the fusion
     consumes only rank columns and cannot tell."""
-    from otus_cpp_11_spark.queries.similarity import cosine_sim
+    from otus_cpp_11_spark.queries.similarity import _dec_dot
 
     e = load_table(spark, sf_dir, "embeddings")
     anchors = spark.createDataFrame(
         list(HYBRID_ANCHORS), "query_id int, anchor_id long"
     )
+    # r13 (guide §2.3 — don't recompute per-pair what is per-side
+    # constant): cosine_sim(e, qv) evaluates THREE 64-element decimal
+    # folds per (doc, query) pair, but two of them are per-side norms —
+    # sqrt(dot(e,e)) is per doc (was recomputed once per query) and
+    # sqrt(dot(qv,qv)) is per query (was recomputed once per CORPUS ROW).
+    # Factoring both into their own side's projection leaves ONE fold per
+    # pair. Value-identical by construction: the same _dec_dot/sqrt
+    # expressions run on the same inputs, and the final
+    # dot / (d_norm * q_norm) keeps cosine_sim's operand order, so every
+    # double is bit-for-bit the one the fused expression produced (the
+    # oracle text is unchanged and re-proven at all three SFs).
     qv = (
         e.join(F.broadcast(anchors), e["vec_id"] == anchors["anchor_id"])
-        .select("query_id", "anchor_id", F.col("embedding").alias("qv"))
+        .select(
+            "query_id",
+            "anchor_id",
+            F.col("embedding").alias("qv"),
+            F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias(
+                "q_norm"
+            ),
+        )
+    )
+    docs = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("d_norm"),
     )
     dense = (
-        e.crossJoin(F.broadcast(qv))
+        docs.crossJoin(F.broadcast(qv))
         .where(F.col("vec_id") != F.col("anchor_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
-            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+            (
+                _dec_dot(F.col("embedding"), F.col("qv"))
+                / (F.col("d_norm") * F.col("q_norm"))
+            ).alias("cosine"),
         )
     )
     pool_b = salted_topk(

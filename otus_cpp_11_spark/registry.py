@@ -98,7 +98,13 @@ def register(
 # dict so the window stays exactly the unpinned set — changed code
 # re-verifies first, unchanged old greens keep their valid pins.
 DRIVER_VERIFIED: dict[str, str] = {
-    "ann_cosine_top10": "216042f41a73",
+    # ann_cosine_top10 / knn_join_lsh_top3 / retrieval_hybrid_dense_top5
+    # unpinned r13: per-pair cosine factored into per-side norms
+    # (results oracle-proven identical at all three SFs —
+    # OPTIMIZATION_r13.md item 14); events_multires_rollup,
+    # events_json_props and embedding_norms_by_label (youngest-vintage
+    # eligible REVERIFY members, hashes still equal to their last
+    # driver-green pins) return in their places.
     "ann_filtered_top5": "acf0825f69bc",
     "ann_index_cdc_upsert_txn": "e8211bd47942",
     "ann_truncated_dim_recall": "0980750bee64",
@@ -149,10 +155,13 @@ DRIVER_VERIFIED: dict[str, str] = {
     "doc_token_stats": "f1fc9c5f44ba",
     "doc_top_terms": "36f7b8dcb415",
     "dup_blast_radius": "d5affb8c7838",
+    "embedding_norms_by_label": "b079260add86",
     "embedding_quantization": "f5bb24cd0b57",
     "events_dedup_streamed": "b83a47cdb13a",
     "events_enriched_streamed": "db52a8e8f0af",
+    "events_json_props": "fd96cba6cc74",
     "events_minute_rollup_streamed": "e74fbcc0b0a8",
+    "events_multires_rollup": "9500a9fc4621",
     "events_pit_enrich": "a6e7e764b1ed",
     "events_props_variant": "31a6172af1b4",
     "events_session_windows": "ee61ffbf866a",
@@ -181,7 +190,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "knn_ivfpq_recall_at_3": "30926ba066e9",
     "knn_join_ivfpq_filtered": "4a77d034a883",
     "knn_join_ivfpq_topk": "253a749c420d",
-    "knn_join_lsh_top3": "635fe257dd5a",
     "knn_recall_at_3": "c88e0a7440fb",
     "label_whitening_residuals": "156309353abe",
     "latest_event_per_user": "256c7a2b2007",
@@ -252,7 +260,6 @@ DRIVER_VERIFIED: dict[str, str] = {
     "region_nation_list": "47ff2923d217",
     "repeated_span_strip_stats": "b639a37b01e7",
     "retrieval_diversified_top3": "0ae5067ed6f0",
-    "retrieval_hybrid_dense_top5": "c6c174497154",
     "retrieval_rrf_fusion": "ae89b20c6090",
     "rtbf_forget_base_and_index_txn": "5dd34dbc7551",
     "running_user_counts_streamed": "fbca008c058d",

@@ -85,8 +85,12 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     # the day predicate is a partition (directory) filter, not a data filter
-    # (the scan omits its PushedFilters line entirely when none exist)
-    assert "PartitionFilters: [isnotnull(day" in plan
+    # (the scan omits its PushedFilters line entirely when none exist).
+    # r13: the filter is the bare equality — the isnotnull(day) prefix was
+    # an InferFiltersFromConstraints artifact, gone since session.py
+    # excludes that rule (OPTIMIZATION_r13.md item 10); pruning itself is
+    # untouched, as the equality PartitionFilter and row counts prove.
+    assert "PartitionFilters: [(day" in plan
     pushed = [l for l in plan.splitlines() if l.startswith("PushedFilters")]
     assert not pushed or "day" not in pushed[0]
     want = e.where(F.col("day") == "2024-01-05").count()
