@@ -386,9 +386,14 @@ def lsh_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     at WRITE time and used as a partition key — then the probe is partition
     pruning, not even a scan."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r13 item 14 (guide §2.3): the query norm is a per-query constant —
+    # it rides in the 1-row broadcast instead of being refolded per
+    # candidate (operand order of dot/(cand_norm * qn) matches
+    # cosine_sim, values bit-identical; oracle unchanged, re-proven)
     q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"),
         _bucket_col(F.col("embedding")).alias("qbucket"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     scored = (
         e.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -399,7 +404,15 @@ def lsh_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+            (
+                _dec_dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(
+                        _dec_dot(F.col("embedding"), F.col("embedding"))
+                    )
+                    * F.col("qn")
+                )
+            ).alias("cosine"),
         )
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(LSH_TOPK)
@@ -443,15 +456,18 @@ def lsh_cosine_top5_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate dedup step is needed. Recall dominates single-probe by
     construction (its candidate set is a superset — tested)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r13 item 14 (guide §2.3): per-query norm in the broadcast probe
+    # list, not refolded per candidate — values bit-identical
     q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv"),
         _bucket_col(F.col("embedding")).alias("qbucket"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     probe_list = F.array(
         F.col("qbucket"),
         *[F.col("qbucket").bitwiseXOR(F.lit(2 ** k)) for k in range(NUM_PLANES)],
     )
-    probes = q.select("qv", F.explode(probe_list).alias("pbucket"))
+    probes = q.select("qv", "qn", F.explode(probe_list).alias("pbucket"))
     scored = (
         e.where(F.col("vec_id") != QUERY_VEC_ID)
         .join(
@@ -461,7 +477,15 @@ def lsh_cosine_top5_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+            (
+                _dec_dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(
+                        _dec_dot(F.col("embedding"), F.col("embedding"))
+                    )
+                    * F.col("qn")
+                )
+            ).alias("cosine"),
         )
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(LSH_TOPK)
@@ -1536,21 +1560,37 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives for EVERY training example) buckets by LSH first — same
     candidate-join shape as knn_join_lsh_top3."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r13 item 14 (guide §2.3): anchor norms ride in the broadcast,
+    # corpus-row norms are computed once below the join — one decimal
+    # fold per (corpus row, anchor) pair instead of three; operand
+    # order of dot/(neg_norm * an) matches cosine_sim, bit-identical
     anchors = (
         e.where(F.col("vec_id").isin(list(HARDNEG_ANCHORS)))
         .select(
             F.col("vec_id").alias("anchor_id"),
             F.col("label").alias("anchor_label"),
             F.col("embedding").alias("av"),
+            F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias(
+                "an"
+            ),
         )
     )
+    negs = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("nn"),
+    )
     scored = (
-        e.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        negs.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
         .select(
             "anchor_id",
             F.col("vec_id").alias("neg_vec_id"),
             F.col("label").alias("neg_label"),
-            cosine_sim(F.col("embedding"), F.col("av")).alias("cosine"),
+            (
+                _dec_dot(F.col("embedding"), F.col("av"))
+                / (F.col("nn") * F.col("an"))
+            ).alias("cosine"),
         )
     )
     from otus_cpp_11_spark.ops.skew import salted_topk
@@ -5168,17 +5208,34 @@ def _knn_mean_recall(
     driver collect (a single aggregate row); the exact side scores the
     broadcast query set against the corpus in one narrow pass."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r13 item 14 (guide §2.3): per-side norms factored out of the
+    # corpus x queries exact arm — one decimal fold per pair, operand
+    # order of dot/(cn*qn) matches cosine_sim so values (and therefore
+    # the recall scalar) are bit-identical
     q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nid")
     exact_top = (
         q.crossJoin(
-            e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cv"))
+            e.select(
+                F.col("vec_id").alias("nid"),
+                F.col("embedding").alias("cv"),
+                F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias(
+                    "cn"
+                ),
+            )
         )
         .where(F.col("nid") != F.col("query_id"))
         .select(
-            "query_id", "nid", cosine_sim(F.col("cv"), F.col("qv")).alias("cosine")
+            "query_id",
+            "nid",
+            (
+                _dec_dot(F.col("cv"), F.col("qv"))
+                / (F.col("cn") * F.col("qn"))
+            ).alias("cosine"),
         )
         .select("query_id", "nid", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= KNN_TOPK)
