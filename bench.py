@@ -39,6 +39,15 @@ judge-side A/B rerun. Reading: ~0.15-0.4 s is this box's healthy floor
 (JIT tiering keeps start a shade above end); a contaminated run shows
 several-x that, the same multiplier it inflicts on the query timings.
 The gate ratio is the max pairwise spread over all three probes.
+
+ABSOLUTE floor tier (r13 verdict item 1): the relative spread gate is
+blind to UNIFORM interference (the r13 driver run passed at ratio 1.262
+with every probe at ~2x the committed floor). ``calibration_floor_sec``
+(min of the three probes) is therefore compared against the best floor
+in the committed BENCH_r*.json history; a run whose quietest probe
+exceeds 1.5x that floor is flagged ``degraded_absolute`` (advisory —
+a slower box class still yields valid same-box A/Bs, but the artifact
+says so, and ``machine_slowdown_vs_committed`` quantifies it).
 """
 
 from __future__ import annotations
@@ -72,6 +81,27 @@ TIMED_RUNS = 2  # min over repeated timed runs (see module docstring)
 #                   artifact is admissible.
 CONTAMINATION_RATIO = 1.5
 DEGRADED_RATIO = 1.25
+
+# Absolute-floor gate (r13 verdict item 1): the relative max-pairwise
+# gate above is blind to UNIFORM interference — the r13 driver run passed
+# at ratio 1.262 while all three probes sat at 1.7-2.3x the committed
+# healthy floor, and the r12 run had the same blind spot. The calibration
+# kernel is fixed and data-independent, so its floor across committed
+# artifacts is a property of the BOX CLASS, not the code:
+# BENCH_r12.json end probe 0.068 s, BENCH_r13_c8.json end probe 0.057 s,
+# healthy builder boxes 0.08-0.13 s. A run whose BEST probe exceeds
+# 1.5x the best committed floor is running on a degraded/contended
+# machine even when the interference is perfectly uniform. Advisory
+# (degraded), not discarding: a slower box class can still produce valid
+# same-box A/Bs — but the artifact must say so.
+#
+# The reference floor is the best committed probe AT THE SAME CORE
+# COUNT CLASS: the calibration kernel is spark.range(30M), whose task
+# layout follows local[N] parallelism, so the 8-core floor (0.057,
+# BENCH_r13_c8) is not comparable to 32-core runs. 0.068 is the r12
+# driver's 32-core end probe — the best committed 32-core floor.
+BEST_COMMITTED_FLOOR = 0.068  # best committed 32-core probe (BENCH_r12)
+ABSOLUTE_FLOOR_FACTOR = 1.5
 
 
 def _materialize(df):
@@ -237,6 +267,13 @@ def main():
         # run (invisible to the old bracketing pair) still flags.
         probes = [calibration_start, calibration_mid, calibration_end]
         ratio = max(probes) / max(1e-9, min(probes))
+        # Absolute tier (r13 verdict item 1): min(probes) is the quietest
+        # moment this run saw; if even that exceeds 1.5x the best
+        # committed floor, the whole run carries machine inflation that
+        # the relative gate cannot see (uniform contention).
+        floor = min(probes)
+        slowdown = floor / BEST_COMMITTED_FLOOR
+        degraded_absolute = floor > ABSOLUTE_FLOOR_FACTOR * BEST_COMMITTED_FLOOR
         return {
             "metric": "headline_queries_total",
             "value": round(sum(timings.values()), 3),
@@ -247,8 +284,12 @@ def main():
             "calibration_mid_sec": calibration_mid,
             "calibration_end_sec": calibration_end,
             "calibration_ratio": round(ratio, 3),
+            "calibration_floor_sec": round(floor, 3),
+            "machine_slowdown_vs_committed": round(slowdown, 2),
+            "degraded_absolute": degraded_absolute,
+            "degraded_relative": ratio > DEGRADED_RATIO,
             "contaminated": ratio > CONTAMINATION_RATIO,
-            "degraded": ratio > DEGRADED_RATIO,
+            "degraded": ratio > DEGRADED_RATIO or degraded_absolute,
         }
 
     # Retry policy (r10 verdict item 6, widened per r11 item 7): a pass
@@ -264,16 +305,22 @@ def main():
         {
             "value": result["value"],
             "calibration_ratio": result["calibration_ratio"],
+            "calibration_floor_sec": result["calibration_floor_sec"],
             "contaminated": result["contaminated"],
             "degraded": result["degraded"],
         }
     ]
-    if result["degraded"]:  # contaminated implies degraded
+    # Retry keys on the RELATIVE tier only: bursty interference often
+    # passes on a second attempt, but an absolutely slow box class
+    # (degraded_absolute with a quiet spread) cannot be retried away —
+    # the flag stays on the artifact and the reader compares same-box.
+    if result["degraded_relative"]:  # contaminated implies degraded_relative
         retry = measure()
         attempts.append(
             {
                 "value": retry["value"],
                 "calibration_ratio": retry["calibration_ratio"],
+                "calibration_floor_sec": retry["calibration_floor_sec"],
                 "contaminated": retry["contaminated"],
                 "degraded": retry["degraded"],
             }
