@@ -555,57 +555,142 @@ def bm25_doc_term_tf(docs: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_tf(spark: SparkSession, sf_dir: str):
-    """Shared retrieval front end: the bm25_doc_term_tf relation plus the
-    1-row (N, T) scalar aggregate and the bounded query-term relation.
-    The corpus scan is ``spread()`` so the regex tokenize (the front
-    end's whole cost — BOTH consumers re-scan it) parallelizes across
-    cores on row-group-starved local inputs; at lake scale the gate
-    no-ops (r8: the unbenched-family audit found the tokenize serial
-    on one partition)."""
+def _bm25_corpus_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int, dict[str, int]]:
+    """ONE corpus pass collecting the bounded global BM25 statistics to
+    the driver: N (doc count), T (total tokens) and per-term df over the
+    bounded query vocabulary — |vocab|+2 integers, the zorder-bounds /
+    pagerank-N scalar-collect precedent (driver-trivial at any corpus
+    size; every statistic partial-aggregates map-side into one row).
+
+    r14 (guide §2.4/§1.2 step 1): previously these statistics lived in
+    three RELATIONS (tf, df, scal) whose chains each re-planned the
+    corpus tokenize — doc_bm25_top5's physical plan carried THREE full
+    scan+tokenize chains (plans/r14/doc_bm25_top5_before.txt ops 1-8 /
+    13-24 / 27-33) because Catalyst replans a multi-referenced subtree
+    per consumer and the r13 cache experiment proved a materialization
+    barrier costs more than the duplicate scan (OPTIMIZATION_r13.md
+    item 5). Collecting them instead turns df/N/T into plan literals
+    (the r13 IVF-PQ literal move), so the scoring pass is the only
+    other corpus scan. Recomputed from the parquet inputs on every
+    call — no cross-run or cross-query reuse; at 100 TB these are
+    exactly the statistics ``bm25_stats_streamed`` maintains
+    incrementally, and a deployment would read that artifact instead."""
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
     d = spread(load_table(spark, sf_dir, "documents"))
-    qt = spark.createDataFrame(
-        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
-        "query_id int, term string",
-    )
     toks = d.select(
-        "doc_id",
-        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w"),
+        F.filter(F.split(_normalized(), " "), lambda x: x != F.lit("")).alias("w")
     )
-    scal = toks.agg(
+
+    row = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("w")).alias("total_toks"),
-    )
-    return bm25_doc_term_tf(d), qt, scal
+        *[
+            # df(t) = number of docs containing t — exactly what the old
+            # tf.groupBy(term).count() produced (tf rows exist iff tf>=1).
+            # array_contains, not exists(lambda): HOF lambdas evaluate
+            # interpreted per element (the knn_join_lsh_top3 lesson);
+            # array_contains is a codegen'd collection expression.
+            F.sum(F.array_contains("w", t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    ).first()
+    n_docs = int(row["n_docs"])
+    total_toks = int(row["total_toks"] or 0)
+    df = {t: int(row[f"df_{i}"] or 0) for i, t in enumerate(all_terms)}
+    return n_docs, total_toks, df
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str, front=None) -> DataFrame:
-    """(query_id, doc_id, score_units): exact-integer BM25 — see
-    doc_bm25_top5 for the arithmetic derivation and headroom analysis.
-    ``front`` lets a caller that also needs the tf relation pass its own
-    (tf, qt, scal) tuple in, GUARANTEEING the two consumers share one
-    tokenize front end instead of betting on exchange-reuse
-    canonicalization to dedupe two structurally separate plans."""
-    tf, qt, scal = front if front is not None else _bm25_tf(spark, sf_dir)
-    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    contrib = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(df_rel), "term")
-        .crossJoin(F.broadcast(scal))
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr(
-                f"(({_BM25_IDF_UNIT} * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
-                f" * (({_BM25_UNIT} * 22 * tf * total_toks)"
-                f"    div (10 * tf * total_toks + 3 * total_toks + 9 * dl * n_docs))"
-                f" div {_BM25_IDF_UNIT}"
-            ).alias("c"),
-        )
+def _bm25_scores(
+    spark: SparkSession, sf_dir: str, with_tf_sum: bool = False
+) -> DataFrame:
+    """(query_id, doc_id, score_units[, tf_sum]): exact-integer BM25 —
+    see doc_bm25_top5 for the arithmetic derivation and headroom
+    analysis; rows exist exactly for (query, doc) pairs sharing >= 1
+    term, and ``tf_sum`` (the raw term-frequency ranker the RRF fusion
+    also pools) rides along for free when asked.
+
+    r14 rewrite (guide §2.3/§2.4 — shuffle nothing that is computable
+    map-side): with (N, T, df) collected as plan literals
+    (``_bm25_corpus_stats``), per-term tf and dl are per-DOC array
+    expressions and the whole per-(query, doc) score folds into one
+    map-side projection + a bounded 4-struct explode. The former plan's
+    (doc, term, dl) aggregate exchange, qt/df broadcast joins, scalar
+    crossJoin and (query, doc) score-aggregate exchange are ALL gone —
+    the relation is produced by a single narrow pass over the corpus.
+    Bit-identical by construction: idf_mu is the same exact integer
+    python // computes (non-negative operands, same truncation as
+    Spark's div), every tf enters the formula as BIGINT exactly as the
+    old count() did, and the per-term contributions sum as BIGINT in
+    the same left-to-right order the old SUM aggregated (integer
+    addition is order-free anyway). Oracles unchanged — they recompute
+    df/N/T relationally, so the driver hash-match machine-proves the
+    literal substitution."""
+    n_docs, total_toks, df = _bm25_corpus_stats(spark, sf_dir)
+    all_terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    ti = {t: i for i, t in enumerate(all_terms)}
+    idf_mu = {
+        t: (_BM25_IDF_UNIT * (2 * n_docs - 2 * df[t] + 1)) // (2 * df[t] + 1)
+        for t in all_terms
+    }
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = F.filter(F.split(_normalized(), " "), lambda x: x != F.lit(""))
+    # ONE vocabulary filter narrows w to the (tiny) matched-token array;
+    # per-term tf then reads as size(arr) - size(array_remove(arr, t)) —
+    # codegen'd collection expressions over a few elements. The measured
+    # alternatives both lose: per-term filter(w, eq) HOFs run their
+    # lambdas interpreted per element per term (the knn_join_lsh_top3
+    # lesson), and array_remove over the FULL w copies the whole token
+    # array per term (2x this pass's cost, /tmp A/B in
+    # OPTIMIZATION_r14.md).
+    per = d.select(
+        "doc_id",
+        F.size(w).alias("dl"),
+        F.filter(w, lambda x: x.isin(all_terms)).alias("arr"),
     )
-    return contrib.groupBy("query_id", "doc_id").agg(
-        F.sum("c").cast("bigint").alias("score_units")
+    per = per.select(
+        "doc_id",
+        "dl",
+        *[
+            # BIGINT so every product below promotes exactly like the old
+            # count()-typed tf did (int math would wrap at 22e6*tf)
+            (F.size("arr") - F.size(F.array_remove("arr", t)))
+            .cast("bigint")
+            .alias(f"tf_{ti[t]}")
+            for t in all_terms
+        ],
     )
+    entries = []
+    for qid, terms in BM25_QUERIES:
+        cs = [
+            f"(CASE WHEN tf_{ti[t]} > 0 THEN {idf_mu[t]}L"
+            f" * (({_BM25_UNIT} * 22 * tf_{ti[t]} * {total_toks}L)"
+            f"    div (10 * tf_{ti[t]} * {total_toks}L + 3 * {total_toks}L"
+            f"         + 9 * dl * {n_docs}L))"
+            f" div {_BM25_IDF_UNIT} ELSE 0L END)"
+            for t in terms
+        ]
+        matched = " OR ".join(f"tf_{ti[t]} > 0" for t in terms)
+        fields = [
+            f"{qid} AS query_id",
+            f"CAST({' + '.join(cs)} AS BIGINT) AS score_units",
+            f"({matched}) AS m",
+        ]
+        if with_tf_sum:
+            fields.append(
+                f"CAST({' + '.join(f'tf_{ti[t]}' for t in terms)} AS BIGINT)"
+                " AS tf_sum"
+            )
+        entries.append("struct(" + ", ".join(fields) + ")")
+    out = (
+        per.select("doc_id", F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("s"))
+        .where(F.col("s.m"))
+    )
+    cols = ["s.query_id", "doc_id", "s.score_units"]
+    if with_tf_sum:
+        cols.append("s.tf_sum")
+    return out.select(*cols)
 
 
 # Shared oracle CTE chain ending in scores(query_id, doc_id, score_units) —
@@ -670,20 +755,20 @@ def doc_bm25_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     is real BM25 cleared to one integer division (22*tf*T over
     10*tf*T + 3*T + 9*dl*N, avgdl folded in as T/N).
 
-    100 TB shape: tokens are filtered to the bounded query vocabulary
-    INSIDE the projection (before any shuffle), so the corpus-sized explode
-    never leaves the map side; (doc, term) tf is one partially-aggregated
-    groupBy; df/query relations are bounded-by-construction broadcasts; N
-    and T come from one scalar aggregate (1-row crossJoin). The top-k is the
+    100 TB shape (r14): the corpus is scanned exactly TWICE — one
+    statistics pass partial-aggregates (N, T, df per vocabulary term)
+    into a single collected row (``_bm25_corpus_stats``; the maintained-
+    artifact statistics of bm25_stats_streamed, recomputed per call),
+    then one scoring pass computes every per-(query, doc) score as
+    map-side array arithmetic against those literals — no (doc, term)
+    shuffle, no broadcast joins, nothing corpus-sized ever leaves the
+    map side before the top-k. The top-k is the
     shared salted_topk two-stage window (ops/skew.py) — per-(query,
     hash-salt-cell) top-5 first, then the global per-query top-5 over at
     most 16*5 survivors per query — because
     a handful of query_id partitions would otherwise funnel every matched
-    doc in the corpus through single reducers. The corpus is tokenized
-    twice (the scalar N/T aggregate and the tf pass are separate scans of
-    the same projection) — the doc_bigram_surprisal trade, accepted for
-    the same reason: scans are cheap, a cache pin of the tokenized corpus
-    is not. Integer headroom, binding term first: the per-term product
+    doc in the corpus through single reducers.
+    Integer headroom, binding term first: the per-term product
     idf_mu * tfn_u <= (1e3 * 2N / 3) * 2.2e6 (a df=1 term) crosses 2^63
     only past N ~ 6e9 documents, and the tfn numerator 1e6*22*tf*T at
     tf <= dl crosses it past T ~ 2e10 tokens with hot-doc tf ~ 20; past
@@ -765,46 +850,47 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranker-agnostic by construction (it consumes only rank columns).
 
     100 TB shape: each pool is already a salted_topk (bounded to
-    RRF_POOL rows per query BEFORE the fusion join), so the full-outer
-    fusion join touches at most 2 * RRF_POOL * |queries| rows — driver-
-    trivial whatever the corpus size; the heavy lifting happened inside
-    the rankers, which share one tokenize+filter front end (_bm25_tf).
-    The final top-5 re-ranks <= 2 * RRF_POOL rows per query."""
-    front = _bm25_tf(spark, sf_dir)
-    tf, qt, _scal = front
-    pool_a = salted_topk(
-        _bm25_scores(spark, sf_dir, front),
-        ["query_id"],
-        [F.desc("score_units"), F.asc("doc_id")],
+    RRF_POOL rows per query BEFORE fusion), so fusion touches at most
+    2 * RRF_POOL * |queries| rows — driver-trivial whatever the corpus
+    size; the heavy lifting happened inside the rankers, which share ONE
+    map-side scoring pass (_bm25_scores emits score_units AND tf_sum per
+    matched (query, doc) row). r14 (guide §2.4, verdict item 2 — share
+    one window pass over the unioned ranker set): both rankers order the
+    SAME row set by different BIGINT keys, so each scored row explodes
+    into two (side, key) rows and ONE salted_topk partitioned by
+    (side, query_id) ranks both pools in a single pass — the plan drops
+    a whole duplicate corpus chain plus one two-stage window. Fusion is
+    a union-free aggregate: every surviving (side, query, doc, rank) row
+    contributes UNIT div (K + rank) and the per-(query, doc) SUM equals
+    the old full-outer COALESCE(a,0)+COALESCE(b,0) exactly (each pair
+    appears in <= 2 pools; absent = contributes nothing) — replacing the
+    un-broadcastable FullOuter SortMergeJoin with one tiny aggregate."""
+    scored = _bm25_scores(spark, sf_dir, with_tf_sum=True)
+    sided = scored.select(
+        "query_id",
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array(struct(0 AS side, score_units AS key),"
+                " struct(1 AS side, tf_sum AS key))"
+            )
+        ).alias("s"),
+    ).select("query_id", "doc_id", F.col("s.side").alias("side"), F.col("s.key").alias("key"))
+    ranked = salted_topk(
+        sided,
+        ["side", "query_id"],
+        [F.desc("key"), F.asc("doc_id")],
         RRF_POOL,
         salt_on="doc_id",
-    ).select("query_id", "doc_id", F.col("rank").alias("rank_a"))
-    tf_scores = (
-        tf.join(F.broadcast(qt), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("tf").cast("bigint").alias("tf_sum"))
     )
-    pool_b = salted_topk(
-        tf_scores,
-        ["query_id"],
-        [F.desc("tf_sum"), F.asc("doc_id")],
-        RRF_POOL,
-        salt_on="doc_id",
-    ).select("query_id", "doc_id", F.col("rank").alias("rank_b"))
     fused = (
-        pool_a.join(pool_b, ["query_id", "doc_id"], "full_outer")
-        .select(
+        ranked.select(
             "query_id",
             "doc_id",
-            (
-                F.coalesce(
-                    F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_a)"), F.lit(0)
-                )
-                + F.coalesce(
-                    F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_b)"), F.lit(0)
-                )
-            ).cast("bigint").alias("rrf_units"),
+            F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank)").alias("c"),
         )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("rrf_units"))
     )
     return (
         salted_topk(
@@ -963,15 +1049,27 @@ def retrieval_hybrid_dense_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         RRF_POOL,
         salt_on="doc_id",
     ).select("query_id", "doc_id", F.col("rank").alias("rank_a"))
-    fused = pool_a.join(pool_b, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        (
-            F.coalesce(F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_a)"), F.lit(0))
-            + F.coalesce(
-                F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_b)"), F.lit(0)
+    # r14 (guide §2.4/§3.1): RRF fusion as a union of per-pool
+    # contributions + one tiny aggregate instead of a FullOuter join —
+    # full-outer cannot broadcast-hash, so the old shape paid two
+    # sort+exchange legs (SortMergeJoin) on pool-bounded inputs. The
+    # per-(query, doc) SUM over <= 2 contribution rows equals
+    # COALESCE(a, 0) + COALESCE(b, 0) exactly.
+    fused = (
+        pool_a.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_a)").alias("c"),
+        )
+        .unionByName(
+            pool_b.select(
+                "query_id",
+                "doc_id",
+                F.expr(f"{_RRF_UNIT} div ({RRF_K} + rank_b)").alias("c"),
             )
-        ).cast("bigint").alias("rrf_units"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("bigint").alias("rrf_units"))
     )
     return (
         salted_topk(

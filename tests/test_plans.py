@@ -658,9 +658,13 @@ def test_resample_gap_fill_single_user_shuffle_for_fill(spark, plan):
 def test_bm25_plan_no_cartesian_and_broadcast_bounded_relations(spark, plan):
     p = plan("doc_bm25_top5", spark)
     assert "CartesianProduct" not in p
-    # query-term and df relations are bounded → broadcast hash joins;
-    # the only nested-loop is the 1-row scalar (N, T) crossJoin
-    assert "BroadcastHashJoin" in p
+    # r14: (N, T, df) are collected plan literals and per-(query, doc)
+    # scores are map-side array arithmetic — the scoring plan carries NO
+    # join of any kind and exactly ONE corpus scan (the stats pass is a
+    # separate 1-row-aggregate job); the only exchanges left belong to
+    # the salted top-k windows
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 2  # one tree node + its detail block
 
 
 def test_hard_negative_plan_is_one_broadcast_pass(spark, plan):
@@ -684,9 +688,12 @@ def test_prefix_cache_topk_is_take_ordered(spark, plan):
 def test_rrf_fusion_no_cartesian_and_bounded_fusion_join(spark, plan):
     p = plan("retrieval_rrf_fusion", spark)
     assert "CartesianProduct" not in p
-    # both ranker pools and the fused relation go through windows; the
-    # fusion join itself is between two <= pool*|queries|-row relations
-    assert "BroadcastHashJoin" in p
+    # r14: both rankers ride ONE map-side scoring pass (side-exploded)
+    # and ONE shared two-stage window; fusion is a per-(query, doc)
+    # aggregate over <= 2 contribution rows — no join of any kind (the
+    # old FullOuter fusion forced an un-broadcastable SortMergeJoin)
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 2  # one tree node + its detail block
 
 
 def test_diversified_retrieval_no_cartesian(spark, plan):
