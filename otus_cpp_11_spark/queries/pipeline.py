@@ -26,7 +26,6 @@ from otus_cpp_11_spark.queries.text import (
     QUALITY_MIN_STOP_RATIO,
     QUALITY_MIN_TOKENS,
     STOPWORDS,
-    classifier_scores,
     doc_quality_score,
 )
 from otus_cpp_11_spark.registry import register
@@ -97,36 +96,73 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups anchor clusters)."""
     from otus_cpp_11_spark.ops.graph import connected_components
     from otus_cpp_11_spark.queries.dedup import near_dup_pairs_minhash
+    from otus_cpp_11_spark.queries.text import QC_BUCKETS, QC_WEIGHTS
 
     d = load_table(spark, sf_dir, "documents")
     pairs = near_dup_pairs_minhash(spark, sf_dir).select("doc_a", "doc_b")
     clusters = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("id").alias("c_doc"), F.col("component").alias("cluster_id")
     )
-    exact_keepers = (
-        d.groupBy(F.md5(_normalized()).alias("h"))
-        .agg(F.min("doc_id").alias("k_doc"))
-        .select("k_doc")
-    )
+    # r14 (guide §2.3/§6, verdict item 5): the exact-keeper md5 pass, the
+    # heuristic token-count pass and the classifier pass were THREE
+    # separate corpus scans (plus two corpus-sized semi-joins to stitch
+    # them back onto doc_id). All three now ride ONE projection over one
+    # scan: the md5 fingerprint and the token counts are per-row columns,
+    # the classifier keeps its codegen explode+groupBy shape (HOF-lambda
+    # scoring would run interpreted per token — the knn_join_lsh_top3
+    # lesson) but explodes FROM this projection, so the per-doc aggregate
+    # carries every gate column through its map-side partial aggregation.
+    # The exact-keeper semi-join becomes min(doc_id) over a window on the
+    # fingerprint. Equivalence: all predicates are per-row and commute
+    # with the semi-joins they replace; docs whose normalized text is
+    # empty (the only rows the explode drops) tokenize to zero raw tokens
+    # as well, so they fail both the old qc semi-join and the n_tokens
+    # gate, and they are the ONLY members of their md5('') fingerprint
+    # group — dropping them changes no other doc's keeper status.
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     low = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
-    scored = spread(d).select(
+    wq = F.filter(F.split(_normalized(), " "), lambda x: x != F.lit(""))
+    base = spread(d).select(
         "doc_id",
         "source",
         F.size(toks).alias("n_tokens"),
         F.size(F.filter(toks, lambda x: x.isin([*STOPWORDS]))).alias("n_stop"),
         F.size(F.filter(low, lambda x: x.isin([*STOPWORDS]))).alias("en_hits"),
         F.size(low).alias("n_lower_tokens"),
+        F.md5(_normalized()).alias("h"),
+        F.explode(wq).alias("term"),
     )
-    qc_pass = (
-        classifier_scores(d)
-        .where((F.col("score_units") + QC_BIAS * F.col("n_tokens")) > 0)
-        .select(F.col("doc_id").alias("q_doc"))
+    weights = F.array(*[F.lit(w) for w in QC_WEIGHTS])
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 7, 2), 16, 10).cast("bigint")
+        % QC_BUCKETS
     )
+    per_doc = (
+        base.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "n_stop",
+            "en_hits",
+            "n_lower_tokens",
+            "h",
+            F.element_at(weights, (bucket + 1).cast("int")).alias("w"),
+        )
+        .groupBy(
+            "doc_id", "source", "n_tokens", "n_stop", "en_hits",
+            "n_lower_tokens", "h",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("qc_n"),
+            F.sum("w").cast("bigint").alias("qc_score"),
+        )
+    )
+    keeper_min = F.min("doc_id").over(Window.partitionBy("h"))
     kept = (
-        scored.join(exact_keepers, scored["doc_id"] == exact_keepers["k_doc"], "semi")
-        .join(qc_pass, scored["doc_id"] == qc_pass["q_doc"], "semi")
-        .join(clusters, scored["doc_id"] == clusters["c_doc"], "left")
+        per_doc.withColumn("min_id", keeper_min)
+        .where(F.col("doc_id") == F.col("min_id"))
+        .where((F.col("qc_score") + QC_BIAS * F.col("qc_n")) > 0)
+        .join(clusters, per_doc["doc_id"] == clusters["c_doc"], "left")
         .where(F.col("c_doc").isNull() | (F.col("cluster_id") == F.col("doc_id")))
         .where(
             (F.col("n_tokens") >= 20)
