@@ -61,6 +61,23 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dec_dot(a, b) / (F.sqrt(_dec_dot(a, a)) * F.sqrt(_dec_dot(b, b)))
 
 
+def cosine_from_norms(dot: Column, a_norm: Column, b_norm: Column) -> Column:
+    """Factored cosine: ``dot / (a_norm * b_norm)`` — the per-side-norm
+    form of ``cosine_sim`` (r13 item 14 / r14 ADVICE: one shared helper
+    instead of six hand-matched copies).
+
+    BIT-IDENTITY INVARIANT (cross-engine determinism contract): this
+    expression must keep EXACTLY cosine_sim's operand order —
+    ``dot(a, b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))`` with the division's
+    right operand multiplied LEFT-norm-first — because IEEE double
+    multiplication and division are order-sensitive in the last ulp and
+    every oracle computes the fused form. Callers pass
+    ``a_norm = sqrt(_dec_dot(a, a))`` computed in a's side projection and
+    ``b_norm`` likewise for b, with (a, b) in the same order the fused
+    ``cosine_sim(a, b)`` call would have used."""
+    return dot / (a_norm * b_norm)
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"(CAST(LIST_SUM([CAST(FLOOR(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * {_SCALE}.0) AS DECIMAL(38,0)) "
@@ -108,14 +125,10 @@ def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (
-                _dec_dot(F.col("embedding"), F.col("qv"))
-                / (
-                    F.sqrt(
-                        _dec_dot(F.col("embedding"), F.col("embedding"))
-                    )
-                    * F.col("qn")
-                )
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("qv")),
+                F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))),
+                F.col("qn"),
             ).alias("cosine"),
         )
     )
@@ -215,9 +228,10 @@ def blocked_cosine_pairs(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            (
-                _dec_dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a._nrm") * F.col("b._nrm"))
+            cosine_from_norms(
+                _dec_dot(F.col("a.embedding"), F.col("b.embedding")),
+                F.col("a._nrm"),
+                F.col("b._nrm"),
             ).alias("cosine"),
         )
 
@@ -404,14 +418,10 @@ def lsh_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (
-                _dec_dot(F.col("embedding"), F.col("qv"))
-                / (
-                    F.sqrt(
-                        _dec_dot(F.col("embedding"), F.col("embedding"))
-                    )
-                    * F.col("qn")
-                )
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("qv")),
+                F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))),
+                F.col("qn"),
             ).alias("cosine"),
         )
     )
@@ -477,14 +487,10 @@ def lsh_cosine_top5_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (
-                _dec_dot(F.col("embedding"), F.col("qv"))
-                / (
-                    F.sqrt(
-                        _dec_dot(F.col("embedding"), F.col("embedding"))
-                    )
-                    * F.col("qn")
-                )
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("qv")),
+                F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))),
+                F.col("qn"),
             ).alias("cosine"),
         )
     )
@@ -1381,9 +1387,8 @@ def knn_join_lsh_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "neighbor_label",
-            (
-                _dec_dot(F.col("cv"), F.col("qv"))
-                / (F.col("cn") * F.col("qn"))
+            cosine_from_norms(
+                _dec_dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
             ).alias("cosine"),
         )
     )
@@ -1450,22 +1455,34 @@ def knn_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate index quality (bucket-occupancy drift, plane staleness) — the
     same sample-probe pattern as the sketch accuracy gates."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r14 (guide §2.3, the item-14 shape): per-side norms factored below
+    # the joins — both arms score corpus x query-sample pairs, so the old
+    # fused cosine_sim re-ran the query self-fold once per corpus row and
+    # the candidate self-fold once per query; one fold per pair remains.
+    # Operand order via cosine_from_norms matches cosine_sim(cv, qv)
+    # bit-for-bit (oracle unchanged, re-proven).
     q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         _bucket_col(F.col("embedding")).alias("qbucket"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     cand = e.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("cv"),
         _bucket_col(F.col("embedding")).alias("bucket"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nid")
     exact_top = (
         q.crossJoin(cand)
         .where(F.col("nid") != F.col("query_id"))
         .select(
-            "query_id", "nid", cosine_sim(F.col("cv"), F.col("qv")).alias("cosine")
+            "query_id",
+            "nid",
+            cosine_from_norms(
+                _dec_dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
+            ).alias("cosine"),
         )
         .select("query_id", "nid", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= KNN_TOPK)
@@ -1478,7 +1495,11 @@ def knn_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("nid") != F.col("query_id")),
         )
         .select(
-            "query_id", "nid", cosine_sim(F.col("cv"), F.col("qv")).alias("cosine")
+            "query_id",
+            "nid",
+            cosine_from_norms(
+                _dec_dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
+            ).alias("cosine"),
         )
         .select("query_id", "nid", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= KNN_TOPK)
@@ -1587,9 +1608,10 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id",
             F.col("vec_id").alias("neg_vec_id"),
             F.col("label").alias("neg_label"),
-            (
-                _dec_dot(F.col("embedding"), F.col("av"))
-                / (F.col("nn") * F.col("an"))
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("av")),
+                F.col("nn"),
+                F.col("an"),
             ).alias("cosine"),
         )
     )
@@ -1662,8 +1684,13 @@ def ann_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     d = load_table(spark, sf_dir, "documents")
     allowed = d.where(ANN_FILTER_SQL).select(F.col("doc_id").alias("vec_id"))
+    # r14 (guide §2.3, the item-14 shape): the query norm is a per-query
+    # constant riding the 1-row broadcast; the old fused cosine_sim
+    # re-ran the query self-fold once per surviving corpus row. Operand
+    # order matches cosine_sim(embedding, qv) bit-for-bit.
     q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     scored = (
         e.where(F.col("vec_id") != QUERY_VEC_ID)
@@ -1672,7 +1699,11 @@ def ann_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("qv")),
+                F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))),
+                F.col("qn"),
+            ).alias("cosine"),
         )
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(FILTERED_TOPK)
@@ -1747,19 +1778,46 @@ def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from otus_cpp_11_spark.ops.skew import salted_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    qs = e.where(F.col("vec_id") < TRUNC_N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
     tr = lambda c: F.slice(c, 1, TRUNC_DIM)  # noqa: E731
+    # r14 (guide §2.3, the item-14 shape): four of the six decimal folds
+    # per (query, candidate) pair were per-SIDE norms (full + truncated,
+    # each side) — the query norms re-ran once per corpus row and the
+    # candidate norms once per query. Factored into each side's
+    # projection, two folds per pair remain (the full and truncated
+    # dots). Operand order via cosine_from_norms matches
+    # cosine_sim(embedding, qv) / cosine_sim(tr(embedding), tr(qv))
+    # bit-for-bit (oracle unchanged, re-proven).
+    qs = e.where(F.col("vec_id") < TRUNC_N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+        F.sqrt(
+            _dec_dot(tr(F.col("embedding")), tr(F.col("embedding")))
+        ).alias("qtn"),
+    )
+    cand = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
+        F.sqrt(
+            _dec_dot(tr(F.col("embedding")), tr(F.col("embedding")))
+        ).alias("ctn"),
+    )
     scored = (
-        e.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        cand.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            cosine_sim(F.col("embedding"), F.col("qv")).alias("s_full"),
-            cosine_sim(tr(F.col("embedding")), tr(F.col("qv"))).alias(
-                "s_trunc"
-            ),
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("qv")),
+                F.col("cn"),
+                F.col("qn"),
+            ).alias("s_full"),
+            cosine_from_norms(
+                _dec_dot(tr(F.col("embedding")), tr(F.col("qv"))),
+                F.col("ctn"),
+                F.col("qtn"),
+            ).alias("s_trunc"),
         )
     )
     # BOTH rankings in one DAG branch: stack the two similarities into
@@ -3369,8 +3427,12 @@ def ivf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid bigint, cv array<double>",
         )
     )
+    # r14 (guide §2.3, the item-14 shape): the query norm rides the 1-row
+    # broadcast instead of being re-folded once per scored candidate;
+    # operand order matches cosine_sim(embedding, qv) bit-for-bit.
     q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     probe = (
         q.join(cdf)
@@ -3391,7 +3453,11 @@ def ivf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cell",
-            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("qv")),
+                F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))),
+                F.col("qn"),
+            ).alias("cosine"),
         )
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(IVF_TOPK)
@@ -3652,8 +3718,12 @@ def pq_adc_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_units", "vec_id")
         .limit(ADC_SHORTLIST)
     )
+    # r14 (guide §2.3, the item-14 shape): query norm in the 1-row
+    # broadcast; one fold per reranked candidate remains. Operand order
+    # matches cosine_sim(embedding, qv) bit-for-bit.
     qv = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     rer = (
         short.join(e, "vec_id")
@@ -3661,7 +3731,11 @@ def pq_adc_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "adc_units",
-            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("qv")),
+                F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))),
+                F.col("qn"),
+            ).alias("cosine"),
         )
     )
     return rer.orderBy(F.desc("cosine"), "vec_id").limit(5)
@@ -4019,8 +4093,15 @@ def _knn_ivfpq_ranked(
         slices, _, _, _ = _pq_trained_res(spark, sf_dir, pre_ingest=True)
     else:
         cents, slices = artifacts
+    # r14 (guide §2.3, the item-14 shape): the query norm rides the
+    # bounded broadcast query relation, so the exact rerank pays one
+    # fold per (query, shortlist candidate) pair instead of re-folding
+    # the query self-dot per candidate. Operand order via
+    # cosine_from_norms matches cosine_sim(embedding, qv) bit-for-bit.
     q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
 
     # r13 optimization (guide §2.4 — remove shuffles outright): probe
@@ -4155,7 +4236,11 @@ def _knn_ivfpq_ranked(
             F.col("vec_id").alias("neighbor_id"),
             "neighbor_label",
             "adc_units",
-            cosine_sim(F.col("embedding"), F.col("qv")).alias("cosine"),
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("qv")),
+                F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))),
+                F.col("qn"),
+            ).alias("cosine"),
         )
     )
     wfin = Window.partitionBy("query_id").orderBy(
@@ -4447,11 +4532,18 @@ def knn_ivfpq_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift (centroid staleness after appends, nprobe sizing) — the same
     sample-probe pattern as the sketch accuracy gates."""
     e = load_table(spark, sf_dir, "embeddings")
+    # r14 (guide §2.3, the item-14 shape): per-side norms factored below
+    # the corpus x query-sample cross join — one fold per pair remains;
+    # operand order matches cosine_sim(cv, qv) bit-for-bit.
     q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     cand = e.select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("cv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nid")
     exact_top = (
@@ -4460,7 +4552,9 @@ def knn_ivfpq_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "nid",
-            cosine_sim(F.col("cv"), F.col("qv")).alias("cosine"),
+            cosine_from_norms(
+                _dec_dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
+            ).alias("cosine"),
         )
         .select("query_id", "nid", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= KNN_TOPK)
@@ -4592,11 +4686,18 @@ def knn_ivfpq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric isolates index approximation, not filter disagreement."""
     e = load_table(spark, sf_dir, "embeddings")
     allowed = _knn_allowed(spark, sf_dir)
+    # r14 (guide §2.3, the item-14 shape): per-side norms factored below
+    # the eligible-corpus x query-sample cross join — one fold per pair;
+    # operand order matches cosine_sim(cv, qv) bit-for-bit.
     q = e.where(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
     cand = e.join(allowed, "vec_id", "left_semi").select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("cv"),
+        F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nid")
     exact_top = (
@@ -4605,7 +4706,9 @@ def knn_ivfpq_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "nid",
-            cosine_sim(F.col("cv"), F.col("qv")).alias("cosine"),
+            cosine_from_norms(
+                _dec_dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
+            ).alias("cosine"),
         )
         .select("query_id", "nid", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= KNN_TOPK)
@@ -5232,9 +5335,8 @@ def _knn_mean_recall(
         .select(
             "query_id",
             "nid",
-            (
-                _dec_dot(F.col("cv"), F.col("qv"))
-                / (F.col("cn") * F.col("qn"))
+            cosine_from_norms(
+                _dec_dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn")
             ).alias("cosine"),
         )
         .select("query_id", "nid", F.row_number().over(w).alias("rnk"))

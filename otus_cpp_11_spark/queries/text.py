@@ -990,7 +990,7 @@ def retrieval_hybrid_dense_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/PQ rankers (pq_adc_top10, ivf_pq_top5) swap in behind the same
     pool interface when the corpus outgrows brute force — the fusion
     consumes only rank columns and cannot tell."""
-    from otus_cpp_11_spark.queries.similarity import _dec_dot
+    from otus_cpp_11_spark.queries.similarity import _dec_dot, cosine_from_norms
 
     e = load_table(spark, sf_dir, "embeddings")
     anchors = spark.createDataFrame(
@@ -1029,9 +1029,10 @@ def retrieval_hybrid_dense_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
-            (
-                _dec_dot(F.col("embedding"), F.col("qv"))
-                / (F.col("d_norm") * F.col("q_norm"))
+            cosine_from_norms(
+                _dec_dot(F.col("embedding"), F.col("qv")),
+                F.col("d_norm"),
+                F.col("q_norm"),
             ).alias("cosine"),
         )
     )
