@@ -40,21 +40,92 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 
+def _helper_closure_sources(fn) -> list[str]:
+    """Sources of every same-package FUNCTION the query function
+    (transitively) references — resolved through module globals and
+    function-local ``from otus_cpp_11_spark... import name`` statements
+    via the AST. r14 (verdict item 4 of the pin audit): the old hash
+    covered only the query function's own source, so a semantic rewrite
+    of a shared helper (`_read_files_masked`, `_knn_ivfpq_ranked`,
+    `_bm25_scores`, ...) shipped without drifting any consumer's pin;
+    now a helper-source change mechanically invalidates every consumer.
+    Remaining (documented) gap: module-level CONSTANTS and non-function
+    objects a helper reads are not hashed — but every registered oracle
+    renders its constants into the oracle text, which is hashed."""
+    import ast
+    import importlib
+    import inspect
+    import sys
+    import textwrap
+
+    out: dict[str, str] = {}
+    seen: set[object] = set()
+
+    def visit(f) -> None:
+        try:
+            src = textwrap.dedent(inspect.getsource(f))
+            tree = ast.parse(src)
+        except (OSError, TypeError, SyntaxError):
+            return
+        mod = sys.modules.get(getattr(f, "__module__", ""), None)
+        imported: dict[str, object] = {}
+        names: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name):
+                names.add(node.id)
+            elif (
+                isinstance(node, ast.ImportFrom)
+                and node.module
+                and node.module.startswith("otus_cpp_11_spark")
+            ):
+                try:
+                    m = importlib.import_module(node.module)
+                except ImportError:
+                    continue
+                for a in node.names:
+                    imported[a.asname or a.name] = getattr(m, a.name, None)
+        for n in sorted(names):
+            obj = imported.get(n)
+            if obj is None and mod is not None:
+                obj = getattr(mod, n, None)
+            if (
+                inspect.isfunction(obj)
+                and (obj.__module__ or "").startswith("otus_cpp_11_spark")
+                and obj is not f
+                and obj not in seen
+            ):
+                seen.add(obj)
+                key = f"{obj.__module__}.{obj.__qualname__}"
+                try:
+                    out[key] = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    continue
+                visit(obj)
+
+    visit(fn)
+    return [out[k] for k in sorted(out)]
+
+
 def query_source_hash(q: Query) -> str:
     """Fingerprint of WHAT a green driver row certified: the query
-    function's literal source plus the RENDERED oracle SQL (f-string
+    function's literal source, the RENDERED oracle SQL (f-string
     constants expanded, so an oracle-CTE edit changes the hash even when
-    the decorator line doesn't). Recorded in DRIVER_VERIFIED at green
-    time; tests/test_registry_window.py recomputes it so 'materially
-    changed since verification' is mechanical, not judgment. Limitation:
-    a behavior change hidden entirely inside a shared helper the function
-    calls (with an unchanged oracle) still needs the old human rule —
-    remove the entry when you rewrite a helper's semantics."""
+    the decorator line doesn't), and — r14 — the sources of every
+    same-package function the query transitively references, so a
+    shared-helper rewrite drifts every consumer's pin mechanically
+    (previously a helper-only change needed a human to remember to
+    unpin the consumers; the r13 verdict found the round's biggest
+    semantic rewrites shipped that way). Recorded in DRIVER_VERIFIED at
+    green time; tests/test_registry_window.py recomputes it so
+    'materially changed since verification' stays mechanical."""
     import hashlib
     import inspect
 
     src = inspect.getsource(q.fn)
-    digest = hashlib.sha256((src + "\x00" + (q.oracle or "")).encode()).hexdigest()
+    helpers = "\x00".join(_helper_closure_sources(q.fn))
+    digest = hashlib.sha256(
+        (src + "\x00" + (q.oracle or "") + "\x00" + helpers).encode()
+    ).hexdigest()
     return digest[:12]
 
 
@@ -85,230 +156,221 @@ def register(
 # shared-helper caveat). Regenerate entries with
 # scripts/gen_verified_hashes.py after promoting a round's greens.
 #
-# Round-13 membership: every green row from rounds 1-12 (the r12 driver
-# report was 50/50 green, bringing cumulative coverage to 246/246), each
-# pinned to the source hash current at promotion time, minus the
-# round-13 REVERIFY queue (the 50 oldest-vintage pins: all 28 last green
-# in r7 plus the 22 alphabetically-first of the 28 last green in r8).
-# r13 optimization adjustments: queries whose plans were optimized this
-# round (source hash changed, results proven identical against the local
-# oracle) leave the dict per the pin rule and take window slots; an equal
-# number of REVERIFY members whose current hash still equals their last
-# driver-green hash (verified against the r12 registry) return to the
-# dict so the window stays exactly the unpinned set — changed code
-# re-verifies first, unchanged old greens keep their valid pins.
+# Round-14 membership: the r13 driver report was 50/50 green; every green
+# row is promoted here at its CURRENT-source hash under the r14 hash
+# computation (which now folds in the transitive helper-function closure
+# — see query_source_hash; the fingerprint format changed, so every
+# retained pin was regenerated from code whose own source is unchanged
+# since its green row). Removed (i.e., queued for driver re-verification
+# this round): every query whose source OR helper closure changed in
+# r14's optimizations (the BM25 family, the cosine-factoring batch, the
+# curation fold, pagerank, and the _knn_ivfpq_ranked /
+# blocked_cosine_pairs / _knn_mean_recall consumers), plus the r13
+# helper-touched consumers the r13 verdict flagged as never
+# driver-re-certified (near_dup_pairs_minhash, benchmark_decontamination,
+# versioned_dml_lifecycle, versioned_change_feed, customer_cdc_merge),
+# plus the 20 oldest-vintage greens (r7-r9) as the REVERIFY queue.
 DRIVER_VERIFIED: dict[str, str] = {
-    # ann_cosine_top10 / knn_join_lsh_top3 / retrieval_hybrid_dense_top5
-    # unpinned r13: per-pair cosine factored into per-side norms
-    # (results oracle-proven identical at all three SFs —
-    # OPTIMIZATION_r13.md item 14); events_multires_rollup,
-    # events_json_props and embedding_norms_by_label (youngest-vintage
-    # eligible REVERIFY members, hashes still equal to their last
-    # driver-green pins) return in their places.
-    "ann_filtered_top5": "acf0825f69bc",
-    "ann_index_cdc_upsert_txn": "e8211bd47942",
-    "ann_truncated_dim_recall": "0980750bee64",
-    "ann_index_streamed": "1c99211dd9d1",
-    "ann_lifecycle_pipeline": "5da83cc9c156",
-    "balanced_doc_sample": "e369f0894200",
-    "benchmark_decontamination": "7a996f13be83",
-    "bm25_stats_streamed": "56ebcc2d8fce",
-    "bpe_pair_counts": "d96cbbee11ec",
-    "bpe_token_frequencies": "b5ff23ca929c",
-    "budgeted_mixture_selection": "bfe3e84837f5",
-    "cdc_change_data_feed": "c877eea61ea1",
-    "cdf_incremental_state_counts": "44b34b2886e4",
-    "cdf_netting_across_versions": "ca8de7bf1a5e",
-    "corpus_after_span_strip": "521eaebb4885",
-    "corpus_curation_pipeline": "17e330209e81",
-    "corpus_datacard": "4e127f435efa",
-    "corpus_datacard_streamed": "0339deef2f6d",
-    "corpus_dedup_stats": "3fa9e48f7a71",
-    "cross_modal_doc_features": "1a3d8a0a163a",
-    "customer_cdc_merge": "db72fbdb81d5",
-    "customer_monthly_retention": "5005e34e6d54",
-    "customer_order_window_family": "e056a8223d4c",
-    "customer_running_spend": "471b2c9922e8",
-    "customers_above_avg_balance": "2c2142b03318",
-    "customers_without_orders": "9a01c8532a3d",
-    "daily_open_shipments": "e3385cf3d8ee",
-    "decontam_bloom_prune": "004a9cd16c69",
-    "dedup_canonical_by_quality": "48bc5b1ec055",
-    "doc_arrow_byte_stats": "48790875d2b1",
-    "doc_bigram_surprisal": "101994b12e10",
-    "doc_bpe_roundtrip": "b33acb08e4ca",
-    "doc_bpe_token_stats": "a44dac60fb4a",
-    "doc_dedup_clusters": "5150a5c0e008",
-    "doc_fingerprint": "ac4f9cbb8f09",
-    "doc_gopher_rules": "9eb3349e7818",
-    "doc_lang_id": "9244112be464",
-    "doc_novelty_score": "5c60ea70b6ed",
-    "doc_pack_bins_bpe": "6405f8931987",
-    "doc_passage_chunks": "2d16d9cda11b",
-    "doc_passage_chunks_udtf": "3bf8387a5432",
-    "doc_quality_classifier": "496dd16e1f78",
-    "doc_quality_score": "c49088db0448",
-    "doc_repeated_spans": "021ae1e34c5c",
-    "doc_repetition_stats": "d70389bb5105",
-    "doc_shard_assignment": "b7508cca5e2e",
-    "doc_simhash32": "9a4d28b0fe15",
-    "doc_token_stats": "f1fc9c5f44ba",
-    "doc_top_terms": "36f7b8dcb415",
-    "dup_blast_radius": "d5affb8c7838",
-    "embedding_norms_by_label": "b079260add86",
-    "embedding_quantization": "f5bb24cd0b57",
-    "events_dedup_streamed": "b83a47cdb13a",
-    "events_enriched_streamed": "db52a8e8f0af",
-    "events_json_props": "fd96cba6cc74",
-    "events_minute_rollup_streamed": "e74fbcc0b0a8",
-    "events_multires_rollup": "9500a9fc4621",
-    "events_pit_enrich": "a6e7e764b1ed",
-    "events_props_variant": "31a6172af1b4",
-    "events_session_windows": "ee61ffbf866a",
-    "events_session_windows_streamed": "08f0e60d5c18",
-    "events_sliding_10min_5min": "9f43a94d569f",
-    "events_sliding_10min_5min_streamed": "ee09d3535501",
-    "events_tumbling_5min": "f1e4a9109b9d",
-    "events_tumbling_5min_streamed": "a108f91ed90b",
-    "events_user_sketches": "70afbca65e63",
-    "events_versioned_ingest_streamed": "48dd8e3478c1",
-    "exact_dup_groups": "8902aa321cb1",
-    "forget_sweep_accounting": "6fb00d148c74",
-    "incremental_decontamination": "27228e0f9847",
-    # incremental_near_dup unpinned r13: cache-pinned-column filter
-    # placement changed its source (results oracle-proven identical);
-    # customer_order_gap_stats (oldest eligible REVERIFY member, hash
-    # still equal to its last driver-green pin) returns in its place.
-    "customer_order_gap_stats": "6d3cb75325f9",
-    "ivf_cosine_top5": "22b12ef86586",
-    "ivf_pq_nprobe_recall_curve": "988f9a56fbe8",
-    "ivf_pq_top5": "64e8668b12ca",
-    "ivf_train_distortion_curve": "aedd0e018199",
-    "ivf_trained_recall": "9c68f8f35575",
-    "kmeans_assign_update": "1957709e4ad9",
-    "knn_ivfpq_filtered_recall": "1e8c0a56d0f9",
-    "knn_ivfpq_recall_at_3": "30926ba066e9",
-    "knn_join_ivfpq_filtered": "4a77d034a883",
-    "knn_join_ivfpq_topk": "253a749c420d",
-    "knn_recall_at_3": "c88e0a7440fb",
-    "label_whitening_residuals": "156309353abe",
-    "latest_event_per_user": "256c7a2b2007",
-    "leakage_safe_split": "be57faff60a0",
-    "lineitem_measures_unpivot": "858016643174",
-    "lineitem_profile": "be479a6b9360",
-    "lineitem_qty_histogram": "5ad92f95736c",
-    "lineitem_zorder_cells": "ed3ff23d2c3b",
-    "minhash_estimate_accuracy": "d049fca2dea7",
-    "multimodal_decode_features": "ba3641b52a2e",
-    "multimodal_frame_sample": "6c3ae1db4d13",
-    "nation_set_ops": "ee0a45799605",
-    "nation_supplier_left_join": "5d0529977719",
-    "near_dup_containment": "3332e22c712b",
-    "near_dup_edit_distance": "b2229664d09f",
-    "near_dup_pairs_minhash": "9e5069a0a0ba",
-    "ngram_jaccard_pairs": "1ce24908ed83",
-    "opq_rotation_gain_probe": "4f1a35f07e52",
-    "order_distinct_aggs": "798ac52398ee",
-    "orders_by_month": "3b5d56427f88",
-    "orders_cube": "977856a76063",
-    "orders_grouping_sets": "7c2a2fcda67b",
-    "orders_rollup": "cc0326964a00",
-    "orders_yoy_growth": "36e8f4429a72",
-    "orderstatus_pivot": "051fd9dd302a",
-    "part_price_band_join": "feedac3b7d7c",
-    "parts_larger_than_brand_avg": "84c2c686d6ac",
-    "pii_scrub_stats": "7f34c028e2b4",
-    "ppm_ahash16": "86dc850ac759",
-    "ppm_ahash_near_dup_counts": "2df65b831d36",
-    "ppm_decode_features": "9da4f48f676c",
-    "ppm_resize_2x2": "6b8205d6c06a",
-    "pq_adc_rerank_top5": "1d1634e4512e",
-    "pq_adc_top10": "27caeef29150",
-    "pq_code_assignment": "a4f618f62b9e",
-    "pq_encode_arrow": "66c467eb13a8",
-    "pq_index_after_append": "8736ff9d3bcd",
-    "pq_recall_residual_vs_raw": "b8c1bc13ab1f",
-    "pq_recall_trained_vs_init": "93c707e470ec",
-    "pq_train_distortion_curve": "9993efb0c9d0",
-    "prefix_counts_l1": "09a990ed70ba",
-    "prefix_min_unique_len": "576b6d406c65",
-    "purchase_prior_click_asof": "369dcfcd828a",
-    "python_datasource_checksum": "063511ddd858",
-    "python_datasource_stream_checksum": "609b3f6c9262",
-    "q10_returned_revenue": "a6bbc6cce502",
-    "q11_important_stock": "64595b7c314a",
-    "q13_customer_distribution": "18c33d02b9f8",
-    "q14_promo_revenue": "a04be26f867a",
-    "q15_top_supplier": "524038b306d8",
-    "q16_part_supplier_relation": "7946efac9fb7",
-    "q17_small_quantity_revenue": "a002d7d89770",
-    "q18_large_orders": "29249878f196",
-    "q19_discounted_revenue": "f468835c3b3d",
-    "q1_pricing_summary": "3560e363e9ed",
-    "q20_potential_promotion": "26aa152b0b15",
-    "q21_waiting_supplier": "8eb51526a69e",
-    "q22_global_sales_opportunity": "b6a092e119de",
-    "q2_min_cost_supplier": "9b562eef7ff0",
-    "q3_shipping_priority": "fd99cfaeace7",
-    "q5_local_supplier_volume": "a6c0b0f534c0",
-    "q7_nation_volume": "71bb2f5a3869",
-    "q8_market_share": "defa2dff53c1",
-    "q9_product_profit": "f67a4359d652",
-    "quality_gate_kappa": "20583989b400",
-    "quarantine_blast_sweep": "f7fabf298490",
-    "region_nation_full_outer": "f11eea99322c",
-    "region_nation_list": "47ff2923d217",
-    "repeated_span_strip_stats": "b639a37b01e7",
-    "retrieval_diversified_top3": "0ae5067ed6f0",
-    "retrieval_rrf_fusion": "ae89b20c6090",
-    "rtbf_forget_base_and_index_txn": "5dd34dbc7551",
-    "running_user_counts_streamed": "fbca008c058d",
-    "scalar_string_math": "ace55f30e0cd",
-    "semantic_dedup_pairs": "c7b3ec9de102",
-    "session_top_paths": "28010065c846",
-    "simhash_near_pairs": "cb3090db559e",
-    "source_mixture_weights": "b323abe853a0",
-    "source_token_fertility": "d1452d0ad04b",
-    "sq8_retrieval_recall": "4d2237e9b638",
-    "sql_api_region_revenue": "c90b46011de4",
-    "sum_of_squares": "be018e408243",
-    "supplier_lead_time_stats": "1fe1c74caabd",
-    "suppliers_with_returns": "7a66c41651f6",
-    "term_cms_heavy_hitters": "c42035a2f51d",
-    "top3_orders_per_customer": "e381e519d72e",
-    "unique_by_abs": "aec470f57ab8",
-    "user_event_sessions": "2789bd95a888",
-    "user_funnel_conversion": "fe16d90615f6",
-    "user_state_cdc_streamed": "d761b9bc71db",
-    "user_state_scd2": "a7229906f4e7",
-    "user_state_scd2_streamed": "2abfd0b54841",
-    "user_value_resample_1h_ffill": "8c1195e182fb",
-    "user_value_scd2": "3be5f39e67c1",
-    "user_value_udaf_sum": "e8f79d7db0ec",
-    "user_value_zscore_outliers": "2c6fb32b13af",
-    "versioned_autocompact_ingest": "8bddaf686723",
-    "versioned_bloom_point_lookup": "00b13ab26072",
-    "versioned_change_feed": "defcc1758187",
-    "versioned_change_feed_streamed": "0921995f28c9",
-    "versioned_column_mapping_lifecycle": "20b0f183bb0e",
-    "versioned_dml_lifecycle": "47504a991821",
-    "versioned_dv_pressure_valve": "3b9044c57403",
-    "versioned_metadata_count": "1630468efb50",
-    "versioned_multi_table_txn": "876ad353392b",
-    "versioned_optimize_roundtrip": "e9ef2e2aa955",
-    "versioned_optimize_where": "d7fb531f5688",
-    "versioned_rtbf_deletion_vectors": "68e6e0a9b480",
-    "versioned_scan_skipping": "ce505e83611c",
-    "versioned_schema_evolution": "6402afe3d77a",
-    "versioned_stream_rollup": "825692b63304",
-    "versioned_type_widening_lifecycle": "0016168db600",
-    "view_purchase_left_outer_streamed": "f8e79f71ba33",
-    "view_purchase_within_6h": "ceb393bc123c",
-    "view_purchase_within_6h_streamed": "fa86e1f70ded",
-    "wav_decode_features": "c5e596df5226",
-    "wav_fingerprint16": "3048e2e0c324",
-    "wav_fp_near_dup_counts": "8b3dc099b104",
-    "word_count": "8d6c7475043d",
+    "ann_index_cdc_upsert_txn": "50720d82def7",
+    "ann_index_streamed": "d75893debb1f",
+    "balanced_doc_sample": "b6a61b7da52b",
+    "bpe_token_frequencies": "0074412e1e7c",
+    "budgeted_mixture_selection": "bcbf7819dfdd",
+    "copurchase_association_rules": "0a2e41059f3a",
+    "copurchase_part_pairs": "fc5000d15843",
+    "corpus_datacard": "cc0785777e42",
+    "corpus_datacard_streamed": "24314ccf0181",
+    "corpus_dedup_stats": "a28bdb4ace96",
+    "cross_modal_doc_features": "548bd3e3414a",
+    "customer_monthly_retention": "c346477ea490",
+    "customer_order_window_family": "89ae6ca258f0",
+    "customer_rfm_quartiles": "3afd9311bda7",
+    "customer_running_spend": "cd0c67420e7d",
+    "customers_above_avg_balance": "00e48644fe11",
+    "customers_without_orders": "0983e9c12cba",
+    "daily_active_users_7d": "bb0c62eccdeb",
+    "daily_open_shipments": "49bf20b62a8e",
+    "decontam_bloom_prune": "01117ef22ebc",
+    "dedup_canonical_by_quality": "6df1c2f2267f",
+    "doc_arrow_byte_stats": "d00c844f8d74",
+    "doc_bigram_surprisal": "e514133ccc34",
+    "doc_bpe_roundtrip": "f97bdd30182d",
+    "doc_bpe_token_ids": "567860831135",
+    "doc_bpe_token_stats": "f3ad7d79da5c",
+    "doc_dedup_clusters": "4902a4993a5f",
+    "doc_dsir_weights": "38530f39c4d5",
+    "doc_fingerprint": "aa34e398ab54",
+    "doc_gopher_rules": "0928bbdb350c",
+    "doc_lang_id": "d338cd62d984",
+    "doc_leading_tokens": "0427a90a499e",
+    "doc_novelty_score": "4cc534caa986",
+    "doc_pack_bins": "6270c1bfa390",
+    "doc_pack_bins_bpe": "96c1776757f0",
+    "doc_passage_chunks": "37201087471d",
+    "doc_passage_chunks_udtf": "ca8cf7ba8019",
+    "doc_priority_sample": "f60460f559cc",
+    "doc_quality_classifier": "553a0fde35b3",
+    "doc_quality_score": "774ea0ef81c1",
+    "doc_repeated_spans": "546c865ca5ed",
+    "doc_repetition_stats": "df27efe56c70",
+    "doc_reservoir_sample": "d646bd4a4dcd",
+    "doc_shard_assignment": "5e7bfcc334be",
+    "doc_simhash32": "68775fd2a939",
+    "doc_stratified_sample": "db99d4bd4c80",
+    "doc_token_stats": "462f0925e34a",
+    "doc_top_terms": "45de624d57c2",
+    "dup_blast_radius": "4a05f58794b3",
+    "embedding_gram_upper": "37e4765fc0f6",
+    "embedding_power_iteration": "94114b04c94c",
+    "embedding_quantization": "3f1777e77ba7",
+    "embedding_random_projection": "1c895218463c",
+    "eval_bootstrap_ci": "5bcb33457050",
+    "event_type_transitions": "555a15c723d1",
+    "event_value_mad": "ce3873a870a1",
+    "events_dedup_streamed": "1778c17575ea",
+    "events_enriched_streamed": "797146f94302",
+    "events_hourly_profile": "a2f1430d5179",
+    "events_minute_rollup_streamed": "19c2b9f8dcf0",
+    "events_pit_enrich": "c44713dad114",
+    "events_props_variant": "217d3fc4548c",
+    "events_session_windows_streamed": "5782751ea494",
+    "events_sliding_10min_5min_streamed": "0ae91db58f48",
+    "events_tumbling_5min_streamed": "15ab503b1162",
+    "events_versioned_ingest_streamed": "423ccb83236f",
+    "exact_dup_groups": "c7266cc39f58",
+    "forget_sweep_accounting": "9d43e0648182",
+    "incremental_decontamination": "39f012d36133",
+    "incremental_near_dup": "17cf16026932",
+    "ips_policy_value": "358a89893114",
+    "ivf_pq_nprobe_recall_curve": "263071d2a132",
+    "ivf_pq_top5": "0192c1d8f396",
+    "ivf_train_distortion_curve": "7a49f9c235af",
+    "ivf_trained_recall": "d7305e99f958",
+    "jaccard_prefix_filter_pairs": "8971859a16b7",
+    "label_centroids": "8ae72a2f8c44",
+    "label_whitening_residuals": "6be01292dd72",
+    "lakehouse_compaction_accounting": "3512a1393c45",
+    "latest_event_per_user": "be87b0655e8b",
+    "leakage_safe_split": "6b0e28be03dd",
+    "lineitem_price_qty_corr": "d9a22acfda3a",
+    "lineitem_qty_histogram": "b73ae8b1ce17",
+    "lineitem_zorder_cells": "521cde2b7066",
+    "minhash_estimate_accuracy": "2e1df7d0e684",
+    "multimodal_decode_features": "cc4505adfc5a",
+    "multimodal_frame_sample": "b40b8b6ba994",
+    "nation_richest_customer": "a65f6c77d1ba",
+    "nation_set_ops": "c3083679d0a8",
+    "nation_supplier_left_join": "815c0ac5a2cd",
+    "near_dup_containment": "ab5ba32957ce",
+    "near_dup_edit_distance": "27ab88d60646",
+    "neyman_allocation": "0fb51a27c863",
+    "ngram_jaccard_pairs": "2497da55eb8d",
+    "opq_aniso_probe_fires": "1537e1a10e0e",
+    "opq_rotation_gain_probe": "6681b46f7d7f",
+    "order_distinct_aggs": "6e7f4d722d22",
+    "orders_by_month": "47328a2dbc24",
+    "orders_cube": "59fdfbdf3230",
+    "orders_grouping_sets": "ad28b248ae58",
+    "orders_price_percentiles": "544e80973ddf",
+    "orders_rollup": "5b78a58f4ec1",
+    "orders_yoy_growth": "27d060578ff7",
+    "orderstatus_pivot": "01e73840dabe",
+    "part_price_band_join": "8eab9844b80b",
+    "part_triangle_counts": "aca26692aea7",
+    "parts_larger_than_brand_avg": "9372829ea4eb",
+    "pii_scrub_stats": "aee1ad7612b3",
+    "ppm_ahash16": "0be73efec978",
+    "ppm_ahash_near_dup_counts": "dc58f4ddd8c6",
+    "ppm_decode_features": "675dc7cc5b8f",
+    "ppm_resize_2x2": "cc33a2387f9e",
+    "pq_adc_top10": "6f4ac496267a",
+    "pq_code_assignment": "9874adada751",
+    "pq_encode_arrow": "33967e174272",
+    "pq_index_after_append": "c7406602140e",
+    "pq_recall_opq_vs_identity": "620a0dff5cc9",
+    "pq_recall_residual_vs_raw": "8b3cbcbec936",
+    "pq_recall_trained_vs_init": "c3c1e6c9f176",
+    "pq_train_distortion_curve": "9cbce0cb7865",
+    "prefix_cache_analysis": "0f785bb8eb7c",
+    "prefix_counts_l1": "5ed63895ccac",
+    "prefix_min_unique_len": "379d84a2fa25",
+    "purchase_prior_click_asof": "8aaf9d992d96",
+    "python_datasource_checksum": "f2d44ec97ec3",
+    "python_datasource_stream_checksum": "79689d0b6458",
+    "q10_returned_revenue": "3ce19975961a",
+    "q11_important_stock": "e3a3960c7e0d",
+    "q12_priority_shipping": "aae56dc8bb25",
+    "q14_promo_revenue": "c9393c2429bb",
+    "q15_top_supplier": "a7dcff607d49",
+    "q16_part_supplier_relation": "bb0ff7298dc0",
+    "q17_small_quantity_revenue": "4ce17caeaad7",
+    "q18_large_orders": "2f1ace28ae2d",
+    "q19_discounted_revenue": "8033a79f338c",
+    "q1_pricing_summary": "4b3df65c11ec",
+    "q20_potential_promotion": "19a6c9881256",
+    "q21_waiting_supplier": "f2c220ba3efa",
+    "q2_min_cost_supplier": "d93dbcbaff98",
+    "q3_shipping_priority": "f67a5d4f4575",
+    "q4_order_priority": "428f94185937",
+    "q5_local_supplier_volume": "33fb08b2a68b",
+    "q6_forecast_revenue": "d0f5167fc2ca",
+    "q7_nation_volume": "3396b4672a6a",
+    "q8_market_share": "105ba02a84b9",
+    "q9_product_profit": "0b80feb9a741",
+    "quality_gate_kappa": "28e0e91123df",
+    "quarantine_blast_sweep": "fd34c4be128e",
+    "region_nation_full_outer": "a6f16ccd3dcf",
+    "region_nation_list": "7a97aa33a1cc",
+    "repeated_span_strip_stats": "aa37c4c8028d",
+    "rtbf_forget_base_and_index_txn": "6f1ab1ce9f92",
+    "running_user_counts_streamed": "58ed3c7e1c34",
+    "scalar_string_math": "67d6d8df099b",
+    "session_top_paths": "674d0a04c76e",
+    "simhash_near_pairs": "8350224d2f44",
+    "source_mixture_weights": "b58728fd729d",
+    "source_score_calibration": "a3afc764a9c9",
+    "source_token_fertility": "7000295e1706",
+    "sq8_retrieval_recall": "47f89021d786",
+    "sql_api_region_revenue": "d92bb321c9d2",
+    "sum_of_squares": "d329251cd8e8",
+    "supplier_lead_time_stats": "0fdddf2f0e03",
+    "suppliers_with_returns": "853d0723e215",
+    "term_cms_heavy_hitters": "94875d8df06e",
+    "top3_orders_per_customer": "329442b68974",
+    "txn_consistent_read": "c7e57a0c3c97",
+    "unique_by_abs": "c38a77625bd0",
+    "user_cohort_weekly_retention": "546151d58f93",
+    "user_event_sessions": "823cded3c5bb",
+    "user_funnel_conversion": "d01836100c7e",
+    "user_state_cdc_streamed": "5b29b30eeb82",
+    "user_state_scd2": "c99bc6f8646c",
+    "user_state_scd2_streamed": "339d4b5d3b0b",
+    "user_value_moving_avg": "fe348a6dd587",
+    "user_value_scd2": "76f403ac8dee",
+    "user_value_udaf_sum": "05f33b4284c3",
+    "user_value_zscore_outliers": "eb32ab1eb75c",
+    "versioned_autocompact_ingest": "15234be04c25",
+    "versioned_bloom_point_lookup": "08be37b00957",
+    "versioned_change_feed_streamed": "b935249b0abf",
+    "versioned_column_mapping_lifecycle": "11032ff49233",
+    "versioned_dv_pressure_valve": "1484d6da04d6",
+    "versioned_metadata_count": "5348c68d360c",
+    "versioned_multi_table_txn": "69dfa34d78bd",
+    "versioned_optimize_roundtrip": "4654827902fe",
+    "versioned_optimize_where": "e48cc57163d1",
+    "versioned_rtbf_deletion_vectors": "51c0f5297a60",
+    "versioned_scan_skipping": "6abf2be06b03",
+    "versioned_schema_evolution": "4145c8dc49b8",
+    "versioned_stream_rollup": "4be403bf5237",
+    "versioned_timestamp_round_trip": "6922872e67b0",
+    "versioned_type_widening_lifecycle": "7831e30dd519",
+    "view_purchase_left_outer_streamed": "2c3defeabdfa",
+    "view_purchase_within_6h": "91f7b2912d2c",
+    "view_purchase_within_6h_streamed": "2da63af6a4e5",
+    "wav_decode_features": "2cc55134e376",
+    "wav_fingerprint16": "5c9dd9873711",
+    "wav_fp_near_dup_counts": "d08af6f3d011",
+    "word_count": "cc92d3b47a4e",
 }
 
 # Unverified queries that exceed the 50-slot window this round, ordered
@@ -319,66 +381,33 @@ DRIVER_VERIFIED: dict[str, str] = {
 # window exactly (see the REVERIFY note).
 WINDOW_DEFER: frozenset[str] = frozenset()
 
-# Oldest-green re-verification queue (r4 verdict item 7, refilled per the
-# r5 verdict item 5): queries whose only driver row is from rounds 1-2,
-# re-queued oldest-first into the slots the window has spare this round.
-# Ordered AFTER new/changed queries by all_queries() so a fresh operator
-# never loses its slot to a routine re-verification. Members leave
-# DRIVER_VERIFIED while queued; their still-valid old pin is restored if
-# a mid-round operator addition displaces them (keeping the window at
-# exactly 50). Refilled at round end once the round's own edits are
-# counted — see scripts/gen_verified_hashes.py workflow.
-# Round-13 refill: the 50 oldest-green pins (all 28 last green in r7 +
-# the 22 alphabetically-first of the 28 last green in r8), queued after
-# the round's new/changed queries. As round-13 operators land, each new
-# or changed query displaces the youngest-vintage REVERIFY member
-# (alphabetically last within r8 first), whose still-valid old pin
-# returns — keeping the window at exactly 50 per the rule above.
+# Round-14 refill (r13 ADVICE: restored members no longer double-listed —
+# this set now contains EXACTLY the queued-for-reverification names):
+# the 20 oldest-vintage greens (both r7 survivors, the r8 remainder, and
+# the alphabetically-first r9 members), ordered AFTER the round's
+# changed/helper-drifted queries by all_queries() so re-certification of
+# changed code always wins window slots over routine vintage rotation.
 REVERIFY: frozenset[str] = frozenset({
-    "ann_filtered_top5",
-    "ann_truncated_dim_recall",
-    "copurchase_part_pairs",
+    "bm25_stats_streamed",
+    "bpe_pair_counts",
+    "cdc_change_data_feed",
+    "cdf_incremental_state_counts",
+    "cdf_netting_across_versions",
+    "corpus_after_span_strip",
     "customer_order_gap_stats",
-    "customer_rfm_quartiles",
-    "daily_active_users_7d",
-    "doc_bm25_top5",
-    "doc_bpe_token_ids",
-    "doc_leading_tokens",
-    "doc_pack_bins",
-    "doc_priority_sample",
-    "doc_reservoir_sample",
-    "doc_stratified_sample",
-    "embedding_gram_upper",
-    "embedding_near_dup_pairs",
     "embedding_norms_by_label",
-    "embedding_power_iteration",
-    "embedding_random_projection",
-    "eval_bootstrap_ci",
-    "event_type_transitions",
-    "event_value_mad",
-    "events_hourly_profile",
     "events_json_props",
     "events_multires_rollup",
-    "hard_negative_mining",
-    "ips_policy_value",
-    "label_centroids",
-    "lakehouse_compaction_accounting",
-    "lineitem_price_qty_corr",
-    "lsh_cosine_top5",
-    "lsh_cosine_top5_multiprobe",
-    "nation_richest_customer",
-    "neyman_allocation",
-    "orders_price_percentiles",
-    "part_triangle_counts",
-    "prefix_cache_analysis",
-    "q12_priority_shipping",
+    "events_session_windows",
+    "events_sliding_10min_5min",
+    "events_tumbling_5min",
+    "events_user_sketches",
+    "kmeans_assign_update",
+    "lineitem_measures_unpivot",
+    "lineitem_profile",
     "q13_customer_distribution",
     "q22_global_sales_opportunity",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "source_score_calibration",
-    "user_cohort_weekly_retention",
-    "user_value_moving_avg",
+    "user_value_resample_1h_ffill",
 })
 
 
