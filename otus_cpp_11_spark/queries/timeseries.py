@@ -889,14 +889,20 @@ def user_value_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree exactly. The grid never has a leading NULL by
     construction (the first grid hour contains the user's first event).
 
-    Plan: one partial-aggregated compaction to hour grain, one bounds
-    aggregate, a per-user ``sequence()`` explode for the grid (output-
-    sized, not events-sized), one left join back on (user, hour), and a
-    per-user ordered window for the fill. Everything shuffles on
-    user_id once and stays partitioned; at 100 TB the grid explode is
-    the output's own size and the fill window's state is one scalar per
-    user — the standard distributed gap-fill shape (same as Flink's
-    interval fill or Timescale's locf over a bucketed hypertable)."""
+    Plan (r14, guide §2.4/§1.2 step 1 — fix the distributed algorithm):
+    ONE events scan compacts to hour grain (partial-aggregated), then a
+    per-user ``lead`` window names each observation's successor and the
+    gap rows [hour, next_hour) explode map-side carrying THIS
+    observation's value — which IS the forward fill, row for row: the
+    grid hour h takes the value of the latest observed hour <= h, and
+    every grid hour between two observations (and none outside
+    [first, last]) appears exactly once. The previous shape scanned
+    events twice (compaction + bounds), built the grid from bounds,
+    left-joined it back and ran an ignore-nulls fill window; the lead
+    formulation deletes the second scan, the grid join and the fill
+    window outright. Everything still shuffles on user_id once; at
+    100 TB the explode remains output-sized and the lead window's state
+    is one row per user."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events").select(
@@ -908,27 +914,25 @@ def user_value_resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
         .select("user_id", "hour", F.col("m.value").alias("v"))
     )
-    bounds = e.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("interval 1 hour"))
-        ).alias("hour"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    w = Window.partitionBy("user_id").orderBy("hour")
     return (
-        grid.join(hourly, ["user_id", "hour"], "left")
+        hourly.withColumn("nxt", F.lead("hour").over(w))
         .select(
             "user_id",
-            "hour",
-            F.last("v", ignorenulls=True).over(w).alias("value_ff"),
+            F.col("v").alias("value_ff"),
+            F.explode(
+                F.sequence(
+                    F.col("hour"),
+                    F.coalesce(
+                        F.col("nxt") - F.expr("INTERVAL 1 HOUR"),
+                        F.col("hour"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("grid_hour"),
+        )
+        .select(
+            "user_id", F.col("grid_hour").alias("hour"), "value_ff"
         )
         .orderBy("user_id", "hour")
     )
